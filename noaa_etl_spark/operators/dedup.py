@@ -1,0 +1,256 @@
+"""Deduplication family: exact, hash-key, MinHash+LSH near-dup, SimHash,
+n-gram Jaccard. All-native implementations (Catalyst higher-order
+functions + hash builtins) — no pyspark.ml dependency, no Python UDFs.
+
+Scale design (the whole point of each variant):
+
+- exact_dedup      : groupBy(full text) — correct but shuffles the text
+                     bytes; only for small/medium columns.
+- hash_dedup       : groupBy(xxhash64/md5 of text) — the 100 TB form;
+                     shuffles 8–16 bytes per row instead of the payload.
+- minhash_lsh_dedup: near-dup without the O(N²) pair space. Shingle →
+                     p-permutation MinHash signature (p×xxhash64, all
+                     JVM-side) → band into b buckets → candidate pairs
+                     only within buckets (explode+self-join on band key)
+                     → exact Jaccard verify → connected components →
+                     keep min doc id per cluster.
+- simhash          : 64-bit near-dup fingerprint; candidates via chunk
+                     banding, verify via hamming distance (xor+bit_count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from noaa_etl_spark.functions.text import ngrams, tokenize
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One survivor per identical text: deterministic min-id survivor."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("kept_" + id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def hash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Dedup by 64-bit content hash — never shuffles the payload.
+
+    xxhash64 collision odds at 100 TB doc counts (~1e11 docs) are
+    birthday-bounded at ~1e-4 per *pair of identical hashes*; for exact
+    guarantees chain a second hash (md5) on the collided groups only.
+    """
+    return df.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("kept_" + id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _perm_min(grams, perm: int):
+    # Factory function, not a default-arg lambda: `lambda g, i=i:` has
+    # arity 2 and Spark would misread it as an (element, index) lambda,
+    # silently replacing the permutation seed with the array index.
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(F.lit(perm), g)))
+
+
+def _minhash_signature(grams, num_perm: int):
+    """num_perm min-hashes of a shingle array: xxhash64(seed_i, gram)
+    min-reduced per permutation. Pure expressions — one wide projection."""
+    return [_perm_min(grams, i).alias(f"mh_{i}") for i in range(num_perm)]
+
+
+def jaccard(a, b):
+    """Exact Jaccard similarity of two string arrays (as sets)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from MinHash banding, with
+    exact Jaccard over shingle sets attached for thresholding.
+
+    rows_per_band = num_perm // bands; the LSH S-curve threshold is
+    roughly (1/bands)^(1/rows_per_band) ≈ 0.59 for 32/8.
+    """
+    rows_per_band = num_perm // bands
+    grams = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        grams.alias("grams"),
+        *_minhash_signature(grams, num_perm),
+    ).filter(F.size("grams") > 0)
+
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", "grams", F.explode(band_keys).alias("bk"))
+
+    left = banded.select(
+        F.col("bk").alias("bk"), F.col("id").alias("id_a"), F.col("grams").alias("grams_a")
+    )
+    right = banded.select(
+        F.col("bk").alias("bk2"), F.col("id").alias("id_b"), F.col("grams").alias("grams_b")
+    )
+    pairs = (
+        left.join(right, (left.bk == right.bk2) & (left.id_a < right.id_b))
+        .select("id_a", "id_b", "grams_a", "grams_b")
+        .dropDuplicates(["id_a", "id_b"])  # same pair can collide in >1 band
+    )
+    return pairs.select(
+        "id_a", "id_b", jaccard(F.col("grams_a"), F.col("grams_b")).alias("jaccard_sim")
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list (id_a, id_b) →
+    (id, component) where component = min id reachable.
+
+    Iterative small-join loop: each pass joins current labels across
+    edges and keeps the min. Converges in O(graph diameter) passes; near-
+    dup graphs are unions of small cliques so diameter is tiny. Each
+    iteration's result is a shuffle on id — bounded by the candidate-pair
+    count, not the corpus.
+    """
+    both = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = both.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("component")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old_component"), "id"
+            )
+            .filter(F.col("component") != F.col("old_component"))
+            .isEmpty()
+        ):
+            labels = new_labels
+            break
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+    return labels
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Full near-dup pipeline → (id, component, keep) where keep marks the
+    min-id survivor of each near-dup cluster (singletons all keep)."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, shingle_n, num_perm, bands).filter(
+        F.col("jaccard_sim") >= threshold
+    )
+    comps = connected_components(pairs)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    labeled = all_ids.join(comps, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    return labeled.withColumn("keep", F.col("id") == F.col("component"))
+
+
+# --- SimHash -----------------------------------------------------------
+
+
+def _token_bit_votes(tok) -> F.Column:
+    """±1 vote per bit of xxhash64(token), as a 64-int array. Bits are
+    unrolled in Python (shift amounts must be literals for the builtin);
+    bit 63 is the sign bit — tested via h < 0 since 1<<63 overflows the
+    signed long literal."""
+    h = F.xxhash64(tok)
+    comps = []
+    for b in range(64):
+        is_set = (h < 0) if b == 63 else (h.bitwiseAND(F.lit(1 << b)) != F.lit(0))
+        comps.append(F.when(is_set, 1).otherwise(-1))
+    return F.array(*comps)
+
+
+def simhash64(tokens) -> F.Column:
+    """64-bit SimHash of a token array, all-native: per-token xxhash64,
+    per-bit ±1 vote, sign → bit. O(64·n_tokens) codegen'd expressions."""
+    votes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, _token_bit_votes(t), lambda a, b: a + b),
+    )
+    result = F.lit(0).cast("long")
+    for b in range(64):
+        v = F.element_at(votes, b + 1)
+        one = F.lit(-(1 << 63)).cast("long") if b == 63 else F.lit(1 << b).cast("long")
+        result = result.bitwiseOR(F.when(v > 0, one).otherwise(F.lit(0).cast("long")))
+    return result
+
+
+def hamming64(a, b) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
+    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
+    self-join per chunk, verify hamming. Returns (id_a, id_b, hamming)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash64(tokenize(F.col(text_col))).alias("sh")
+    )
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    )
+    left = chunks.select(F.col("ck").alias("ck"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = chunks.select(F.col("ck").alias("ck2"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        left.join(right, (left.ck == right.ck2) & (left.id_a < right.id_b))
+        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``knn_bruteforce`` — exact top-k cosine neighbors; the correctness
+  baseline and the oracle-checkable form. O(|Q|·|C|) pairs: fine when
+  one side is small (it is broadcast), wrong at corpus×corpus scale.
+- ``knn_lsh`` — random-hyperplane (signed random projection) LSH, all
+  native expressions: deterministic pseudo-random hyperplanes derived
+  from xxhash64, sign-bit signatures banded into buckets, candidates
+  joined per bucket, exact cosine re-rank. The 100 TB path: candidate
+  generation is a hash-partitioned equi-join on bucket key instead of a
+  cross join.
+- ``semantic_dedup`` — drop vectors having a higher-similarity earlier
+  neighbor (keep-min-id), on either backend.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.functions.vectors import as_double, cosine_similarity
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos_sim), k rows per query, ordered
+    deterministically by (rounded sim DESC, neighbor_id ASC). The query
+    side is broadcast — at scale queries are the small side by contract;
+    corpus×corpus exact knn is what knn_lsh replaces.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
+    )
+    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> F.Column:
+    """Deterministic pseudo-random hyperplane: component j derives from
+    md5(plane:j) mapped to [-0.5, 0.5). Literal array — embedded in the
+    plan, no RNG at runtime. (Never Python ``hash()``: it is salted per
+    process and would change the buckets between runs.)"""
+    comps = []
+    for j in range(dim):
+        digest = hashlib.md5(f"noaa_etl_lsh:{plane_idx}:{j}".encode()).digest()
+        h = int.from_bytes(digest[:4], "little") / 0x100000000
+        comps.append(F.lit(h - 0.5))
+    return F.array(*comps)
+
+
+def srp_signature(vec: F.Column, dim: int, num_planes: int) -> F.Column:
+    """Signed-random-projection bit signature as an array<int> of 0/1."""
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(as_double(vec), _hyperplane(dim, p), lambda x, h: x * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via SRP-LSH banding.
+
+    num_planes/bands = bits per band (4 by default → 16 buckets/band).
+    Recall is tunable by bands (more bands = more candidates). Candidate
+    pairs form only within equal (band, bucket) — a plain shuffled
+    equi-join that scales linearly with bucket occupancy, not |Q|·|C|.
+    """
+    rows = num_planes // bands
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            as_double(F.col(vec_col)).alias(f"{role}_vec"),
+            srp_signature(F.col(vec_col), dim, num_planes).alias("sig"),
+        )
+        keys = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "",
+                        *[F.element_at(F.col("sig"), b * rows + r + 1).cast("string") for r in range(rows)],
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select(f"{role}_id", f"{role}_vec", F.explode(keys).alias(f"{role}_bk"))
+
+    qb = banded(queries, "query")
+    cb = banded(corpus, "neighbor")
+    sim = cosine_similarity(F.col("query_vec"), F.col("neighbor_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    cands = (
+        qb.join(cb, (qb.query_bk == cb.neighbor_bk) & (qb.query_id != cb.neighbor_id))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    dim: int = 64,
+) -> DataFrame:
+    """Vectors to DROP: any vector with a neighbor of smaller id at
+    cosine ≥ threshold. Brute-force pair space for the oracle-checkable
+    form; LSH candidates for scale."""
+    if use_lsh:
+        pairs = knn_lsh(df, df, k=1_000_000, id_col=id_col, vec_col=vec_col, dim=dim)
+        pairs = pairs.filter(
+            (F.col("cos_sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id"))
+        ).select(F.col("neighbor_id").alias("dropped_id"))
+    else:
+        a = df.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+        sim = cosine_similarity(F.col("va"), F.col("vb"))
+        pairs = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(sim >= threshold)
+            .select(F.col("id_b").alias("dropped_id"))
+        )
+    return pairs.distinct()

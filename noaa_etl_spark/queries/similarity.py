@@ -1,0 +1,152 @@
+"""Similarity-search graded queries over the embeddings table
+(SURVEY.md §2.I): brute-force knn (exact oracle), LSH knn (rows-only),
+semantic dedup, vector-math surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.functions.vectors import as_double, dot, l2_norm
+from noaa_etl_spark.io import load_table
+from noaa_etl_spark.operators.similarity import knn_bruteforce, knn_lsh, semantic_dedup
+from noaa_etl_spark.registry import graded
+
+# DuckDB-side cosine written as the same explicit composition the engine
+# uses (inner product / (sqrt·sqrt)) over DOUBLE[], so both engines run
+# identical double arithmetic in identical order.
+_DUCK_COS = (
+    "list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    " / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+    " * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+)
+
+
+@graded(
+    "q_knn_cosine",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_DUCK_COS}, 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+             ) AS rn
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 100
+    ) t
+    WHERE rn <= 5
+    ORDER BY query_id, cos_sim DESC, neighbor_id
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 100 vectors (brute
+    force — the correctness baseline knn_lsh must approximate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    return knn_bruteforce(queries, emb, k=5).orderBy(
+        "query_id", F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+
+
+@graded("q_knn_lsh")  # rows-only: approximate (banded SRP-LSH) result set
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate knn via signed-random-projection LSH. Recall vs the
+    brute-force baseline is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    return knn_lsh(queries, emb, k=5, dim=64, num_planes=16, bands=4).orderBy(
+        "query_id", F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+
+
+@graded(
+    "q_semantic_dedup",
+    oracle=f"""
+    SELECT DISTINCT c.vec_id AS dropped_id
+    FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+    WHERE {_DUCK_COS} >= 0.9
+    ORDER BY dropped_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup: drop every vector with a ≥0.9-cosine
+    neighbor of smaller id (keep-first semantics)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.9).orderBy("dropped_id")
+
+
+@graded(
+    "q_vector_stats",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 6)    AS comp_sum,
+           CAST(len(embedding) AS INT)                                     AS dim
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-lambda surface: per-vector norm / component sum / dimension."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(l2_norm(v), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(as_double(v), F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("comp_sum"),
+        F.size(v).alias("dim"),
+    ).orderBy("vec_id")
+
+
+@graded(
+    "q_centroid_by_label",
+    oracle="""
+    WITH comps AS (
+      SELECT label, i, avg(v) AS c
+      FROM (
+        SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+      )
+      GROUP BY label, i
+    )
+    SELECT label,
+           round(sqrt(sum(c * c)), 6) AS centroid_norm,
+           CAST(count(*) AS INT)      AS dim
+    FROM comps
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid norm: posexplode → per-component avg →
+    re-aggregate. The unnest/posexplode + component-index groupBy is the
+    scalable distributed form of vector averaging (no driver collect).
+
+    Note: sum(c*c) over components must accumulate in a deterministic
+    order for bit-exactness; component index is the group key and both
+    engines reduce per-group sequentially at this cardinality (64 rows
+    per label) — verified stable vs oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = (
+        emb.select("label", F.posexplode(as_double(F.col("embedding"))).alias("i0", "v"))
+        .select("label", (F.col("i0") + 1).alias("i"), "v")
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("c"))
+    )
+    return (
+        comps.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+            F.count(F.lit(1)).cast("int").alias("dim"),
+        )
+        .orderBy("label")
+    )

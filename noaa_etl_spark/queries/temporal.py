@@ -1,0 +1,346 @@
+"""Temporal / events-surface queries: sessionization, time buckets,
+as-of join, JSON extraction, date functions, pivot/unpivot.
+
+SURVEY.md §2.J (batch-first, graded) — each op's Structured Streaming
+twin lives in noaa_etl_spark/streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.io import load_table
+from noaa_etl_spark.operators.sessionize import sessionize
+from noaa_etl_spark.operators.asof import asof_join
+from noaa_etl_spark.registry import graded
+
+
+@graded(
+    "q_sessionize",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*)   AS n_events,
+           sum(value) AS session_value,
+           min(ts)    AS session_start,
+           max(ts)    AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization via lag → flag → running-sum.
+
+    Scale: one window shuffle on user_id (the natural partitioning) plus
+    one map-side-combinable agg. No state accumulates beyond a partition.
+    Streaming twin: F.session_window in streaming/sessions.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, user_col="user_id", ts_col="ts", gap_seconds=1800, tiebreak_col="event_id")
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@graded(
+    "q_tumbling_window",
+    oracle="""
+    WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+           event_type,
+           count(*)   AS n_events,
+           sum(value) AS total_value
+    FROM e
+    GROUP BY 1, 2
+    ORDER BY bucket_start, event_type
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling-window aggregate (F.window in batch mode).
+
+    The same groupBy(F.window(...)) shape runs unchanged on readStream
+    with a watermark — see streaming/windows.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+@graded(
+    "q_sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b
+      FROM events
+    ),
+    starts AS (
+      SELECT b, unnest([b, b - INTERVAL '5 minutes']) AS win_start
+      FROM (SELECT DISTINCT b FROM buckets)
+    )
+    SELECT s.win_start AS window_start,
+           count(*)           AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM buckets e JOIN starts s ON e.b = s.b
+    GROUP BY s.win_start
+    ORDER BY window_start
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding every 5 minutes.
+
+    Spark's F.window(slide) assigns each row to windowDuration/slide
+    windows; the oracle reproduces that by exploding each 5-min bucket
+    into the two 10-min windows containing it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@graded(
+    "q_asof_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.event_id AS click_event_id,
+           c.ts       AS click_ts
+    FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click by the same user
+    at or before the purchase time. Composition in operators/asof.py."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        probe=purchases,
+        build=clicks,
+        probe_keys=["user_id"],
+        build_keys=["c_user_id"],
+        probe_ts="ts",
+        build_ts="click_ts",
+        build_payload=["click_event_id", "click_ts"],
+        tiebreak="click_event_id",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "value", "click_event_id", "click_ts"
+    ).orderBy("event_id")
+
+
+@graded(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           avg(CAST(props->>'k' AS INT)) AS avg_k,
+           count(*) FILTER (WHERE CAST(props->>'k' AS INT) > 50) AS n_high
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props column + grouped aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.avg("k").alias("avg_k"),
+            F.count_if(F.col("k") > 50).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@graded(
+    "q_date_functions",
+    oracle="""
+    SELECT year(o_orderdate)                       AS order_year,
+           month(o_orderdate)                      AS order_month,
+           count(*)                                AS n_orders,
+           sum(o_totalprice)                       AS revenue,
+           min(date_trunc('month', o_orderdate))   AS month_start,
+           max(date_diff('day', o_orderdate, TIMESTAMP '2001-12-31')) AS max_days_to_eoy
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY order_year, order_month
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date part extraction / truncation / differencing (the NOAA temporal
+    bread-and-butter: monthly climate rollups)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+            F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+            F.max(
+                F.datediff(
+                    F.lit("2001-12-31").cast("timestamp_ntz"), F.col("o_orderdate")
+                )
+            ).alias("max_days_to_eoy"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+@graded(
+    "q_pivot_events",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: event_type rows → per-type count columns (NOAA:
+    ELEMENT rows → TMAX/TMIN/PRCP columns).
+
+    Explicit value list — pivot without it adds a distinct pre-scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    return pivoted.orderBy("user_id")
+
+
+@graded(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, metric_value
+    FROM (
+      SELECT o_orderkey,
+             o_totalprice AS totalprice,
+             CAST(o_custkey AS DOUBLE) AS custkey_num
+      FROM orders WHERE o_orderkey < 1000
+    )
+    UNPIVOT (metric_value FOR metric IN (totalprice, custkey_num))
+    ORDER BY o_orderkey, metric
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt)."""
+    orders = load_table(spark, sf_dir, "orders")
+    narrow = orders.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey_num"),
+    )
+    return narrow.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey_num"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    ).orderBy("o_orderkey", "metric")
+
+
+@graded(
+    "q_date_spine",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-30',
+                                    INTERVAL '1 day')) AS day_start
+    ),
+    daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start, count(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT s.day_start, coalesce(d.n_events, 0) AS n_events
+    FROM spine s LEFT JOIN daily d ON s.day_start = d.day_start
+    ORDER BY s.day_start
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification: generate a continuous day sequence and
+    left-join daily aggregates, filling gaps with zero (the canonical
+    missing-observation-day treatment in weather ETL)."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day_start")
+    )
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day_start")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        spine.join(daily, "day_start", "left")
+        .select("day_start", F.coalesce("n_events", F.lit(0)).alias("n_events"))
+        .orderBy("day_start")
+    )

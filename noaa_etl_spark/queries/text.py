@@ -1,0 +1,366 @@
+"""Text-analysis / dedup graded queries over the documents table
+(SURVEY.md §2.I). Oracle-paired where SQL-expressible; the LSH/SimHash
+algorithms register rows-only (not SQL-expressible) but are additionally
+golden-tested in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.functions.text import (
+    EN_STOPWORDS,
+    lang_id,
+    ngrams,
+    quality_score,
+    stopword_ratio,
+    tokenize,
+)
+from noaa_etl_spark.io import load_table
+from noaa_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard,
+    minhash_lsh_dedup,
+    simhash_near_dup,
+)
+from noaa_etl_spark.registry import graded
+
+
+@graded(
+    "q_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    ORDER BY kept_doc_id
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, deterministic min-id survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("kept_doc_id", "n_copies").orderBy("kept_doc_id")
+
+
+@graded(
+    "q_dedup_hash",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY text_hash
+    """,
+)
+def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed dedup (md5 here because it is cross-engine comparable;
+    the engine's scale form uses xxhash64 — operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("text_hash")
+    )
+
+
+@graded(
+    "q_wordcount",
+    oracle="""
+    SELECT w AS word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@graded(
+    "q_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT)           AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+           n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting (whitespace tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@graded(
+    "q_lang_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*)      AS n_docs,
+           avg(n_chars)  AS avg_chars,
+           min(n_chars)  AS min_chars,
+           max(n_chars)  AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language/source corpus distribution stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("n_chars").alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@graded(
+    "q_quality_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars BETWEEN 150 AND 400
+      AND len(string_split(text, ' ')) >= 20
+      AND length(text) = n_chars
+    ORDER BY doc_id
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating: length bounds + token floor + metadata consistency
+    (the n_chars == length(text) check is the NOAA-style QC cross-field
+    validation pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            F.col("n_chars").between(150, 400)
+            & (F.size(tokenize(F.col("text"))) >= 20)
+            & (F.length("text") == F.col("n_chars"))
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@graded(
+    "q_stopword_filter",
+    oracle="""
+    SELECT w AS word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w NOT IN ('a','an','and','are','as','at','be','by','for','from',
+                    'has','he','in','is','it','its','of','on','that','the',
+                    'to','was','were','will','with')
+    GROUP BY w
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+)
+def q_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal then term frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .filter(~F.col("word").isin(*EN_STOPWORDS))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@graded(
+    "q_ngrams",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT g AS bigram, count(*) AS cnt
+    FROM (
+      SELECT unnest(list_transform(t[1:len(t)-1], (x, i) -> x || ' ' || t[i + 1])) AS g
+      FROM toks
+      WHERE len(t) >= 2
+    )
+    GROUP BY g
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram (shingle) frequency, top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(ngrams(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@graded(
+    "q_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, w AS word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY doc_id, w
+    ),
+    idf AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN idf USING (word) CROSS JOIN n
+    WHERE tf >= 3
+    ORDER BY tf.doc_id, tf.word
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weighting as a 3-stage composition (term freq → doc freq →
+    join + log weight). The tf >= 3 filter keeps output bounded.
+
+    Scale: tf and df are both map-side-combinable aggs; the tf⋈idf join
+    broadcasts idf when the vocabulary is small (it is here), else
+    shuffles on word.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; one job over metadata-only count
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        tf.join(idf, "word")
+        .filter(F.col("tf") >= 3)
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "word")
+    )
+
+
+@graded(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i + 1] || ' ' || t[i + 2])) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS g FROM toks),
+    sizes AS (SELECT doc_id, len(grams) AS n FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard_sim
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5.
+
+    This is the *exact* (oracle-checkable) form: candidate pairs via a
+    shared-shingle equi-join (inverted index), never a cross join — the
+    same blocking idea MinHash-LSH approximates with signatures.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    grams_df = (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.array_distinct(ngrams(toks, 3)).alias("grams"))
+    )
+    exploded = grams_df.select("doc_id", F.explode("grams").alias("g"))
+    sizes = grams_df.select("doc_id", F.size("grams").alias("n"))
+    a = exploded.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = exploded.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    pairs = (
+        a.join(b, (F.col("ga") == F.col("gb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@graded("q_dedup_minhash_lsh")  # rows-only: LSH banding is not SQL-expressible
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup clusters (keep/drop decision per doc).
+    Golden-tested at sf0.001 in tests/test_dedup.py; graded rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, threshold=0.5).orderBy("id")
+
+
+@graded("q_dedup_simhash")  # rows-only: SimHash banding is not SQL-expressible
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs at hamming ≤ 3."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@graded("q_lang_id")  # rows-only: heuristic marker scoring, engine-defined
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID vs the labeled lang column (confusion
+    counts). Deterministic heuristic; engine-defined semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@graded("q_quality_score")  # rows-only: engine-defined scoring formula
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score + components per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        F.round(stopword_ratio(toks), 6).alias("stop_ratio"),
+        F.size(toks).alias("n_tokens"),
+    ).orderBy("doc_id")
