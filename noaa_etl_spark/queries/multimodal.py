@@ -1,0 +1,124 @@
+"""Multimodal + embedding-generation graded queries (SURVEY.md §2.I).
+
+The payload plumbing is exercised with utf-8 bytes standing in for
+media bytes (no imaging libs in this environment): metadata extraction
+and checksums are oracle-paired; the featurizer / frame-sampler are
+rows-only (engine-defined vectors)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, FloatType
+
+from noaa_etl_spark.io import load_table
+from noaa_etl_spark.operators.multimodal import attach_payload, featurize, sample_frames
+from noaa_etl_spark.registry import graded
+
+
+@graded(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'mem://doc/' || CAST(doc_id AS VARCHAR) AS uri,
+           'text/plain'                            AS mime,
+           octet_length(CAST(text AS BLOB))        AS n_bytes,
+           md5(text)                               AS checksum
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata struct: attach payloads to the
+    documents table, flatten metadata, add a content checksum."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = attach_payload(docs)
+    return with_payload.select(
+        "doc_id",
+        F.col("meta.uri").alias("uri"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
+    ).orderBy("doc_id")
+
+
+@graded("q_multimodal_features")  # rows-only: engine-defined fake featurizer
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch 'decode + featurize' over binary payloads via mapInPandas
+    (deterministic byte-histogram stand-in for a media encoder)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = featurize(attach_payload(docs))
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("f_sum"),
+        F.size("features").alias("dim"),
+    ).orderBy("doc_id")
+
+
+@graded(
+    "q_frame_sample",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INT) AS n_frames
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, n_frames)) AS BIGINT)      AS frame_idx,
+           CAST(unnest(range(0, n_frames)) * 64 AS BIGINT) AS byte_offset
+    FROM n
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape: one payload row → one row per fixed-size
+    byte window with (frame_idx, byte_offset) for deferred decode."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return sample_frames(attach_payload(docs), every_n_bytes=64).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+# --- embedding generation stub (embed_udf) ----------------------------
+
+_EMBED_DIM = 16
+
+
+@pandas_udf(ArrayType(FloatType()))
+def _hashed_bow_embed(texts: pd.Series) -> pd.Series:
+    """Deterministic embedding stub: hashed bag-of-words into a fixed
+    dim, L2-normalized. Same Spark plumbing (Arrow batches in,
+    float-vector column out) as a real encoder."""
+    import hashlib
+    import math
+
+    def embed(t: str) -> list[float]:
+        vec = [0.0] * _EMBED_DIM
+        for tok in (t or "").split(" "):
+            digest = hashlib.md5(tok.encode()).digest()
+            idx = digest[0] % _EMBED_DIM
+            sign = 1.0 if digest[1] % 2 == 0 else -1.0
+            vec[idx] += sign
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        return [x / norm for x in vec]
+
+    return texts.map(embed)
+
+
+@graded("q_embed_docs")  # rows-only: engine-defined embedding stub
+def q_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding generation over documents (hashed-BoW stub encoder),
+    summarized per doc (norm should be 1.0, dim fixed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = docs.select("doc_id", _hashed_bow_embed(F.col("text")).alias("embedding"))
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x))
+    return emb.select(
+        "doc_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    ).orderBy("doc_id")

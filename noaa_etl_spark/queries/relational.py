@@ -539,16 +539,22 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
     ORDER BY c_custkey
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with zero orders (missing-data audit)."""
+    """Left-anti join: customers with no orders in the recent window
+    (missing-data audit / churn query). The window predicate keeps the
+    result non-empty at every fixture scale — every customer has *some*
+    order, so the unwindowed form is vacuous."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(F.col("o_orderdate") >= ntz_lit("2000-01-01"))
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
     )

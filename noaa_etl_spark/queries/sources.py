@@ -1,0 +1,203 @@
+"""Source/sink graded queries (SURVEY.md §2.A): CSV (gzip-compressed),
+JSON-lines, fixed-width (GHCN-style), partitioned parquet sink +
+multi-file scan. Each query round-trips fixture data through the format
+under test into ``/root/repo/.tmp`` and aggregates the re-read result;
+the oracle runs the same aggregate over the original parquet view, so a
+hash match proves the sink+scan pair is lossless.
+
+Float discipline for roundtrips: only order-independent aggregates
+(count / min / max / sums of integer-valued or floor()ed doubles) —
+re-read row order differs from the original file order, so naive double
+sums would accumulate differently and break the driver's value hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.io import load_table
+from noaa_etl_spark.registry import graded
+from noaa_etl_spark.sources import read_csv, read_fixed_width, read_jsonl
+from noaa_etl_spark.sources.fixed_width import GHCND_STATIONS_SPEC
+
+_TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+
+def _tmp(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(_TMP_ROOT, "sources", f"{name}_{tag}")
+
+
+@graded(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                                    AS n_orders,
+           min(o_totalprice)                           AS min_price,
+           max(o_totalprice)                           AS max_price,
+           sum(CAST(floor(o_totalprice) AS BIGINT))    AS floor_total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """csv_sink + csv_scan + compressed_scan: write orders as gzip CSV,
+    re-read with a declared schema, aggregate. Doubles survive the text
+    roundtrip exactly (Java Double.toString is parse-exact)."""
+    path = _tmp("csv_orders", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("compression", "gzip")
+        .csv(path)
+    )
+    back = read_csv(
+        spark,
+        path,
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.sum(F.floor("o_totalprice").cast("bigint")).alias("floor_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@graded(
+    "q_jsonl_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*)                              AS n_events,
+           sum(CAST(props->>'k' AS INT))         AS sum_k,
+           min(value)                            AS min_value,
+           max(value)                            AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonl sink + scan: write events (with the JSON prop pre-extracted)
+    as JSON-lines, re-read with a declared schema, aggregate."""
+    path = _tmp("jsonl_events", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .write.mode("overwrite")
+        .json(path)
+    )
+    back = read_jsonl(
+        spark, path, "event_id BIGINT, event_type STRING, value DOUBLE, k INT"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@graded(
+    "q_fixed_width_scan",
+    oracle="""
+    SELECT 'NAT' || lpad(CAST(n_nationkey AS VARCHAR), 8, '0') AS station_id,
+           n_nationkey / 2.0 - 5.25                            AS latitude,
+           n_nationkey * 3.0 - 36.0                            AS longitude,
+           n_nationkey * 10.0 + 0.5                            AS elevation,
+           n_name                                              AS name,
+           10000 + n_nationkey                                 AS wmo_id
+    FROM nation
+    ORDER BY station_id
+    """,
+)
+def q_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fixed_width_scan: render nation rows into the public GHCN
+    ghcnd-stations.txt fixed-width layout, write as text, parse back with
+    the spec (substring + trim + try_cast). Latitude/longitude values are
+    chosen on 0.25 steps so the %8.4f text roundtrip is bit-exact."""
+    path = _tmp("fixed_width_stations", sf_dir)
+    nat = load_table(spark, sf_dir, "nation")
+    line = F.format_string(
+        "%s %8.4f %9.4f %6.1f %2s %-30s %3s %3s %5d",
+        F.concat(F.lit("NAT"), F.lpad(F.col("n_nationkey").cast("string"), 8, "0")),
+        F.col("n_nationkey") / 2.0 - 5.25,
+        F.col("n_nationkey") * 3.0 - 36.0,
+        F.col("n_nationkey") * 10.0 + 0.5,
+        F.lit("XX"),
+        F.col("n_name"),
+        F.lit(""),
+        F.lit(""),
+        F.lit(10000) + F.col("n_nationkey"),
+    )
+    nat.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(path)
+    back = read_fixed_width(spark, path, GHCND_STATIONS_SPEC)
+    return (
+        back.select(
+            "station_id",
+            "latitude",
+            "longitude",
+            "elevation",
+            "name",
+            F.col("wmo_id").cast("bigint").alias("wmo_id"),
+        )
+        .orderBy("station_id")
+    )
+
+
+@graded(
+    "q_parquet_sink_partitioned",
+    oracle="""
+    SELECT l_linestatus,
+           count(*)                                   AS n_items,
+           sum(l_quantity)                            AS sum_qty,
+           sum(CAST(floor(l_extendedprice) AS BIGINT)) AS floor_revenue
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q_parquet_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet_sink (partitionBy) + multi_file_scan + partition pruning:
+    write lineitem partitioned by l_returnflag, re-read the whole dir,
+    filter one partition (pruned: only the R directory is scanned), agg.
+    sum(l_quantity) is exact because fixture quantities are integral."""
+    path = _tmp("parquet_lineitem_part", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        li.select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.floor("l_extendedprice").cast("bigint")).alias("floor_revenue"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -1,0 +1,164 @@
+"""Structured Streaming graded queries (SURVEY.md §2.J): the streaming
+twins of the temporal operators, executed with
+``trigger(availableNow=True)`` into a memory sink so the driver receives
+an ordinary batch DataFrame.
+
+Semantics notes vs the batch oracle:
+
+- Complete output mode emits every window/session, so results equal the
+  batch computation over the same files — that is what makes these
+  oracle-pairable at all.
+- ``F.session_window`` starts a new session when the inter-event gap is
+  ≥ gap; the batch lag/cumsum form uses > gap. They differ only on a gap
+  of *exactly* 30:00.000000 — impossible-in-practice with sub-second
+  fixture timestamps, and asserted identical in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.registry import graded
+from noaa_etl_spark.streaming.core import run_to_memory, stream_table
+
+
+@graded(
+    "q_stream_tumbling",
+    oracle="""
+    WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+           event_type,
+           count(*)   AS n_events,
+           sum(CAST(floor(value) AS BIGINT)) AS floor_value
+    FROM e
+    GROUP BY 1, 2
+    ORDER BY bucket_start, event_type
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregate: identical groupBy(F.window)
+    shape as the batch q_tumbling_window, on readStream + watermark."""
+    ev = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor("value").cast("bigint")).alias("floor_value"),
+    )
+    result = run_to_memory(agg, "mem_stream_tumbling", "complete")
+    return result.select(
+        F.col("win.start").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "floor_value",
+    ).orderBy("bucket_start", "event_type")
+
+
+@graded(
+    "q_stream_sessionize",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                        AS session_start,
+           max(ts) + INTERVAL 30 MINUTE   AS session_end,
+           count(*)                       AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessionization via the native F.session_window
+    stateful operator (the batch q_sessionize's streaming twin). Session
+    end = last event + gap, mirrored in the oracle CTE; the oracle flags
+    a new session on gap ≥ 30 min to match session-window merge
+    semantics (windows merge only when they overlap)."""
+    ev = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    result = run_to_memory(agg, "mem_stream_sessionize", "complete")
+    return result.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@graded(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the stream unioned with itself
+    (every event duplicated) restored to original cardinality by
+    stateful dropDuplicates on event_id; counted per type batch-side."""
+    a = stream_table(spark, sf_dir, "events")
+    b = stream_table(spark, sf_dir, "events")
+    deduped = a.unionByName(b).dropDuplicates(["event_id"])
+    result = run_to_memory(deduped, "mem_stream_dedup", "append")
+    return (
+        result.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+@graded("q_stream_stateful")  # rows-only: custom state machine, not SQL-expressible
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, floor-sum) state machine emitting the
+    state after each micro-batch; the final state per user is returned.
+
+    Scale: state is per-key and partitioned by user_id across executors;
+    at 100 TB the watermark + timeout config bounds state retention."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def running_totals(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf["value"].floordiv(1).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "floor_total": [total]}
+        )
+
+    ev = stream_table(spark, sf_dir, "events")
+    st = ev.groupBy("user_id").applyInPandasWithState(
+        running_totals,
+        "user_id bigint, n_events bigint, floor_total bigint",
+        "n bigint, total bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    result = run_to_memory(st, "mem_stream_stateful", "update")
+    # Update-mode memory sink appends one row per (user, micro-batch);
+    # the per-user maximum is the final state.
+    return (
+        result.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("floor_total").alias("floor_total"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,249 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.K) — the sanctioned Python
+escape hatches, each exercised by a graded query:
+
+- scalar pandas_udf (Arrow-vectorized, Series→Series)
+- grouped-aggregate pandas_udf (Series→scalar, used in groupBy.agg)
+- applyInPandas (grouped map, DataFrame→DataFrame per group)
+- mapInPandas (partition-batch map)
+- Python UDTF (row → rows table function, via SQL LATERAL)
+
+Determinism discipline: every UDF here either produces exact integers
+or matches the oracle's accumulation order explicitly (see
+q_udaf_trimmed_mean) — a UDF that sums doubles in arbitrary order would
+break the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType
+
+from noaa_etl_spark.io import load_table
+from noaa_etl_spark.registry import graded
+
+
+# --- scalar pandas_udf ------------------------------------------------
+
+
+@pandas_udf(DoubleType())
+def _log1p_score(v: pd.Series) -> pd.Series:
+    # numpy log over doubles matches libm/DuckDB ln bit-for-bit on this
+    # domain; output is rounded Spark-side anyway.
+    import numpy as np
+
+    return pd.Series(np.log1p(v.to_numpy()))
+
+
+@graded(
+    "q_pandas_udf_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           round(ln(1.0 + o_totalprice), 6) AS price_score
+    FROM orders
+    WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+)
+def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF (Series→Series). The expression is
+    native-expressible on purpose — the graded point is that the Arrow
+    round trip is lossless and deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.round(_log1p_score(F.col("o_totalprice")), 6).alias("price_score"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- grouped-aggregate pandas_udf (UDAF) ------------------------------
+
+
+@pandas_udf(DoubleType())
+def _trimmed_count(v: pd.Series) -> float:
+    n = len(v)
+    return float(n - 2 * int(n * 0.05))
+
+
+@pandas_udf(DoubleType())
+def _trimmed_sum(v: pd.Series) -> float:
+    """Sum of values strictly inside the [5%, 95%] rank band, accumulated
+    sequentially in ascending order — mirrors the oracle's
+    ``sum(x ORDER BY x)`` so double addition happens in the same order."""
+    import numpy as np
+
+    arr = np.sort(v.to_numpy())
+    n = len(arr)
+    k = int(n * 0.05)
+    acc = 0.0
+    for x in arr[k : n - k]:
+        acc += float(x)
+    return acc
+
+
+@graded(
+    "q_udaf_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             count(*)    OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*)                                        AS trimmed_n,
+           round(sum(l_extendedprice ORDER BY l_extendedprice), 4) AS trimmed_sum
+    FROM ranked
+    WHERE rn > CAST(n * 0.05 AS BIGINT) AND rn <= n - CAST(n * 0.05 AS BIGINT)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (trimmed sum/count: drop the 5% tails by rank)
+    as a grouped-agg pandas UDF — the canonical 'robust statistic the
+    built-ins lack' case (NOAA framing: trimmed mean of observations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _trimmed_count(F.col("l_extendedprice")).cast("bigint").alias("trimmed_n"),
+            F.round(_trimmed_sum(F.col("l_extendedprice")), 4).alias("trimmed_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- applyInPandas (grouped map) --------------------------------------
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    m = pdf["o_totalprice"].mean()
+    s = pdf["o_totalprice"].std(ddof=1)
+    out = pd.DataFrame(
+        {
+            "o_orderkey": pdf["o_orderkey"],
+            "z": (pdf["o_totalprice"] - m) / s,
+        }
+    )
+    return out
+
+
+@graded(
+    "q_grouped_zscore",
+    oracle="""
+    WITH sized AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders
+    )
+    SELECT o_orderkey,
+           round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_custkey))
+                 / stddev_samp(o_totalprice) OVER (PARTITION BY o_custkey), 6) AS z
+    FROM sized
+    WHERE n >= 2
+    ORDER BY o_orderkey
+    """,
+)
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer z-score normalization via applyInPandas (grouped
+    map). Groups are tiny (orders per customer) so per-group double sums
+    agree with the window-SQL oracle at 6-decimal rounding.
+
+    Scale: applyInPandas shuffles on the group key once; group state is
+    bounded by the largest customer — the right tool only when the
+    transform is genuinely non-expressible (here it is expressible; the
+    graded point is the Arrow grouped-map path itself)."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    multi = orders.join(counts.filter(F.col("n") >= 2), "o_custkey")
+    result = multi.select("o_custkey", "o_orderkey", "o_totalprice").groupBy("o_custkey").applyInPandas(
+        _zscore_group, "o_orderkey bigint, z double"
+    )
+    return result.select("o_orderkey", F.round("z", 6).alias("z")).orderBy("o_orderkey")
+
+
+# --- mapInPandas (partition-batch map) --------------------------------
+
+
+def _vowel_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_vowels": pdf["text"].str.count(r"[aeiou]").astype("int64"),
+            }
+        )
+
+
+@graded(
+    "q_mapinpandas_vowels",
+    oracle="""
+    SELECT doc_id,
+           length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_mapinpandas_vowels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-batch transform via mapInPandas (the batch-inference
+    shape: Arrow batches in, Arrow batches out, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(_vowel_counts, "doc_id bigint, n_vowels bigint")
+        .orderBy("doc_id")
+    )
+
+
+# --- Python UDTF ------------------------------------------------------
+
+
+@udtf(returnType="token_idx INT, token STRING")
+class _SplitTokens:
+    """Row → rows table function: emit (position, token) per word."""
+
+    def eval(self, text: str):
+        if text:
+            for i, tok in enumerate(text.split(" ")):
+                yield i + 1, tok
+
+
+@graded(
+    "q_udtf_tokens",
+    oracle="""
+    -- Lockstep unnest of the token list and its 1-based index range.
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id,
+           CAST(unnest(range(1, len(l) + 1)) AS INT) AS token_idx,
+           unnest(l)                                 AS token
+    FROM t
+    ORDER BY doc_id, token_idx
+    """,
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF exploding documents into (token_idx, token) rows via
+    SQL LATERAL — the typed row→rows extension point."""
+    spark.udtf.register("split_tokens", _SplitTokens)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 20).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.token_idx, s.token
+        FROM udtf_docs d, LATERAL split_tokens(d.text) s
+        ORDER BY d.doc_id, s.token_idx
+        """
+    )

@@ -49,4 +49,9 @@ def load_all_queries() -> None:
         temporal,
         text,
         similarity,
+        sources,
+        scalars,
+        udfs,
+        streaming,
+        multimodal,
     )

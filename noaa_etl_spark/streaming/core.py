@@ -1,0 +1,72 @@
+"""Streaming plumbing: fixture tables as file streams, and a helper that
+runs a streaming DataFrame to completion into an in-memory sink.
+
+Design: the engine's temporal operators are written once as DataFrame
+shapes; the streaming twins apply the *same shape* to
+``spark.readStream``. ``availableNow`` processes everything currently in
+the directory then stops — which is exactly the semantics a graded/batch
+comparison needs, and on a real cluster is the canonical backfill mode.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.session import configure_session
+
+_CHECKPOINT_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tmp",
+    "checkpoints",
+)
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Open one fixture table as a file-source stream.
+
+    Schema is taken from a batch read of the same file (schemas must be
+    declared for file streams); the events nanos→micros conversion is
+    applied identically to the batch loader so both planes see one
+    schema.
+    """
+    configure_session(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into an
+    in-memory table and return that table as a batch DataFrame.
+
+    The checkpoint dir is recreated per run — a stale checkpoint would
+    make availableNow see 'no new data' and return an empty table.
+    """
+    spark = stream_df.sparkSession
+    checkpoint = os.path.join(_CHECKPOINT_ROOT, query_name)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
