@@ -20,7 +20,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from noaa_etl_spark.functions.vectors import as_double, cosine_similarity
+from noaa_etl_spark.functions.vectors import as_double, cosine_similarity, dot, l2_norm
 
 
 def knn_bruteforce(
@@ -38,13 +38,20 @@ def knn_bruteforce(
     side is broadcast — at scale queries are the small side by contract;
     corpus×corpus exact knn is what knn_lsh replaces.
     """
+    # Norms are precomputed once per vector (not per pair): the per-pair
+    # expression is then a single dot product. The division uses the same
+    # sqrt-of-self-dot doubles the oracle computes per pair, so sim bits
+    # are unchanged — this is a pure work reduction (~3x fewer
+    # higher-order-function evaluations).
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
-    )
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
-    )
-    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("c_vec"),
+    ).withColumn("c_norm", l2_norm(F.col("c_vec")))
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     pairs = (
@@ -160,9 +167,13 @@ def semantic_dedup(
             (F.col("cos_sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id"))
         ).select(F.col("neighbor_id").alias("dropped_id"))
     else:
-        a = df.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
-        b = df.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
-        sim = cosine_similarity(F.col("va"), F.col("vb"))
+        a = df.select(
+            F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
+        ).withColumn("na", l2_norm(F.col("va")))
+        b = df.select(
+            F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
+        ).withColumn("nb", l2_norm(F.col("vb")))
+        sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         pairs = (
             a.join(b, F.col("id_a") < F.col("id_b"))
             .filter(sim >= threshold)

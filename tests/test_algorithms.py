@@ -1,0 +1,141 @@
+"""Algorithm-level tests for the rows-only (non-SQL-expressible)
+operators: golden/recall checks for LSH near-dedup and approximate knn,
+plus the cheap property checks from SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.io import load_table
+from noaa_etl_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+)
+from noaa_etl_spark.operators.similarity import knn_bruteforce, knn_lsh
+from tests.conftest import SF_SMALL
+
+
+# --- MinHash LSH near-dedup -------------------------------------------
+
+
+def test_lsh_candidates_agree_with_exact_jaccard(spark):
+    """Every LSH candidate pair at jaccard >= 0.8 must be a genuine
+    >= 0.8 pair (the attached jaccard is exact, so this is definitional)
+    and the pipeline must find the exact duplicates that exist."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs = minhash_lsh_candidates(docs).filter(F.col("jaccard_sim") >= 0.999).collect()
+    # Exact text duplicates (known to exist in fixtures via q_dedup_exact
+    # n_copies > 1) must surface as jaccard-1.0 candidate pairs.
+    dup_groups = (
+        docs.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("doc_id").alias("ids"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    expected_pairs = set()
+    for row in dup_groups:
+        ids = sorted(row["ids"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expected_pairs.add((ids[i], ids[j]))
+    found_pairs = {(r["id_a"], r["id_b"]) for r in pairs}
+    missing = expected_pairs - found_pairs
+    assert not missing, f"exact duplicates missed by LSH: {missing}"
+
+
+def test_lsh_dedup_idempotent_and_total(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    result = minhash_lsh_dedup(docs, threshold=0.5)
+    rows = result.collect()
+    # Total: every doc labeled exactly once.
+    assert len(rows) == docs.count()
+    # Survivor = min id of its component; every component keeps exactly one.
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1
+        assert keepers[0]["id"] == min(m["id"] for m in members) == comp
+
+
+def test_connected_components_chain(spark):
+    """A 5-node chain must collapse to one component labeled by its min,
+    exercising multi-iteration label propagation."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+# --- knn ---------------------------------------------------------------
+
+
+def test_knn_bruteforce_properties(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    result = knn_bruteforce(queries, emb, k=5).collect()
+    by_q: dict = {}
+    for r in result:
+        assert r["query_id"] != r["neighbor_id"], "self must be excluded"
+        assert -1.000001 <= r["cos_sim"] <= 1.000001
+        by_q.setdefault(r["query_id"], []).append(r["cos_sim"])
+    assert set(by_q) == set(range(20))
+    for q, sims in by_q.items():
+        assert len(sims) == 5, f"query {q} must have exactly k neighbors"
+        assert sims == sorted(sims, reverse=True), "neighbors ordered by sim"
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    """SRP-LSH approximate knn must recover a reasonable fraction of the
+    exact top-5 at fixture scale (seeded hyperplanes → deterministic)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = knn_bruteforce(queries, emb, k=5).collect()
+    approx = knn_lsh(queries, emb, k=5, dim=64, num_planes=16, bands=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
+    # And every approx neighbor must at least be a real vector pair.
+    for q, n in approx_set:
+        assert q != n
+
+
+# --- property checks ---------------------------------------------------
+
+
+def test_groupby_sum_equals_total(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    total = li.agg(F.sum("l_quantity")).collect()[0][0]
+    by_flag = (
+        li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+    )
+    assert sum(r["s"] for r in by_flag) == pytest.approx(total)
+
+
+def test_union_rowcount_additivity(spark):
+    cust = load_table(spark, SF_SMALL, "customer")
+    sup = load_table(spark, SF_SMALL, "supplier")
+    a = cust.select(F.col("c_nationkey").alias("k"))
+    b = sup.select(F.col("s_nationkey").alias("k"))
+    assert a.unionByName(b).count() == a.count() + b.count()
+
+
+def test_dedup_idempotence(spark):
+    from noaa_etl_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    once = exact_dedup(docs)
+    # Re-deduping the survivors must be the identity (all n_copies == 1).
+    again = (
+        once.select(F.col("kept_doc_id").alias("doc_id"), F.col("text"))
+        if "text" in once.columns
+        else None
+    )
+    assert once.filter(F.col("n_copies") < 1).count() == 0
+    assert once.count() == docs.select("text").distinct().count()

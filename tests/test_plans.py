@@ -1,0 +1,116 @@
+"""Physical-plan assertions: the scale posture, checked mechanically.
+
+These tests pin the *plan shapes* that make the engine viable at 100 TB
+— a regression that silently turns a broadcast join into a shuffle, or
+un-pushes a scan filter, fails here long before any fixture-scale
+latency would notice.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from noaa_etl_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    """Full formatted physical plan (explain('formatted') — untruncated
+    PushedFilters/ReadSchema, unlike plan.toString())."""
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_join3_broadcasts_dim_and_heaps_topk(spark):
+    plan = plan_of(spark, "q_join3_topk")
+    assert "BroadcastHashJoin" in plan, "customer dim must broadcast"
+    assert "TakeOrderedAndProject" in plan, "orderBy+limit must fuse into per-partition heaps"
+    assert "CartesianProduct" not in plan
+
+
+def test_join5_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q_join5_region")
+    # customer, supplier, nation, region all broadcast; the only
+    # shuffled join is lineitem⋈orders.
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q_filter_predicates")
+    assert "PushedFilters: [" in plan
+    # The between/isin predicates are pushable; make sure at least one
+    # made it into the parquet scan rather than a post-scan Filter only.
+    assert "GreaterThanOrEqual(o_totalprice" in plan or "In(o_orderstatus" in plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "q_topk_global")
+    # Scan must read only the two projected columns.
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
+
+
+def test_pricing_summary_partial_agg(spark):
+    plan = plan_of(spark, "q_pricing_summary")
+    # Spark plans partial (map-side) + final aggregation: two
+    # HashAggregate nodes around the single exchange.
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_semi_anti_join_physical(spark):
+    semi = plan_of(spark, "q_join_semi")
+    anti = plan_of(spark, "q_join_anti")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_no_cartesian_in_relational_suite(spark):
+    # Every relational/window/temporal query must avoid cartesian
+    # products; only the brute-force knn pair space and the tiny
+    # bounds/range joins may use nested-loop joins (bounded side).
+    for name in [
+        "q_pricing_summary",
+        "q_join3_topk",
+        "q_join5_region",
+        "q_window_rank",
+        "q_sessionize",
+        "q_dedup_keyed",
+        "q_interval_join",
+        "q_tfidf",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_interval_join_is_equi_on_bucket(spark):
+    # The banded interval join must hash-join on the day bucket, not
+    # nested-loop over raw ranges.
+    plan = plan_of(spark, "q_interval_join")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_dedup_exact_is_partial_aggregable(spark):
+    plan = plan_of(spark, "q_dedup_exact")
+    assert plan.count("HashAggregate") >= 2, "groupBy dedup must map-side combine"
+
+
+def test_window_partitions_by_key(spark):
+    plan = plan_of(spark, "q_window_rank")
+    assert "Window" in plan
+    assert "hashpartitioning(o_custkey" in plan, "window must shuffle by the partition key"
+
+
+def test_asof_join_single_shuffle(spark):
+    # The as-of composition costs one shuffle of (probe ∪ build) on the
+    # key plus window sort — no range/cartesian join.
+    plan = plan_of(spark, "q_asof_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
