@@ -1,0 +1,78 @@
+"""Skew mitigation: salted two-phase aggregation and salted broadcast
+join — the explicit recipes for keys too hot even for AQE's skew-join
+splitting (SURVEY.md §4).
+
+When to reach for these at 100 TB:
+
+- ``salted_agg``: groupBy on a low-cardinality / power-law key (e.g.
+  event_type, a celebrity user_id). Phase 1 aggregates (key, salt) so
+  the hot key's rows spread over B reducers; phase 2 merges the B
+  partials per key. Works for any algebra whose partial results merge
+  (sum/count/min/max and anything built from them).
+- ``replicated_broadcast_join``: a large fact joined to a *medium* dim
+  too big to broadcast whole but with a few hot keys: split the dim,
+  broadcast the hot-key slice, shuffle-join the cold remainder, union.
+  (AQE's skew split covers most cases; this is the manual override.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGEABLE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs``: {output_name: (fn, input_col)} with fn ∈ sum/count/min/max.
+    ``salt_col``: any roughly-uniform existing column; the salt is
+    ``pmod(xxhash64(salt_col), buckets)`` — deterministic, no RNG.
+
+    Result is identical to ``df.groupBy(keys).agg(...)``; only the
+    shuffle layout changes (hot key fan-out bounded by ``buckets``).
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)).alias("__salt")
+
+    phase1_aggs = []
+    for out, (fn, col) in aggs.items():
+        if fn not in _MERGEABLE and fn != "count":
+            raise ValueError(f"{fn} is not mergeable; salted_agg supports {sorted(_MERGEABLE)}")
+        partial = F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)
+        phase1_aggs.append(partial.alias(f"__p_{out}"))
+
+    partials = df.groupBy(*keys, salt).agg(*phase1_aggs)
+
+    phase2_aggs = []
+    for out, (fn, _col) in aggs.items():
+        merge = _MERGEABLE[fn]
+        phase2_aggs.append(merge(f"__p_{out}").alias(out))
+    return partials.groupBy(*keys).agg(*phase2_aggs)
+
+
+def replicated_broadcast_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    hot_keys: list,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot/cold split join: broadcast the dim rows for ``hot_keys``;
+    shuffle-join everything else; union the two result legs. Columns of
+    both legs are aligned by name."""
+    hot_dim = dim.filter(F.col(dim_key).isin(hot_keys))
+    cold_dim = dim.filter(~F.col(dim_key).isin(hot_keys))
+    hot_fact = fact.filter(F.col(fact_key).isin(hot_keys))
+    cold_fact = fact.filter(~F.col(fact_key).isin(hot_keys))
+
+    hot = hot_fact.join(F.broadcast(hot_dim), hot_fact[fact_key] == hot_dim[dim_key], how)
+    cold = cold_fact.join(cold_dim, cold_fact[fact_key] == cold_dim[dim_key], how)
+    return hot.unionByName(cold)

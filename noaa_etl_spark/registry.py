@@ -54,4 +54,6 @@ def load_all_queries() -> None:
         udfs,
         streaming,
         multimodal,
+        noaa,
+        scale,
     )

@@ -1,0 +1,135 @@
+"""Scale-mechanism tests: bucketed co-located joins, salted aggregation
+equivalence, two-phase grouped top-k, hot/cold replicated join, approx
+aggregate sanity bounds."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.io import load_table
+from noaa_etl_spark.operators.skew import replicated_broadcast_join, salted_agg
+from noaa_etl_spark.operators.topk import grouped_topk, grouped_topk_twophase
+from tests.conftest import SF_SMALL
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Tables bucketed+sorted on the join key must sort-merge join with
+    zero Exchange nodes — the co-located join that makes repeated
+    fact⋈fact joins affordable at 100 TB."""
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+
+    # DROP TABLE alone is not enough: a fresh session's in-memory catalog
+    # has no entry for a table whose warehouse dir survived the previous
+    # session, so the write would fail with LOCATION_ALREADY_EXISTS.
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/b_orders", ignore_errors=True)
+    shutil.rmtree(f"{warehouse}/b_lineitem", ignore_errors=True)
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle either side"
+        # Row count must match the unbucketed join.
+        expected = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_agg_equals_plain(spark):
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "fv", F.floor("value").cast("bigint")
+    )
+    salted = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={"n": ("count", "event_id"), "s": ("sum", "fv"), "mn": ("min", "value"), "mx": ("max", "value")},
+        salt_col="event_id",
+        buckets=8,
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("fv").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    s = {tuple(r) for r in salted.collect()}
+    p = {tuple(r) for r in plain.collect()}
+    assert s == p
+
+
+def test_grouped_topk_twophase_equals_window(spark):
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    spec = [("o_totalprice", False), ("o_orderkey", True)]
+    order_cols = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    baseline = grouped_topk(orders, ["o_custkey"], order_cols, k=3)
+    twophase = grouped_topk_twophase(orders, ["o_custkey"], spec, k=3)
+    b = {tuple(r) for r in baseline.collect()}
+    t = {tuple(r) for r in twophase.collect()}
+    assert b == t
+
+
+def test_replicated_broadcast_join_equals_plain(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    users = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    )
+    hot = [r["user_id"] for r in users.orderBy(F.desc("user_events")).limit(2).collect()]
+    joined = replicated_broadcast_join(
+        ev, users.withColumnRenamed("user_id", "u_id"), "user_id", "u_id", hot
+    )
+    plain = ev.join(
+        users.withColumnRenamed("user_id", "u_id"), ev.user_id == F.col("u_id")
+    )
+    assert joined.count() == plain.count()
+    assert sorted(joined.columns) == sorted(plain.columns)
+
+
+def test_approx_aggs_within_bounds(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    row = (
+        li.agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx"),
+            F.count_distinct("l_orderkey").alias("exact"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("amed"),
+            F.median("l_extendedprice").alias("emed"),
+        )
+        .collect()[0]
+    )
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+    assert abs(row["amed"] - row["emed"]) / row["emed"] < 0.05
