@@ -6,6 +6,17 @@ tagged by side, sort within each key partition by (ts, side), and carry
 the latest build payload forward with ``last(..., ignorenulls=True)``
 over a growing frame; finally keep only probe rows.
 
+Variants:
+
+- direction="backward" (default): greatest build ts ≤ probe ts
+  (strict=True: < probe ts) — "latest calibration before the obs".
+- direction="forward": smallest build ts ≥ probe ts (strict=True: >) —
+  "next event after"; implemented by reversing the sort order, same
+  single-shuffle cost.
+- tolerance_seconds: nulls the payload when the matched build row is
+  further than the tolerance from the probe time (requires the build
+  timestamp column to be part of ``build_payload``).
+
 Why this shape at 100 TB: it costs exactly one shuffle+sort of
 (probe ∪ build) on the join key — the same cost as a sort-merge join —
 and never materializes the (probe × candidate) pairs a naive range join
@@ -28,36 +39,59 @@ def asof_join(
     build_ts: str,
     build_payload: list[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each probe row, attach the build payload with the greatest
-    ``build_ts`` ≤ ``probe_ts`` within the same key (backward as-of,
-    inclusive). Probe rows with no match keep null payload (left as-of).
+    """For each probe row, attach the build payload of the nearest build
+    row in ``direction`` (backward: ts ≤ probe, forward: ts ≥ probe;
+    ``strict`` excludes exact-equal timestamps). Probe rows with no
+    match keep null payload (left as-of).
 
     ``build_payload`` columns must not collide with probe column names.
-    ``tiebreak`` orders equal-timestamp build rows (last one wins).
+    ``tiebreak`` orders equal-timestamp build rows (nearest-sorted last
+    one wins). ``tolerance_seconds`` requires ``build_ts`` (or an alias
+    of it) in ``build_payload`` to measure the match distance.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     probe_cols = probe.columns
     payload_types = {f.name: f.dataType for f in build.schema.fields}
+
+    # Side ordering at equal timestamps: inclusive → build sorts before
+    # probe (visible to the growing frame); strict → probe first (build
+    # rows at the identical ts are not yet visible).
+    build_side_tag, probe_side_tag = (0, 1) if not strict else (1, 0)
 
     build_side = build.select(
         *[F.col(bk).alias(pk) for bk, pk in zip(build_keys, probe_keys)],
         F.col(build_ts).alias("__ts"),
         *[F.col(c) for c in build_payload],
-        F.lit(0).alias("__side"),  # build rows sort before probe rows at equal ts
+        F.lit(build_side_tag).alias("__side"),
+        F.lit(0).alias("__is_probe"),
         *[F.lit(None).cast(probe.schema[c].dataType).alias(c)
           for c in probe_cols if c not in probe_keys],
     )
     probe_side = probe.select(
         *probe_cols,
         F.col(probe_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(probe_side_tag).alias("__side"),
+        F.lit(1).alias("__is_probe"),
         *[F.lit(None).cast(payload_types[c]).alias(c) for c in build_payload],
     )
 
     unioned = probe_side.unionByName(build_side)
-    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    order = [ts_order, F.col("__side").asc()]
     if tiebreak is not None:
-        order.append(F.col(tiebreak).asc_nulls_first())
+        # Nearest-sorted-last wins under last(): ascending puts the max
+        # tiebreak nearest for backward; flip for forward so the min
+        # tiebreak wins there (deterministic either way).
+        order.append(
+            F.col(tiebreak).asc_nulls_first()
+            if direction == "backward"
+            else F.col(tiebreak).desc_nulls_first()
+        )
     w = (
         Window.partitionBy(*probe_keys)
         .orderBy(*order)
@@ -66,7 +100,24 @@ def asof_join(
 
     carried = unioned.select(
         *probe_cols,
-        "__side",
+        "__ts",
+        "__is_probe",
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in build_payload],
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    result = carried.filter(F.col("__is_probe") == 1)
+
+    if tolerance_seconds is not None:
+        if build_ts not in build_payload:
+            raise ValueError("tolerance requires build_ts in build_payload")
+        dist = F.abs(
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col(build_ts))
+        ) / 1_000_000.0
+        within = dist <= F.lit(float(tolerance_seconds))
+        result = result.select(
+            *probe_cols,
+            "__ts",
+            "__is_probe",
+            *[F.when(within, F.col(c)).otherwise(F.lit(None)).alias(c) for c in build_payload],
+        )
+
+    return result.drop("__ts", "__is_probe")

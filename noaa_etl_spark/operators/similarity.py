@@ -117,7 +117,7 @@ def knn_lsh(
             F.col(id_col).alias(f"{role}_id"),
             as_double(F.col(vec_col)).alias(f"{role}_vec"),
             srp_signature(F.col(vec_col), dim, num_planes).alias("sig"),
-        )
+        ).withColumn(f"{role}_norm", l2_norm(F.col(f"{role}_vec")))
         keys = F.array(
             *[
                 F.struct(
@@ -130,11 +130,15 @@ def knn_lsh(
                 for b in range(bands)
             ]
         )
-        return sig.select(f"{role}_id", f"{role}_vec", F.explode(keys).alias(f"{role}_bk"))
+        return sig.select(
+            f"{role}_id", f"{role}_vec", f"{role}_norm", F.explode(keys).alias(f"{role}_bk")
+        )
 
     qb = banded(queries, "query")
     cb = banded(corpus, "neighbor")
-    sim = cosine_similarity(F.col("query_vec"), F.col("neighbor_vec"))
+    sim = dot(F.col("query_vec"), F.col("neighbor_vec")) / (
+        F.col("query_norm") * F.col("neighbor_norm")
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     cands = (

@@ -644,6 +644,57 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @graded(
+    "q_union_all_yearly",
+    oracle="""
+    WITH early AS (
+      SELECT o_orderkey, o_totalprice, year(o_orderdate) AS order_year
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    late AS (
+      SELECT o_orderkey, o_totalprice, year(o_orderdate) AS order_year,
+             o_orderpriority
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    )
+    SELECT order_year,
+           count(*)                                   AS n_orders,
+           count(o_orderpriority)                     AS n_with_priority,
+           sum(CAST(floor(o_totalprice) AS BIGINT))   AS floor_revenue
+    FROM (SELECT *, NULL AS o_orderpriority FROM early
+          UNION ALL BY NAME
+          SELECT * FROM late)
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+)
+def q_union_all_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The yearly-file append pattern: two year-slices with *different
+    schemas* (the late slice carries an extra column) appended via
+    unionByName(allowMissingColumns=True) — by-name, never positional,
+    so schema drift across years cannot silently swap columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = ntz_lit("1998-01-01")
+    early = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("order_year")
+    )
+    late = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderpriority",
+    )
+    return (
+        early.unionByName(late, allowMissingColumns=True)
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+            F.sum(F.floor("o_totalprice").cast("bigint")).alias("floor_revenue"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@graded(
     "q_dedup_keyed",
     oracle="""
     SELECT l_orderkey,

@@ -400,6 +400,37 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded(
+    "q_try_cast_qc",
+    oracle="""
+    SELECT p_partkey,
+           try_cast(regexp_extract(p_brand, '(\\d+)', 1) AS INT) AS brand_num,
+           try_cast(p_type AS INT)                               AS type_as_int,
+           try_cast(CAST(p_size AS VARCHAR) AS INT)              AS size_roundtrip
+    FROM part
+    WHERE p_partkey <= 500
+    ORDER BY p_partkey
+    """,
+)
+def q_try_cast_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC-tolerant casting: ANSI mode (default in Spark 4) makes CAST
+    throw on garbage — try_cast is the ingest-grade form that yields
+    NULL instead, letting downstream QC filters decide (the NOAA
+    malformed-field pattern). type_as_int is always-garbage (NULL),
+    size_roundtrip always-valid — both paths exercised."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.regexp_extract(F.col("p_brand"), r"(\d+)", 1).try_cast("int").alias("brand_num"),
+            F.col("p_type").try_cast("int").alias("type_as_int"),
+            F.col("p_size").cast("string").try_cast("int").alias("size_roundtrip"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 @graded("q_sample")  # rows-only: sampling is engine-specific (seeded, deterministic per run)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (deterministic within Spark; not

@@ -1,0 +1,109 @@
+"""As-of join variant tests: each variant checked against a brute-force
+(join + window min/max) reference at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.io import load_table
+from noaa_etl_spark.operators.asof import asof_join
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    build = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("b_user_id"),
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    return probe, build
+
+
+def _bruteforce(spark, probe, build, direction: str, strict: bool):
+    """Reference: all candidate pairs + pick the extreme ts (ties → the
+    same tiebreak rule as asof_join: max b_event_id backward, min
+    forward)."""
+    if direction == "backward":
+        cond = F.col("b_ts") < F.col("ts") if strict else F.col("b_ts") <= F.col("ts")
+        order = [F.desc("b_ts"), F.desc("b_event_id")]
+    else:
+        cond = F.col("b_ts") > F.col("ts") if strict else F.col("b_ts") >= F.col("ts")
+        order = [F.asc("b_ts"), F.asc("b_event_id")]
+    pairs = probe.join(build, (probe.user_id == build.b_user_id) & cond, "left")
+    w = Window.partitionBy("event_id").orderBy(*order)
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    return {
+        r["event_id"]: r["b_event_id"]
+        for r in ranked.filter(F.col("rn") == 1).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "direction,strict",
+    [("backward", False), ("backward", True), ("forward", False), ("forward", True)],
+)
+def test_asof_matches_bruteforce(spark, sides, direction, strict):
+    probe, build = sides
+    result = asof_join(
+        probe=probe,
+        build=build,
+        probe_keys=["user_id"],
+        build_keys=["b_user_id"],
+        probe_ts="ts",
+        build_ts="b_ts",
+        build_payload=["b_event_id", "b_ts"],
+        tiebreak="b_event_id",
+        direction=direction,
+        strict=strict,
+    )
+    got = {r["event_id"]: r["b_event_id"] for r in result.collect()}
+    want = _bruteforce(probe.sparkSession, probe, build, direction, strict)
+    assert got == want
+
+
+def test_asof_tolerance_nulls_far_matches(spark, sides):
+    probe, build = sides
+    tol = 3600.0
+    result = asof_join(
+        probe=probe,
+        build=build,
+        probe_keys=["user_id"],
+        build_keys=["b_user_id"],
+        probe_ts="ts",
+        build_ts="b_ts",
+        build_payload=["b_event_id", "b_ts"],
+        tiebreak="b_event_id",
+        tolerance_seconds=tol,
+    )
+    rows = result.collect()
+    loose = asof_join(
+        probe=probe,
+        build=build,
+        probe_keys=["user_id"],
+        build_keys=["b_user_id"],
+        probe_ts="ts",
+        build_ts="b_ts",
+        build_payload=["b_event_id", "b_ts"],
+        tiebreak="b_event_id",
+    ).collect()
+    loose_by_id = {r["event_id"]: r for r in loose}
+    n_nulled = 0
+    for r in rows:
+        base = loose_by_id[r["event_id"]]
+        if base["b_ts"] is None:
+            assert r["b_event_id"] is None
+            continue
+        dist = abs((base["ts"] - base["b_ts"]).total_seconds())
+        if dist <= tol:
+            assert r["b_event_id"] == base["b_event_id"]
+        else:
+            assert r["b_event_id"] is None
+            n_nulled += 1
+    assert n_nulled > 0, "tolerance must actually null some far matches"

@@ -8,11 +8,9 @@ latency would notice.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 
+from noaa_etl_spark.plans import formatted_plan
 from noaa_etl_spark.queries import QUERIES
 from tests.conftest import SF_DIR
 
@@ -20,11 +18,7 @@ from tests.conftest import SF_DIR
 def plan_of(spark, name: str) -> str:
     """Full formatted physical plan (explain('formatted') — untruncated
     PushedFilters/ReadSchema, unlike plan.toString())."""
-    df = QUERIES[name](spark, SF_DIR)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return formatted_plan(QUERIES[name](spark, SF_DIR))
 
 
 def test_join3_broadcasts_dim_and_heaps_topk(spark):
