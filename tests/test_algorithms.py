@@ -106,6 +106,23 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
         assert q != n
 
 
+def test_semantic_dedup_lsh_subset_of_bruteforce(spark):
+    """The LSH-candidate variant verifies exact cosine before dropping,
+    so its drop set must be a subset of the brute-force drop set — and
+    non-trivial at the fixture threshold."""
+    from noaa_etl_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    brute = {r["dropped_id"] for r in semantic_dedup(emb, threshold=0.4).collect()}
+    lsh = {
+        r["dropped_id"]
+        for r in semantic_dedup(emb, threshold=0.4, use_lsh=True).collect()
+    }
+    assert lsh <= brute
+    assert len(brute) > 0
+    assert len(lsh) / len(brute) >= 0.2, f"LSH recall collapsed: {len(lsh)}/{len(brute)}"
+
+
 # --- property checks ---------------------------------------------------
 
 
