@@ -56,4 +56,5 @@ def load_all_queries() -> None:
         multimodal,
         noaa,
         scale,
+        etl,
     )
