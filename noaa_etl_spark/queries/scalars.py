@@ -431,6 +431,36 @@ def q_try_cast_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(props->>'k' AS INT))  AS sum_k,
+           max(CAST(props->>'k' AS INT))  AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VariantType path (Spark 4): parse_json →
+    variant_get with a typed extraction. Variant is the engine's
+    schema-on-read answer for heterogeneous JSON at scale (binary
+    encoded, no per-row re-parse downstream); the oracle extracts the
+    same field relationally."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @graded("q_sample")  # rows-only: sampling is engine-specific (seeded, deterministic per run)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (deterministic within Spark; not

@@ -164,6 +164,68 @@ def q_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded("q_custom_datasource")  # rows-only: md5-derived values, not SQL-expressible
+def q_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 extension point): partitioned
+    synthetic observation generator, aggregated per element. The source
+    is deterministic (md5-derived values) and partition-parallel (one
+    input partition per station); determinism + partitioning are
+    asserted in tests/test_datasource.py."""
+    from noaa_etl_spark.sources.synthetic import SyntheticObsDataSource
+
+    spark.dataSource.register(SyntheticObsDataSource)
+    obs = (
+        spark.read.format("synthetic_obs")
+        .option("n_stations", 8)
+        .option("n_days", 31)
+        .load()
+    )
+    return (
+        obs.groupBy("element")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col("value_scaled").cast("bigint")).alias("sum_scaled"),
+            F.min("value_scaled").alias("min_scaled"),
+            F.max("value_scaled").alias("max_scaled"),
+        )
+        .orderBy("element")
+    )
+
+
+@graded(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                              AS n_customers,
+           min(c_acctbal)                        AS min_balance,
+           max(c_acctbal)                        AS max_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (the second columnar format the engine speaks
+    natively): write customer as ORC, re-read, aggregate."""
+    path = _tmp("orc_customer", sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    (
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_balance"),
+            F.max("c_acctbal").alias("max_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 @graded(
     "q_parquet_sink_partitioned",
     oracle="""

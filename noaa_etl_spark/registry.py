@@ -57,4 +57,5 @@ def load_all_queries() -> None:
         noaa,
         scale,
         etl,
+        subqueries,
     )
