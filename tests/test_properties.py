@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis): engine operators vs plain-Python
+references on generated inputs, plus run-to-run determinism of the
+float-bearing graded queries (the driver value-hashes results — any
+nondeterminism is an instant correctness failure)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.functions.text import ngrams, tokenize
+from noaa_etl_spark.operators.sessionize import sessionize
+from noaa_etl_spark.queries import ORACLES, QUERIES
+from tests.conftest import SF_DIR
+
+
+tokens_lists = st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(data=tokens_lists, n=st.integers(2, 4))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ngrams_matches_python_reference(spark, data, n):
+    df = spark.createDataFrame([(i, " ".join(t)) for i, t in enumerate(data)], "id long, text string")
+    got = {
+        r["id"]: r["grams"]
+        for r in df.select("id", ngrams(tokenize(F.col("text")), n).alias("grams")).collect()
+    }
+    for i, toks in enumerate(data):
+        toks = " ".join(toks).split(" ")  # mirror the split-on-space tokenizer (empty text → [''])
+        want = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        assert got[i] == want, f"row {i}: {got[i]} != {want}"
+
+
+events_lists = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # user
+        st.integers(0, 100_000),    # seconds offset
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(data=events_lists)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sessionize_matches_python_reference(spark, data):
+    gap = 1800
+    rows = [
+        (i, u, f"2024-01-01 00:00:00.{i:03d}", s)
+        for i, (u, s) in enumerate(data)
+    ]
+    df = spark.createDataFrame(
+        [(i, u, s) for i, u, _ts, s in rows], "event_id long, user_id long, sec long"
+    ).select(
+        "event_id",
+        "user_id",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("sec"))).alias("ts"),
+    )
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, tiebreak_col="event_id", gap_seconds=gap).collect()
+    }
+    # Python reference.
+    per_user: dict = {}
+    for i, (u, s) in enumerate(data):
+        per_user.setdefault(u, []).append((s, i))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for s, i in evs:
+            if prev is None or s - prev > gap:
+                sid += 1
+            want[i] = sid
+            prev = s
+    assert got == want
+
+
+# --- run-to-run determinism of float-bearing graded queries ------------
+
+FLOAT_RISKY = [
+    "q_udaf_trimmed_mean",
+    "q_grouped_zscore",
+    "q_knn_cosine",
+    "q_pricing_summary",
+    "q_tfidf",
+    "q_centroid_by_label",
+    "q_window_rolling_1h",
+]
+
+
+@pytest.mark.parametrize("name", FLOAT_RISKY)
+def test_float_query_is_run_deterministic(spark, name):
+    a = QUERIES[name](spark, SF_DIR).toPandas()
+    b = QUERIES[name](spark, SF_DIR).toPandas()
+    a = a[sorted(a.columns)].sort_values(by=list(sorted(a.columns)), ignore_index=True)
+    b = b[sorted(b.columns)].sort_values(by=list(sorted(b.columns)), ignore_index=True)
+    assert a.equals(b), f"{name} differs between two identical runs"
