@@ -69,6 +69,40 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @graded(
+    "q_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                               AS n_rows,
+           sum(CAST(floor(o_totalprice) AS BIGINT)) AS total,
+           min(CAST(floor(o_totalprice) AS BIGINT)) AS min_value,
+           max(CAST(floor(o_totalprice) AS BIGINT)) AS max_value,
+           sum(CAST(floor(o_totalprice) AS BIGINT)) / count(*) AS avg_value
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: build aggregate state on the
+    pre-1998 slice, fold in the 1998+ delta as a separate state, and
+    finalize — the oracle recomputes from scratch, so the hash match
+    proves fold(state(old), state(delta)) == full recompute."""
+    from noaa_etl_spark.io import ntz_lit
+    from noaa_etl_spark.operators.incremental import agg_state, finalize, merge_states
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.floor("o_totalprice").cast("bigint").alias("fp"),
+    )
+    cutoff = ntz_lit("1998-01-01")
+    old_state = agg_state(orders.filter(F.col("o_orderdate") < cutoff), ["o_orderpriority"], "fp")
+    delta_state = agg_state(orders.filter(F.col("o_orderdate") >= cutoff), ["o_orderpriority"], "fp")
+    merged = merge_states(old_state, delta_state)
+    return finalize(merged.drop("o_orderdate", "fp")).orderBy("o_orderpriority")
+
+
+@graded(
     "q_scd2_intervals",
     oracle="""
     WITH e AS (

@@ -262,6 +262,40 @@ def q_record_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @graded(
+    "q_window_range_numeric",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           count(*) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+           ) AS n_similar_price
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+)
+def q_window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric (value-based) RANGE frame: per priority class, how many
+    orders fall within ±1000 of this order's price — the value-window
+    complement of the time-based rolling frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return (
+        orders.filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("n_similar_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@graded(
     "q_ntile_cume",
     oracle="""
     SELECT c_custkey,

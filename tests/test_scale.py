@@ -120,6 +120,33 @@ def test_replicated_broadcast_join_equals_plain(spark):
     assert sorted(joined.columns) == sorted(plain.columns)
 
 
+def test_dynamic_partition_pruning(spark, tmp_dir):
+    """A fact table partitioned on the join key must get a dynamic
+    pruning filter injected into its scan when joined to a filtered
+    dim — at 100 TB this skips whole partition directories at runtime."""
+    import os
+
+    fact_path = os.path.join(tmp_dir, "orders_by_year")
+    orders = load_table(spark, SF_SMALL, "orders")
+    (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(1998, "target"), (1997, "other")], "order_year int, tag string"
+    ).filter(F.col("tag") == "target")
+    joined = fact.join(dim, "order_year").groupBy("tag").count()
+    plan = _formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), f"no DPP in plan:\n{plan}"
+    # And the result is correct: only 1998 orders counted.
+    expected = orders.filter(F.year("o_orderdate") == 1998).count()
+    got = {r["tag"]: r["count"] for r in joined.collect()}
+    assert got == {"target": expected}
+
+
 def test_approx_aggs_within_bounds(spark):
     li = load_table(spark, SF_SMALL, "lineitem")
     row = (
