@@ -325,6 +325,68 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded(
+    "q_repetition_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(t[1:len(t)-1], (x, i) -> x || ' ' || t[i + 1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    gram_counts AS (
+      SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g
+    ),
+    rep AS (
+      SELECT doc_id,
+             round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_frac
+      FROM gram_counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           r.top_bigram_frac,
+           round(CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1 AS DOUBLE), 6) AS n_words,
+           round(CAST(length(replace(d.text, ' ', '')) AS DOUBLE)
+                 / (length(d.text) - length(replace(d.text, ' ', '')) + 1), 6) AS mean_word_len,
+           (r.top_bigram_frac < 0.2) AS keep
+    FROM documents d JOIN rep r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document: dominant-
+    bigram fraction (high ⇒ boilerplate/spam), word count, mean word
+    length, and the keep decision — the LLM-corpus quality-gate shape,
+    all relational (explode + two aggregations, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    grams = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(ngrams(toks, 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rep = grams.groupBy("doc_id").agg(
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top_bigram_frac")
+    )
+    n_words = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    ).cast("double")
+    char_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+    return (
+        docs.join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "top_bigram_frac",
+            F.round(n_words, 6).alias("n_words"),
+            F.round(char_len / n_words, 6).alias("mean_word_len"),
+            (F.col("top_bigram_frac") < 0.2).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @graded("q_dedup_minhash_lsh")  # rows-only: LSH banding is not SQL-expressible
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup clusters (keep/drop decision per doc).

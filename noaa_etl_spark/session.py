@@ -60,6 +60,44 @@ def configure_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def sized_confs(
+    input_bytes: int,
+    total_cores: int,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    executor_mem_bytes: int = 8 * 1024**3,
+) -> dict[str, str]:
+    """Cluster-sizing arithmetic for a given input volume (SURVEY.md §7
+    M4). Returns the confs a 100 TB deployment should set explicitly.
+
+    Rules encoded:
+    - scan parallelism: ``maxPartitionBytes`` fixed at the row-group-
+      friendly 128 MB; the file source derives split count from it.
+    - shuffle partitions: enough that a post-shuffle partition holds
+      ~``target_partition_bytes`` (assume shuffle volume ≈ input after
+      projection — conservative), floored at 2 tasks per core for
+      scheduling overlap, and left high for AQE to coalesce downward
+      (AQE only merges, never splits non-skewed partitions).
+    - spill guard: a partition must fit several times into the
+      per-core share of executor memory.
+
+    Example: 100 TB input, 1000 executors × 4 cores →
+    shuffle.partitions ≈ 819,200 → capped by AQE coalescing at runtime;
+    per-partition ~128 MB ≪ (8 GB / 4 cores) = 2 GB per-core share.
+    """
+    by_volume = max(1, input_bytes // target_partition_bytes)
+    by_cores = total_cores * 2
+    shuffle_partitions = max(by_volume, by_cores)
+    per_core_mem = executor_mem_bytes  # per-executor; cores share it
+    assert target_partition_bytes * 4 <= per_core_mem, "partitions too large to sort in memory"
+    return {
+        "spark.sql.files.maxPartitionBytes": str(target_partition_bytes),
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(target_partition_bytes // 2),
+    }
+
+
 def get_spark(
     app_name: str = "noaa_etl_spark",
     master: str | None = None,
