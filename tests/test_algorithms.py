@@ -90,6 +90,24 @@ def test_knn_bruteforce_properties(spark):
         assert sims == sorted(sims, reverse=True), "neighbors ordered by sim"
 
 
+def test_knn_blas_equals_native_bruteforce(spark):
+    """The BLAS-blocked form must be indistinguishable from the
+    expression-tree brute force at the rounded output contract."""
+    from noaa_etl_spark.operators.similarity import knn_bruteforce_blas
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    native = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in knn_bruteforce(queries, emb, k=5).collect()
+    }
+    blas = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in knn_bruteforce_blas(queries, emb, k=5).collect()
+    }
+    assert native == blas
+
+
 def test_knn_lsh_recall_vs_bruteforce(spark):
     """SRP-LSH approximate knn must recover a reasonable fraction of the
     exact top-5 at fixture scale (seeded hyperplanes → deterministic)."""
