@@ -109,6 +109,25 @@ def _hashed_bow_embed(texts: pd.Series) -> pd.Series:
     return texts.map(embed)
 
 
+@graded("q_doc_similarity")  # rows-only: engine-defined embeddings feed the ANN
+def q_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end document similarity: embed documents (stub encoder) →
+    exact top-3 cosine neighbors per document via the blocked-BLAS knn —
+    the full 'semantic search over a corpus you embedded yourself'
+    pipeline in two operators."""
+    from noaa_etl_spark.operators.similarity import knn_bruteforce_blas
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        _hashed_bow_embed(F.col("text")).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 50)
+    return knn_bruteforce_blas(queries, emb, k=3).orderBy(
+        "query_id", F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+
+
 @graded("q_embed_docs")  # rows-only: engine-defined embedding stub
 def q_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding generation over documents (hashed-BoW stub encoder),

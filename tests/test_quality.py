@@ -1,0 +1,114 @@
+"""Tests for the data-quality assertion operator and the foreachBatch
+incremental-maintenance pattern (streaming loads folding into rollup
+state that always equals a from-scratch recompute)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.io import load_table
+from noaa_etl_spark.operators.incremental import agg_state, finalize, merge_states
+from noaa_etl_spark.operators.quality import DataQualityError, expect
+from noaa_etl_spark.streaming.core import stream_table
+from tests.conftest import SF_SMALL
+
+
+def test_expect_passes_and_chains(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = expect(
+        docs,
+        {
+            "doc_id_non_null": F.col("doc_id").isNotNull(),
+            "n_chars_consistent": F.length("text") == F.col("n_chars"),
+            "lang_known": F.col("lang").isin("en", "es", "de", "fr", "zh"),
+        },
+    )
+    assert out.count() == docs.count()
+
+
+def test_expect_raises_with_counts(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    with pytest.raises(DataQualityError) as err:
+        expect(
+            docs,
+            {
+                "always_ok": F.col("doc_id").isNotNull(),
+                "impossible": F.col("n_chars") < 0,
+                "mostly_false": F.col("lang") == "en",
+            },
+        )
+    assert "impossible" in err.value.failures
+    assert err.value.failures["impossible"] == docs.count()
+    assert "mostly_false" in err.value.failures
+    assert "always_ok" not in err.value.failures
+
+
+def test_expect_tolerance(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    n_non_en = docs.filter(F.col("lang") != "en").count()
+    # Tolerating exactly that many violations must pass.
+    expect(docs, {"lang_en": F.col("lang") == "en"}, max_violations=n_non_en)
+    with pytest.raises(DataQualityError):
+        expect(docs, {"lang_en": F.col("lang") == "en"}, max_violations=n_non_en - 1)
+
+
+def test_foreachbatch_incremental_maintenance(spark, tmp_dir):
+    """Stream events through foreachBatch, folding each micro-batch into
+    persisted rollup state; the final state must equal a from-scratch
+    batch aggregate — the incremental-ETL load pattern end-to-end."""
+    state_path = os.path.join(tmp_dir, "state")
+    src_path = os.path.join(tmp_dir, "src")
+    checkpoint = os.path.join(tmp_dir, "ckpt")
+    for p in (state_path, src_path, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "fv", F.floor("value").cast("bigint")
+    )
+    ev.select("event_type", "fv").repartition(3).write.parquet(src_path)
+    schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_path)
+    )
+
+    def fold(batch_df, batch_id):
+        new_state = agg_state(batch_df, ["event_type"], "fv")
+        if os.path.exists(state_path):
+            old_state = batch_df.sparkSession.read.parquet(state_path)
+            merged = merge_states(old_state, new_state)
+        else:
+            merged = new_state
+        # localCheckpoint decouples from the incoming micro-batch plan so
+        # the overwrite below cannot read-from-while-writing-to the path.
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["event_type"], r["n_rows"], r["total"], r["min_value"], r["max_value"])
+        for r in finalize(spark.read.parquet(state_path)).collect()
+    }
+    want = {
+        (r["event_type"], r["n_rows"], r["total"], r["min_value"], r["max_value"])
+        for r in (
+            ev.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("fv").alias("total"),
+                F.min("fv").alias("min_value"),
+                F.max("fv").alias("max_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
