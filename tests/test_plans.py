@@ -101,6 +101,17 @@ def test_window_partitions_by_key(spark):
     assert "hashpartitioning(o_custkey" in plan, "window must shuffle by the partition key"
 
 
+def test_aqe_coalesces_at_runtime(spark):
+    """After execution, AQE's final plan must show coalesced shuffle
+    reads — the runtime right-sizing that keeps partition counts sane
+    when static sizing guesses wrong (the 100 TB default posture)."""
+    df = QUERIES["q_pricing_summary"](spark, SF_DIR)
+    df.collect()  # materialize so AQE finalizes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan, f"no AQE shuffle read in final plan:\n{plan[:2000]}"
+
+
 def test_asof_join_single_shuffle(spark):
     # The as-of composition costs one shuffle of (probe ∪ build) on the
     # key plus window sort — no range/cartesian join.

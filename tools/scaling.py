@@ -58,6 +58,9 @@ HEADLINE = [
     "q_dedup_exact",
     "q_wordcount",
     "q_json_extract",
+    "q_knn_cosine",
+    "q_tfidf",
+    "q_pivot_events",
 ]
 
 
