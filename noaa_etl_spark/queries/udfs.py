@@ -206,6 +206,62 @@ def q_mapinpandas_vowels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- co-grouped applyInPandas -----------------------------------------
+
+
+def _merge_user_activity(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+    uid = purchases["user_id"].iloc[0] if len(purchases) else clicks["user_id"].iloc[0]
+    return pd.DataFrame(
+        {
+            "user_id": [uid],
+            "n_purchases": [len(purchases)],
+            "n_clicks": [len(clicks)],
+            "purchase_floor_value": [int(purchases["fv"].sum()) if len(purchases) else 0],
+        }
+    )
+
+
+@graded(
+    "q_cogroup_merge",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, count(*) AS n_purchases,
+             sum(CAST(floor(value) AS BIGINT)) AS purchase_floor_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    c AS (
+      SELECT user_id, count(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT coalesce(p.user_id, c.user_id)          AS user_id,
+           coalesce(p.n_purchases, 0)              AS n_purchases,
+           coalesce(c.n_clicks, 0)                 AS n_clicks,
+           coalesce(p.purchase_floor_value, 0)     AS purchase_floor_value
+    FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+    ORDER BY user_id
+    """,
+)
+def q_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped applyInPandas: two grouped DataFrames (purchases,
+    clicks) aligned per user and merged in one pandas function — the
+    Arrow path for per-key multi-source reconciliation. The oracle is
+    the relational full-outer-join equivalent."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "fv", F.floor("value").cast("bigint")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "fv")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "fv")
+    merged = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            _merge_user_activity,
+            "user_id bigint, n_purchases bigint, n_clicks bigint, purchase_floor_value bigint",
+        )
+    )
+    return merged.orderBy("user_id")
+
+
 # --- Python UDTF ------------------------------------------------------
 
 
