@@ -644,6 +644,79 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @graded(
+    "q_null_safe_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+                  ELSE o_orderpriority END AS prio_key
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    d AS (
+      SELECT * FROM (VALUES ('1-URGENT', 10), ('2-HIGH', 5), (NULL, 0))
+               AS t(prio_key, boost)
+    )
+    SELECT coalesce(o.prio_key, '(none)') AS prio,
+           count(*)                       AS n_orders,
+           sum(d.boost)                   AS total_boost
+    FROM o JOIN d ON o.prio_key IS NOT DISTINCT FROM d.prio_key
+    GROUP BY 1
+    ORDER BY prio
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    NULL dim rows instead of dropping — the lookup-with-default shape
+    where 'unknown' is itself a dimension value."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "3-MEDIUM", None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio_key"),
+    )
+    d = spark.createDataFrame(
+        [("1-URGENT", 10), ("2-HIGH", 5), (None, 0)], "d_prio_key string, boost int"
+    )
+    return (
+        o.join(F.broadcast(d), o.prio_key.eqNullSafe(d.d_prio_key))
+        .groupBy(F.coalesce("prio_key", F.lit("(none)")).alias("prio"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("boost").cast("bigint").alias("total_boost"),
+        )
+        .orderBy("prio")
+    )
+
+
+@graded(
+    "q_bool_aggs",
+    oracle="""
+    SELECT c_mktsegment,
+           bool_and(c_acctbal > -1000)  AS all_above_floor,
+           bool_or(c_acctbal < 0)       AS any_negative,
+           count_if(c_acctbal > 5000)   AS n_rich
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) — the QC summary shape ('did all
+    observations pass', 'did any fail')."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+            F.bool_or(F.col("c_acctbal") < 0).alias("any_negative"),
+            F.count_if(F.col("c_acctbal") > 5000).alias("n_rich"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@graded(
     "q_union_all_yearly",
     oracle="""
     WITH early AS (

@@ -104,7 +104,10 @@ def _trimmed_sum(v: pd.Series) -> float:
            count(*)                                        AS trimmed_n,
            round(sum(l_extendedprice ORDER BY l_extendedprice), 4) AS trimmed_sum
     FROM ranked
-    WHERE rn > CAST(n * 0.05 AS BIGINT) AND rn <= n - CAST(n * 0.05 AS BIGINT)
+    -- floor, not CAST: DuckDB CAST-to-int rounds half away from zero,
+    -- while the UDF's Python int() truncates — they diverge whenever
+    -- n*0.05 has a fractional part >= 0.5.
+    WHERE rn > CAST(floor(n * 0.05) AS BIGINT) AND rn <= n - CAST(floor(n * 0.05) AS BIGINT)
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
