@@ -131,6 +131,18 @@ def monthly_climate(obs: DataFrame) -> DataFrame:
     )
 
 
+def run_pipeline(spark, dly_path: str, out_path: str, partition_by_year: bool = True) -> None:
+    """The reference repo's end-to-end job as one call: `.dly` files in,
+    cleaned long observations + monthly climate parquet out."""
+    parsed = parse_dly(spark.read.text(dly_path))
+    clean = to_physical_units(qc_filter(parsed))
+    writer = clean.withColumn("obs_year", F.year("obs_date")).write.mode("overwrite")
+    if partition_by_year:
+        writer = writer.partitionBy("obs_year")
+    writer.parquet(f"{out_path}/observations")
+    monthly_climate(clean).write.mode("overwrite").parquet(f"{out_path}/monthly_climate")
+
+
 def format_dly(obs_monthly: DataFrame) -> DataFrame:
     """Inverse of parse_dly for the sink side: render one `.dly` line per
     (station, year, month, element) from a DataFrame with columns
@@ -164,3 +176,22 @@ def format_dly(obs_monthly: DataFrame) -> DataFrame:
             day_str,
         ).alias("value")
     )
+
+
+def _main() -> None:  # pragma: no cover - thin CLI wrapper over run_pipeline
+    import argparse
+
+    from noaa_etl_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="GHCN-Daily ETL: .dly → parquet")
+    ap.add_argument("dly_path", help="file/dir/glob of GHCN .dly fixed-width files")
+    ap.add_argument("out_path", help="output directory (observations/ + monthly_climate/)")
+    ap.add_argument("--no-partition", action="store_true", help="skip partitionBy(year)")
+    args = ap.parse_args()
+    spark = get_spark("ghcn-etl")
+    run_pipeline(spark, args.dly_path, args.out_path, not args.no_partition)
+    spark.stop()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _main()
