@@ -58,4 +58,5 @@ def load_all_queries() -> None:
         scale,
         etl,
         subqueries,
+        tpch,
     )
