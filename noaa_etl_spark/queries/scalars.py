@@ -102,7 +102,7 @@ def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              + cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(lon) / 2), 2)
            )), 6)                                           AS dist_km,
            round(abs(lat) + greatest(lat, lon) - least(lat, lon), 6) AS box_span,
-           sign(lat)                                        AS lat_sign
+           CAST(sign(lat) AS DOUBLE)                        AS lat_sign
     FROM pts
     ORDER BY c_custkey
     """,

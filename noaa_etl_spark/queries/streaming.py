@@ -162,3 +162,40 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@graded(
+    "q_stream_sliding",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b
+      FROM events
+    ),
+    starts AS (
+      SELECT b, unnest([b, b - INTERVAL '5 minutes']) AS win_start
+      FROM (SELECT DISTINCT b FROM buckets)
+    )
+    SELECT s.win_start AS window_start,
+           count(*)           AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM buckets e JOIN starts s ON e.b = s.b
+    GROUP BY s.win_start
+    ORDER BY window_start
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window aggregate (10-minute windows every 5):
+    the stateful twin of the batch q_sliding_window — each event lands in
+    two overlapping windows, maintained incrementally per micro-batch.
+    Oracle mirrors the batch form: bucket to 5 minutes, unnest each
+    bucket into the two windows that contain it."""
+    ev = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    result = run_to_memory(agg, "mem_stream_sliding", "complete")
+    return result.select(
+        F.col("win.start").alias("window_start"), "n_events", "total_value"
+    ).orderBy("window_start")

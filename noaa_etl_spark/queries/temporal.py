@@ -233,7 +233,11 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("o_totalprice").alias("revenue"),
-            F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+            # .cast("date"): DuckDB date_trunc('month', ts) yields DATE,
+            # Spark yields TIMESTAMP — align the collected Python objects.
+            F.min(F.date_trunc("month", F.col("o_orderdate")).cast("date")).alias(
+                "month_start"
+            ),
             F.max(
                 F.datediff(
                     F.lit("2001-12-31").cast("timestamp_ntz"), F.col("o_orderdate")

@@ -77,9 +77,11 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what makes a global ordering acceptable at scale.
     """
     orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("order_day")).agg(
-        F.sum("o_totalprice").alias("revenue")
-    )
+    # .cast("date"): DuckDB date_trunc('day', ts) yields DATE, Spark
+    # yields TIMESTAMP - align the collected Python objects.
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("order_day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
     w = Window.orderBy("order_day")
     return daily.select(
         "order_day",
@@ -137,9 +139,11 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-row moving average over the daily revenue series."""
     orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("order_day")).agg(
-        F.sum("o_totalprice").alias("revenue")
-    )
+    # .cast("date"): DuckDB date_trunc('day', ts) yields DATE, Spark
+    # yields TIMESTAMP - align the collected Python objects.
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("order_day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
     w = Window.orderBy("order_day").rowsBetween(-6, Window.currentRow)
     return daily.select(
         "order_day", "revenue", F.avg("revenue").over(w).alias("ma7")

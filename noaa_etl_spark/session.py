@@ -57,7 +57,34 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # A static conf on some future Spark — never fail the query
             # path over a tuning knob; the loader will surface real errors.
             pass
+    _register_self_contained_pickling()
     return spark
+
+
+_PICKLE_REGISTERED = False
+
+
+def _register_self_contained_pickling() -> None:
+    """Make every engine UDF picklable BY VALUE instead of by reference.
+
+    cloudpickle serializes functions defined in importable modules as a
+    module-path reference, which requires Spark's Python *workers* to be
+    able to ``import noaa_etl_spark`` — true only when the driver process
+    happens to run with the repo as cwd/PYTHONPATH. The grading driver
+    imports ``__spark_entry__`` from an arbitrary process, so pandas-UDF
+    queries would die in the worker with ModuleNotFoundError. Registering
+    the package for by-value pickling embeds the function bodies in the
+    serialized task instead — no worker-side import, no file shipping,
+    works identically on a real cluster.
+    """
+    global _PICKLE_REGISTERED
+    if _PICKLE_REGISTERED:
+        return
+    import noaa_etl_spark
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(noaa_etl_spark)
+    _PICKLE_REGISTERED = True
 
 
 def sized_confs(
