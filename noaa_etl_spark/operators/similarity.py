@@ -253,3 +253,110 @@ def semantic_dedup(
             .select(F.col("id_b").alias("dropped_id"))
         )
     return pairs.distinct()
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """K-means cell centroids for an IVF index, trained on UNIT vectors
+    (spherical: L2-nearest centroid of unit vectors orders like cosine).
+
+    Uses Spark ML's distributed KMeans (JVM-side, DataFrame-based) —
+    training cost is O(|C| · n_cells · iters) map work + one small
+    reduce per iteration; at 100 TB train on a sample, assign-all after.
+
+    Returns (cell_id int, centroid array<double>).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    unit = corpus.select(
+        array_to_vector(_unit_vec(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(unit)
+    spark = corpus.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell_id int, centroid array<double>",
+    )
+    return centers
+
+
+def _unit_vec(vec: F.Column) -> F.Column:
+    v = as_double(vec)
+    return F.transform(v, lambda x: x / l2_norm(v))
+
+
+def _nearest_cells(df: DataFrame, centroids: DataFrame, role: str, n: int) -> DataFrame:
+    """Tag each vector with its n nearest cell ids (unit-vector L2 ==
+    cosine order). Centroids are broadcast — the assignment is a narrow
+    |df|×n_cells map + per-vector top-n, no shuffle of the vectors."""
+    unit = df.withColumn("_u", _unit_vec(F.col(f"{role}_vec")))
+    d2 = F.aggregate(
+        F.zip_with(F.col("_u"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(f"{role}_id").orderBy(F.asc("d2"), F.asc("cell_id"))
+    return (
+        unit.join(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_u", "centroid", "d2", "_rn")
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF (inverted-file)
+    index: corpus vectors bucketed by nearest k-means cell, each query
+    probed against its ``n_probe`` nearest cells only.
+
+    vs ``knn_lsh``: candidate quality follows the DATA distribution
+    (cells adapt to clusters) instead of random hyperplanes — for
+    clustered embeddings IVF reaches the same recall with far fewer
+    candidate pairs. Candidate generation is an equi-join on cell_id:
+    shuffle ∝ Σ probed-cell occupancy, never |Q|·|C|.
+
+    Same output contract as knn_bruteforce; pass a pre-trained
+    ``centroids`` frame to amortize training across calls.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("query_vec")
+    ).withColumn("query_norm", l2_norm(F.col("query_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("neighbor_vec"),
+    ).withColumn("neighbor_norm", l2_norm(F.col("neighbor_vec")))
+    qc = _nearest_cells(q, centroids, "query", n_probe)
+    cc = _nearest_cells(c, centroids, "neighbor", 1)
+    sim = dot(F.col("query_vec"), F.col("neighbor_vec")) / (
+        F.col("query_norm") * F.col("neighbor_norm")
+    )
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    cands = qc.join(
+        cc, (qc.cell_id == cc.cell_id) & (qc.query_id != cc.neighbor_id)
+    ).select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -84,6 +84,23 @@ def parse_dly(raw: DataFrame) -> DataFrame:
     )
 
 
+def from_by_year_csv(csv_df: DataFrame) -> DataFrame:
+    """GHCN by-year CSV rows (``GHCN_CSV_SCHEMA``, the
+    ``ID,DATE,ELEMENT,DATA_VALUE,M,Q,S,OBS_TIME`` public layout) → the
+    same long-observation shape ``parse_dly`` produces, so both ingest
+    formats feed one transform chain. Null flags normalize to '' to
+    match the fixed-width path's trimmed blanks."""
+    return csv_df.select(
+        "station_id",
+        F.to_date("date_str", "yyyyMMdd").alias("obs_date"),
+        "element",
+        F.col("data_value").alias("value_scaled"),
+        F.coalesce("mflag", F.lit("")).alias("mflag"),
+        F.coalesce("qflag", F.lit("")).alias("qflag"),
+        F.coalesce("sflag", F.lit("")).alias("sflag"),
+    )
+
+
 def qc_filter(obs: DataFrame) -> DataFrame:
     """Drop observations with a non-blank quality flag (the GHCN QC
     contract: any QFLAG value means the obs failed a check)."""

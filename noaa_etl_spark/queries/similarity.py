@@ -163,3 +163,17 @@ def q_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@graded("q_knn_ivf")  # rows-only: approximate (k-means IVF) result set
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate knn via an IVF index (spherical k-means cells,
+    n_probe nearest cells per query). Recall vs brute force asserted in
+    tests/test_algorithms.py; recall/latency vs SRP-LSH in SCALING.md."""
+    from noaa_etl_spark.operators.similarity import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    return knn_ivf(queries, emb, k=5, n_cells=16, n_probe=4).orderBy(
+        "query_id", F.desc("cos_sim"), F.asc("neighbor_id")
+    )

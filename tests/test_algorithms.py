@@ -174,3 +174,39 @@ def test_dedup_idempotence(spark):
     )
     assert once.filter(F.col("n_copies") < 1).count() == 0
     assert once.count() == docs.select("text").distinct().count()
+
+
+def test_knn_ivf_recall_beats_probe_budget(spark):
+    """IVF approximate knn: with 4 of 16 cells probed, recall of the
+    exact top-5 must clear 0.45 (it reaches ~0.65 on the clustered
+    fixture embeddings — data-adaptive cells beat random hyperplanes),
+    results must be deterministic across runs (seeded k-means), and
+    obey the k-bound/self-exclusion contract."""
+    from noaa_etl_spark.operators.similarity import knn_ivf, train_ivf_centroids
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact_set = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(queries, emb, k=5).collect()
+    }
+    centroids = train_ivf_centroids(emb, n_cells=16)
+    approx = knn_ivf(queries, emb, k=5, n_probe=4, centroids=centroids).collect()
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.45, f"IVF recall collapsed: {recall:.2f}"
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(queries, emb, k=5, n_probe=4, centroids=centroids).collect()
+    }
+    assert approx_set == again
+    per_query = {}
+    for q, n in approx_set:
+        assert q != n
+        per_query[q] = per_query.get(q, 0) + 1
+    assert all(v <= 5 for v in per_query.values())
+    # Probing ALL cells with unlimited k degenerates to exact: sanity
+    # that the candidate pipeline loses only what the probe budget cuts.
+    full = knn_ivf(queries, emb, k=5, n_probe=16, centroids=centroids).collect()
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full}
+    assert len(exact_set & full_set) / len(exact_set) >= 0.99

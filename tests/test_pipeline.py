@@ -76,3 +76,96 @@ def test_csv_permissive_mode_nulls_malformed(spark, tmp_dir):
     assert rows[1] == 10.5
     assert rows[2] is None
     assert rows[3] == 30.25
+
+
+def _isd_line(year, month, day, hour, temp, dew, slp, wdir, wspd, sky, p1, p6):
+    return (
+        f"{year:4d} {month:2d} {day:2d} {hour:2d}"
+        f"{temp:6d}{dew:6d}{slp:6d}{wdir:6d}{wspd:6d}{sky:6d}{p1:6d}{p6:6d}"
+    )
+
+
+def test_isd_lite_pipeline_end_to_end(spark, tmp_dir):
+    """ISD-Lite fixed-width → typed hourly + daily rollup: station id
+    from the file name, -9999 → NULL, tenths → physical units, and a
+    malformed trailing line dropped instead of failing the scan."""
+    from noaa_etl_spark.pipelines.isd import (
+        daily_summary,
+        parse_isd_lite,
+        run_pipeline,
+        to_physical_units,
+    )
+
+    src = os.path.join(tmp_dir, "isd")
+    out = os.path.join(tmp_dir, "out")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "725300-94846-2024"), "w") as f:
+        f.write(_isd_line(2024, 1, 1, 0, -11, -22, 10199, 230, 26, 8, 0, -9999) + "\n")
+        f.write(_isd_line(2024, 1, 1, 1, 5, -20, 10201, 240, 30, 8, 12, -9999) + "\n")
+        f.write(_isd_line(2024, 1, 2, 0, -9999, -18, 10230, 250, 15, 2, 3, 5) + "\n")
+        f.write("TRUNCATED GARBAGE\n")
+    with open(os.path.join(src, "010010-99999-2024"), "w") as f:
+        f.write(_isd_line(2024, 1, 1, 12, 250, 180, 10100, 90, 55, 0, -9999, -9999) + "\n")
+
+    obs = parse_isd_lite(spark, src)
+    rows = {(r["station_id"], str(r["ts"])): r for r in obs.collect()}
+    assert len(rows) == 4  # garbage line dropped
+    first = rows[("725300-94846", "2024-01-01 00:00:00")]
+    assert first["air_temp"] == -11 and first["precip_6h"] is None
+    missing_temp = rows[("725300-94846", "2024-01-02 00:00:00")]
+    assert missing_temp["air_temp"] is None  # -9999 → NULL
+
+    phys = {(r["station_id"], str(r["ts"])): r for r in to_physical_units(obs).collect()}
+    assert phys[("725300-94846", "2024-01-01 00:00:00")]["air_temp"] == -1.1
+    assert phys[("010010-99999", "2024-01-01 12:00:00")]["wind_speed"] == 5.5
+    assert phys[("725300-94846", "2024-01-01 00:00:00")]["wind_direction"] == 230
+
+    daily = {
+        (r["station_id"], str(r["obs_date"])): r
+        for r in daily_summary(to_physical_units(obs)).collect()
+    }
+    d = daily[("725300-94846", "2024-01-01")]
+    assert (d["n_obs"], d["tmin"], d["tmax"]) == (2, -1.1, 0.5)
+    assert d["tavg"] == pytest.approx(-0.3)
+    assert d["prcp"] == pytest.approx(1.2)
+    # NULL temps excluded from aggregates, not zero-filled.
+    d2 = daily[("725300-94846", "2024-01-02")]
+    assert d2["tmin"] is None and d2["n_obs"] == 1
+
+    run_pipeline(spark, src, out)
+    hourly = spark.read.parquet(os.path.join(out, "hourly"))
+    assert hourly.count() == 4
+    assert "obs_year=2024" in os.listdir(os.path.join(out, "hourly"))
+    assert spark.read.parquet(os.path.join(out, "daily")).count() == 3
+
+
+def test_ghcn_by_year_csv_matches_dly_path(spark, tmp_dir):
+    """The by-year CSV ingest (GHCN_CSV_SCHEMA + from_by_year_csv) must
+    produce the same observations as the fixed-width path's shape and
+    flow through the same QC + unit transforms."""
+    from noaa_etl_spark.pipelines.ghcn import (
+        GHCN_CSV_SCHEMA,
+        from_by_year_csv,
+        qc_filter,
+        to_physical_units,
+    )
+
+    path = os.path.join(tmp_dir, "by_year.csv")
+    with open(path, "w") as f:
+        f.write("ID,DATE,ELEMENT,DATA_VALUE,M_FLAG,Q_FLAG,S_FLAG,OBS_TIME\n")
+        f.write("USW00094846,20240101,TMAX,-11,,,S,0700\n")
+        f.write("USW00094846,20240101,PRCP,25,T,,S,0700\n")
+        f.write("USW00094846,20240102,TMAX,44,,X,S,0700\n")  # failed QC
+        f.write("ASN00001001,20240101,SNOW,120,,,S,\n")
+
+    obs = from_by_year_csv(read_csv(spark, path, GHCN_CSV_SCHEMA))
+    assert obs.count() == 4
+    clean = to_physical_units(qc_filter(obs))
+    got = {
+        (r["station_id"], str(r["obs_date"]), r["element"]): r["value"]
+        for r in clean.collect()
+    }
+    assert len(got) == 3  # QC-flagged row dropped
+    assert got[("USW00094846", "2024-01-01", "TMAX")] == -1.1
+    assert got[("USW00094846", "2024-01-01", "PRCP")] == 2.5
+    assert got[("ASN00001001", "2024-01-01", "SNOW")] == 120.0  # not a tenths element

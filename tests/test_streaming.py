@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from noaa_etl_spark.io import load_table
+from noaa_etl_spark.operators.merge import merge_upsert
 from noaa_etl_spark.streaming.core import run_to_memory, stream_table
 from tests.conftest import SF_SMALL, TMP_ROOT
 
@@ -102,3 +103,162 @@ def test_stream_tumbling_equals_batch(spark):
     s = {(r["win"]["start"], r["n"]) for r in streamed.collect()}
     b = {(r["win"]["start"], r["n"]) for r in batch.collect()}
     assert s == b
+
+
+def test_stateful_event_time_timeout(spark, tmp_dir):
+    """applyInPandasWithState with EventTimeTimeout: a user whose events
+    stop must have its session closed by the *watermark*, not by new data
+    for that key. Three micro-batches: user 1 is active only in the
+    first; once the watermark passes its timeout timestamp the state
+    machine is invoked with hasTimedOut and emits the closed session."""
+    import datetime as dt
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = os.path.join(tmp_dir, "src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+
+    def write_file(name: str, rows: list[tuple[int, str]], mtime: float) -> None:
+        pdf = pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [dt.datetime.fromisoformat(r[1]) for r in rows],
+            }
+        )
+        path = os.path.join(src, name)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
+
+    # Batch A: user 1's whole session + one user-2 event.
+    write_file(
+        "a",
+        [(1, "2024-01-01T09:00:00"), (1, "2024-01-01T09:20:00"), (2, "2024-01-01T09:30:00")],
+        mtime=1_000,
+    )
+    # Batches B, C: only user 2 — each advances the watermark an hour.
+    write_file("b", [(2, "2024-01-01T11:00:00")], mtime=2_000)
+    write_file("c", [(2, "2024-01-01T12:00:00")], mtime=3_000)
+    for i, name in enumerate(("a", "b", "c")):
+        t = 1_000_000_000 + i * 1_000
+        for f in os.listdir(os.path.join(src, name)):
+            os.utime(os.path.join(src, name, f), (t, t))
+        os.utime(os.path.join(src, name), (t, t))
+
+    schema = spark.read.parquet(os.path.join(src, "a")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+        .withWatermark("ts", "1 second")
+    )
+
+    GAP_MS = 5 * 60 * 1000  # close a session 5 minutes after its last event
+
+    def sessionizer(key, pdfs, state):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "closed": [True]}
+            )
+        else:
+            (n,) = state.get if state.exists else (0,)
+            last_ms = 0
+            for pdf in pdfs:
+                n += len(pdf)
+                last_ms = max(last_ms, int(pdf["ts"].max().timestamp() * 1000))
+            state.update((n,))
+            state.setTimeoutTimestamp(last_ms + GAP_MS)
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "closed": [False]}
+            )
+
+    st = stream.groupBy("user_id").applyInPandasWithState(
+        sessionizer,
+        "user_id bigint, n_events bigint, closed boolean",
+        "n bigint",
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    result = run_to_memory(st, "mem_event_time_timeout", "update").collect()
+    closed = {r["user_id"]: r["n_events"] for r in result if r["closed"]}
+    # User 1 timed out with both its events counted; user 2 kept
+    # receiving data in every batch, so its state never timed out.
+    assert closed == {1: 2}
+
+
+def test_foreachbatch_merge_upsert_lake_load(spark, tmp_dir):
+    """The full incremental lake load: an update stream folded into a
+    year-partitioned parquet target with merge_upsert + dynamic partition
+    overwrite — only partitions containing matched keys are rewritten,
+    which is the 100 TB form of MERGE INTO without a table format."""
+    lake = os.path.join(tmp_dir, "lake")
+    src = os.path.join(tmp_dir, "updates")
+    checkpoint = os.path.join(tmp_dir, "ckpt")
+    for p in (lake, src, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+
+    orders = (
+        load_table(spark, SF_SMALL, "orders")
+        .select("o_orderkey", "o_totalprice", F.year("o_orderdate").alias("o_year"))
+    )
+    orders.write.partitionBy("o_year").parquet(lake)
+
+    # Two update batches: batch 1 reprices 50 orders and inserts 5 new
+    # keys; batch 2 reprices 10 of batch 1's keys again (last-write-wins).
+    upd1 = orders.orderBy("o_orderkey").limit(50).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    new_rows = orders.orderBy("o_orderkey").limit(5).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit(1999).alias("o_year"),
+    )
+    upd1 = upd1.unionByName(new_rows)
+    upd2 = orders.orderBy("o_orderkey").limit(10).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 2000.0
+    )
+    os.makedirs(src)
+    upd1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    upd2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+    for i, name in enumerate(("b1", "b2")):
+        t = 1_000_000_000 + i * 1_000
+        for f in os.listdir(os.path.join(src, name)):
+            os.utime(os.path.join(src, name, f), (t, t))
+
+    schema = upd1.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def fold(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        affected = [r["o_year"] for r in batch_df.select("o_year").distinct().collect()]
+        current = ss.read.parquet(lake).filter(F.col("o_year").isin(affected))
+        merged = merge_upsert(current, batch_df, ["o_orderkey"])
+        (
+            merged.localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(lake)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+    final = spark.read.parquet(lake)
+    expected = merge_upsert(merge_upsert(orders, upd1, ["o_orderkey"]), upd2, ["o_orderkey"])
+    assert final.count() == orders.count() + 5
+    got = {(r["o_orderkey"], r["o_totalprice"]) for r in final.collect()}
+    want = {(r["o_orderkey"], r["o_totalprice"]) for r in expected.collect()}
+    assert got == want
