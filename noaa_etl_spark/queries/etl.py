@@ -30,7 +30,7 @@ from noaa_etl_spark.registry import graded
     )
     SELECT c_mktsegment,
            count(*)                                  AS n_rows,
-           sum(CAST(floor(c_acctbal) AS BIGINT))     AS floor_balance,
+           CAST(sum(floor(c_acctbal)) AS BIGINT)     AS floor_balance,
            min(c_custkey)                            AS min_key,
            max(c_custkey)                            AS max_key
     FROM merged
@@ -73,10 +73,10 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*)                               AS n_rows,
-           sum(CAST(floor(o_totalprice) AS BIGINT)) AS total,
+           CAST(sum(floor(o_totalprice)) AS BIGINT) AS total,
            min(CAST(floor(o_totalprice) AS BIGINT)) AS min_value,
            max(CAST(floor(o_totalprice) AS BIGINT)) AS max_value,
-           sum(CAST(floor(o_totalprice) AS BIGINT)) / count(*) AS avg_value
+           CAST(sum(floor(o_totalprice)) AS BIGINT) / count(*) AS avg_value
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority

@@ -67,8 +67,8 @@ def _synth_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH obs AS (
       SELECT 'USW000' || lpad(CAST(o_custkey % 25 AS VARCHAR), 5, '0') AS station_id,
-             year(o_orderdate)  AS year,
-             month(o_orderdate) AS month,
+             CAST(year(o_orderdate) AS INT)  AS year,
+             CAST(month(o_orderdate) AS INT) AS month,
              day(o_orderdate)   AS day,
              CASE CAST(o_orderkey % 3 AS INT)
                WHEN 0 THEN 'TMAX' WHEN 1 THEN 'TMIN' ELSE 'PRCP' END AS element,

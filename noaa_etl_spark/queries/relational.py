@@ -230,8 +230,8 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           grouping(l_returnflag)  AS g_flag,
-           grouping(l_linestatus)  AS g_status,
+           CAST(grouping(l_returnflag) AS TINYINT)  AS g_flag,
+           CAST(grouping(l_linestatus) AS TINYINT)  AS g_status,
            sum(l_quantity)         AS sum_qty,
            count(*)                AS n_rows
     FROM lineitem
@@ -658,7 +658,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT coalesce(o.prio_key, '(none)') AS prio,
            count(*)                       AS n_orders,
-           sum(d.boost)                   AS total_boost
+           CAST(sum(d.boost) AS BIGINT)   AS total_boost
     FROM o JOIN d ON o.prio_key IS NOT DISTINCT FROM d.prio_key
     GROUP BY 1
     ORDER BY prio
@@ -695,7 +695,7 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            bool_and(c_acctbal > -1000)  AS all_above_floor,
            bool_or(c_acctbal < 0)       AS any_negative,
-           count_if(c_acctbal > 5000)   AS n_rich
+           CAST(count_if(c_acctbal > 5000) AS BIGINT) AS n_rich
     FROM customer
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -720,18 +720,18 @@ def q_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_union_all_yearly",
     oracle="""
     WITH early AS (
-      SELECT o_orderkey, o_totalprice, year(o_orderdate) AS order_year
+      SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS order_year
       FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
     ),
     late AS (
-      SELECT o_orderkey, o_totalprice, year(o_orderdate) AS order_year,
+      SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS order_year,
              o_orderpriority
       FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
     )
     SELECT order_year,
            count(*)                                   AS n_orders,
            count(o_orderpriority)                     AS n_with_priority,
-           sum(CAST(floor(o_totalprice) AS BIGINT))   AS floor_revenue
+           CAST(sum(floor(o_totalprice)) AS BIGINT)   AS floor_revenue
     FROM (SELECT *, NULL AS o_orderpriority FROM early
           UNION ALL BY NAME
           SELECT * FROM late)

@@ -66,7 +66,7 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- argument order; group 1 = the brand's numeric suffix.
     SELECT regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
            count(*)                                   AS n_parts,
-           sum(CAST(p_size AS BIGINT))                AS total_size
+           CAST(sum(p_size) AS BIGINT)                AS total_size
     FROM part
     GROUP BY 1
     ORDER BY brand_num
@@ -300,8 +300,8 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouping_sets",
     oracle="""
     SELECT c_mktsegment, n_name,
-           grouping(c_mktsegment) AS g_seg,
-           grouping(n_name)       AS g_nat,
+           CAST(grouping(c_mktsegment) AS TINYINT) AS g_seg,
+           CAST(grouping(n_name) AS TINYINT)       AS g_nat,
            count(*)               AS n_customers
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
@@ -347,14 +347,14 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_interval_join",
     oracle="""
     WITH periods AS (
-      SELECT i AS period_id,
+      SELECT CAST(i AS INT) AS period_id,
              TIMESTAMP '2024-01-01' + to_days(CAST(i * 3 AS INT))       AS p_start,
              TIMESTAMP '2024-01-01' + to_days(CAST((i + 1) * 3 AS INT)) AS p_end
       FROM (SELECT unnest(range(0, 10)) AS i)
     )
     SELECT p.period_id,
            count(*)                         AS n_events,
-           sum(CAST(floor(value) AS BIGINT)) AS floor_value
+           CAST(sum(floor(value)) AS BIGINT) AS floor_value
     FROM events e JOIN periods p
       ON CAST(e.ts AS TIMESTAMP) >= p.p_start AND CAST(e.ts AS TIMESTAMP) < p.p_end
     GROUP BY p.period_id
@@ -435,7 +435,7 @@ def q_try_cast_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_variant_json",
     oracle="""
     SELECT event_type,
-           sum(CAST(props->>'k' AS INT))  AS sum_k,
+           CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
            max(CAST(props->>'k' AS INT))  AS max_k
     FROM events
     GROUP BY event_type

@@ -17,7 +17,7 @@ from noaa_etl_spark.registry import graded
     oracle="""
     SELECT event_type,
            count(*)                          AS n_events,
-           sum(CAST(floor(value) AS BIGINT)) AS floor_total,
+           CAST(sum(floor(value)) AS BIGINT) AS floor_total,
            min(value)                        AS min_value,
            max(value)                        AS max_value
     FROM events
@@ -70,14 +70,14 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
-             hour(CAST(ts AS TIMESTAMP)) AS h,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
              value
       FROM events
     )
     SELECT d, h,
-           grouping(d) AS g_d, grouping(h) AS g_h,
+           CAST(grouping(d) AS TINYINT) AS g_d, CAST(grouping(h) AS TINYINT) AS g_h,
            count(*)                          AS n_events,
-           sum(CAST(floor(value) AS BIGINT)) AS floor_total
+           CAST(sum(floor(value)) AS BIGINT) AS floor_total
     FROM e
     GROUP BY ROLLUP (d, h)
     ORDER BY g_d, g_h, d NULLS LAST, h NULLS LAST

@@ -38,7 +38,7 @@ def _tmp(name: str, sf_dir: str) -> str:
            count(*)                                    AS n_orders,
            min(o_totalprice)                           AS min_price,
            max(o_totalprice)                           AS max_price,
-           sum(CAST(floor(o_totalprice) AS BIGINT))    AS floor_total
+           CAST(sum(floor(o_totalprice)) AS BIGINT)    AS floor_total
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -79,7 +79,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*)                              AS n_events,
-           sum(CAST(props->>'k' AS INT))         AS sum_k,
+           CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
            min(value)                            AS min_value,
            max(value)                            AS max_value
     FROM events
@@ -121,11 +121,11 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fixed_width_scan",
     oracle="""
     SELECT 'NAT' || lpad(CAST(n_nationkey AS VARCHAR), 8, '0') AS station_id,
-           n_nationkey / 2.0 - 5.25                            AS latitude,
-           n_nationkey * 3.0 - 36.0                            AS longitude,
-           n_nationkey * 10.0 + 0.5                            AS elevation,
+           CAST(n_nationkey / 2.0 - 5.25 AS DOUBLE)            AS latitude,
+           CAST(n_nationkey * 3.0 - 36.0 AS DOUBLE)            AS longitude,
+           CAST(n_nationkey * 10.0 + 0.5 AS DOUBLE)            AS elevation,
            n_name                                              AS name,
-           10000 + n_nationkey                                 AS wmo_id
+           CAST(10000 + n_nationkey AS BIGINT)                 AS wmo_id
     FROM nation
     ORDER BY station_id
     """,
@@ -232,7 +232,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_linestatus,
            count(*)                                   AS n_items,
            sum(l_quantity)                            AS sum_qty,
-           sum(CAST(floor(l_extendedprice) AS BIGINT)) AS floor_revenue
+           CAST(sum(floor(l_extendedprice)) AS BIGINT) AS floor_revenue
     FROM lineitem
     WHERE l_returnflag = 'R'
     GROUP BY l_linestatus

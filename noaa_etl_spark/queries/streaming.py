@@ -30,7 +30,7 @@ from noaa_etl_spark.streaming.core import run_to_memory, stream_table
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
            event_type,
            count(*)   AS n_events,
-           sum(CAST(floor(value) AS BIGINT)) AS floor_value
+           CAST(sum(floor(value)) AS BIGINT) AS floor_value
     FROM e
     GROUP BY 1, 2
     ORDER BY bucket_start, event_type

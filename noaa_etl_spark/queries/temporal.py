@@ -210,12 +210,12 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @graded(
     "q_date_functions",
     oracle="""
-    SELECT year(o_orderdate)                       AS order_year,
-           month(o_orderdate)                      AS order_month,
+    SELECT CAST(year(o_orderdate) AS INT)         AS order_year,
+           CAST(month(o_orderdate) AS INT)         AS order_month,
            count(*)                                AS n_orders,
            sum(o_totalprice)                       AS revenue,
            min(date_trunc('month', o_orderdate))   AS month_start,
-           max(date_diff('day', o_orderdate, TIMESTAMP '2001-12-31')) AS max_days_to_eoy
+           CAST(max(date_diff('day', o_orderdate, TIMESTAMP '2001-12-31')) AS INT) AS max_days_to_eoy
     FROM orders
     GROUP BY 1, 2
     ORDER BY order_year, order_month

@@ -20,7 +20,7 @@ from noaa_etl_spark.registry import graded
     "q_tpch_q7_volume",
     oracle="""
     SELECT n_s.n_name AS supp_nation, n_c.n_name AS cust_nation,
-           year(l_shipdate) AS l_year,
+           CAST(year(l_shipdate) AS INT) AS l_year,
            sum(l_extendedprice * (1 - l_discount)) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -63,7 +63,7 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q8_share",
     oracle="""
     WITH orders_rev AS (
-      SELECT year(o_orderdate) AS o_year,
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) AS rev,
              n_s.n_name AS supp_nation
       FROM lineitem
@@ -149,7 +149,7 @@ def q_tpch_q11_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @graded(
     "q_tpch_q14_promo",
     oracle="""
-    SELECT year(l_shipdate) AS l_year, month(l_shipdate) AS l_month,
+    SELECT CAST(year(l_shipdate) AS INT) AS l_year, CAST(month(l_shipdate) AS INT) AS l_month,
            round(100.0 * sum(CASE WHEN p_type = 'PROMO'
                                   THEN l_extendedprice * (1 - l_discount)
                                   ELSE 0 END)

@@ -239,7 +239,7 @@ def _merge_user_activity(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.Da
     SELECT coalesce(p.user_id, c.user_id)          AS user_id,
            coalesce(p.n_purchases, 0)              AS n_purchases,
            coalesce(c.n_clicks, 0)                 AS n_clicks,
-           coalesce(p.purchase_floor_value, 0)     AS purchase_floor_value
+           CAST(coalesce(p.purchase_floor_value, 0) AS BIGINT) AS purchase_floor_value
     FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
     ORDER BY user_id
     """,

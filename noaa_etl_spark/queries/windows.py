@@ -20,9 +20,9 @@ from noaa_etl_spark.registry import graded
     oracle="""
     SELECT * FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             rank()       OVER w AS rnk,
-             dense_rank() OVER w AS drnk,
-             row_number() OVER w AS rn
+             CAST(rank()       OVER w AS INT) AS rnk,
+             CAST(dense_rank() OVER w AS INT) AS drnk,
+             CAST(row_number() OVER w AS INT) AS rn
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     ) t
@@ -303,7 +303,7 @@ def q_window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ntile_cume",
     oracle="""
     SELECT c_custkey,
-           ntile(4)       OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS balance_quartile,
            cume_dist()    OVER (ORDER BY c_acctbal, c_custkey) AS cdist,
            percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS prank
     FROM customer

@@ -69,6 +69,23 @@ def assert_parity(spark_df, duck_rel, rel_tol: float = 0.0) -> None:
     assert list(sp.columns) == list(du.columns), f"columns differ: {list(sp.columns)} vs {list(du.columns)}"
     assert len(sp) == len(du), f"row counts differ: {len(sp)} vs {len(du)}"
 
+    # Driver's value hash is dtype-sensitive (round-1 verdict: DuckDB
+    # HUGEINT/DECIMAL vs Spark BIGINT/DOUBLE hash-fail on identical
+    # values). Mirror that: pandas dtypes must match exactly, modulo
+    # datetime unit (normalized to [us] below before value compare).
+    for col in sp.columns:
+        a_dt, b_dt = sp[col].dtype, du[col].dtype
+        # DATE columns: Spark toPandas gives object-of-date, duckdb .df()
+        # gives datetime64 — both engines' SQL type is DATE (driver-green
+        # in r01), so the pandas-level difference is a conversion
+        # artifact, not a type mismatch. Exempt; values still compared.
+        if pd.api.types.is_datetime64_any_dtype(a_dt) or pd.api.types.is_datetime64_any_dtype(b_dt):
+            continue
+        assert str(a_dt) == str(b_dt), (
+            f"dtype mismatch on {col}: spark={a_dt} vs oracle={b_dt} "
+            f"(driver hash is dtype-sensitive — CAST the oracle or the Spark side)"
+        )
+
     for col in sp.columns:
         a, b = sp[col], du[col]
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
