@@ -223,6 +223,13 @@ def knn_lsh(
     )
 
 
+BRUTE_FORCE_PAIR_CAP = 200_000
+"""Max rows admitted to the all-pairs branch of semantic_dedup. 200k rows
+is ~2·10^10 candidate pairs — the outer edge of what a single batch job
+should ever theta-join. Above it the caller must opt into the LSH branch
+(approximate, bucketed, linear in bucket occupancy)."""
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,
@@ -230,16 +237,27 @@ def semantic_dedup(
     vec_col: str = "embedding",
     use_lsh: bool = False,
     dim: int = 64,
+    max_brute_force_rows: int = BRUTE_FORCE_PAIR_CAP,
 ) -> DataFrame:
     """Vectors to DROP: any vector with a neighbor of smaller id at
     cosine ≥ threshold. Brute-force pair space for the oracle-checkable
-    form; LSH candidates for scale."""
+    form — HARD-CAPPED at ``max_brute_force_rows`` input rows because the
+    pair space is O(N²); corpus-scale callers must pass ``use_lsh=True``
+    (SRP-LSH banding: approximate, but linear in bucket occupancy and
+    never materializes |N|² pairs)."""
     if use_lsh:
         pairs = knn_lsh(df, df, k=1_000_000, id_col=id_col, vec_col=vec_col, dim=dim)
         pairs = pairs.filter(
             (F.col("cos_sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id"))
         ).select(F.col("neighbor_id").alias("dropped_id"))
     else:
+        n = df.count()
+        if n > max_brute_force_rows:
+            raise ValueError(
+                f"semantic_dedup brute-force branch got {n} rows "
+                f"(cap {max_brute_force_rows}): the all-pairs theta join is "
+                f"O(N²) and does not scale — call with use_lsh=True"
+            )
         a = df.select(
             F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
         ).withColumn("na", l2_norm(F.col("va")))

@@ -85,7 +85,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor of smaller id (keep-first semantics). Threshold chosen so
     the result is non-trivial on the fixture embeddings (~10% dropped
     at sf0.01 — the fixtures have no true near-duplicate pairs at
-    conventional 0.9+ thresholds)."""
+    conventional 0.9+ thresholds).
+
+    Scale: this exact form is the oracle-checkable one and is HARD-CAPPED
+    (operators/similarity.py BRUTE_FORCE_PAIR_CAP) — above the cap it
+    raises rather than launching an O(N²) theta join; corpus-scale dedup
+    goes through the LSH branch (use_lsh=True, recall-tested in
+    tests/test_algorithms.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.4).orderBy("dropped_id")
 

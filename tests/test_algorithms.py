@@ -141,6 +141,16 @@ def test_semantic_dedup_lsh_subset_of_bruteforce(spark):
     assert len(lsh) / len(brute) >= 0.2, f"LSH recall collapsed: {len(lsh)}/{len(brute)}"
 
 
+def test_semantic_dedup_brute_force_is_size_capped(spark):
+    """The all-pairs branch is O(N²) — it must refuse oversized inputs
+    instead of silently launching a corpus-scale theta join."""
+    from noaa_etl_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="use_lsh=True"):
+        semantic_dedup(emb, threshold=0.4, max_brute_force_rows=10)
+
+
 # --- property checks ---------------------------------------------------
 
 
