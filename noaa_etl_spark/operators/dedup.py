@@ -131,6 +131,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = both.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("component")
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.dst == labels.id)
@@ -154,8 +155,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .isEmpty()
         ):
             labels = new_labels
+            converged = True
             break
         labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+    if not converged:
+        # A chain with diameter > max_iter would otherwise come back
+        # split into multiple components with no signal, and callers
+        # (minhash_lsh_dedup) would keep extra "survivors".
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"(component graph diameter exceeds max_iter — raise max_iter)"
+        )
     return labels
 
 

@@ -23,6 +23,10 @@ def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """Build mergeable aggregate state for ``value_col`` per key."""
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("s_count"),
+        # Non-null count, kept separately: avg must divide by it (F.avg
+        # ignores NULL values; s_count counts all rows) or the
+        # fold == recompute invariant breaks on NULL-bearing columns.
+        F.count(value_col).alias("s_nncount"),
         F.sum(value_col).alias("s_sum"),
         F.min(value_col).alias("s_min"),
         F.max(value_col).alias("s_max"),
@@ -37,6 +41,7 @@ def merge_states(*states: DataFrame) -> DataFrame:
     keys = [c for c in merged.columns if not c.startswith("s_")]
     return merged.groupBy(*keys).agg(
         F.sum("s_count").alias("s_count"),
+        F.sum("s_nncount").alias("s_nncount"),
         F.sum("s_sum").alias("s_sum"),
         F.min("s_min").alias("s_min"),
         F.max("s_max").alias("s_max"),
@@ -52,5 +57,5 @@ def finalize(state: DataFrame) -> DataFrame:
         F.col("s_sum").alias("total"),
         F.col("s_min").alias("min_value"),
         F.col("s_max").alias("max_value"),
-        (F.col("s_sum") / F.col("s_count")).alias("avg_value"),
+        (F.col("s_sum") / F.col("s_nncount")).alias("avg_value"),
     )

@@ -68,10 +68,14 @@ def replicated_broadcast_join(
     """Hot/cold split join: broadcast the dim rows for ``hot_keys``;
     shuffle-join everything else; union the two result legs. Columns of
     both legs are aligned by name."""
+    # NULL keys must survive the split: ~isin(...) is NULL (not true) for
+    # NULL keys, which would silently drop those rows from BOTH legs —
+    # under how='left' that loses fact rows a plain join would keep.
+    # Route them to the cold leg (an equi-join never matches NULL anyway).
     hot_dim = dim.filter(F.col(dim_key).isin(hot_keys))
-    cold_dim = dim.filter(~F.col(dim_key).isin(hot_keys))
+    cold_dim = dim.filter(F.col(dim_key).isNull() | ~F.col(dim_key).isin(hot_keys))
     hot_fact = fact.filter(F.col(fact_key).isin(hot_keys))
-    cold_fact = fact.filter(~F.col(fact_key).isin(hot_keys))
+    cold_fact = fact.filter(F.col(fact_key).isNull() | ~F.col(fact_key).isin(hot_keys))
 
     hot = hot_fact.join(F.broadcast(hot_dim), hot_fact[fact_key] == hot_dim[dim_key], how)
     cold = cold_fact.join(cold_dim, cold_fact[fact_key] == cold_dim[dim_key], how)

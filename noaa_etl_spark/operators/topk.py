@@ -58,29 +58,31 @@ def grouped_topk_twophase(
 
     ``sort_spec``: [(col, ascending), ...] — must be a total order.
     """
-    cols = [c for c, _ in sort_spec]
-    ascending = [a for _, a in sort_spec]
-
     def prune(batches):
         import pandas as pd
+
+        def topk(pdf):
+            # Match Spark's per-column null ordering (asc → nulls first,
+            # desc → nulls last): pandas sort_values has one global
+            # na_position, so apply one stable sort per key, innermost
+            # last. Null GROUP keys are real groups (dropna=False) —
+            # pandas' default would silently prune them.
+            for c, asc in reversed(sort_spec):
+                pdf = pdf.sort_values(
+                    c,
+                    ascending=asc,
+                    kind="mergesort",
+                    na_position="first" if asc else "last",
+                )
+            return pdf.groupby(part_cols, sort=False, dropna=False).head(k)
 
         acc: list = []
         for pdf in batches:
             acc.append(pdf)
             if sum(len(p) for p in acc) > 500_000:
-                merged = pd.concat(acc, ignore_index=True)
-                acc = [
-                    merged.sort_values(cols, ascending=ascending)
-                    .groupby(part_cols, sort=False)
-                    .head(k)
-                ]
+                acc = [topk(pd.concat(acc, ignore_index=True))]
         if acc:
-            merged = pd.concat(acc, ignore_index=True)
-            yield (
-                merged.sort_values(cols, ascending=ascending)
-                .groupby(part_cols, sort=False)
-                .head(k)
-            )
+            yield topk(pd.concat(acc, ignore_index=True))
 
     pruned = df.mapInPandas(prune, df.schema)
     order_cols = [

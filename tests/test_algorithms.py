@@ -220,3 +220,13 @@ def test_knn_ivf_recall_beats_probe_budget(spark):
     full = knn_ivf(queries, emb, k=5, n_probe=16, centroids=centroids).collect()
     full_set = {(r["query_id"], r["neighbor_id"]) for r in full}
     assert len(exact_set & full_set) / len(exact_set) >= 0.99
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain whose diameter exceeds max_iter must raise, not return
+    silently split components."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)

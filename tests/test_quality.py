@@ -112,3 +112,24 @@ def test_foreachbatch_incremental_maintenance(spark, tmp_dir):
         )
     }
     assert got == want
+
+
+def test_incremental_avg_ignores_nulls_like_spark_avg(spark):
+    """finalize's avg must divide by the non-null value count (F.avg
+    semantics), not the row count — fold == recompute on NULL-bearing
+    columns."""
+    rows = [("a", 10.0), ("a", None), ("a", 20.0), ("b", None), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    old = df.filter(F.col("v").isNotNull() | F.col("k").eqNullSafe(F.lit("b")))
+    delta = df.exceptAll(old)
+    folded = finalize(merge_states(agg_state(old, ["k"], "v"), agg_state(delta, ["k"], "v")))
+    recompute = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("total"),
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+        F.avg("v").alias("avg_value"),
+    )
+    f = {tuple(r) for r in folded.collect()}
+    r = {tuple(r) for r in recompute.collect()}
+    assert f == r

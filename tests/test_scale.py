@@ -160,3 +160,39 @@ def test_approx_aggs_within_bounds(spark):
     )
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
     assert abs(row["amed"] - row["emed"]) / row["emed"] < 0.05
+
+
+def test_grouped_topk_twophase_null_keys_and_order_values(spark):
+    """Null GROUP keys are real groups and null ORDER values sort
+    nulls-first under asc (Spark semantics) — the pandas prune pass must
+    match both or rows the window rank would keep get pruned."""
+    rows = [
+        ("a", 1, 10.0), ("a", 2, None), ("a", 3, 5.0), ("a", 4, 1.0),
+        (None, 5, 3.0), (None, 6, None), (None, 7, 9.0),
+        ("b", 8, None), ("b", 9, None), ("b", 10, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, id bigint, v double").repartition(4)
+    spec = [("v", True), ("id", True)]
+    order_cols = [F.col("v").asc(), F.col("id").asc()]  # asc => nulls first
+    baseline = grouped_topk(df, ["grp"], order_cols, k=2)
+    twophase = grouped_topk_twophase(df, ["grp"], spec, k=2)
+    b = {tuple(r) for r in baseline.collect()}
+    t = {tuple(r) for r in twophase.collect()}
+    assert b == t
+    assert any(r[0] is None for r in b), "null group key must survive"
+
+
+def test_replicated_broadcast_join_left_keeps_null_keys(spark):
+    """NULL fact keys never match, but a LEFT join must still keep the
+    rows — the hot/cold split may not drop them."""
+    fact = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (None, "z"), (None, "w"), (3, "v")],
+        "k bigint, payload string",
+    )
+    dim = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "dk bigint, name string"
+    )
+    joined = replicated_broadcast_join(fact, dim, "k", "dk", hot_keys=[1], how="left")
+    plain = fact.join(dim, fact.k == dim.dk, "left")
+    assert {tuple(r) for r in joined.collect()} == {tuple(r) for r in plain.collect()}
+    assert joined.filter(F.col("k").isNull()).count() == 2
