@@ -65,3 +65,17 @@ def scan_read_schema(df: DataFrame) -> list[str]:
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange nodes — the scale-limiting resource."""
     return formatted_plan(df).count("Exchange")
+
+
+def executed_exchange_counts(df: DataFrame) -> tuple[int, int]:
+    """(exchanges, reused_exchanges) in the AQE-final executed plan.
+
+    Triggers execution (collect) — AQE only finalizes the plan after the
+    last stage runs. ``\\bExchange\\b`` does not match ReusedExchange
+    (no word boundary after 'Reused'), so the two counts are disjoint.
+    """
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = len(re.findall(r"\bExchange\b", plan))
+    reused = len(re.findall(r"ReusedExchange", plan))
+    return exchanges, reused
