@@ -122,6 +122,70 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded(
+    "q_stream_interval_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    p AS (SELECT user_id AS pu, event_id AS p_id, ts AS p_ts
+          FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id AS cu, event_id AS c_id, ts AS c_ts
+          FROM e WHERE event_type = 'click')
+    SELECT p_id, c_id,
+           CAST(epoch_us(p_ts) - epoch_us(c_ts) AS BIGINT) AS lag_us
+    FROM p JOIN c
+      ON pu = cu AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR
+    ORDER BY p_id, c_id
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL join with watermarks on both sides: each
+    purchase matched to the user's clicks in the preceding hour (the
+    attribution shape). The range condition bounds join state — Spark
+    derives from (watermark, interval) how long each side's rows must be
+    retained, so state is O(events per user-hour), not O(stream).
+
+    Scale: both legs shuffle on user_id once; state store per key holds
+    only the 1-hour back-window after the 2-hour watermark passes. The
+    oracle replays the same join relationally over the complete data,
+    which availableNow processing must exactly reproduce (inner join:
+    matches emit as soon as both rows arrive; no watermark-gated nulls).
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pu"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    cond = (
+        (F.col("pu") == F.col("cu"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = p.join(c, cond, "inner").select(
+        "p_id",
+        "c_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    result = run_to_memory(joined, "mem_stream_interval_join", "append")
+    return result.orderBy("p_id", "c_id")
+
+
 @graded("q_stream_stateful")  # rows-only: custom state machine, not SQL-expressible
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
