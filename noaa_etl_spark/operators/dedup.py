@@ -97,20 +97,31 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = sig.select("id", "grams", F.explode(band_keys).alias("bk"))
+    # Band join on (band-key, id) ONLY: the explode replicates each row
+    # ×bands, so carrying the grams arrays here would shuffle the whole
+    # shingle payload `bands` times. Ids are 8 bytes; grams re-attach
+    # below touches only the (few) surviving candidate pairs.
+    banded = sig.select("id", F.explode(band_keys).alias("bk"))
 
-    left = banded.select(
-        F.col("bk").alias("bk"), F.col("id").alias("id_a"), F.col("grams").alias("grams_a")
-    )
-    right = banded.select(
-        F.col("bk").alias("bk2"), F.col("id").alias("id_b"), F.col("grams").alias("grams_b")
-    )
+    left = banded.select(F.col("bk").alias("bk"), F.col("id").alias("id_a"))
+    right = banded.select(F.col("bk").alias("bk2"), F.col("id").alias("id_b"))
     pairs = (
         left.join(right, (left.bk == right.bk2) & (left.id_a < right.id_b))
-        .select("id_a", "id_b", "grams_a", "grams_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])  # same pair can collide in >1 band
     )
-    return pairs.select(
+
+    # Re-attach shingle sets for exact verification: two hash joins on
+    # id, each shuffling grams ONCE (AQE broadcasts the pair side when
+    # small — the common case, since banding prunes to near-dups).
+    grams_df = df.select(F.col(id_col).alias("gid"), grams.alias("g")).filter(
+        F.size("g") > 0
+    )
+    verified = (
+        pairs.join(grams_df.select(F.col("gid").alias("id_a"), F.col("g").alias("grams_a")), "id_a")
+        .join(grams_df.select(F.col("gid").alias("id_b"), F.col("g").alias("grams_b")), "id_b")
+    )
+    return verified.select(
         "id_a", "id_b", jaccard(F.col("grams_a"), F.col("grams_b")).alias("jaccard_sim")
     )
 
