@@ -799,6 +799,40 @@ def q_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @graded(
+    "q_agg_first_last",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_min(o_totalprice, o_orderkey)        AS first_price,
+           arg_max(o_totalprice, o_orderkey)        AS last_price,
+           any_value(substr(o_orderpriority, 1, 1)) AS prio_digit,
+           count(*)                                 AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg-side first/last/any_value, made deterministic: raw
+    ``first()``/``last()`` pick an arbitrary survivor per partition order
+    (unfit for graded output under retries/speculation — SURVEY §5), so
+    the engine's form is ``min_by``/``max_by`` over a UNIQUE ordering key
+    (o_orderkey) — 'first' = value at the smallest key — and
+    ``any_value`` only over a group-constant expression, where every
+    choice is the same value. All three are map-side combinable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_totalprice", "o_orderkey").alias("first_price"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_price"),
+            F.any_value(F.substring("o_orderpriority", 1, 1)).alias("prio_digit"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@graded(
     "q_topk_global",
     oracle="""
     SELECT o_orderkey, o_totalprice
