@@ -41,3 +41,32 @@ def test_rows_only_smoke(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert len(df.columns) > 0
     assert df.count() >= 0
+
+
+def test_graded_window_spans_every_family():
+    """The driver grades only the FIRST 50 registered queries. Guard the
+    curated window: exactly 50, all oracle-paired, first-50 in
+    registration order, and every §2 family represented."""
+    from noaa_etl_spark.registry import GRADED_WINDOW
+
+    assert len(GRADED_WINDOW) == 50
+    assert list(QUERIES)[:50] == GRADED_WINDOW
+    assert all(n in ORACLES for n in GRADED_WINDOW)
+    reps = {
+        "A_sources": "q_csv_roundtrip",
+        "B_filters": "q_filter_predicates",
+        "C_joins": "q_join3_topk",
+        "D_aggs": "q_pricing_summary",
+        "E_windows": "q_window_rank",
+        "F_sort": "q_topk_global",
+        "G_setops": "q_set_ops",
+        "H_scalars": "q_date_functions",
+        "I_llm": "q_dedup_exact",
+        "J_streaming": "q_stream_tumbling",
+        "K_udfs": "q_udaf_trimmed_mean",
+        "tpch": "q_tpch_q7_volume",
+        "etl": "q_merge_upsert",
+        "noaa": "q_ghcn_pipeline",
+    }
+    missing = {fam: q for fam, q in reps.items() if q not in GRADED_WINDOW}
+    assert not missing, f"graded window lost family reps: {missing}"
