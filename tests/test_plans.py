@@ -119,3 +119,43 @@ def test_asof_join_single_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """A selective filter on the build side of a SHUFFLE join must inject
+    a runtime bloom filter into the probe-side scan (Spark's row-level
+    runtime filtering): probe rows that can't join are dropped before the
+    shuffle. The default thresholds target cluster scale (probe scan
+    ≥ 10 GB), so they're lowered here to demonstrate the mechanism at
+    fixture scale; at 100 TB the defaults fire on their own."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_spark.io import load_table
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = formatted_plan(j)
+        assert "bloom_filter_agg" in plan, "no bloom filter built on the filtered side"
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
