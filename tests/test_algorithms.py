@@ -230,3 +230,65 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_minhash_banding_recall_follows_s_curve(spark):
+    """Fixture near-dups all sit at jaccard 1.0, so pipeline recall there
+    is trivial. Synthesize controlled-similarity pairs (token replacement
+    at several rates) and check banding recall against the LSH S-curve
+    p(s) = 1 - (1 - s^r)^b with r=4 rows/band, b=8 bands: near-certain
+    capture above the curve's midpoint (~0.59), mostly-missed far below
+    it (that miss rate IS the efficiency — low-sim pairs shouldn't
+    become candidates)."""
+    from noaa_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    vocab = [f"w{v}" for v in range(500)]
+    rows = []
+    for i in range(150):
+        base = [vocab[(i * 7 + j * 13) % 500] for j in range(60)]
+        rows.append((i, " ".join(base)))
+        m = (2, 3, 5, 10, 20)[i % 5]  # replacement density → similarity band
+        variant = [
+            f"n{i}x{j}" if j % m == 0 else tok for j, tok in enumerate(base)
+        ]
+        rows.append((10000 + i, " ".join(variant)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+
+    # Exact jaccard of each constructed pair, same shingle definition.
+    from noaa_etl_spark.functions.text import ngrams, tokenize
+    from noaa_etl_spark.operators.dedup import jaccard
+
+    grams = F.array_distinct(ngrams(tokenize(F.col("text")), 3))
+    g = docs.select("doc_id", grams.alias("g"))
+    pairs = (
+        g.filter(F.col("doc_id") < 10000)
+        .select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+        .join(
+            g.filter(F.col("doc_id") >= 10000)
+            .select((F.col("doc_id") - 10000).alias("id_a"), F.col("doc_id").alias("id_b"), F.col("g").alias("gb")),
+            "id_a",
+        )
+        .select("id_a", "id_b", jaccard(F.col("ga"), F.col("gb")).alias("j"))
+        .collect()
+    )
+
+    def recall(lo, hi):
+        bucket = [r for r in pairs if lo <= r["j"] < hi]
+        if not bucket:
+            return None, 0
+        hit = sum(1 for r in bucket if (r["id_a"], r["id_b"]) in found)
+        return hit / len(bucket), len(bucket)
+
+    high, n_high = recall(0.7, 1.01)   # S-curve predicts ≥ 0.95 capture
+    mid, n_mid = recall(0.45, 0.7)     # transition zone
+    low, n_low = recall(0.0, 0.2)      # predicts ≤ ~0.1 capture
+    assert n_high >= 20 and n_low >= 20, f"similarity spectrum collapsed: {n_high}/{n_mid}/{n_low}"
+    assert high >= 0.9, f"high-sim recall {high:.2f} (n={n_high})"
+    if mid is not None:
+        assert mid >= 0.3, f"transition-zone recall collapsed: {mid:.2f} (n={n_mid})"
+    assert low <= 0.3, f"low-sim pairs becoming candidates: {low:.2f} (n={n_low}) — banding too loose"
