@@ -80,6 +80,34 @@ def main() -> None:
             f"({total / 1e6 / dt:.0f} MB/s)"
         )
 
+    # Video-like leg: a few LARGE files. binaryFile never splits a file,
+    # so ingest parallelism == file count no matter what
+    # maxPartitionBytes says; frame-sampling then re-establishes
+    # parallelism by exploding to per-frame rows and repartitioning.
+    n_big, big_mb = 8, 16
+    total_big = make_blobs(n_big, big_mb * 1024)
+    print(f"\nbig blobs: {n_big} x {big_mb} MB = {total_big / 1e6:.0f} MB")
+    from noaa_etl_spark.operators.multimodal import sample_frames
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    raw = read_binary_dir(spark, BLOB_DIR, glob="*.bin").select(
+        F.xxhash64("path").alias("doc_id"), F.col("content").alias("payload")
+    )
+    print(
+        f"ingest partitions at maxPartitionBytes=4m: {raw.rdd.getNumPartitions()} "
+        f"(== file count: binaryFile does not split large files)"
+    )
+    frames = sample_frames(raw, every_n_bytes=256 * 1024)
+    for label, fdf in [
+        ("frames as-ingested", frames),
+        ("frames repartitioned", frames.repartition(32, "doc_id", "frame_idx")),
+    ]:
+        fdf.count()
+        t0 = time.perf_counter()
+        n = fdf.count()
+        print(f"{label}: {n} frame rows, {fdf.rdd.getNumPartitions()} partitions, "
+              f"{time.perf_counter() - t0:.2f}s")
+
     spark.stop()
     shutil.rmtree(BLOB_DIR, ignore_errors=True)
 
