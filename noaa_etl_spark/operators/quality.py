@@ -45,3 +45,43 @@ def expect(
     if failures:
         raise DataQualityError(failures, row["__total"])
     return df
+
+
+def observe_quality(
+    df: DataFrame,
+    expectations: dict[str, Column],
+    name: str = "quality",
+):
+    """Attach violation counters to the query plan itself via
+    ``df.observe`` — metrics are computed as a side effect of whatever
+    action runs downstream (the sink write, a collect), costing ZERO
+    extra scans. ``expect`` by contrast runs its own aggregate job; at
+    100 TB that second pass is the difference between free QC and
+    doubling the pipeline's read volume.
+
+    Returns ``(observed_df, observation)``; run the action on
+    ``observed_df``, then call :func:`assert_observed`.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.count_if(~cond | cond.isNull()).alias(rule)
+        for rule, cond in expectations.items()
+    ]
+    return df.observe(obs, *aggs), obs
+
+
+def assert_observed(observation, max_violations: int = 0) -> dict:
+    """Check an :func:`observe_quality` observation after its action ran.
+    Raises :class:`DataQualityError` like ``expect``; returns the raw
+    metrics dict (including ``__total``) on success."""
+    got = observation.get  # blocks until the observed action finishes
+    failures = {
+        rule: n
+        for rule, n in got.items()
+        if rule != "__total" and n > max_violations
+    }
+    if failures:
+        raise DataQualityError(failures, got["__total"])
+    return got

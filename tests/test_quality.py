@@ -133,3 +133,29 @@ def test_incremental_avg_ignores_nulls_like_spark_avg(spark):
     f = {tuple(r) for r in folded.collect()}
     r = {tuple(r) for r in recompute.collect()}
     assert f == r
+
+
+def test_observe_quality_rides_the_action(spark, tmp_path):
+    """observe_quality must deliver violation counts as a side effect of
+    the sink write — no second scan — and flag violations post-action."""
+    from noaa_etl_spark.operators.quality import assert_observed, observe_quality
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    observed, obs = observe_quality(
+        docs,
+        {
+            "doc_id_non_null": F.col("doc_id").isNotNull(),
+            "n_chars_consistent": F.length("text") == F.col("n_chars"),
+        },
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = assert_observed(obs)
+    assert got["__total"] == docs.count()
+    assert got["doc_id_non_null"] == 0
+
+    observed2, obs2 = observe_quality(
+        docs, {"impossible": F.col("n_chars") < 0}, name="q2"
+    )
+    observed2.write.mode("overwrite").parquet(str(tmp_path / "out2"))
+    with pytest.raises(DataQualityError, match="impossible"):
+        assert_observed(obs2)
