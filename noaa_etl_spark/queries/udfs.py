@@ -28,6 +28,41 @@ from noaa_etl_spark.io import load_table
 from noaa_etl_spark.registry import graded
 
 
+# --- row-at-a-time scalar UDF (the documented last resort) ------------
+
+
+@graded(
+    "q_scalar_udf_lastresort",
+    oracle="""
+    SELECT n_nationkey,
+           upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2))
+             AS name_title
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def q_scalar_udf_lastresort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (`F.udf`) — implemented ONCE, on a
+    25-row dimension, to document the §2.K row and why it is the last
+    resort: each row round-trips JVM→pickle→Python→pickle→JVM with no
+    vectorization, 10-100× slower than a pandas_udf and worse than the
+    pure-expression form (which this query is deliberately also
+    expressible as — see the oracle). This is the engine's ONLY
+    row-at-a-time UDF; every hot-path Python escape uses Arrow
+    (pandas_udf / applyInPandas / mapInPandas). Use only for tiny
+    bounded inputs calling a library that has no vectorized form."""
+
+    def title_case(s: str) -> str:
+        return s[:1].upper() + s[1:].lower() if s else s
+
+    title_udf = F.udf(title_case, "string")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        nat.select("n_nationkey", title_udf("n_name").alias("name_title"))
+        .orderBy("n_nationkey")
+    )
+
+
 # --- scalar pandas_udf ------------------------------------------------
 
 
