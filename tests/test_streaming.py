@@ -262,3 +262,44 @@ def test_foreachbatch_merge_upsert_lake_load(spark, tmp_dir):
     got = {(r["o_orderkey"], r["o_totalprice"]) for r in final.collect()}
     want = {(r["o_orderkey"], r["o_totalprice"]) for r in expected.collect()}
     assert got == want
+
+
+def test_rate_limiting_bounds_microbatch_size(spark, tmp_dir):
+    """Backpressure for file sources: maxFilesPerTrigger must cap each
+    micro-batch at one file's rows — per-trigger state growth and
+    shuffle volume stay bounded no matter how deep the backlog. (Kafka's
+    equivalent knob is maxOffsetsPerTrigger; availableNow honors these
+    limits while still draining the whole backlog.)"""
+    src = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "sink")
+    checkpoint = os.path.join(tmp_dir, "ckpt")
+    for p in (src, out, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "value")
+    ev.repartition(4).write.parquet(src)
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_files == 4
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    progress = q.recentProgress
+    batches = [p for p in progress if p["numInputRows"] > 0]
+    total = ev.count()
+    assert len(batches) == n_files, f"expected {n_files} rate-limited batches, got {len(batches)}"
+    assert all(p["numInputRows"] < total for p in batches), "a batch swallowed the backlog"
+    assert sum(p["numInputRows"] for p in batches) == total, "rate limiting lost rows"
