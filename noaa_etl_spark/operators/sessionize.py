@@ -48,3 +48,84 @@ def sessionize(
     return df.withColumn("__new_session", new_session).withColumn(
         session_col, F.sum("__new_session").over(w_run)
     ).drop("__new_session")
+
+
+def sessionize_bucketed(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Scale form of :func:`sessionize` for SKEWED users: identical
+    output, different shuffle layout.
+
+    The plain form's window sorts ALL of a user's events in one task —
+    a celebrity user at 100 TB becomes a straggler (the one scale risk
+    SCALING.md flags for sessionize). This form:
+
+    1. locally sessionizes per ``(user, day-bucket)`` — the heavy
+       shuffle+sort key now spreads each hot user across their active
+       days (hot-key fan-out bounded by the date range);
+    2. stitches at bucket boundaries with a window over SESSION
+       summaries — input is |sessions| ≪ |events| rows, so the per-user
+       sort that remains is compressed by the events-per-session factor;
+    3. maps the stitched global ids back onto events with an equi-join
+       on the local session key (the mapping side is tiny: one row per
+       local session — broadcastable).
+
+    Correct for any ``gap_seconds`` < 1 day (a session pausing over a
+    boundary merges in step 2 no matter how many empty buckets it
+    spans). Equivalence with the plain form is asserted in
+    tests/test_scale.py.
+    """
+    assert gap_seconds < 86_400, "bucket (1 day) must exceed the gap"
+    bucket = F.to_date(F.col(ts_col)).alias("__bucket")
+    ev = df.withColumn("__bucket", bucket)
+
+    # 1. local sessionize within (user, bucket)
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w_local = Window.partitionBy(user_col, "__bucket").orderBy(*order)
+    ts_us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(ts_us).over(w_local)
+    new_local = F.when(
+        prev_us.isNull() | ((ts_us - prev_us) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    ev = ev.withColumn(
+        "__local_sid",
+        F.sum(new_local).over(
+            w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    # 2. session summaries + cross-bucket stitch (rows = local sessions)
+    first_key = (
+        F.min(F.struct(F.col(ts_col), F.col(tiebreak_col))).alias("__first")
+        if tiebreak_col
+        else F.min(F.struct(F.col(ts_col), F.col(ts_col))).alias("__first")
+    )
+    summaries = ev.groupBy(user_col, "__bucket", "__local_sid").agg(
+        F.min(ts_us).alias("__start_us"),
+        F.max(ts_us).alias("__last_us"),
+        first_key,
+    )
+    w_user = Window.partitionBy(user_col).orderBy(F.col("__start_us").asc(), F.col("__first").asc())
+    prev_last = F.lag("__last_us").over(w_user)
+    new_global = F.when(
+        prev_last.isNull() | ((F.col("__start_us") - prev_last) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    mapping = summaries.withColumn(
+        session_col,
+        F.sum(new_global).over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select(user_col, "__bucket", "__local_sid", session_col)
+
+    # 3. map back to events (mapping side is one row per local session)
+    return (
+        ev.join(mapping, [user_col, "__bucket", "__local_sid"])
+        .drop("__bucket", "__local_sid")
+    )

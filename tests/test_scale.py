@@ -196,3 +196,49 @@ def test_replicated_broadcast_join_left_keeps_null_keys(spark):
     plain = fact.join(dim, fact.k == dim.dk, "left")
     assert {tuple(r) for r in joined.collect()} == {tuple(r) for r in plain.collect()}
     assert joined.filter(F.col("k").isNull()).count() == 2
+
+
+def test_sessionize_bucketed_equals_plain(spark):
+    """The (user, day)-bucketed skew form must produce byte-identical
+    session assignments to the plain per-user window, including sessions
+    that pause across midnight (merged by the stitch pass)."""
+    from noaa_etl_spark.operators.sessionize import sessionize, sessionize_bucketed
+
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "user_id", "ts")
+    # The fixture has no cross-midnight sessions, so inject a user whose
+    # one session straddles two midnights (20-min spacing over 2 days)
+    # plus a clean same-day break — the stitch pass must merge the
+    # former and respect the latter.
+    base = datetime(2024, 3, 1, 23, 10, 0)
+    straddle = [
+        (9_000_000 + i, 999_999, base + timedelta(minutes=20 * i)) for i in range(160)
+    ]
+    straddle.append((9_100_000, 999_999, base + timedelta(days=3)))
+    extra = spark.createDataFrame(
+        straddle, "event_id bigint, user_id bigint, ts timestamp_ntz"
+    )
+    ev = ev.unionByName(extra)
+
+    plain_df = sessionize(ev, tiebreak_col="event_id")
+    plain = {
+        (r["user_id"], r["event_id"], r["session_id"]) for r in plain_df.collect()
+    }
+    bucketed = {
+        (r["user_id"], r["event_id"], r["session_id"])
+        for r in sessionize_bucketed(ev, tiebreak_col="event_id").collect()
+    }
+    assert bucketed == plain
+    # Guard against vacuity: the injected user must have a multi-day
+    # session AND more than one session overall.
+    inj = (
+        plain_df.filter(F.col("user_id") == 999_999)
+        .groupBy("session_id")
+        .agg(F.count_distinct(F.to_date("ts")).alias("n_days"))
+        .collect()
+    )
+    assert max(r["n_days"] for r in inj) >= 3, "no multi-midnight session"
+    assert len(inj) == 2, "same-day break not preserved"
