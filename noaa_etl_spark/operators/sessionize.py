@@ -77,7 +77,13 @@ def sessionize_bucketed(
 
     Correct for any ``gap_seconds`` < 1 day (a session pausing over a
     boundary merges in step 2 no matter how many empty buckets it
-    spans). Equivalence with the plain form is asserted in
+    spans). NULL keys match the plain form too: the map-back join is
+    null-safe on (user, bucket), so NULL ``user_col`` rows (a valid
+    window partition in the plain form) and NULL ``ts_col`` rows (each
+    its own session under the plain form's lag-isNull rule — mirrored
+    here by the ``__start_us IS NULL`` stitch term) are kept, never
+    silently dropped. Equivalence with the plain form — including NULL
+    users, NULL timestamps and multi-midnight sessions — is asserted in
     tests/test_scale.py.
     """
     assert gap_seconds < 86_400, "bucket (1 day) must exceed the gap"
@@ -114,18 +120,37 @@ def sessionize_bucketed(
     )
     w_user = Window.partitionBy(user_col).orderBy(F.col("__start_us").asc(), F.col("__first").asc())
     prev_last = F.lag("__last_us").over(w_user)
+    # __start_us IS NULL ⇒ a NULL-ts singleton session (the plain form's
+    # lag over a NULL ts is NULL ⇒ isNull fires ⇒ new session per row);
+    # without this term consecutive NULL-start summaries would merge.
     new_global = F.when(
-        prev_last.isNull() | ((F.col("__start_us") - prev_last) > gap_seconds * 1_000_000), 1
+        prev_last.isNull()
+        | F.col("__start_us").isNull()
+        | ((F.col("__start_us") - prev_last) > gap_seconds * 1_000_000),
+        1,
     ).otherwise(0)
     mapping = summaries.withColumn(
         session_col,
         F.sum(new_global).over(
             w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    ).select(user_col, "__bucket", "__local_sid", session_col)
+    ).select(
+        F.col(user_col).alias("__m_user"),
+        F.col("__bucket").alias("__m_bucket"),
+        F.col("__local_sid").alias("__m_sid"),
+        session_col,
+    )
 
-    # 3. map back to events (mapping side is one row per local session)
+    # 3. map back to events (mapping side is one row per local session).
+    # Null-safe keys: plain equality would drop NULL-user / NULL-bucket
+    # rows that the plain form keeps (EqualNullSafe is still a hash-join
+    # key, so the join stays broadcastable).
+    cond = (
+        F.col(user_col).eqNullSafe(F.col("__m_user"))
+        & F.col("__bucket").eqNullSafe(F.col("__m_bucket"))
+        & (F.col("__local_sid") == F.col("__m_sid"))
+    )
     return (
-        ev.join(mapping, [user_col, "__bucket", "__local_sid"])
-        .drop("__bucket", "__local_sid")
+        ev.join(mapping, cond)
+        .drop("__m_user", "__m_bucket", "__m_sid", "__bucket", "__local_sid")
     )

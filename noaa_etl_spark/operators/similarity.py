@@ -161,23 +161,31 @@ def srp_signature(vec: F.Column, dim: int, num_planes: int) -> F.Column:
     return F.array(*bits)
 
 
-def knn_lsh(
+def lsh_candidate_pairs(
     queries: DataFrame,
     corpus: DataFrame,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     num_planes: int = 16,
     bands: int = 4,
     round_digits: int | None = 6,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Approximate top-k cosine neighbors via SRP-LSH banding.
+    """SRP-LSH candidate generation: (query_id, neighbor_id, cos_sim)
+    for every pair colliding in ≥1 (band, bucket).
 
     num_planes/bands = bits per band (4 by default → 16 buckets/band).
-    Recall is tunable by bands (more bands = more candidates). Candidate
-    pairs form only within equal (band, bucket) — a plain shuffled
-    equi-join that scales linearly with bucket occupancy, not |Q|·|C|.
+    Recall is tunable by bands (more bands = more candidates). Pairs form
+    only within equal (band, bucket) — a plain shuffled equi-join that
+    scales linearly with bucket occupancy, not |Q|·|C|.
+
+    Shared by ``knn_lsh`` (which ranks to top-k) and ``semantic_dedup``
+    (which threshold-filters — NO ranking window: dedup needs pairs
+    above threshold, not ranked neighbors, so routing it through a top-k
+    operator would pay a per-query sort just to discard it).
+    ``distinct=False`` skips the multi-band pair dedup for callers that
+    aggregate pairs downstream anyway (one shuffle saved).
     """
     rows = num_planes // bands
 
@@ -210,10 +218,29 @@ def knn_lsh(
     )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    cands = (
-        qb.join(cb, (qb.query_bk == cb.neighbor_bk) & (qb.query_id != cb.neighbor_id))
-        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    cands = qb.join(
+        cb, (qb.query_bk == cb.neighbor_bk) & (qb.query_id != cb.neighbor_id)
+    ).select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    if distinct:
+        cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    return cands
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via SRP-LSH banding: candidate
+    pairs from :func:`lsh_candidate_pairs`, ranked per query."""
+    cands = lsh_candidate_pairs(
+        queries, corpus, id_col, vec_col, dim, num_planes, bands, round_digits
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -246,17 +273,26 @@ def semantic_dedup(
     (SRP-LSH banding: approximate, but linear in bucket occupancy and
     never materializes |N|² pairs)."""
     if use_lsh:
-        pairs = knn_lsh(df, df, k=1_000_000, id_col=id_col, vec_col=vec_col, dim=dim)
+        # Candidates filtered DIRECTLY on the threshold — no knn top-k
+        # detour: ranking would per-query-sort every candidate list only
+        # for the filter to discard the ranks (plan stays Window-free,
+        # asserted in tests). distinct=False: the final .distinct() on
+        # dropped_id subsumes pair-level dedup (one shuffle saved).
+        pairs = lsh_candidate_pairs(
+            df, df, id_col=id_col, vec_col=vec_col, dim=dim, distinct=False
+        )
         pairs = pairs.filter(
             (F.col("cos_sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id"))
         ).select(F.col("neighbor_id").alias("dropped_id"))
     else:
-        n = df.count()
-        if n > max_brute_force_rows:
+        # limit(cap+1).count() bounds the guard's own cost by the cap
+        # (a plain count() would full-scan exactly the inputs the cap is
+        # meant to refuse before refusing them).
+        if df.limit(max_brute_force_rows + 1).count() > max_brute_force_rows:
             raise ValueError(
-                f"semantic_dedup brute-force branch got {n} rows "
-                f"(cap {max_brute_force_rows}): the all-pairs theta join is "
-                f"O(N²) and does not scale — call with use_lsh=True"
+                f"semantic_dedup brute-force branch got more than "
+                f"{max_brute_force_rows} rows (the cap): the all-pairs theta "
+                f"join is O(N²) and does not scale — call with use_lsh=True"
             )
         a = df.select(
             F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")

@@ -171,6 +171,19 @@ def q_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded("q_semantic_dedup_lsh")  # rows-only: approximate (SRP-LSH) result set
+def q_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale branch of semantic dedup: SRP-LSH candidate
+    pairs threshold-filtered directly (no top-k ranking window anywhere
+    in the plan — asserted in tests/test_plans.py). This is the form a
+    100 TB corpus runs; the brute-force q_semantic_dedup is the
+    oracle-checkable twin, and the LSH branch's recall against it is
+    measured across controlled-similarity pairs in
+    tests/test_algorithms.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, use_lsh=True)
+
+
 @graded("q_knn_ivf")  # rows-only: approximate (k-means IVF) result set
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate knn via an IVF index (spherical k-means cells,

@@ -129,6 +129,7 @@ def get_spark(
     app_name: str = "noaa_etl_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    ui: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine posture.
 
@@ -136,6 +137,10 @@ def get_spark(
     ``shuffle_partitions`` defaults to the local core count — right-sized
     for fixture-scale data; a cluster deployment should raise it (or rely
     on AQE coalescing from a deliberately high initial value).
+    ``ui=True`` enables the Spark UI so the REST stage-metrics API is
+    reachable (plans/audit.py shuffle-bytes profiling; off by default —
+    it costs an HTTP server per session). Static conf: only effective on
+    the session that creates the JVM.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
@@ -147,7 +152,7 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for key, value in _RUNTIME_CONFS.items():

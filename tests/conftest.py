@@ -25,7 +25,9 @@ TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("noaa-etl-tests", master="local[8]", shuffle_partitions=8)
+    # ui=True: the COSTS byte gate (tests/test_costs.py) reads stage-level
+    # shuffle bytes via the UI REST API.
+    s = get_spark("noaa-etl-tests", master="local[8]", shuffle_partitions=8, ui=True)
     yield s
 
 

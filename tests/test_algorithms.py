@@ -141,6 +141,25 @@ def test_semantic_dedup_lsh_subset_of_bruteforce(spark):
     assert len(lsh) / len(brute) >= 0.2, f"LSH recall collapsed: {len(lsh)}/{len(brute)}"
 
 
+def test_semantic_dedup_lsh_matches_topk_detour(spark):
+    """The direct threshold-filter form must return exactly the drop set
+    of the (removed) top-k detour — same candidates, same exact-cosine
+    verify, minus the wasted per-query ranking sort."""
+    from noaa_etl_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    detour = (
+        knn_lsh(emb, emb, k=1_000_000, dim=64)
+        .filter((F.col("cos_sim") >= 0.4) & (F.col("query_id") < F.col("neighbor_id")))
+        .select(F.col("neighbor_id").alias("dropped_id"))
+        .distinct()
+    )
+    direct = semantic_dedup(emb, threshold=0.4, use_lsh=True)
+    assert {r["dropped_id"] for r in direct.collect()} == {
+        r["dropped_id"] for r in detour.collect()
+    }
+
+
 def test_semantic_dedup_brute_force_is_size_capped(spark):
     """The all-pairs branch is O(N²) — it must refuse oversized inputs
     instead of silently launching a corpus-scale theta join."""
@@ -230,6 +249,130 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def _controlled_cosine_vectors(
+    n_per_level, levels, dim=64, clusters=8, seed=42, center_scale=3.0
+):
+    """(rows, levels) — pairs (i, 10000+i) with EXACT cosine s: variant =
+    s·base + sqrt(1-s²)·orthonormal-noise. ``center_scale`` > 0 draws
+    bases around cluster centers (IVF sees structure); 0 gives uniform
+    sphere directions (cells partition evenly — the right regime for
+    measuring probe-budget capture, since dominant clusters make cells
+    so coarse that even orthogonal pairs share probed cells). Fixture
+    near-dups all sit at cosine ≈ 1.0, far above any S-curve midpoint —
+    only synthesized mid-similarity pairs can catch a banding mis-tune."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(clusters, dim) * center_scale
+    rows = []
+    i = 0
+    for s in levels:
+        for _ in range(n_per_level):
+            base = centers[i % clusters] + rng.randn(dim)
+            base = base / np.linalg.norm(base)
+            noise = rng.randn(dim)
+            noise -= noise.dot(base) * base
+            noise /= np.linalg.norm(noise)
+            variant = s * base + np.sqrt(max(0.0, 1 - s * s)) * noise
+            rows.append((i, [float(x) for x in base], float(s)))
+            rows.append((10_000 + i, [float(x) for x in variant], float(s)))
+            i += 1
+    return rows
+
+
+def test_srp_lsh_capture_follows_s_curve(spark):
+    """SRP-LSH banding capture vs the theoretical S-curve
+    p(s) = 1 - (1 - p_plane^r)^b with p_plane = 1 - arccos(s)/π
+    (r bits/band, b bands), measured on controlled-cosine pairs at five
+    similarity levels. Catches a planes/bands mis-tune that the ≈1.0
+    fixture near-dups cannot."""
+    import math
+
+    from noaa_etl_spark.operators.similarity import lsh_candidate_pairs
+
+    levels = [0.95, 0.8, 0.6, 0.3, 0.0]
+    n_per = 60
+    rows = _controlled_cosine_vectors(n_per, levels)
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id bigint, embedding array<double>"
+    )
+    found = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_candidate_pairs(df, df, dim=64, num_planes=16, bands=4)
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    sims = {i: s for i, _, s in rows if i < 10_000}
+
+    r_bits, b_bands = 4, 4
+    for li, s in enumerate(levels):
+        ids = [i for i in sims if sims[i] == s]
+        capture = sum(1 for i in ids if (i, 10_000 + i) in found) / len(ids)
+        p_plane = 1 - math.acos(min(1.0, s)) / math.pi
+        theory = 1 - (1 - p_plane**r_bits) ** b_bands
+        assert abs(capture - theory) <= 0.25, (
+            f"s={s}: capture {capture:.2f} vs theory {theory:.2f} — "
+            f"banding mis-tuned"
+        )
+    # Ends of the curve: near-dups near-certain, orthogonal mostly missed.
+    hi = [i for i in sims if sims[i] == 0.95]
+    lo = [i for i in sims if sims[i] == 0.0]
+    assert sum(1 for i in hi if (i, 10_000 + i) in found) / len(hi) >= 0.75
+    assert sum(1 for i in lo if (i, 10_000 + i) in found) / len(lo) <= 0.45
+
+
+def test_ivf_capture_rises_with_cosine(spark):
+    """IVF candidate capture (variant's cell within the base's n_probe
+    probed cells) must rise steeply with cosine: the embedding-side
+    mirror of the MinHash S-curve check. No closed-form curve exists
+    (capture follows the learned cells), so the gate is the shape:
+    near-dups nearly always captured, orthogonal pairs mostly cut by the
+    probe budget, monotone in between. Measured on UNCLUSTERED vectors —
+    with dominant clusters the cells are so coarse that orthogonal pairs
+    share probed cells ~90% of the time (observed), which is a property
+    of the data, not a banding bug."""
+    from noaa_etl_spark.functions.vectors import as_double
+    from noaa_etl_spark.operators.similarity import (
+        _nearest_cells,
+        train_ivf_centroids,
+    )
+
+    levels = [0.95, 0.8, 0.6, 0.3, 0.0]
+    n_per = 60
+    rows = _controlled_cosine_vectors(n_per, levels, center_scale=0.0)
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id bigint, embedding array<double>"
+    )
+    centroids = train_ivf_centroids(df, n_cells=16)
+    base = df.filter(F.col("vec_id") < 10_000).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("query_vec")
+    )
+    var = df.filter(F.col("vec_id") >= 10_000).select(
+        (F.col("vec_id") - 10_000).alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("neighbor_vec"),
+    )
+    probed = {
+        (r["query_id"], r["cell_id"])
+        for r in _nearest_cells(base, centroids, "query", 4).collect()
+    }
+    assigned = {
+        r["neighbor_id"]: r["cell_id"]
+        for r in _nearest_cells(var, centroids, "neighbor", 1).collect()
+    }
+    sims = {i: s for i, _, s in rows if i < 10_000}
+    captures = []
+    for s in levels:
+        ids = [i for i in sims if sims[i] == s]
+        cap = sum(1 for i in ids if (i, assigned[i]) in probed) / len(ids)
+        captures.append(cap)
+    assert captures[0] >= 0.9, f"near-dup IVF capture collapsed: {captures[0]:.2f}"
+    assert captures[-1] <= 0.55, f"orthogonal pairs probed too often: {captures[-1]:.2f}"
+    # Monotone within sampling noise.
+    for a, b in zip(captures, captures[1:]):
+        assert b <= a + 0.15, f"capture not decreasing with cosine: {captures}"
 
 
 def test_minhash_banding_recall_follows_s_curve(spark):

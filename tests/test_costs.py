@@ -1,9 +1,16 @@
-"""Plan-shape regression gate against the committed COSTS.json.
+"""Plan-shape + shuffle-volume regression gate against COSTS.json.
 
 Wall-clock at fixture scale hides plan regressions behind fixed
 overhead; the shuffle count does not. A headline query that GAINS an
 Exchange (or loses a ReusedExchange) versus the committed audit is a
 100 TB regression even if sf0.1 latency looks flat — fail it here.
+
+Counts alone are still blind to payload width: the round-2 MinHash
+band join kept its exchange count while shuffling ~60x the bytes. So
+the gate also compares runtime shuffle WRITE bytes against the audit's
+committed numbers at the SAME scale factor (COSTS.json carries a
+``queries_test_sf`` section recorded at the test SF), with tolerance
+for compression/AQE jitter.
 
 COSTS.json is regenerated deliberately via `python tools/cost_audit.py`
 when a plan change is intended; this test only guards against
@@ -16,8 +23,10 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
-from noaa_etl_spark.plans.audit import executed_exchange_counts
+from noaa_etl_spark.io import load_table
+from noaa_etl_spark.plans.audit import executed_cost_profile, executed_exchange_counts
 from noaa_etl_spark.queries import QUERIES
 from tests.conftest import SF_DIR
 
@@ -25,28 +34,94 @@ _COSTS_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COSTS.json"
 )
 with open(_COSTS_PATH) as f:
-    COSTS = json.load(f)["queries"]
+    _COSTS = json.load(f)
+COSTS = _COSTS["queries"]
+# Byte gates only make sense at equal SF: use the section recorded at the
+# test scale factor, and only when the audit ran against the same dir.
+COSTS_TEST_SF = _COSTS.get("queries_test_sf", {}) if _COSTS.get("test_sf_dir") == SF_DIR else {}
+
+# Multiplicative tolerance + absolute slack for the byte gate: shuffle
+# bytes jitter with compression-block boundaries and AQE coalescing, and
+# tiny queries would otherwise flake on kilobyte noise.
+BYTES_TOL = 1.5
+BYTES_SLACK = 256 * 1024
 
 
 @pytest.mark.parametrize("name", sorted(COSTS))
 def test_no_new_shuffles_vs_committed_costs(spark, name):
-    """Exchanges may only go DOWN vs the committed audit (AQE broadcasts
-    more at the smaller test SF); any gain means a new shuffle crept in."""
+    """Shuffle exchanges may only go DOWN vs the committed audit (AQE
+    broadcasts more at the smaller test SF); any gain means a new shuffle
+    crept in. The shuffle+broadcast SUM may not grow either: an AQE
+    shuffle->broadcast conversion trades >=2 shuffle exchanges for 1
+    broadcast (sum shrinks), so a sum increase is a genuinely new node."""
     df = QUERIES[name](spark, SF_DIR)
-    exchanges, reused = executed_exchange_counts(df)
+    exchanges, broadcast, reused = executed_exchange_counts(df)
     committed = COSTS[name]
     assert exchanges <= committed["exchanges"], (
         f"{name}: {exchanges} exchanges vs committed {committed['exchanges']} — "
         f"a shuffle was added; if intended, regenerate COSTS.json "
         f"(python tools/cost_audit.py)"
     )
+    committed_total = committed["exchanges"] + committed.get("broadcast_exchanges", 0)
+    assert exchanges + broadcast <= committed_total, (
+        f"{name}: shuffle+broadcast exchanges {exchanges}+{broadcast} vs "
+        f"committed total {committed_total} — a BroadcastExchange was added"
+    )
     assert reused >= committed["reused_exchanges"], (
         f"{name}: lost a ReusedExchange ({reused} < {committed['reused_exchanges']})"
     )
 
 
+@pytest.mark.parametrize("name", sorted(COSTS_TEST_SF))
+def test_no_shuffle_byte_inflation_vs_committed_costs(spark, name):
+    """Runtime shuffle write bytes vs the committed same-SF audit — the
+    payload-width gate an exchange counter cannot provide."""
+    committed = COSTS_TEST_SF[name].get("shuffle_write_bytes")
+    if committed is None:
+        pytest.skip("committed audit ran without the UI (no byte metrics)")
+    profile = executed_cost_profile(
+        spark, QUERIES[name](spark, SF_DIR), f"costs_bytes_{name}"
+    )
+    measured = profile["shuffle_write_bytes"]
+    if measured is None:
+        pytest.skip("spark.ui.enabled=false in this session (no byte metrics)")
+    limit = committed * BYTES_TOL + BYTES_SLACK
+    assert measured <= limit, (
+        f"{name}: shuffle write {measured}B vs committed {committed}B "
+        f"(limit {int(limit)}B) — a wide payload entered the shuffle; if "
+        f"intended, regenerate COSTS.json (python tools/cost_audit.py)"
+    )
+
+
 def test_gate_catches_injected_repartition(spark):
-    """Self-test: an injected repartition() must trip the gate."""
+    """Self-test: an injected repartition() must trip the count gate."""
     df = QUERIES["q_pricing_summary"](spark, SF_DIR).repartition(8)
-    exchanges, _ = executed_exchange_counts(df)
+    exchanges, _, _ = executed_exchange_counts(df)
     assert exchanges > COSTS["q_pricing_summary"]["exchanges"]
+
+
+def test_bytes_gate_catches_fat_payload(spark):
+    """Self-test: the byte metric must detect a wide column riding a
+    shuffle that leaves the exchange COUNT unchanged — exactly the
+    regression class the count gate is blind to."""
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "event_id")
+    # ~256 incompressible chars per row (distinct md5 inputs per slot so
+    # lz4 can't collapse the padding).
+    pad = F.concat_ws(
+        "",
+        *[F.md5(F.concat(F.col("event_id").cast("string"), F.lit(str(i)))) for i in range(8)],
+    )
+
+    def profile(df, label):
+        out = df.repartition("user_id").agg(F.sum(F.length("payload")).alias("s"))
+        return executed_cost_profile(spark, out, f"costs_selftest_{label}")
+
+    slim = profile(ev.withColumn("payload", F.col("event_id").cast("string")), "slim")
+    fat = profile(ev.withColumn("payload", pad), "fat")
+    if slim["shuffle_write_bytes"] is None:
+        pytest.skip("spark.ui.enabled=false in this session (no byte metrics)")
+    assert slim["exchanges"] == fat["exchanges"], "count gate must be blind here"
+    assert fat["shuffle_write_bytes"] > BYTES_TOL * slim["shuffle_write_bytes"], (
+        f"byte metric failed to see the fat payload: "
+        f"fat={fat['shuffle_write_bytes']}B slim={slim['shuffle_write_bytes']}B"
+    )

@@ -121,6 +121,15 @@ def test_asof_join_single_shuffle(spark):
     assert "Window" in plan
 
 
+def test_semantic_dedup_lsh_plan_has_no_window(spark):
+    """The corpus-scale dedup branch threshold-filters LSH candidates
+    directly — it must NOT route through the knn top-k ranker, whose
+    per-query row_number() window would sort every candidate list only
+    for the threshold filter to discard the ranks."""
+    plan = plan_of(spark, "q_semantic_dedup_lsh")
+    assert "Window" not in plan, f"top-k detour crept back into semantic_dedup:\n{plan}"
+
+
 def test_runtime_bloom_filter_injection(spark):
     """A selective filter on the build side of a SHUFFLE join must inject
     a runtime bloom filter into the probe-side scan (Spark's row-level

@@ -218,6 +218,19 @@ def test_sessionize_bucketed_equals_plain(spark):
         (9_000_000 + i, 999_999, base + timedelta(minutes=20 * i)) for i in range(160)
     ]
     straddle.append((9_100_000, 999_999, base + timedelta(days=3)))
+    # NULL-key hazard rows (the plain form keeps all of these): a NULL
+    # user is a valid window partition; a NULL ts makes each such row its
+    # own session (lag over NULL fires the isNull new-session rule). The
+    # bucketed form must agree — its map-back join is null-safe.
+    straddle += [
+        (9_200_000, None, base + timedelta(minutes=5)),
+        (9_200_001, None, base + timedelta(minutes=10)),  # same NULL-user session
+        (9_200_002, None, base + timedelta(hours=10)),    # gap > 30min: new session
+        (9_300_000, 999_998, None),                       # NULL-ts singleton
+        (9_300_001, 999_998, None),                       # second NULL-ts singleton
+        (9_300_002, 999_998, base),                       # real event after the NULLs
+        (9_400_000, None, None),                          # both keys NULL
+    ]
     extra = spark.createDataFrame(
         straddle, "event_id bigint, user_id bigint, ts timestamp_ntz"
     )
@@ -242,3 +255,11 @@ def test_sessionize_bucketed_equals_plain(spark):
     )
     assert max(r["n_days"] for r in inj) >= 3, "no multi-midnight session"
     assert len(inj) == 2, "same-day break not preserved"
+    # Vacuity guards for the NULL-key rows: none may be dropped, the NULL
+    # user must split on the 10h gap, and each NULL-ts row is a session.
+    by_user = {}
+    for u, eid, sid in plain:
+        by_user.setdefault(u, {})[eid] = sid
+    assert len(by_user[None]) == 4 and len(set(by_user[None].values())) >= 2
+    u998 = by_user[999_998]
+    assert len(u998) == 3 and len(set(u998.values())) == 3

@@ -1,13 +1,17 @@
 #!/usr/bin/env python
 """Per-query execution-cost audit: jobs/stages/tasks (StatusTracker,
-grouped per query via job groups) plus shuffle-boundary count from the
-executed plan — the scheduling-cost companion to bench.py's wall-clock.
+grouped per query via job groups), shuffle-boundary counts from the
+executed plan, and stage-level shuffle BYTES (Spark UI REST) — the
+scheduling-cost companion to bench.py's wall-clock.
 
 Why it matters at 100 TB: wall-clock at fixture scale is dominated by
 fixed per-job overhead, so plan *shape* (how many shuffles, how many
-stages) is the number that predicts cluster cost. A query whose task
-count explodes or that adds an Exchange between rounds is a regression
-even if sf0.1 latency looks flat.
+stages) is the number that predicts cluster cost. And exchange COUNT
+alone is blind to payload width — the round-2 MinHash band join kept
+its exchange count while shuffling ~60x the bytes — so the audit also
+records shuffle read/write bytes per query, at BOTH the bench SF
+(headline record) and the test SF (tests/test_costs.py gates runtime
+bytes against the committed same-SF numbers with tolerance).
 
 Usage: python tools/cost_audit.py [out_json]   (default COSTS.json)
 """
@@ -16,7 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 import time
 
@@ -24,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 # The bench.py headline set — audited at the bench scale factor.
 AUDITED = [
@@ -40,42 +44,13 @@ AUDITED = [
 ]
 
 
-def audit_query(spark, name, fn) -> dict:
-    sc = spark.sparkContext
-    tracker = sc.statusTracker()
-    group = f"audit_{name}"
-    sc.setJobGroup(group, name, interruptOnCancel=False)
-    t0 = time.perf_counter()
-    df = fn(spark, SF_DIR)
-    df.collect()
-    wall = time.perf_counter() - t0
-    sc.setJobGroup(None, None)
+def audit_query(spark, name, fn, sf_dir) -> dict:
+    from noaa_etl_spark.plans.audit import executed_cost_profile
 
-    job_ids = tracker.getJobIdsForGroup(group)
-    stage_ids: set[int] = set()
-    for jid in job_ids:
-        info = tracker.getJobInfo(jid)
-        if info:
-            stage_ids.update(info.stageIds)
-    tasks = 0
-    completed_stages = 0
-    for sid in sorted(stage_ids):
-        sinfo = tracker.getStageInfo(sid)
-        if sinfo:
-            tasks += sinfo.numTasks
-            completed_stages += 1
-    # Shuffle boundaries in the final (AQE-rewritten) physical plan.
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    exchanges = len(re.findall(r"\bExchange\b", plan))
-    reused = len(re.findall(r"ReusedExchange", plan))
-    return {
-        "jobs": len(job_ids),
-        "stages": len(stage_ids),
-        "tasks": tasks,
-        "exchanges": exchanges,
-        "reused_exchanges": reused,
-        "wall_sec": round(wall, 3),
-    }
+    t0 = time.perf_counter()
+    profile = executed_cost_profile(spark, fn(spark, sf_dir), f"audit_{name}_{sf_dir}")
+    profile["wall_sec"] = round(time.perf_counter() - t0, 3)
+    return profile
 
 
 def main() -> None:
@@ -83,14 +58,14 @@ def main() -> None:
     from noaa_etl_spark.queries import QUERIES
     from noaa_etl_spark.session import get_spark
 
-    spark = get_spark("cost-audit")
+    spark = get_spark("cost-audit", ui=True)
     spark.sparkContext.setLogLevel("ERROR")
-    results = {}
-    for name in AUDITED:
-        audit_query(spark, name, QUERIES[name])  # warm-up (fills caches, JIT)
-        results[name] = audit_query(spark, name, QUERIES[name])
-        print(name, json.dumps(results[name]), flush=True)
-    payload = {"sf_dir": SF_DIR, "queries": results}
+    payload = {"sf_dir": SF_DIR, "test_sf_dir": TEST_SF_DIR, "queries": {}, "queries_test_sf": {}}
+    for section, sf_dir in [("queries", SF_DIR), ("queries_test_sf", TEST_SF_DIR)]:
+        for name in AUDITED:
+            audit_query(spark, name, QUERIES[name], sf_dir)  # warm-up (fills caches, JIT)
+            payload[section][name] = audit_query(spark, name, QUERIES[name], sf_dir)
+            print(sf_dir, name, json.dumps(payload[section][name]), flush=True)
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
