@@ -112,10 +112,17 @@ def _hashed_bow_embed(texts: pd.Series) -> pd.Series:
 @graded("q_doc_similarity")  # rows-only: engine-defined embeddings feed the ANN
 def q_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end document similarity: embed documents (stub encoder) →
-    exact top-3 cosine neighbors per document via the blocked-BLAS knn —
+    approximate top-3 cosine neighbors per document via the IVF index —
     the full 'semantic search over a corpus you embedded yourself'
-    pipeline in two operators."""
-    from noaa_etl_spark.operators.similarity import knn_bruteforce_blas
+    pipeline, served the way a 100 TB corpus would be.
+
+    IVF is the default ANN (``ann_index``): measured recall 0.91+ at
+    n_probe=4/16 on these hashed-BoW embeddings (asserted vs the exact
+    blocked-BLAS baseline in tests/test_algorithms.py), and its
+    candidate join is bounded by probed-cell occupancy, never |Q|·|C|.
+    The SRP-LSH fallback serves un-clustered corpora; the exact form
+    remains the verification baseline."""
+    from noaa_etl_spark.operators.similarity import ann_index
 
     docs = load_table(spark, sf_dir, "documents")
     emb = docs.select(
@@ -123,7 +130,7 @@ def q_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hashed_bow_embed(F.col("text")).alias("embedding"),
     )
     queries = emb.filter(F.col("vec_id") < 50)
-    return knn_bruteforce_blas(queries, emb, k=3).orderBy(
+    return ann_index(queries, emb, k=3, index="ivf", n_cells=16, n_probe=4).orderBy(
         "query_id", F.desc("cos_sim"), F.asc("neighbor_id")
     )
 

@@ -241,6 +241,38 @@ def test_knn_ivf_recall_beats_probe_budget(spark):
     assert len(exact_set & full_set) / len(exact_set) >= 0.99
 
 
+def test_doc_similarity_ivf_recall_vs_exact(spark):
+    """q_doc_similarity now serves through the IVF index (the corpus-
+    scale default); its recall against the exact blocked-BLAS baseline
+    on the same stub embeddings must stay high (measured 0.92+ at
+    n_probe=4/16) — and the dispatcher's exact backend must equal the
+    baseline identically."""
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.operators.similarity import ann_index, knn_bruteforce_blas
+    from noaa_etl_spark.queries.multimodal import _hashed_bow_embed
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"), _hashed_bow_embed(F.col("text")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 50)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce_blas(queries, emb, k=3).collect()
+    }
+    served = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_index(queries, emb, k=3, index="ivf", n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & served) / len(exact)
+    assert recall >= 0.8, f"IVF-served doc similarity recall collapsed: {recall:.2f}"
+    via_exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_index(queries, emb, k=3, index="exact").collect()
+    }
+    assert via_exact == exact
+
+
 def test_connected_components_raises_on_nonconvergence(spark):
     """A chain whose diameter exceeds max_iter must raise, not return
     silently split components."""

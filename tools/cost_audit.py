@@ -41,6 +41,10 @@ AUDITED = [
     "q_dedup_exact",
     "q_knn_cosine",
     "q_wordcount",
+    # Not in bench.py's headline set, but plan-shape-gated all the same:
+    # the two corpus-scale ANN paths (IVF-served similarity, LSH dedup).
+    "q_doc_similarity",
+    "q_semantic_dedup_lsh",
 ]
 
 
