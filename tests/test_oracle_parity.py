@@ -52,21 +52,24 @@ def test_graded_window_spans_every_family():
     assert len(GRADED_WINDOW) == 50
     assert list(QUERIES)[:50] == GRADED_WINDOW
     assert all(n in ORACLES for n in GRADED_WINDOW)
+    # Any-of sets so the window can ROTATE entries between rounds
+    # (spreading driver signal) without losing a family.
     reps = {
-        "A_sources": "q_csv_roundtrip",
-        "B_filters": "q_filter_predicates",
-        "C_joins": "q_join3_topk",
-        "D_aggs": "q_pricing_summary",
-        "E_windows": "q_window_rank",
-        "F_sort": "q_topk_global",
-        "G_setops": "q_set_ops",
-        "H_scalars": "q_date_functions",
-        "I_llm": "q_dedup_exact",
-        "J_streaming": "q_stream_tumbling",
-        "K_udfs": "q_udaf_trimmed_mean",
-        "tpch": "q_tpch_q7_volume",
-        "etl": "q_merge_upsert",
-        "noaa": "q_ghcn_pipeline",
+        "A_sources": {"q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip", "q_fixed_width_scan", "q_parquet_sink_partitioned"},
+        "B_filters": {"q_filter_predicates", "q_try_cast_qc"},
+        "C_joins": {"q_join3_topk", "q_join5_region", "q_join_semi", "q_join_left", "q_join_anti", "q_asof_join", "q_interval_join"},
+        "D_aggs": {"q_pricing_summary", "q_agg_stats", "q_count_distinct", "q_percentiles", "q_rollup", "q_cube", "q_pivot_events", "q_incremental_agg"},
+        "E_windows": {"q_window_rank", "q_window_rolling_1h", "q_window_lag_lead", "q_window_first_last", "q_sessionize"},
+        "F_sort": {"q_topk_global", "q_sort_offset"},
+        "G_setops": {"q_set_ops", "q_union_all_yearly", "q_dedup_keyed"},
+        "H_scalars": {"q_json_extract", "q_date_functions", "q_date_arithmetic", "q_string_functions", "q_map_functions", "q_math_haversine", "q_variant_json"},
+        "I_llm": {"q_dedup_exact", "q_dedup_hash", "q_wordcount", "q_token_stats", "q_tfidf", "q_knn_cosine", "q_semantic_dedup"},
+        "J_streaming": {"q_stream_tumbling", "q_stream_interval_join", "q_stream_sessionize", "q_stream_sliding", "q_stream_dedup"},
+        "K_udfs": {"q_udaf_trimmed_mean", "q_grouped_zscore", "q_cogroup_merge", "q_udtf_tokens", "q_pandas_udf_scalar"},
+        "tpch": {"q_tpch_q7_volume", "q_tpch_q8_share", "q_tpch_q10_returns"},
+        "etl": {"q_merge_upsert", "q_scd2_intervals", "q_incremental_agg"},
+        "noaa": {"q_ghcn_pipeline", "q_ghcn_daily_wide"},
     }
-    missing = {fam: q for fam, q in reps.items() if q not in GRADED_WINDOW}
+    window = set(GRADED_WINDOW)
+    missing = [fam for fam, names in reps.items() if not (names & window)]
     assert not missing, f"graded window lost family reps: {missing}"
