@@ -108,6 +108,37 @@ def main() -> None:
         print(f"{label}: {n} frame rows, {fdf.rdd.getNumPartitions()} partitions, "
               f"{time.perf_counter() - t0:.2f}s")
 
+    # Ranged-read leg: the documented alternative, now implemented —
+    # (uri, offset, length) manifest + ranged reads inside mapInPandas.
+    # Same featurize work as whole-file ingest (byte histograms over all
+    # bytes), but parallelism is set by the MANIFEST repartition, not the
+    # file count.
+    from noaa_etl_spark.operators.multimodal import (
+        featurize as _featurize,
+        frame_manifest,
+        read_frame_ranges,
+    )
+
+    whole = _featurize(raw)
+    whole.count()  # warm-up
+    t0 = time.perf_counter()
+    whole.count()
+    t_whole = time.perf_counter() - t0
+
+    manifest = frame_manifest(
+        spark, BLOB_DIR, glob="*.bin", frame_bytes=256 * 1024
+    ).repartition(32)
+    ranged = read_frame_ranges(manifest)
+    ranged.count()  # warm-up
+    t0 = time.perf_counter()
+    n_frame_rows = ranged.count()
+    t_ranged = time.perf_counter() - t0
+    print(
+        f"whole-file featurize ({raw.rdd.getNumPartitions()}-way, file-bound): {t_whole:.2f}s\n"
+        f"ranged featurize, {n_frame_rows} frames (32-way): {t_ranged:.2f}s "
+        f"→ {t_whole / t_ranged:.2f}x"
+    )
+
     spark.stop()
     shutil.rmtree(BLOB_DIR, ignore_errors=True)
 
