@@ -37,6 +37,14 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # parallelismFirst stays at its default (true). We measured the
+    # alternative (false + advisory sizing): it shaves ~170 ms of idle
+    # task scheduling off sub-second shuffles (q_dedup_exact 483→313 ms)
+    # but coalesces every fixture-scale shuffle to ~1 partition, which
+    # single-threads the window sorts (q_window_rolling_1h +38%). At
+    # cluster scale the advisory-size behavior is right — sized_confs()
+    # sets parallelismFirst=false there; at bench scale parallelism
+    # dominates. See BASELINE.md §overhead-floor.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas interop (tests, pandas UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -122,6 +130,11 @@ def sized_confs(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(target_partition_bytes // 2),
+        # With real volumes, coalesce to the advisory byte size rather
+        # than preserving the initial partition count — at this scale
+        # every stage still has orders of magnitude more partitions than
+        # cores, so sizing by bytes only removes scheduling waste.
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     }
 
 

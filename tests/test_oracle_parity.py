@@ -14,6 +14,42 @@ ORACLE_NAMES = sorted(n for n in QUERIES if n in ORACLES)
 ROWS_ONLY_NAMES = sorted(n for n in QUERIES if n not in ORACLES)
 
 
+# Canonical type classes for the cross-engine dtype gate. Every dtype
+# mismatch class seen in rounds 1-2 is enumerated: HUGEINT/DECIMAL
+# (r1: sum(int), count_if, decimal literals), int-width drift (r2:
+# year()/rank()/grouping() BIGINT vs Spark INT/TINYINT), and
+# DATE-vs-TIMESTAMP (r2: DuckDB date_trunc returns DATE, Spark returns
+# TIMESTAMP — currently normalized by the driver, but one driver-side
+# change would surface it).
+_SPARK_CLASS = {
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "tinyint": "INT8",
+    "smallint": "INT16",
+    "int": "INT32",
+    "bigint": "INT64",
+    "float": "FLOAT32",
+    "double": "FLOAT64",
+    "string": "STRING",
+    "boolean": "BOOL",
+}
+_DUCK_CLASS = {
+    "DATE": "DATE",
+    "TIMESTAMP": "TIMESTAMP",
+    "TIMESTAMP_NS": "TIMESTAMP",
+    "TIMESTAMP WITH TIME ZONE": "TIMESTAMP",
+    "TINYINT": "INT8",
+    "SMALLINT": "INT16",
+    "INTEGER": "INT32",
+    "BIGINT": "INT64",
+    "FLOAT": "FLOAT32",
+    "DOUBLE": "FLOAT64",
+    "VARCHAR": "STRING",
+    "BOOLEAN": "BOOL",
+}
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_emits_no_wide_types(duck, name):
     """The driver's value hash is dtype-sensitive: DuckDB HUGEINT
@@ -27,6 +63,34 @@ def test_oracle_emits_no_wide_types(duck, name):
         if "HUGEINT" in str(t) or "DECIMAL" in str(t)
     ]
     assert not wide, f"oracle emits wide types (CAST them): {wide}"
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_type_classes_match_spark(spark, duck, name):
+    """Column-by-column type-CLASS equality between the Spark result
+    schema and the oracle's DuckDB types — rejects every drift class
+    seen in rounds 1-2 (int width, float width, DATE vs TIMESTAMP,
+    BOOL vs int), not just the wide types. Complex/unmapped types
+    (arrays, maps, structs) are outside the driver's scalar hash path
+    and are skipped."""
+    spark_types = dict(QUERIES[name](spark, SF_DIR).dtypes)
+    rel = duck.sql(ORACLES[name])
+    duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    assert sorted(spark_types) == sorted(duck_types), (
+        f"column sets differ: {sorted(spark_types)} vs {sorted(duck_types)}"
+    )
+    drift = []
+    for col, s_type in spark_types.items():
+        s_cls = _SPARK_CLASS.get(s_type)
+        d_cls = _DUCK_CLASS.get(duck_types[col])
+        if s_cls is None or d_cls is None:
+            continue
+        if s_cls != d_cls:
+            drift.append((col, s_type, duck_types[col]))
+    assert not drift, (
+        f"dtype class drift (CAST one side): {drift} — the driver's value "
+        f"hash distinguishes these even on identical values"
+    )
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
