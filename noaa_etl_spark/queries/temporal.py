@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from noaa_etl_spark.io import load_table
-from noaa_etl_spark.operators.sessionize import sessionize
+from noaa_etl_spark.operators.sessionize import sessionize, sessionize_bucketed
 from noaa_etl_spark.operators.asof import asof_join
 from noaa_etl_spark.registry import graded
 
@@ -63,6 +63,54 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
+    )
+
+
+@graded(
+    "q_sessionize_bucketed",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*)   AS n_events,
+           sum(value) AS session_value,
+           min(ts)    AS session_start,
+           max(ts)    AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE sessionize served end-to-end against the exact same
+    oracle as q_sessionize: local (user, day) sessionize → summary
+    stitch → null-safe map-back (operators/sessionize.py). Identical
+    output by construction (equivalence-tested incl. NULL keys and
+    multi-midnight sessions), so the one oracle validates both layouts —
+    this entry gives the 100 TB celebrity-user path (SCALING.md: 3.0×
+    over the plain window at 8M rows, 50%-hot user) its own driver
+    signal instead of riding on the plain form's.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize_bucketed(
+        ev, user_col="user_id", ts_col="ts", gap_seconds=1800, tiebreak_col="event_id"
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("session_value"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
     )
 
 
