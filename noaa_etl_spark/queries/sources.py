@@ -171,8 +171,13 @@ def q_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic (md5-derived values) and partition-parallel (one
     input partition per station); determinism + partitioning are
     asserted in tests/test_datasource.py."""
+    from noaa_etl_spark.session import configure_session
     from noaa_etl_spark.sources.synthetic import SyntheticObsDataSource
 
+    # Must precede register(): registration pickles the class, and only
+    # configure_session's by-value registration makes that pickle
+    # self-contained for workers that can't import noaa_etl_spark.
+    configure_session(spark)
     spark.dataSource.register(SyntheticObsDataSource)
     obs = (
         spark.read.format("synthetic_obs")
@@ -262,4 +267,58 @@ def q_parquet_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor("l_extendedprice").cast("bigint")).alias("floor_revenue"),
         )
         .orderBy("l_linestatus")
+    )
+
+
+@graded(
+    "q_manifest_sink_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                                     AS n_customers,
+           CAST(sum(floor(c_acctbal)) AS BIGINT)        AS floor_balance,
+           min(c_nationkey)                             AS min_nation,
+           max(c_nationkey)                             AS max_nation
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (Spark 4 extension point, sink
+    half): write customer through the manifest-committed sink —
+    executor-parallel part files, atomic driver-side manifest commit —
+    then read back ONLY committed data and aggregate. The oracle runs
+    the same aggregate on the original table: equality proves the
+    write→commit→read loop is lossless. Exactly-once replay and orphan
+    invisibility are asserted in tests/test_datasource.py."""
+    import shutil
+
+    from noaa_etl_spark.session import configure_session
+    from noaa_etl_spark.sources.manifest_sink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+    )
+
+    # Before register(): by-value pickling must be active when the sink
+    # class is serialized (see q_custom_datasource).
+    configure_session(spark)
+    spark.dataSource.register(ManifestSinkDataSource)
+    path = _tmp("manifest_customer", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"
+    )
+    cust.write.format("manifest_sink").option("path", path).mode("overwrite").save()
+    back = read_manifest_sink(spark, path, cust.schema)
+    return (
+        back.filter(F.col("c_acctbal") > 0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.floor("c_acctbal").cast("bigint")).alias("floor_balance"),
+            F.min("c_nationkey").alias("min_nation"),
+            F.max("c_nationkey").alias("max_nation"),
+        )
+        .orderBy("c_mktsegment")
     )

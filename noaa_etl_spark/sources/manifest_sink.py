@@ -1,0 +1,192 @@
+"""Custom Python DataSource WRITER (Spark 4 DataSource API): a
+manifest-committed JSONL sink — the write-side twin of the custom
+reader in :mod:`noaa_etl_spark.sources.synthetic`.
+
+This demonstrates the engine's extension point for sinks Spark lacks
+(internal services, bespoke formats) with the commit protocol a
+production sink needs at scale:
+
+- ``write()`` runs ON EXECUTORS, one task per partition: each task
+  streams its rows to a uniquely-named part file under ``<path>/data/``
+  and returns a :class:`WriterCommitMessage` naming the file. No driver
+  funnel — write bandwidth scales with the cluster.
+- ``commit()`` runs on the driver only after EVERY task succeeded: it
+  records the batch's part files in ``<path>/_manifest/<id>.json``,
+  written tmp-then-rename so the manifest appears atomically. Readers
+  list manifests, never the data directory, so half-written batches are
+  invisible (the same reader-side contract as parquet's _SUCCESS /
+  Delta's transaction log).
+- ``abort()`` deletes the orphan part files of the failed batch.
+- Streaming ``commit(messages, batchId)`` is IDEMPOTENT by batchId: if
+  the manifest for ``batchId`` already exists (a restarted query
+  replaying its last uncommitted-at-the-sink micro-batch), the new part
+  files are discarded and the original manifest stands — exactly-once
+  output on top of Structured Streaming's at-least-once replay.
+
+Payload format is JSON-lines for inspectability; the contract under
+test is the commit protocol, not the byte format (a real deployment
+would emit parquet/Arrow part files through the same protocol).
+
+Register + use::
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    df.write.format("manifest_sink").option("path", p).mode("append").save()
+    df.writeStream.format("manifest_sink").option("path", p)...start()
+    read_manifest_sink(spark, p, schema)   # only committed files
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+try:  # Spark 4+ only; the engine degrades gracefully without it.
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    _HAS_WRITER_API = True
+except ImportError:  # pragma: no cover
+    DataSource = object  # type: ignore
+    DataSourceStreamWriter = object  # type: ignore
+    DataSourceWriter = object  # type: ignore
+    WriterCommitMessage = object  # type: ignore
+    _HAS_WRITER_API = False
+
+
+@dataclass
+class _PartFileMessage(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+def _write_part(path: str, iterator) -> "_PartFileMessage":
+    """Executor-side: stream one partition to one uniquely-named part
+    file. Runs concurrently across the cluster; uuid names make tasks
+    collision-free without coordination."""
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    fname = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(fname, "w") as fh:
+        for row in iterator:
+            fh.write(json.dumps(row.asDict()) + "\n")
+            n += 1
+    return _PartFileMessage(file=fname, rows=n)
+
+
+def _commit_manifest(path: str, manifest_id: str, messages) -> bool:
+    """Driver-side: atomically publish the batch's file list. Returns
+    False (and discards the new files) if ``manifest_id`` was already
+    committed — the idempotent-replay case."""
+    mdir = os.path.join(path, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    final = os.path.join(mdir, f"{manifest_id}.json")
+    files = [m.file for m in messages if m is not None]
+    if os.path.exists(final):  # replayed batch: keep the original commit
+        for f in files:
+            if os.path.exists(f):
+                os.remove(f)
+        return False
+    payload = {
+        "files": [os.path.basename(f) for f in files],
+        "rows": sum(m.rows for m in messages if m is not None),
+    }
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.rename(tmp, final)  # atomic within a filesystem
+    return True
+
+
+def _abort_files(messages) -> None:
+    for m in messages:
+        if m is not None and os.path.exists(m.file):
+            os.remove(m.file)
+
+
+class ManifestBatchWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = bool(overwrite)
+
+    def write(self, iterator):
+        return _write_part(self.path, iterator)
+
+    def commit(self, messages):
+        if self.overwrite:  # publish under a fresh epoch, drop old manifests
+            mdir = os.path.join(self.path, "_manifest")
+            if os.path.isdir(mdir):
+                for f in os.listdir(mdir):
+                    os.remove(os.path.join(mdir, f))
+        _commit_manifest(self.path, f"batch-{uuid.uuid4().hex}", messages)
+
+    def abort(self, messages):
+        _abort_files(messages)
+
+
+class ManifestStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        return _write_part(self.path, iterator)
+
+    def commit(self, messages, batchId: int):
+        # Keyed by batchId ⇒ a restarted query re-emitting the same
+        # micro-batch commits exactly once (see module docstring).
+        _commit_manifest(self.path, f"{batchId:020d}", messages)
+
+    def abort(self, messages, batchId: int):
+        _abort_files(messages)
+
+
+class ManifestSinkDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "manifest_sink"
+
+    def schema(self):  # write-only source; schema comes from the frame
+        return "placeholder string"
+
+    def writer(self, schema, overwrite: bool):
+        if "path" not in self.options:
+            raise ValueError("manifest_sink requires option 'path'")
+        return ManifestBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        if "path" not in self.options:
+            raise ValueError("manifest_sink requires option 'path'")
+        return ManifestStreamWriter(self.options)
+
+
+def committed_files(path: str) -> list[str]:
+    """Part files named by any committed manifest, in commit order.
+    Orphans in data/ (aborted or not-yet-committed batches) are
+    invisible — this is the reader half of the exactly-once contract."""
+    mdir = os.path.join(path, "_manifest")
+    if not os.path.isdir(mdir):
+        return []
+    out: list[str] = []
+    for mf in sorted(os.listdir(mdir)):
+        if not mf.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, mf)) as fh:
+            out.extend(
+                os.path.join(path, "data", f) for f in json.load(fh)["files"]
+            )
+    return out
+
+
+def read_manifest_sink(spark, path: str, schema):
+    """Read back ONLY committed data. Empty-manifest case returns an
+    empty frame with the requested schema."""
+    files = committed_files(path)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

@@ -132,6 +132,145 @@ def test_synthetic_datasource_available_now_resumes_from_checkpoint(spark):
     assert len(set(rows)) == len(rows)
 
 
+@pytest.mark.skipif(not _HAS_DATASOURCE_API, reason="Spark 4 DataSource API absent")
+def test_manifest_sink_batch_roundtrip_and_orphan_invisibility(spark, tmp_dir):
+    """Batch write through the custom writer: executors write part files
+    in parallel, the driver commits a manifest, and read-back equals the
+    input. A stray file dropped straight into data/ (an aborted or
+    in-flight task's output) must be invisible to readers."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.sources.manifest_sink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    spark.dataSource.register(SyntheticObsDataSource)
+    df = (
+        spark.read.format("synthetic_obs")
+        .option("n_stations", 4)
+        .option("n_days", 6)
+        .load()
+    )
+    out = os.path.join(tmp_dir, "sink")
+    shutil.rmtree(out, ignore_errors=True)  # tmp_dir persists across runs
+    df.write.format("manifest_sink").option("path", out).mode("append").save()
+
+    # Parallel write: one part file per input partition (4 stations).
+    data_files = [f for f in os.listdir(os.path.join(out, "data")) if f.startswith("part-")]
+    assert len(data_files) == 4
+
+    # Inject an orphan that no manifest names — readers must not see it.
+    with open(os.path.join(out, "data", "part-orphan.jsonl"), "w") as fh:
+        fh.write('{"station_id": "GHOST", "day": 1, "element": "TMAX", "value_scaled": 1}\n')
+
+    back = read_manifest_sink(spark, out, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # Second append accumulates (two manifests), overwrite resets to one.
+    df.write.format("manifest_sink").option("path", out).mode("append").save()
+    assert read_manifest_sink(spark, out, df.schema).count() == 2 * df.count()
+    df.write.format("manifest_sink").option("path", out).mode("overwrite").save()
+    back2 = read_manifest_sink(spark, out, df.schema)
+    assert sorted(map(tuple, back2.collect())) == sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.skipif(not _HAS_DATASOURCE_API, reason="Spark 4 DataSource API absent")
+def test_manifest_sink_stream_drains_exactly_once(spark, tmp_dir):
+    """Custom stream READER feeding the custom stream WRITER: repeated
+    availableNow runs against one checkpoint drain the paced feed with
+    no gaps and no duplicates, and each micro-batch leaves exactly one
+    manifest — the full continuous-ingest loop through both halves of
+    the Python DataSource API."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.sources.manifest_sink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(SyntheticObsDataSource)
+    spark.dataSource.register(ManifestSinkDataSource)
+    checkpoint = os.path.join(tmp_dir, "checkpoint")
+    out = os.path.join(tmp_dir, "sink")
+    shutil.rmtree(checkpoint, ignore_errors=True)  # tmp_dir persists across runs
+    shutil.rmtree(out, ignore_errors=True)
+
+    for _ in range(8):
+        s = spark.readStream.format("synthetic_obs")
+        for k, v in {"n_stations": 3, "n_days": 10, "days_per_batch": 4}.items():
+            s = s.option(k, v)
+        query = (
+            s.load()
+            .writeStream.format("manifest_sink")
+            .option("path", out)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        if not any(p["numInputRows"] > 0 for p in query.recentProgress):
+            break
+    else:
+        pytest.fail("feed never drained")
+
+    batch = (
+        spark.read.format("synthetic_obs")
+        .option("n_stations", 3)
+        .option("n_days", 10)
+        .load()
+    )
+    back = read_manifest_sink(spark, out, batch.schema)
+    got = [tuple(r) for r in back.collect()]
+    assert sorted(got) == sorted(map(tuple, batch.collect()))
+    assert len(set(got)) == len(got), "duplicate rows across micro-batches"
+    manifests = os.listdir(os.path.join(out, "_manifest"))
+    assert len(manifests) == 3  # ceil(10 days / 4 per batch)
+
+
+@pytest.mark.skipif(not _HAS_DATASOURCE_API, reason="Spark 4 DataSource API absent")
+def test_manifest_sink_replayed_batch_commits_once(spark, tmp_dir):
+    """Driver-side commit protocol, exercised directly: re-committing a
+    batchId (restart replay) discards the replayed files and keeps the
+    original manifest; abort removes a failed batch's orphans."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.sources.manifest_sink import (
+        ManifestStreamWriter,
+        _PartFileMessage,
+        committed_files,
+    )
+
+    out = os.path.join(tmp_dir, "sink")
+    shutil.rmtree(out, ignore_errors=True)  # tmp_dir persists across runs
+    os.makedirs(os.path.join(out, "data"), exist_ok=True)
+    w = ManifestStreamWriter({"path": out})
+
+    def fake_part(name: str) -> _PartFileMessage:
+        f = os.path.join(out, "data", name)
+        with open(f, "w") as fh:
+            fh.write('{"x": 1}\n')
+        return _PartFileMessage(file=f, rows=1)
+
+    first = fake_part("part-original.jsonl")
+    w.commit([first], batchId=7)
+    assert committed_files(out) == [first.file]
+
+    replay = fake_part("part-replayed.jsonl")
+    w.commit([replay], batchId=7)  # restarted query re-emits batch 7
+    assert committed_files(out) == [first.file], "replay must not double-commit"
+    assert not os.path.exists(replay.file), "replayed files must be cleaned up"
+
+    aborted = fake_part("part-aborted.jsonl")
+    w.abort([aborted, None], batchId=8)  # None = failed task's slot
+    assert not os.path.exists(aborted.file)
+    assert committed_files(out) == [first.file]
+
+
 def test_stream_stream_join_equals_batch(spark):
     """Watermarked stream-stream inner join (purchase ⋈ click within 1h
     back-window per user) over complete data must equal the batch join."""
