@@ -119,11 +119,17 @@ def main() -> None:
             .parquet(os.path.join(OUT, name))
         )
 
-    # 5% slice per key → 0.25% of rows for the 2-D box.
+    # Box menu: narrow per-key slices are 5% of KEY_SPAN. y_only and
+    # wide_x are the discriminating cases — a single-column x sort
+    # cannot prune either (y spans everything inside every x file; a
+    # 40% x slice hits 40% of files and y again prunes nothing), while
+    # the Morton layout prunes both dimensions independently.
     w = KEY_SPAN // 20
     boxes = {
         "x_only": {"x": (40_000, 40_000 + w)},
+        "y_only": {"y": (70_000, 70_000 + w)},
         "xy_box": {"x": (40_000, 40_000 + w), "y": (70_000, 70_000 + w)},
+        "wide_x_narrow_y": {"x": (20_000, 60_000), "y": (70_000, 70_000 + w)},
     }
 
     result: dict = {"n_rows": n_rows, "layouts": {}}
