@@ -303,3 +303,50 @@ def test_rate_limiting_bounds_microbatch_size(spark, tmp_dir):
     assert len(batches) == n_files, f"expected {n_files} rate-limited batches, got {len(batches)}"
     assert all(p["numInputRows"] < total for p in batches), "a batch swallowed the backlog"
     assert sum(p["numInputRows"] for p in batches) == total, "rate limiting lost rows"
+
+
+def test_transform_with_state_gated(spark):
+    """transformWithState (Spark 4's successor stateful API) is
+    implemented in streaming/tws.py but its Python runner hard-imports
+    google.protobuf, which this container does not ship — the operator
+    is honestly gated (same policy as the multimodal decode stub). When
+    the dependency exists, run the timer-closed sessionizer end to end;
+    here, assert the gate reports the truth and the module imports
+    cleanly without touching the gated API.
+    """
+    from noaa_etl_spark.streaming.tws import (
+        OUTPUT_SCHEMA,
+        tws_available,
+        tws_session_confs,
+        tws_sessionize,
+    )
+
+    assert "RocksDBStateStoreProvider" in tws_session_confs()[
+        "spark.sql.streaming.stateStore.providerClass"
+    ]
+    assert "user_id bigint" in OUTPUT_SCHEMA
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithState runner cannot start")
+
+    import os
+    import shutil
+
+    from noaa_etl_spark.streaming.core import stream_table
+    from tests.conftest import SF_SMALL, TMP_ROOT
+
+    for k, v in tws_session_confs().items():
+        spark.conf.set(k, v)
+    checkpoint = os.path.join(TMP_ROOT, "checkpoints", "tws_sessionize")
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    sessions = tws_sessionize(stream_table(spark, SF_SMALL, "events"))
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("mem_tws_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("mem_tws_sessions").collect()
+    assert all(r["n_events"] >= 1 for r in got)
