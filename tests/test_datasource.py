@@ -178,6 +178,48 @@ def test_manifest_sink_batch_roundtrip_and_orphan_invisibility(spark, tmp_dir):
 
 
 @pytest.mark.skipif(not _HAS_DATASOURCE_API, reason="Spark 4 DataSource API absent")
+def test_manifest_sink_arrow_writer_roundtrip(spark, tmp_dir):
+    """The Arrow fast-path writer (DataSourceArrowWriter → parquet part
+    files) commits through the same manifest protocol and reads back
+    identical rows; a mixed-format sink dir (jsonl append + arrow
+    append) unions cleanly because each manifest declares its format."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.sources.manifest_sink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    df = load_table(spark, SF_SMALL, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(tmp_dir, "sink")
+    shutil.rmtree(out, ignore_errors=True)
+
+    (
+        df.write.format("manifest_sink")
+        .option("path", out)
+        .option("use_arrow", "true")
+        .mode("append")
+        .save()
+    )
+    parts = os.listdir(os.path.join(out, "data"))
+    assert parts and all(p.endswith(".parquet") for p in parts)
+    back = read_manifest_sink(spark, out, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # Append the same rows through the ROW writer: mixed formats union.
+    df.write.format("manifest_sink").option("path", out).mode("append").save()
+    mixed = read_manifest_sink(spark, out, df.schema)
+    assert mixed.count() == 2 * df.count()
+    assert sorted(map(tuple, mixed.distinct().collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+@pytest.mark.skipif(not _HAS_DATASOURCE_API, reason="Spark 4 DataSource API absent")
 def test_manifest_sink_stream_drains_exactly_once(spark, tmp_dir):
     """Custom stream READER feeding the custom stream WRITER: repeated
     availableNow runs against one checkpoint drain the paced feed with
