@@ -1,0 +1,150 @@
+"""Deterministic sampling / corpus-mixing graded queries — the
+training-data curation surface (SURVEY.md §2.I adjunct).
+
+Real pipelines at 100 TB do not sample with RNG state: a seeded RNG is
+partition-order-dependent (recompute after a lost executor re-draws
+different rows) and unauditable. The industry-standard form is a
+**hash gate**: keep a row iff a stable hash of its durable key falls
+below a threshold. That predicate is
+
+- stateless and scan-local — no shuffle, no driver coordination, no
+  seed broadcast; Catalyst pushes the surviving-column pruning into the
+  parquet scan;
+- exactly reproducible across reruns, engines, and cluster sizes —
+  which is why every query here is oracle-paired (DuckDB computes the
+  identical md5 gate) instead of rows-only like the seeded
+  ``q_sample``;
+- resumable: changing a stratum's rate re-gates only that stratum, and
+  a later "sample 10% more" pass can extend the hex threshold without
+  re-drawing the rows already taken (nested samples by construction).
+
+md5 is used (not xxhash64) because both engines expose it with
+identical semantics over the same UTF-8 bytes; the gate reads the first
+4 hex chars = 16-bit resolution, plenty for corpus-mixing rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.io import load_table
+from noaa_etl_spark.registry import graded
+
+
+def _hash_gate(key_col, salt: str):
+    """First 4 hex chars of md5(salt || key) — a uniform 16-bit draw.
+
+    Compare lexicographically against a 4-hex-char threshold: the gate
+    keeps a fraction of int(threshold, 16) / 65536. Pure projection —
+    whole-stage-codegen'd JVM-side, no Python, no state.
+    """
+    return F.substring(F.md5(F.concat(F.lit(salt), key_col.cast("string"))), 1, 4)
+
+
+@graded(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE WHEN lang = 'en' THEN '4000' ELSE 'c000' END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling by language: keep 25% of the dominant
+    stratum ('en', 0x4000/0x10000) and 75% of everything else — the
+    rebalancing step every multilingual training corpus runs.
+
+    100 TB: the gate is a scan-local predicate over (doc_id, lang) —
+    zero shuffle, zero RNG state, and the same rows survive on 1 or
+    1000 executors. Rate changes are audit-diffable (the kept-set is a
+    pure function of the threshold table).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = F.when(F.col("lang") == "en", F.lit("4000")).otherwise(F.lit("c000"))
+    return docs.where(_hash_gate(F.col("doc_id"), "strat:") < threshold).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@graded(
+    "q_source_mix",
+    oracle="""
+    SELECT source,
+           count(*)                         AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)     AS chars_total
+    FROM documents
+    WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE CAST(substr(source, 4, 2) AS INT) % 3
+              WHEN 0 THEN 'ffff'
+              WHEN 1 THEN '8000'
+              ELSE        '2000'
+            END
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: re-weight a 20-source corpus with
+    per-source keep rates (~100% / 50% / 12.5% by source tier) and
+    report the post-mix composition — the "data mixture" knob of a
+    pretraining pipeline, expressed as one gated scan + one tiny agg.
+
+    100 TB: the gate filters at the scan (no shuffle); the composition
+    report groups on ≤|sources| keys, so the agg is map-side-combined
+    into a handful of rows regardless of input size. Changing the
+    mixture = editing the rate CASE — no data movement until the next
+    materialize.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tier = F.substring("source", 4, 2).cast("int") % 3
+    threshold = (
+        F.when(tier == 0, F.lit("ffff")).when(tier == 1, F.lit("8000")).otherwise(F.lit("2000"))
+    )
+    return (
+        docs.where(_hash_gate(F.col("doc_id"), "mix:") < threshold)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("source")
+    )
+
+
+@graded(
+    "q_group_sample",
+    oracle="""
+    SELECT doc_id, lang, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('grp:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 20
+    """,
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample: exactly min(k, |group|)
+    docs per language, chosen as the k smallest md5 draws — reservoir
+    sampling's job, without the reservoir (rank-by-hash IS a uniform
+    k-sample, and it's stable under recompute and engine change).
+
+    100 TB: one shuffle on lang, then a per-group sort the window
+    truncates at k. For few huge groups the two-phase heap form
+    (operators/topk.py: per-partition heap → merge) bounds memory at
+    O(k) per partition instead of a full per-group sort — same contract,
+    swap when |group| ≫ k·partitions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        _hash_gate(F.col("doc_id"), "grp:"), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+    )

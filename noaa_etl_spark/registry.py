@@ -119,6 +119,7 @@ def load_all_queries() -> None:
         etl,
         subqueries,
         tpch,
+        sampling,
     )
 
     missing = [n for n in GRADED_WINDOW if n not in QUERIES]
