@@ -148,3 +148,108 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= 20)
     )
+
+
+@graded(
+    "q_sequence_pack",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           (cum_tokens - n_tokens) // 512 AS chunk_start,
+           (cum_tokens - 1)        // 512 AS chunk_end
+    FROM cum
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-and-split form: documents in each shard
+    are concatenated in a deterministic order and split into fixed
+    512-token training chunks; each doc reports the chunk range it lands
+    in (a doc straddling a boundary spans multiple chunks — exactly what
+    concat-split pretraining tokenization does).
+
+    100 TB: packing state is a per-shard running sum — one shuffle on
+    the shard key (md5 prefix ⇒ uniform), then a window cumsum. Shard
+    count scales with data (16 here; thousands at 100 TB), so no global
+    sequential pass exists anywhere; chunk ids are shard-local exactly
+    like real packed-shard layouts. Token counts are whitespace counts
+    (the fixtures are space-joined words); swap in the BPE-regex counter
+    from q_token_stats for real corpora.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        _hash_gate(F.col("doc_id"), "pack:").substr(1, 1).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr("(cum_tokens - n_tokens) div 512").alias("chunk_start"),
+        F.expr("(cum_tokens - 1) div 512").alias("chunk_end"),
+    )
+
+
+@graded(
+    "q_quality_bins",
+    oracle="""
+    WITH binned AS (
+      SELECT doc_id, n_chars,
+             CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS bin
+      FROM documents
+    )
+    SELECT bin,
+           count(*)                     AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / quality-decile binning: rank documents by a quality
+    proxy (n_chars here; any scored column in practice), cut into 10
+    equal-population bins, and report each bin's envelope — the step
+    before per-bin sampling rates in curriculum data schedules.
+
+    100 TB: a global ntile needs a total order — fine at survey scale
+    but a single-point sort at 100 TB. The scale form replaces ntile
+    with approx quantile cutpoints (percentile_approx on a sample →
+    broadcast cutpoints → scan-local bin assignment), trading exact
+    equal population for a shuffle-free bin column; the graded query
+    keeps exact ntile so the oracle pins the semantics. Tie-break on
+    doc_id makes bin assignment deterministic cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    binned = docs.select("doc_id", "n_chars", F.ntile(10).over(w).alias("bin"))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("bin")
+    )
