@@ -1,0 +1,108 @@
+"""Properties of the deterministic sampling / curation layer
+(queries/sampling.py) beyond the oracle parity sweep: the structural
+claims the docstrings make (nested samples, partition invariance,
+packing invariants, decile population balance) are asserted here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.io import load_table
+from noaa_etl_spark.queries import QUERIES
+from noaa_etl_spark.queries.sampling import _hash_gate
+from tests.conftest import SF_DIR
+
+
+def test_hash_gate_samples_are_nested(spark):
+    """Extending the hex threshold only ADDS rows — a '12.5% sample' is
+    a strict subset of the '25% sample' by construction, which is what
+    makes hash-gate sampling resumable (sample more later without
+    re-drawing what was already taken)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    gate = _hash_gate(F.col("doc_id"), "strat:")
+    small = {r.doc_id for r in docs.where(gate < "2000").select("doc_id").collect()}
+    large = {r.doc_id for r in docs.where(gate < "4000").select("doc_id").collect()}
+    assert small <= large
+    assert len(small) < len(large)
+
+
+def test_stratified_sample_rates_are_roughly_honored(spark):
+    """Kept fraction per stratum tracks its threshold (16-bit gate ⇒
+    binomial noise; bounds are loose at 500 fixture docs)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.lang: r.n
+        for r in QUERIES["q_stratified_sample"](spark, SF_DIR)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    en_frac = kept["en"] / totals["en"]
+    assert 0.12 < en_frac < 0.40  # target 0.25
+    rest_kept = sum(v for k, v in kept.items() if k != "en")
+    rest_total = sum(v for k, v in totals.items() if k != "en")
+    assert 0.60 < rest_kept / rest_total < 0.90  # target 0.75
+
+
+def test_group_sample_is_partition_invariant(spark):
+    """The same 20 docs per language survive regardless of how the
+    input is partitioned — the determinism claim that seeded RNG
+    sampling cannot make."""
+    docs = load_table(spark, SF_DIR, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        _hash_gate(F.col("doc_id"), "grp:"), F.col("doc_id")
+    )
+
+    def sample_of(df):
+        return {
+            (r.lang, r.doc_id)
+            for r in df.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= 20)
+            .collect()
+        }
+
+    assert sample_of(docs) == sample_of(docs.repartition(7, "source"))
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per_lang: dict[str, int] = {}
+    for lang, _ in sample_of(docs):
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    for lang, n in per_lang.items():
+        assert n == min(20, sizes[lang])
+
+
+def test_sequence_pack_invariants(spark):
+    """Concat-split packing facts: chunk ranges are well-formed, each
+    shard's chunk ids are contiguous from 0, and consecutive docs abut
+    (doc i+1 starts in the chunk where doc i's last token landed, or
+    the next one when doc i ended exactly on a boundary)."""
+    rows = QUERIES["q_sequence_pack"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        assert r.chunk_start <= r.chunk_end
+        spanned_capacity = (r.chunk_end - r.chunk_start + 1) * 512
+        assert r.n_tokens <= spanned_capacity
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        assert docs[0].chunk_start == 0
+        cum = 0
+        for r in docs:
+            assert r.chunk_start == cum // 512
+            cum += r.n_tokens
+            assert r.chunk_end == (cum - 1) // 512
+
+
+def test_quality_bins_are_balanced_and_ordered(spark):
+    """ntile contract: bin populations differ by at most 1 and char
+    envelopes are non-decreasing across bins."""
+    rows = sorted(QUERIES["q_quality_bins"](spark, SF_DIR).collect(), key=lambda r: r.bin)
+    assert [r.bin for r in rows] == list(range(1, 11))
+    counts = [r.n_docs for r in rows]
+    assert max(counts) - min(counts) <= 1
+    assert sum(counts) == 500
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.max_chars <= cur.min_chars
