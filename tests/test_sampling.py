@@ -106,3 +106,32 @@ def test_quality_bins_are_balanced_and_ordered(spark):
     assert sum(counts) == 500
     for prev, cur in zip(rows, rows[1:]):
         assert prev.max_chars <= cur.min_chars
+
+
+def test_approx_bins_track_exact_ntile(spark):
+    """The scale form (broadcast approxQuantile cutpoints, scan-local
+    assignment) matches exact ntile deciles to within sketch error:
+    populations near N/10 and a shuffle-free plan for the bin column."""
+    from noaa_etl_spark.operators.binning import with_approx_bins
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    binned = with_approx_bins(docs, "n_chars", n_bins=10, rel_err=0.001)
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # bin assignment is scan-local
+    counts = {r.bin: r.n for r in binned.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(1, 11))
+    n = sum(counts.values())
+    assert n == 500
+    for b, c in counts.items():
+        # rel_err=0.001 on 500 rows ⇒ cutpoints are near-exact; ties in
+        # n_chars are the only slack left
+        assert abs(c - n / 10) <= 6, (b, counts)
+    # ordering property: every bin's max score <= next bin's min score
+    envel = (
+        binned.groupBy("bin")
+        .agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+        .collect()
+    )
+    envel.sort(key=lambda r: r.bin)
+    for prev, cur in zip(envel, envel[1:]):
+        assert prev.hi <= cur.lo
