@@ -431,3 +431,44 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stopword_ratio(toks), 6).alias("stop_ratio"),
         F.size(toks).alias("n_tokens"),
     ).orderBy("doc_id")
+
+
+_HH_ORACLE = """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    t AS (SELECT count(*) AS n_total FROM w),
+    c AS (SELECT word, count(*) AS n_key FROM w GROUP BY word)
+    SELECT c.word, c.n_key, CAST(t.n_total AS BIGINT) AS n_total,
+           c.n_key / t.n_total AS freq
+    FROM c, t
+    WHERE c.n_key >= 0.002 * t.n_total
+    ORDER BY c.word
+    """
+
+
+@graded("q_heavy_hitters", oracle=_HH_ORACLE)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent terms: words covering ≥0.2% of all tokens (domain/URL
+    frequency capping runs this exact shape). Exact one-groupBy form —
+    correct whenever distinct keys fit a shuffle; the scale path is
+    q_heavy_hitters_mg."""
+    from noaa_etl_spark.operators.heavy_hitters import exact_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+    return exact_heavy_hitters(words, "word", 0.002).orderBy("word")
+
+
+@graded("q_heavy_hitters_mg", oracle=_HH_ORACLE)
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer via the Misra-Gries two-phase path (per-partition
+    bounded sketches → candidate superset → exact recount of candidates
+    only), sharing the exact form's oracle BECAUSE the recount makes the
+    result deterministic — the sketch only bounds what gets recounted.
+    100 TB: the wide shuffle carries candidate-key rows only; grouping
+    cardinality ≤ partitions × (k+1), not global distinct keys
+    (operators/heavy_hitters.py)."""
+    from noaa_etl_spark.operators.heavy_hitters import heavy_hitters_mg
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+    return heavy_hitters_mg(words, "word", 0.002).orderBy("word")
