@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+import time
 from dataclasses import dataclass
 
 try:  # Spark 4+ only; the engine degrades gracefully without it.
@@ -269,3 +270,42 @@ def read_manifest_sink(spark, path: str, schema):
     if out is None:
         return spark.createDataFrame([], schema)
     return out
+
+
+def vacuum(path: str, grace_seconds: float = 3600.0) -> dict:
+    """Delete orphan data files — present in data/ but referenced by no
+    committed manifest — older than ``grace_seconds``.
+
+    Orphans accumulate from aborted batches whose executor died before
+    the driver's abort() could clean up, and from crashes between part
+    writes and manifest commit. Readers never see them (committed_files
+    is the read surface), so vacuum is pure storage reclamation and is
+    safe to run concurrently with readers. The grace period is what
+    makes it safe under concurrent WRITERS too: a part file younger
+    than the grace window may belong to a batch whose manifest simply
+    hasn't committed yet, so it is left alone — mirror of the
+    VACUUM-retention rule every manifest-based table format ships.
+
+    Returns {"deleted": [...], "kept_recent": n, "committed": n}.
+    """
+    ddir = os.path.join(path, "data")
+    if not os.path.isdir(ddir):
+        return {"deleted": [], "kept_recent": 0, "committed": 0}
+    committed = {os.path.basename(f) for f in committed_files(path)}
+    now = time.time()
+    deleted: list[str] = []
+    kept_recent = 0
+    for name in os.listdir(ddir):
+        full = os.path.join(ddir, name)
+        if not os.path.isfile(full) or name in committed:
+            continue
+        if now - os.path.getmtime(full) < grace_seconds:
+            kept_recent += 1
+            continue
+        os.remove(full)
+        deleted.append(name)
+    return {
+        "deleted": sorted(deleted),
+        "kept_recent": kept_recent,
+        "committed": len(committed),
+    }

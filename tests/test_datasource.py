@@ -348,3 +348,52 @@ def test_stream_stream_join_equals_batch(spark):
     b = {(r["p_id"], r["c_id"]) for r in batch.collect()}
     assert s == b
     assert len(b) > 0
+
+
+@pytest.mark.skipif(not _HAS_DATASOURCE_API, reason="Spark 4 DataSource API absent")
+def test_manifest_sink_vacuum_reclaims_old_orphans_only(spark, tmp_dir):
+    """vacuum() deletes orphans past the grace window, keeps younger
+    ones (possibly an in-flight batch), never touches committed files,
+    and read-back is unchanged afterwards."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.sources.manifest_sink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+        vacuum,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    spark.dataSource.register(SyntheticObsDataSource)
+    df = (
+        spark.read.format("synthetic_obs")
+        .option("n_stations", 4)
+        .option("n_days", 6)
+        .load()
+    )
+    out = os.path.join(tmp_dir, "sink")
+    shutil.rmtree(out, ignore_errors=True)
+    df.write.format("manifest_sink").option("path", out).mode("append").save()
+
+    old_orphan = os.path.join(out, "data", "part-dead.jsonl")
+    new_orphan = os.path.join(out, "data", "part-inflight.jsonl")
+    for p in (old_orphan, new_orphan):
+        with open(p, "w") as fh:
+            fh.write('{"station_id": "GHOST", "day": 1, "element": "TMAX", "value_scaled": 1}\n')
+    os.utime(old_orphan, (1, 1))  # ancient mtime — past any grace window
+
+    report = vacuum(out, grace_seconds=3600)
+    assert report["deleted"] == ["part-dead.jsonl"]
+    assert report["kept_recent"] == 1
+    assert report["committed"] == 4
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(new_orphan)
+
+    back = read_manifest_sink(spark, out, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # grace=0 sweeps the remaining orphan; committed data still intact
+    report2 = vacuum(out, grace_seconds=0)
+    assert report2["deleted"] == ["part-inflight.jsonl"]
+    assert read_manifest_sink(spark, out, df.schema).count() == df.count()
