@@ -263,3 +263,77 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         F.col("win.start").alias("window_start"), "n_events", "total_value"
     ).orderBy("window_start")
+
+
+@graded("q_stream_heavy_hitters")  # rows-only: sketch counts are approximate by design
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: per-shard bounded-state
+    sketches over the word stream. The batch two-phase form
+    (operators/heavy_hitters.py) recounts candidates exactly; a stream
+    cannot revisit its past, so this twin keeps the sketch ITSELF as
+    state — ≤ (k+1) counters per shard, regardless of how many distinct
+    words flow past — and emits (word, approx count, per-shard error
+    bound) after each micro-batch. The mergeable-summaries guarantee
+    carries over: any word with global frequency ≥ shard_total/(k+1) is
+    in the output, and approx_count undercounts the truth by at most
+    `err_bound` (tested against the batch-exact counts in
+    tests/test_heavy_hitters.py).
+
+    100 TB: state is partitioned by shard (16 here, thousands on a real
+    stream) and each shard's state is O(k) — unbounded-cardinality
+    counting with bounded memory, the exact property streaming groupBy
+    count lacks."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    K = 32
+
+    def mg_sketch(key, pdfs, state):
+        if state.exists:
+            keys, counts, seen, dropped = state.get
+            counters = dict(zip(keys, counts))
+        else:
+            counters, seen, dropped = {}, 0, 0
+        for pdf in pdfs:
+            for v, c in pdf["word"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+                seen += int(c)
+            if len(counters) > K:
+                vals = sorted(counters.values(), reverse=True)
+                d = vals[K]
+                dropped += d
+                counters = {w: c - d for w, c in counters.items() if c > d}
+        state.update((list(counters), [counters[w] for w in counters], seen, dropped))
+        yield pd.DataFrame(
+            {
+                "shard": key[0],
+                "word": list(counters),
+                "approx_count": [counters[w] for w in counters],
+                "shard_seen": seen,
+                "err_bound": dropped,
+            }
+        )
+
+    docs = stream_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).select(
+        "word", F.pmod(F.xxhash64("word"), F.lit(16)).alias("shard")
+    )
+    st = words.groupBy("shard").applyInPandasWithState(
+        mg_sketch,
+        "shard bigint, word string, approx_count bigint, shard_seen bigint, err_bound bigint",
+        "keys array<string>, counts array<bigint>, seen bigint, dropped bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    result = run_to_memory(st, "mem_stream_heavy_hitters", "update")
+    # update mode re-emits a shard's sketch each micro-batch; the final
+    # sketch is the one with that shard's maximum events-seen counter.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard")
+    return (
+        result.withColumn("max_seen", F.max("shard_seen").over(w))
+        .where(F.col("shard_seen") == F.col("max_seen"))
+        .select("shard", "word", "approx_count", "err_bound")
+        .orderBy("shard", "word")
+    )

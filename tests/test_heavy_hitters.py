@@ -67,3 +67,21 @@ def test_mg_candidates_are_superset_and_bounded(spark):
     # bounded: ≤ partitions × (k+1), with k = max(8, ceil(1/frac)) = 20
     n_parts = df.rdd.getNumPartitions()
     assert len(cands) <= n_parts * 21
+
+
+def test_stream_mg_sketch_matches_batch_on_fixture(spark):
+    """Streaming twin: with the fixture vocabulary (31 words) inside
+    sketch capacity (K=32) the per-shard sketches must be EXACT —
+    err_bound 0 and approx_count equal to the batch groupBy truth. The
+    undercount bound under capacity pressure is exercised by the batch
+    MG tests above (same merge rule, same code shape)."""
+    from noaa_etl_spark.queries import QUERIES
+
+    rows = QUERIES["q_stream_heavy_hitters"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.err_bound == 0 for r in rows)
+    docs = load_table(spark, SF_DIR, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    truth = {r.word: r.n for r in words.groupBy("word").agg(F.count("*").alias("n")).collect()}
+    got = {r.word: r.approx_count for r in rows}
+    assert got == truth
