@@ -96,10 +96,16 @@ def _commit_manifest(path: str, manifest_id: str, messages, fmt: str = "jsonl") 
             if os.path.exists(f):
                 os.remove(f)
         return False
+    existing = [f for f in os.listdir(mdir) if f.endswith(".json")]
     payload = {
         "format": fmt,
         "files": [os.path.basename(f) for f in files],
         "rows": sum(m.rows for m in messages if m is not None),
+        # Monotonic commit sequence (single committer — the driver) so
+        # snapshot reads have a total order even though batch manifest
+        # ids are uuids. Wall time is informational only.
+        "seq": len(existing),
+        "committed_at": time.time(),
     }
     tmp = final + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
@@ -215,49 +221,75 @@ class ManifestSinkDataSource(DataSource):
         return ManifestStreamWriter(self.options)
 
 
-def committed_files(path: str) -> list[str]:
-    """Part files named by any committed manifest, in commit order.
-    Orphans in data/ (aborted or not-yet-committed batches) are
-    invisible — this is the reader half of the exactly-once contract."""
+def snapshots(path: str) -> list[dict]:
+    """Commit history, oldest first: one dict per manifest with
+    ``id`` (filename stem), ``seq``, ``rows``, ``files``, ``format``.
+    Ordered by the commit sequence stamped at commit time (filename
+    order as tiebreak/fallback for pre-seq manifests)."""
     mdir = os.path.join(path, "_manifest")
     if not os.path.isdir(mdir):
         return []
-    out: list[str] = []
-    for mf in sorted(os.listdir(mdir)):
-        if not mf.endswith(".json"):
-            continue
-        with open(os.path.join(mdir, mf)) as fh:
-            out.extend(
-                os.path.join(path, "data", f) for f in json.load(fh)["files"]
-            )
-    return out
-
-
-def _committed_by_format(path: str) -> dict[str, list[str]]:
-    """Committed files grouped by the format each manifest declares
-    (manifests written before the Arrow writer existed carry no format
-    key → jsonl)."""
-    mdir = os.path.join(path, "_manifest")
-    groups: dict[str, list[str]] = {}
-    if not os.path.isdir(mdir):
-        return groups
+    entries = []
     for mf in sorted(os.listdir(mdir)):
         if not mf.endswith(".json"):
             continue
         with open(os.path.join(mdir, mf)) as fh:
             payload = json.load(fh)
-        fmt = payload.get("format", "jsonl")
-        groups.setdefault(fmt, []).extend(
-            os.path.join(path, "data", f) for f in payload["files"]
+        entries.append(
+            {
+                "id": mf[: -len(".json")],
+                "seq": payload.get("seq", -1),
+                "rows": payload.get("rows", 0),
+                "files": payload["files"],
+                "format": payload.get("format", "jsonl"),
+            }
+        )
+    entries.sort(key=lambda e: (e["seq"], e["id"]))
+    return entries
+
+
+def _snapshot_prefix(path: str, as_of: str | None) -> list[dict]:
+    entries = snapshots(path)
+    if as_of is None:
+        return entries
+    ids = [e["id"] for e in entries]
+    if as_of not in ids:
+        raise ValueError(f"unknown manifest id {as_of!r}; have {ids}")
+    return entries[: ids.index(as_of) + 1]
+
+
+def committed_files(path: str, as_of: str | None = None) -> list[str]:
+    """Part files named by committed manifests, in commit order.
+    Orphans in data/ (aborted or not-yet-committed batches) are
+    invisible — this is the reader half of the exactly-once contract.
+    ``as_of`` restricts to the snapshot up to that manifest id
+    (inclusive) — time travel over append history."""
+    return [
+        os.path.join(path, "data", f)
+        for e in _snapshot_prefix(path, as_of)
+        for f in e["files"]
+    ]
+
+
+def _committed_by_format(path: str, as_of: str | None = None) -> dict[str, list[str]]:
+    """Committed files grouped by the format each manifest declares
+    (manifests written before the Arrow writer existed carry no format
+    key → jsonl)."""
+    groups: dict[str, list[str]] = {}
+    for e in _snapshot_prefix(path, as_of):
+        groups.setdefault(e["format"], []).extend(
+            os.path.join(path, "data", f) for f in e["files"]
         )
     return groups
 
 
-def read_manifest_sink(spark, path: str, schema):
+def read_manifest_sink(spark, path: str, schema, as_of: str | None = None):
     """Read back ONLY committed data (all formats present, unioned).
     Empty-manifest case returns an empty frame with the requested
-    schema."""
-    groups = _committed_by_format(path)
+    schema. ``as_of`` reads the snapshot as of that manifest id —
+    overwrite epochs drop earlier manifests, so travel spans the
+    current epoch's append history."""
+    groups = _committed_by_format(path, as_of)
     out = None
     for fmt, files in groups.items():
         if not files:

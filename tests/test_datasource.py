@@ -397,3 +397,42 @@ def test_manifest_sink_vacuum_reclaims_old_orphans_only(spark, tmp_dir):
     report2 = vacuum(out, grace_seconds=0)
     assert report2["deleted"] == ["part-inflight.jsonl"]
     assert read_manifest_sink(spark, out, df.schema).count() == df.count()
+
+
+@pytest.mark.skipif(not _HAS_DATASOURCE_API, reason="Spark 4 DataSource API absent")
+def test_manifest_sink_snapshot_time_travel(spark, tmp_dir):
+    """Each commit is a snapshot: reading as_of an earlier manifest id
+    returns exactly the rows committed up to it, and the history is
+    seq-ordered even though batch manifest ids are random uuids."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.sources.manifest_sink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+        snapshots,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    spark.dataSource.register(SyntheticObsDataSource)
+    df = (
+        spark.read.format("synthetic_obs")
+        .option("n_stations", 3)
+        .option("n_days", 4)
+        .load()
+    )
+    out = os.path.join(tmp_dir, "sink")
+    shutil.rmtree(out, ignore_errors=True)
+    for _ in range(3):
+        df.write.format("manifest_sink").option("path", out).mode("append").save()
+
+    hist = snapshots(out)
+    assert [e["seq"] for e in hist] == [0, 1, 2]
+    n = df.count()
+    for i, e in enumerate(hist):
+        back = read_manifest_sink(spark, out, df.schema, as_of=e["id"])
+        assert back.count() == (i + 1) * n
+    # full read (no as_of) == latest snapshot
+    assert read_manifest_sink(spark, out, df.schema).count() == 3 * n
+    with pytest.raises(ValueError):
+        read_manifest_sink(spark, out, df.schema, as_of="nope")
