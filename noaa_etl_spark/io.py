@@ -45,16 +45,36 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a plain TIMESTAMP whatever the file form.
+
+    The fixture generator has shipped two physical encodings across
+    rounds; the engine's contract is that downstream operators always see
+    TIMESTAMP (required by ``unix_micros`` and streaming watermarks):
+
+    - TIMESTAMP(NANOS): with ``nanosAsLong=true`` it arrives as LongType
+      nanos → ``timestamp_micros(ts div 1000)``. Integer ``div``, NOT
+      ``/1000`` + cast: float division routes a ~1.7e18 nanos epoch
+      through a 53-bit double and corrupts the low microsecond digits.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ → cast to TIMESTAMP. ``configure_session`` pins
+      ``spark.sql.session.timeZone=UTC``, so the cast is a wall-clock
+      identity and epoch values equal what the DuckDB oracle reads.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with engine schema normalization applied."""
     configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) file read as long nanos → truncate to micros.
-        # Integer `div`, NOT `/1000` + cast: float division routes a
-        # ~1.7e18 nanos epoch through a 53-bit double and corrupts the
-        # low microsecond digits.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

@@ -61,40 +61,55 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   never-driver-graded entries (all exact in today's vanilla-session
 #   sweep at sf0.01), including the two new round-3 surfaces
 #   q_sessionize_bucketed and q_manifest_sink_roundtrip.
+# - Round 4: the fixture generator switched events.ts from
+#   TIMESTAMP(NANOS) to TIMESTAMP(MICROS, ntz) between rounds, breaking
+#   q_sessionize_bucketed / q_stream_interval_join / q_stream_sessionize
+#   (unix_micros + watermarks reject TIMESTAMP_NTZ) — fixed in
+#   io.normalize_events_ts; those three stay in the window for driver
+#   confirmation. The remaining 31 never-driver-graded oracle-paired
+#   entries all enter (after r4 every oracle-paired query has driver
+#   signal at least once); the other 16 slots re-confirm family reps,
+#   preferring events.ts-touching queries to validate the NTZ fix
+#   (q_sessionize, q_window_rolling_1h, q_tumbling_window,
+#   q_stream_tumbling, q_json_extract, q_asof_join).
 GRADED_WINDOW: list[str] = [
-    # D aggregations
-    "q_count_distinct", "q_pivot_events", "q_cube", "q_incremental_agg",
-    "q_agg_first_last", "q_grouping_sets", "q_salted_agg",
-    # B filters / casts
-    "q_try_cast_qc",
-    # C joins
-    "q_join_semi", "q_join_anti", "q_null_safe_join", "q_interval_join",
-    # G set ops / dedup-keyed
-    "q_set_ops", "q_union_distinct",
-    # F sort / limit
-    "q_topk_global",
-    # E windows / sessionize
-    "q_window_lag_lead", "q_sessionize_bucketed",
-    # J temporal / streaming
-    "q_time_rollup", "q_stream_interval_join", "q_stream_dedup",
-    "q_stream_sessionize",
-    # H scalar functions
-    "q_string_functions", "q_math_haversine", "q_date_arithmetic",
-    "q_map_functions", "q_vector_stats", "q_hash_functions",
-    # A sources / sinks
-    "q_csv_roundtrip", "q_orc_roundtrip", "q_fixed_width_scan",
-    "q_parquet_sink_partitioned", "q_manifest_sink_roundtrip",
-    # I LLM-data-pipeline
-    "q_dedup_hash", "q_wordcount", "q_token_stats",
-    "q_tfidf", "q_dedup_ngram_jaccard", "q_knn_cosine", "q_semantic_dedup",
+    # I LLM-data-pipeline (text / multimodal)
+    "q_stopword_filter", "q_ngrams", "q_repetition_quality",
+    "q_text_norm", "q_multimodal_meta", "q_frame_sample",
+    "q_dedup_exact",
+    # sampling / mixing layer
+    "q_stratified_sample", "q_source_mix", "q_group_sample",
+    "q_sequence_pack", "q_quality_bins",
+    # D aggregations (heavy hitters never graded)
+    "q_heavy_hitters", "q_heavy_hitters_mg", "q_pricing_summary",
+    # H scalars / arrays / SQL surface
+    "q_centroid_by_label", "q_sql_surface", "q_json_extract",
     # K UDF surface
-    "q_grouped_zscore", "q_cogroup_merge", "q_udtf_tokens",
-    "q_pandas_udf_scalar", "q_scalar_udf_lastresort",
-    # subqueries
-    "q_correlated_min",
-    # ETL / NOAA / TPC-H
-    "q_merge_upsert", "q_scd2_intervals", "q_ghcn_pipeline",
-    "q_tpch_q8_share", "q_tpch_q10_returns",
+    "q_mapinpandas_vowels", "q_udaf_trimmed_mean",
+    # J streaming / temporal (incl. the three r3 fixes)
+    "q_stream_sliding", "q_stream_interval_join", "q_stream_sessionize",
+    "q_stream_tumbling", "q_tumbling_window",
+    # E windows / sessionize (events.ts re-confirmation)
+    "q_sessionize_bucketed", "q_sessionize", "q_window_rolling_1h",
+    "q_window_rank",
+    # NOAA
+    "q_ghcn_daily_wide",
+    # subqueries (never graded)
+    "q_scalar_subquery", "q_in_subquery_agg", "q_double_exists",
+    "q_lateral_join",
+    # TPC-H (never graded)
+    "q_tpch_q11_value", "q_tpch_q14_promo", "q_tpch_q17_small_qty",
+    "q_tpch_q4_priority", "q_tpch_q13_custdist", "q_tpch_q15_top_supplier",
+    "q_tpch_q19_disjunctive", "q_tpch_q20_nested_in",
+    "q_tpch_q22_idle_balance",
+    # family re-confirmation reps
+    "q_csv_roundtrip",        # A sources
+    "q_filter_predicates",    # B filters
+    "q_asof_join",            # C joins (events.ts)
+    "q_join3_topk",           # C joins flagship
+    "q_sort_offset",          # F sort/limit
+    "q_dedup_keyed",          # G set ops
+    "q_merge_upsert",         # ETL
 ]
 
 

@@ -130,7 +130,13 @@ def test_graded_window_spans_every_family():
         "I_llm": {"q_dedup_exact", "q_dedup_hash", "q_wordcount", "q_token_stats", "q_tfidf", "q_knn_cosine", "q_semantic_dedup"},
         "J_streaming": {"q_stream_tumbling", "q_stream_interval_join", "q_stream_sessionize", "q_stream_sliding", "q_stream_dedup"},
         "K_udfs": {"q_udaf_trimmed_mean", "q_grouped_zscore", "q_cogroup_merge", "q_udtf_tokens", "q_pandas_udf_scalar"},
-        "tpch": {"q_tpch_q7_volume", "q_tpch_q8_share", "q_tpch_q10_returns"},
+        "tpch": {
+            "q_tpch_q7_volume", "q_tpch_q8_share", "q_tpch_q10_returns",
+            "q_tpch_q4_priority", "q_tpch_q11_value", "q_tpch_q13_custdist",
+            "q_tpch_q14_promo", "q_tpch_q15_top_supplier",
+            "q_tpch_q17_small_qty", "q_tpch_q19_disjunctive",
+            "q_tpch_q20_nested_in", "q_tpch_q22_idle_balance",
+        },
         "etl": {"q_merge_upsert", "q_scd2_intervals", "q_incremental_agg"},
         "noaa": {"q_ghcn_pipeline", "q_ghcn_daily_wide"},
     }
