@@ -472,3 +472,112 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
     return heavy_hitters_mg(words, "word", 0.002).orderBy("word")
+
+
+@graded(
+    "q_chunk_documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks
+    )
+    SELECT doc_id,
+           CAST(s // 48 AS INT) AS chunk_idx,
+           CAST(least(64, len(t) - s) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(t, s + 1, s + 64), ' ')) AS chunk_sig
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (RAG / context-window prep):
+    64-token chunks on a 48-token stride (16-token overlap), one output
+    row per chunk with an md5 content signature for downstream
+    chunk-level dedup. Chunk starts come from ``sequence(0, n-1, 48)``
+    so the tail chunk may be short but every token is covered.
+
+    100 TB: the plan is narrow-only — tokenize, sequence-explode, slice,
+    hash are all per-row expressions with NO shuffle anywhere; output
+    rows ≈ tokens/stride, so the operator scales linearly and is
+    embarrassingly parallel. Chunk text itself is reproducible from
+    (doc_id, chunk_idx), so only signatures leave the stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), F.size("t") - 1, F.lit(48))).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr("CAST(s div 48 AS INT)").alias("chunk_idx"),
+        F.least(F.lit(64), F.size("t") - F.col("s")).alias("n_chunk_tokens"),
+        F.md5(F.array_join(F.slice("t", F.col("s") + 1, F.lit(64)), " ")).alias(
+            "chunk_sig"
+        ),
+    )
+
+
+@graded(
+    "q_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(t[1:len(t)-2],
+               (x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 37 <> 0),
+    counts AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, count(*) AS n_overlap
+      FROM train JOIN bench USING (g) GROUP BY doc_id
+    )
+    SELECT h.doc_id, h.n_overlap, c.n_grams,
+           round(CAST(h.n_overlap AS DOUBLE) / c.n_grams, 6) AS overlap_ratio
+    FROM hits h JOIN counts c USING (doc_id)
+    ORDER BY h.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    3-grams with a held-out benchmark set (docs with doc_id % 37 == 0
+    stand in for the benchmark corpus). Output = per contaminated doc:
+    overlapping distinct 3-grams, its total distinct 3-grams, and the
+    overlap ratio. Short n-grams are the recall-leaning choice real
+    decontamination pipelines make (catch paraphrases, filter later).
+
+    100 TB: per-doc ``array_distinct`` runs BEFORE the explode, so the
+    train side needs no distinct shuffle at all — (doc_id, gram) pairs
+    are already unique within a row's output. The benchmark gram set is
+    genuinely small at any scale (benchmarks are MBs against a 100 TB
+    corpus), so it is broadcast and the fact side never shuffles on the
+    gram key; the two per-doc counts are map-side-combinable groupBys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t")).filter(
+        F.size("t") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams(F.col("t"), 3))).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 37 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 37 != 0)
+    counts = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.join(counts, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        "n_grams",
+        F.round(F.col("n_overlap").cast("double") / F.col("n_grams"), 6).alias(
+            "overlap_ratio"
+        ),
+    )

@@ -76,7 +76,7 @@ GRADED_WINDOW: list[str] = [
     # I LLM-data-pipeline (text / multimodal)
     "q_stopword_filter", "q_ngrams", "q_repetition_quality",
     "q_text_norm", "q_multimodal_meta", "q_frame_sample",
-    "q_dedup_exact",
+    "q_dedup_exact", "q_chunk_documents", "q_decontaminate",
     # sampling / mixing layer
     "q_stratified_sample", "q_source_mix", "q_group_sample",
     "q_sequence_pack", "q_quality_bins",
@@ -91,7 +91,6 @@ GRADED_WINDOW: list[str] = [
     "q_stream_tumbling", "q_tumbling_window",
     # E windows / sessionize (events.ts re-confirmation)
     "q_sessionize_bucketed", "q_sessionize", "q_window_rolling_1h",
-    "q_window_rank",
     # NOAA
     "q_ghcn_daily_wide",
     # subqueries (never graded)
@@ -106,7 +105,6 @@ GRADED_WINDOW: list[str] = [
     "q_csv_roundtrip",        # A sources
     "q_filter_predicates",    # B filters
     "q_asof_join",            # C joins (events.ts)
-    "q_join3_topk",           # C joins flagship
     "q_sort_offset",          # F sort/limit
     "q_dedup_keyed",          # G set ops
     "q_merge_upsert",         # ETL
