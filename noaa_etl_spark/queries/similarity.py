@@ -196,3 +196,69 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(queries, emb, k=5, n_cells=16, n_probe=4).orderBy(
         "query_id", F.desc("cos_sim"), F.asc("neighbor_id")
     )
+
+
+@graded(
+    "q_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             CAST(len(embedding) AS INT) AS dim,
+             greatest(CAST(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE), 1e-12) AS scale,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, dim, scale,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INT)) AS qv
+      FROM scaled
+    )
+    SELECT vec_id, dim,
+           round(scale, 6)                  AS scale_r,
+           CAST(list_sum(qv) AS BIGINT)     AS q_sum,
+           CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1
+    FROM q
+    """,
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector absolute-max
+    scale, elements mapped to round(x * 127 / scale) — the storage/
+    bandwidth form ANN indexes ship at corpus scale (4x smaller than
+    f32, dot products in integer SIMD). Output verifies the quantized
+    vectors via exact integer aggregates (sum and L1 mass) plus the
+    per-vector scale.
+
+    Rounding is written as ``floor(v + 0.5)`` on BOTH sides because the
+    engines' ``round()`` conventions are not contractually identical;
+    floor is. All element math is pure per-row double arithmetic in
+    identical op order, so the integer outputs match exactly — no
+    accumulation-order hazard (integer sums are exact).
+
+    100 TB: narrow-only plan, zero shuffles; quantization is the
+    map-side stage in front of an ANN index build, and the int8 vectors
+    cut the index's shuffle bytes 4x (the real win at cluster scale).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    scaled = emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.greatest(F.array_max(xd).cast("double"), F.lit(1e-12)).alias("scale"),
+        "embedding",
+    )
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 127.0 / F.col("scale") + 0.5).cast("int"),
+    )
+    q = scaled.select("vec_id", "dim", "scale", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        "dim",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias("q_sum"),
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda acc, v: acc + F.abs(v)
+        ).alias("q_l1"),
+    )

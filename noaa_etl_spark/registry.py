@@ -77,6 +77,7 @@ GRADED_WINDOW: list[str] = [
     "q_stopword_filter", "q_ngrams", "q_repetition_quality",
     "q_text_norm", "q_multimodal_meta", "q_frame_sample",
     "q_dedup_exact", "q_chunk_documents", "q_decontaminate",
+    "q_pii_scrub", "q_quantize_int8",
     # sampling / mixing layer
     "q_stratified_sample", "q_source_mix", "q_group_sample",
     "q_sequence_pack", "q_quality_bins",
@@ -88,9 +89,9 @@ GRADED_WINDOW: list[str] = [
     "q_mapinpandas_vowels", "q_udaf_trimmed_mean",
     # J streaming / temporal (incl. the three r3 fixes)
     "q_stream_sliding", "q_stream_interval_join", "q_stream_sessionize",
-    "q_stream_tumbling", "q_tumbling_window",
+    "q_stream_tumbling",
     # E windows / sessionize (events.ts re-confirmation)
-    "q_sessionize_bucketed", "q_sessionize", "q_window_rolling_1h",
+    "q_sessionize_bucketed", "q_window_rolling_1h",
     # NOAA
     "q_ghcn_daily_wide",
     # subqueries (never graded)
