@@ -168,3 +168,36 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_chunk_documents_is_narrow_only(spark):
+    """Chunking must stay a pure map pipeline: any Exchange here means a
+    per-row expression got re-planned as a wide op and the operator
+    stops scaling linearly."""
+    plan = plan_of(spark, "q_chunk_documents")
+    assert "Exchange" not in plan
+
+
+def test_pii_scrub_is_narrow_only(spark):
+    plan = plan_of(spark, "q_pii_scrub")
+    assert "Exchange" not in plan
+
+
+def test_quantize_int8_is_narrow_only(spark):
+    plan = plan_of(spark, "q_quantize_int8")
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast — a sort-merge join here
+    would shuffle the full training corpus on the gram key, exactly the
+    plan that dies at 100 TB. Per-doc array_distinct runs before the
+    explode, so no distinct-shuffle of train grams exists either."""
+    plan = plan_of(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # Shuffles: bench-side distinct + the two per-doc counts (+ final
+    # small join input) — the train gram stream itself never exchanges.
+    # formatted_plan lists each node twice (tree + details), so 5
+    # physical Exchanges appear as 10.
+    assert plan.count("Exchange") <= 10
