@@ -108,3 +108,47 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h").asc_nulls_last(),
         )
     )
+
+
+@graded("q_hll_sketch_union")  # rows-only: sketch bytes/estimates are engine-specific
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches as first-class columns — the incremental
+    distinct-count pattern at 100 TB: build one compact sketch per
+    partition-of-record (per-day here), persist them (a few KB each),
+    then answer "distinct users over any day range" by unioning sketches
+    WITHOUT rescanning the events. The per-day estimates and the
+    union-of-all estimate are emitted side by side; a tolerance test vs
+    exact distinct counts guards the estimates (tests/test_properties.py).
+
+    Scale: stage 1 is a map-side-combinable sketch agg (bytes-per-group
+    = sketch size, not cardinality); stage 2 aggregates |days| sketches
+    — driver-trivial. This is how nightly jobs maintain rolling
+    distincts without a count_distinct re-shuffle of history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.select(
+            "d",
+            "n_events",
+            F.hll_sketch_estimate("sketch").alias("approx_users"),
+            F.lit(None).cast("bigint").alias("approx_users_total"),
+        )
+        .unionByName(
+            daily.agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                    "approx_users_total"
+                ),
+                F.count(F.lit(1)).alias("n_days"),
+            ).select(
+                F.lit(None).cast("date").alias("d"),
+                F.col("n_days").alias("n_events"),
+                F.lit(None).cast("bigint").alias("approx_users"),
+                "approx_users_total",
+            )
+        )
+        .orderBy(F.asc_nulls_last("d"))
+    )

@@ -103,3 +103,31 @@ def test_float_query_is_run_deterministic(spark, name):
     a = a[sorted(a.columns)].sort_values(by=list(sorted(a.columns)), ignore_index=True)
     b = b[sorted(b.columns)].sort_values(by=list(sorted(b.columns)), ignore_index=True)
     assert a.equals(b), f"{name} differs between two identical runs"
+
+
+def test_hll_sketch_union_tracks_exact_distincts(spark):
+    """The HLL sketch estimates (per-day and union-of-sketches) must sit
+    within the lgConfigK=14 error envelope of the exact distinct counts
+    (~0.8% standard error; assert a generous 5%), and the union of daily
+    sketches must estimate the same cardinality as a direct global
+    count_distinct — the property that makes persisted sketches safe to
+    answer range queries without rescanning history."""
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries import QUERIES
+
+    out = {r["d"]: r for r in QUERIES["q_hll_sketch_union"](spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    exact_daily = {
+        r["d"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = ev.select("user_id").distinct().count()
+
+    total_row = out.pop(None)
+    assert abs(total_row["approx_users_total"] - exact_total) / exact_total < 0.05
+    assert set(out) == set(exact_daily)
+    for d, row in out.items():
+        exact = exact_daily[d]
+        assert abs(row["approx_users"] - exact) / max(exact, 1) < 0.05, (d, row, exact)
