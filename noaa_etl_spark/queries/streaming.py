@@ -337,3 +337,25 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shard", "word", "approx_count", "err_bound")
         .orderBy("shard", "word")
     )
+
+
+from noaa_etl_spark.queries.text import PII_SCRUB_ORACLE, pii_scrub_projection
+
+
+@graded("q_stream_pii_scrub", oracle=PII_SCRUB_ORACLE)
+def q_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the PII scrub pass: the identical stateless
+    projection (queries/text.pii_scrub_projection) applied to
+    readStream in append mode. No state, no watermark, no aggregation —
+    each micro-batch scrubs and emits its rows, which is exactly how a
+    continuous-ingest redaction stage runs; availableNow drains the
+    directory so the result equals the batch query and shares its
+    oracle verbatim.
+
+    100 TB: same zero-shuffle plan as the batch pass, plus streaming's
+    per-micro-batch bound on in-flight data — redaction is the canonical
+    'scrub before it ever lands' stage, and statelessness means
+    arbitrary parallelism with no state store.
+    """
+    docs = stream_table(spark, sf_dir, "documents")
+    return run_to_memory(pii_scrub_projection(docs), "mem_stream_pii_scrub", "append")

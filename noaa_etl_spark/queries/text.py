@@ -591,42 +591,11 @@ _PII_PHONE = r"\b555-[0-9]{4}\b"
 _PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
-@graded(
-    "q_pii_scrub",
-    oracle=f"""
-    WITH synth AS (
-      SELECT doc_id,
-             text || ' contact user' || CAST(doc_id AS VARCHAR)
-                  || '@mail.example.com call 555-'
-                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
-                  || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phones,
-           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INT)    AS n_ips,
-           md5(regexp_replace(regexp_replace(regexp_replace(t,
-               '{_PII_EMAIL}', '<EMAIL>', 'g'),
-               '{_PII_PHONE}', '<PHONE>', 'g'),
-               '{_PII_IP}', '<IP>', 'g')) AS scrubbed_sig
-    FROM synth
-    """,
-)
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction pass: count and scrub emails, phone numbers, and
-    IPv4 addresses with shared Java/RE2-subset regexes; emit per-doc
-    redaction counts and an md5 signature of the scrubbed text. The
-    fixture corpus contains no PII, so each doc is deterministically
-    salted with synthetic PII derived from its doc_id (identically in
-    the oracle) — the redaction itself is what is graded.
-
-    100 TB: expression-only (regexp_extract_all / regexp_replace are
-    JVM-side, inside codegen) with zero shuffles; this is the shape of
-    every real scrub pass — linear scan, no state, no Python.
+def pii_scrub_projection(docs: DataFrame) -> DataFrame:
+    """The scrub pass as a pure projection, shared verbatim by the batch
+    query and its streaming twin (stateless transforms run identically
+    on readStream — that equality is what makes the twin oracle-pairable).
     """
-    docs = load_table(spark, sf_dir, "documents")
     synth = docs.select(
         "doc_id",
         F.concat(
@@ -663,3 +632,41 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(scrubbed).alias("scrubbed_sig"),
     )
+
+
+PII_SCRUB_ORACLE = f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INT)    AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS scrubbed_sig
+    FROM synth
+    """
+
+
+@graded("q_pii_scrub", oracle=PII_SCRUB_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and scrub emails, phone numbers, and
+    IPv4 addresses with shared Java/RE2-subset regexes; emit per-doc
+    redaction counts and an md5 signature of the scrubbed text. The
+    fixture corpus contains no PII, so each doc is deterministically
+    salted with synthetic PII derived from its doc_id (identically in
+    the oracle) — the redaction itself is what is graded.
+
+    100 TB: expression-only (regexp_extract_all / regexp_replace are
+    JVM-side, inside codegen) with zero shuffles; this is the shape of
+    every real scrub pass — linear scan, no state, no Python.
+    """
+    return pii_scrub_projection(load_table(spark, sf_dir, "documents"))
