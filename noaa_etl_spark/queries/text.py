@@ -670,3 +670,55 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     every real scrub pass — linear scan, no state, no Python.
     """
     return pii_scrub_projection(load_table(spark, sf_dir, "documents"))
+
+
+@graded(
+    "q_chunk_dedup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(t, s + 1, s + 64), ' ')) AS chunk_sig
+      FROM starts
+    )
+    SELECT chunk_sig,
+           min(doc_id) AS kept_doc_id,
+           count(*)    AS n_copies
+    FROM chunks
+    GROUP BY chunk_sig
+    HAVING count(*) > 1
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: chunk every doc (the q_chunk_documents
+    64/48 windows), then collapse identical chunks across the corpus —
+    the boilerplate/repeated-passage removal stage that document-level
+    dedup cannot express (two distinct docs sharing a header dedup at
+    chunk granularity only). Survivor = min doc_id per signature;
+    output lists only duplicated chunks.
+
+    100 TB: the chunk stage is the narrow-only q_chunk_documents plan;
+    the collapse shuffles 16-byte signatures (never chunk text) into a
+    map-side-combinable groupBy — the same contract as q_dedup_hash,
+    at chunk granularity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("t") - 1, F.lit(48))).alias("s"),
+        "t",
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("t", F.col("s") + 1, F.lit(64)), " ")).alias(
+            "chunk_sig"
+        ),
+    )
+    return (
+        chunks.groupBy("chunk_sig")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
