@@ -45,6 +45,14 @@ AUDITED = [
     # the two corpus-scale ANN paths (IVF-served similarity, LSH dedup).
     "q_doc_similarity",
     "q_semantic_dedup_lsh",
+    # Round-4 LLM-pipeline additions: the narrow-only trio must stay at
+    # ZERO shuffle bytes; decontaminate's bytes are its two per-doc
+    # counts only (the gram stream never exchanges).
+    "q_chunk_documents",
+    "q_pii_scrub",
+    "q_quantize_int8",
+    "q_decontaminate",
+    "q_chunk_dedup",
 ]
 
 
