@@ -481,3 +481,48 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+@graded(
+    "q_fingerprint_md5",
+    oracle="""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, text,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(t[1:len(t)-2],
+                         (x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE NULL END AS grams
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN grams IS NOT NULL
+                THEN list_min(list_transform(grams, s -> md5(s)))
+                ELSE md5(text) END AS fp
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def q_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-verifiable document fingerprint: 1-perm MinHash over
+    3-gram shingles with md5 as the permutation (min hex string over the
+    shingle set — order-insensitive by construction, so shuffled token
+    windows with the same shingle set collide). Short docs (<3 tokens)
+    fall back to a whole-text hash. The production form is
+    q_fingerprint's xxhash64 (8-byte, faster, not DuckDB-comparable);
+    this md5 twin exists so the ALGORITHM — shingle → hash → min — is
+    oracle-graded, not just run-to-run stable.
+
+    100 TB: per-row expression pipeline, zero shuffles; min-over-array
+    is O(tokens) per doc.
+    """
+    from noaa_etl_spark.functions.text import ngrams, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokenize(F.col("text"))
+    grams = ngrams(t, 3)
+    fp = F.when(
+        F.size(t) >= 3,
+        F.array_min(F.transform(grams, lambda s: F.md5(s))),
+    ).otherwise(F.md5(F.col("text")))
+    return docs.select("doc_id", fp.alias("fp")).orderBy("doc_id")
