@@ -479,3 +479,138 @@ def q_tpch_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@graded(
+    "q_tpch_q3_shipping",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-30'
+      AND l_shipdate  > TIMESTAMP '1997-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: top-10 unshipped orders by revenue for one market
+    segment. Customer filters+broadcasts into orders, one fact shuffle
+    on orderkey, TakeOrderedAndProject for the top-10 — the canonical
+    'selective dim × big fact × top-k' plan."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < ntz_lit("1997-06-30")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > ntz_lit("1997-06-30")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@graded(
+    "q_tpch_q6_forecast",
+    oracle="""
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: revenue-change forecast — a pure scan-filter-aggregate
+    with every predicate pushable to the parquet scan. The revenue sum
+    is emitted as exact integer CENTS (floor per term, then integer
+    sum) because a GLOBAL double sum is accumulation-order-sensitive
+    across engines and partition counts; per-term floor is identical
+    IEEE math on both sides and the integer sum is exact.
+
+    100 TB: zero joins, one map-side-combinable agg — the cheapest
+    possible shape; throughput = scan bandwidth."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= ntz_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ntz_lit("1997-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@graded(
+    "q_tpch_q18_large_volume",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey AS big_orderkey
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN big      ON o_orderkey = big_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: large-volume orders (total quantity > 300) with their
+    customers — the HAVING-subquery-membership shape, hand-written as a
+    semi-join against the aggregate (the decorrelation Catalyst performs
+    on the IN form the oracle uses). l_quantity is integer-valued, so
+    the graded sum is exact in doubles.
+
+    100 TB: the `big` aggregate is map-side combinable and its result
+    (qualifying orderkeys) is tiny → broadcast back against lineitem;
+    one fact shuffle total on orderkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        li.join(F.broadcast(big), li.l_orderkey == F.col("big_orderkey"))
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
