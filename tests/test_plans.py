@@ -201,3 +201,22 @@ def test_decontaminate_broadcasts_benchmark(spark):
     # formatted_plan lists each node twice (tree + details), so 5
     # physical Exchanges appear as 10.
     assert plan.count("Exchange") <= 10
+
+
+def test_tpch_q6_pushes_every_predicate(spark):
+    """Q6 is the pure scan shape: its filters must reach the parquet
+    scan as PushedFilters, or the 100 TB version reads the whole fact
+    table to throw most of it away."""
+    plan = plan_of(spark, "q_tpch_q6_forecast")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_tpch_q18_broadcasts_qualifying_orders(spark):
+    """Q18's HAVING-membership must resolve to a broadcast of the tiny
+    qualifying-order aggregate, never a shuffled join of lineitem
+    against itself."""
+    plan = plan_of(spark, "q_tpch_q18_large_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
