@@ -359,3 +359,25 @@ def q_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = stream_table(spark, sf_dir, "documents")
     return run_to_memory(pii_scrub_projection(docs), "mem_stream_pii_scrub", "append")
+
+
+from noaa_etl_spark.queries.text import (
+    CHUNK_DOCUMENTS_ORACLE,
+    chunk_documents_projection,
+)
+
+
+@graded("q_stream_chunk_documents", oracle=CHUNK_DOCUMENTS_ORACLE)
+def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the document chunker: the identical stateless
+    projection on readStream in append mode — chunk-as-you-ingest.
+    Like the scrub twin, statelessness makes the availableNow drain
+    equal the batch result, so it shares the batch oracle verbatim.
+
+    100 TB: zero-shuffle per micro-batch; the natural upstream of a
+    streaming embedding/index pipeline (chunks flow to the ANN build
+    without ever landing un-chunked text)."""
+    docs = stream_table(spark, sf_dir, "documents")
+    return run_to_memory(
+        chunk_documents_projection(docs), "mem_stream_chunk_documents", "append"
+    )

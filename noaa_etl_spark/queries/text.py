@@ -474,9 +474,7 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_mg(words, "word", 0.002).orderBy("word")
 
 
-@graded(
-    "q_chunk_documents",
-    oracle="""
+CHUNK_DOCUMENTS_ORACLE = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     starts AS (
       SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks
@@ -487,22 +485,12 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(array_to_string(list_slice(t, s + 1, s + 64), ' ')) AS chunk_sig
     FROM starts
     ORDER BY doc_id, chunk_idx
-    """,
-)
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document chunking (RAG / context-window prep):
-    64-token chunks on a 48-token stride (16-token overlap), one output
-    row per chunk with an md5 content signature for downstream
-    chunk-level dedup. Chunk starts come from ``sequence(0, n-1, 48)``
-    so the tail chunk may be short but every token is covered.
-
-    100 TB: the plan is narrow-only — tokenize, sequence-explode, slice,
-    hash are all per-row expressions with NO shuffle anywhere; output
-    rows ≈ tokens/stride, so the operator scales linearly and is
-    embarrassingly parallel. Chunk text itself is reproducible from
-    (doc_id, chunk_idx), so only signatures leave the stage.
     """
-    docs = load_table(spark, sf_dir, "documents")
+
+
+def chunk_documents_projection(docs: DataFrame) -> DataFrame:
+    """The chunker as a pure projection, shared by the batch query and
+    its streaming twin (stateless — runs identically on readStream)."""
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
     starts = toks.select(
         "doc_id",
@@ -517,6 +505,23 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_sig"
         ),
     )
+
+
+@graded("q_chunk_documents", oracle=CHUNK_DOCUMENTS_ORACLE)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (RAG / context-window prep):
+    64-token chunks on a 48-token stride (16-token overlap), one output
+    row per chunk with an md5 content signature for downstream
+    chunk-level dedup. Chunk starts come from ``sequence(0, n-1, 48)``
+    so the tail chunk may be short but every token is covered.
+
+    100 TB: the plan is narrow-only — tokenize, sequence-explode, slice,
+    hash are all per-row expressions with NO shuffle anywhere; output
+    rows ≈ tokens/stride, so the operator scales linearly and is
+    embarrassingly parallel. Chunk text itself is reproducible from
+    (doc_id, chunk_idx), so only signatures leave the stage.
+    """
+    return chunk_documents_projection(load_table(spark, sf_dir, "documents"))
 
 
 @graded(
