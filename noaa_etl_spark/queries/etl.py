@@ -130,3 +130,87 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "user_id", "event_id", "valid_from", "valid_to", "is_current"
     ).orderBy("user_id", "valid_from", "event_id")
+
+
+@graded(
+    "q_incremental_dedup",
+    oracle="""
+    WITH history AS (
+      SELECT * FROM documents WHERE doc_id % 3 <> 0
+    ),
+    incoming AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, text FROM history WHERE doc_id % 7 = 0
+    ),
+    seen AS (SELECT DISTINCT md5(text) AS h FROM history),
+    inc AS (SELECT doc_id, md5(text) AS h FROM incoming)
+    SELECT inc.doc_id, inc.h AS text_hash
+    FROM inc ANTI JOIN seen ON inc.h = seen.h
+    ORDER BY inc.doc_id
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental dedup: an incoming batch (fresh docs plus
+    a deterministic replay of history docs — the re-crawl scenario) is
+    anti-joined by content hash against the signature store of
+    everything already ingested; only genuinely-new content survives.
+    This is the nightly-ingest form of dedup — the full-corpus groupBy
+    (q_dedup_exact) is the bootstrap, this is every run after it.
+
+    100 TB: the signature store holds 16-byte hashes, not text; the
+    anti-join shuffles on the hash key. In production the store is
+    bucketed by hash so the nightly anti-join co-locates without a
+    store-side shuffle (tests/test_scale.py shows the bucketed-join
+    mechanics); the incoming batch is the only side that moves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 3 != 0)
+    incoming = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text").unionAll(
+        history.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    )
+    seen = history.select(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).distinct()
+    inc = incoming.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    return (
+        inc.join(seen, "h", "left_anti")
+        .select("doc_id", F.col("h").alias("text_hash"))
+        .orderBy("doc_id")
+    )
+
+
+@graded(
+    "q_referential_audit",
+    oracle="""
+    SELECT
+      CAST(count(*) FILTER (e.vec_id IS NULL) AS BIGINT)  AS docs_without_embedding,
+      CAST(count(*) FILTER (d.doc_id IS NULL) AS BIGINT)  AS embeddings_without_doc,
+      CAST(count(*) FILTER (d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL) AS BIGINT)
+        AS matched
+    FROM documents d
+    FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit between the text corpus and its
+    embedding table: docs missing embeddings (never indexed), embeddings
+    whose doc was deleted (stale index entries), and the matched core —
+    the consistency check every corpus⇄index pair needs after
+    independent batch updates.
+
+    100 TB: one full-outer join on the id key (both sides shuffle once;
+    co-partitioned if both are bucketed by id) feeding a single
+    map-side-combinable count row."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = docs.join(emb, docs.doc_id == emb.vec_id, "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("vec_id").isNull(), 1)).alias("docs_without_embedding"),
+        F.count(F.when(F.col("doc_id").isNull(), 1)).alias("embeddings_without_doc"),
+        F.count(
+            F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1)
+        ).alias("matched"),
+    )
