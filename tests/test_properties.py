@@ -131,3 +131,79 @@ def test_hll_sketch_union_tracks_exact_distincts(spark):
     for d, row in out.items():
         exact = exact_daily[d]
         assert abs(row["approx_users"] - exact) / max(exact, 1) < 0.05, (d, row, exact)
+
+
+@given(data=tokens_lists)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunker_matches_python_reference(spark, data):
+    """Sliding-window chunker vs a plain-Python reference on generated
+    token lists: every chunk start, length, and content signature must
+    match — coverage (every token in ≥1 chunk) falls out of the start
+    rule. Independent of the DuckDB oracle, which shares slicing
+    semantics and could in principle share a blind spot."""
+    import hashlib
+
+    from noaa_etl_spark.queries.text import chunk_documents_projection
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t) if t else "") for i, t in enumerate(data)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_sig"])
+        for r in chunk_documents_projection(df).collect()
+    }
+    want = {}
+    for i, t in enumerate(data):
+        toks = (" ".join(t) if t else "").split(" ")
+        for idx, s in enumerate(range(0, len(toks), 48)):
+            chunk = toks[s : s + 64]
+            want[(i, idx)] = (
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quantizer_matches_python_reference(spark, vecs):
+    """int8 quantization aggregates vs plain Python float64 math — same
+    floor(v*127/scale + 0.5) contract, scale floored at 1e-12."""
+    import math
+
+    from noaa_etl_spark.queries import QUERIES  # noqa: F401  (registration)
+    from noaa_etl_spark.queries.similarity import q_quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        got = {
+            r["vec_id"]: (r["dim"], r["q_sum"], r["q_l1"])
+            for r in q_quantize_int8(spark, d).collect()
+        }
+    import numpy as np
+
+    want = {}
+    for i, v in enumerate(vecs):
+        f32 = [float(np.float32(x)) for x in v]
+        scale = max(max(abs(x) for x in f32), 1e-12)
+        q = [math.floor(x * 127.0 / scale + 0.5) for x in f32]
+        want[i] = (len(v), sum(q), sum(abs(x) for x in q))
+    assert got == want
