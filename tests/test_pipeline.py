@@ -169,3 +169,37 @@ def test_ghcn_by_year_csv_matches_dly_path(spark, tmp_dir):
     assert got[("USW00094846", "2024-01-01", "TMAX")] == -1.1
     assert got[("USW00094846", "2024-01-01", "PRCP")] == 2.5
     assert got[("ASN00001001", "2024-01-01", "SNOW")] == 120.0  # not a tenths element
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_dir):
+    """Corpus prep: scrub → gate → chunk → chunk-dedup → embed → ANN,
+    asserted as a funnel — chunks cover the cleaned docs, dedup only
+    removes, embeddings are one per kept chunk, and every query gets at
+    most k neighbors with self at cos_sim ≈ 1 among them."""
+    from noaa_etl_spark.pipelines.corpus import run_corpus_pipeline
+
+    stats = run_corpus_pipeline(
+        spark, SF_SMALL, f"{tmp_dir}/corpus", k_neighbors=3, n_queries=20
+    )
+    assert stats["n_clean_docs"] <= stats["n_raw_docs"]
+    assert stats["n_clean_docs"] > 0
+    assert stats["n_chunks_kept"] <= stats["n_chunks_raw"]
+    assert stats["n_chunks_kept"] > 0
+    assert stats["n_neighbor_rows"] <= 20 * 3
+
+    emb = spark.read.parquet(f"{tmp_dir}/corpus/embeddings")
+    kept = spark.read.parquet(f"{tmp_dir}/corpus/chunks")
+    assert emb.count() == stats["n_chunks_kept"] == kept.count()
+    # Dedup invariant: signatures unique among kept chunks.
+    assert kept.select("chunk_sig").distinct().count() == stats["n_chunks_kept"]
+    # Scrub invariant: no raw email survives in chunk text.
+    assert kept.filter(F.col("chunk_text").rlike("@")).count() == 0
+
+    nb = spark.read.parquet(f"{tmp_dir}/corpus/neighbors")
+    per_q = nb.groupBy("query_id").count().agg(F.max("count")).first()[0]
+    assert per_q <= 3
+    # ANN contract: self-pairs excluded, similarities in range.
+    assert nb.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    bad = nb.filter((F.col("cos_sim") < -1.0001) | (F.col("cos_sim") > 1.0001))
+    assert bad.count() == 0
+    assert nb.count() > 0
