@@ -398,3 +398,74 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day_start", F.coalesce("n_events", F.lit(0)).alias("n_events"))
         .orderBy("day_start")
     )
+
+
+@graded(
+    "q_gap_fill",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             event_type, value
+      FROM events WHERE value > 150
+    ),
+    daily AS (
+      SELECT d, event_type, count(*) AS n,
+             CAST(sum(floor(value)) AS BIGINT) AS ft
+      FROM f GROUP BY d, event_type
+    ),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    grid AS (SELECT spine.d, types.event_type FROM spine CROSS JOIN types)
+    SELECT g.d, g.event_type,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+           last_value(daily.ft IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.d
+           ) AS floor_total_filled,
+           CAST(daily.n IS NULL AS INT) AS is_gap
+    FROM grid g LEFT JOIN daily ON g.d = daily.d AND g.event_type = daily.event_type
+    ORDER BY g.event_type, g.d
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling with forward-fill — the canonical
+    missing-observation repair (NOAA daily series, sensor feeds, sparse
+    metrics): build the complete (day × series) grid from the observed
+    bounds, left-join the sparse daily aggregates, flag gaps, and carry
+    the last observed total forward with last(ignorenulls) over an
+    ordered per-series window. The value > 150 slice makes the fixture
+    genuinely sparse so gaps exist to fill.
+
+    100 TB: the spine is |days| × |series| — generated from a 1-row
+    bounds aggregate, never from the fact table, so the grid join is a
+    broadcast of something tiny against the daily aggregate (itself
+    map-side combined). The forward-fill window shuffles only the grid
+    (|days|×|series| rows), not raw events.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 150)
+    daily = (
+        ev.groupBy(
+            F.to_date("ts").alias("d"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor("value").cast("bigint")).alias("ft"),
+        )
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("d")
+    )
+    types = daily.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    joined = grid.join(daily, ["d", "event_type"], "left")
+    w = Window.partitionBy("event_type").orderBy("d")
+    return joined.select(
+        "d",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("ft", ignorenulls=True).over(w).alias("floor_total_filled"),
+        F.col("n").isNull().cast("int").alias("is_gap"),
+    ).orderBy("event_type", "d")
