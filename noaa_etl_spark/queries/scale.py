@@ -150,5 +150,4 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "approx_users_total",
             )
         )
-        .orderBy(F.asc_nulls_last("d"))
     )

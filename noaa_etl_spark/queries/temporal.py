@@ -226,9 +226,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_payload=["click_event_id", "click_ts"],
         tiebreak="click_event_id",
     )
+    # No final orderBy: per-purchase output, order-insensitive compare.
     return joined.select(
         "event_id", "user_id", "ts", "value", "click_event_id", "click_ts"
-    ).orderBy("event_id")
+    )
 
 
 @graded(
