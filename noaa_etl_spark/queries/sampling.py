@@ -12,8 +12,8 @@ below a threshold. That predicate is
   parquet scan;
 - exactly reproducible across reruns, engines, and cluster sizes —
   which is why every query here is oracle-paired (DuckDB computes the
-  identical md5 gate) instead of rows-only like the seeded
-  ``q_sample``;
+  identical md5 gate); ``q_sample`` (queries/scalars.py) uses the same
+  gate for plain Bernoulli sampling;
 - resumable: changing a stratum's rate re-gates only that stratum, and
   a later "sample 10% more" pass can extend the hex threshold without
   re-drawing the rows already taken (nested samples by construction).

@@ -461,16 +461,28 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded("q_sample")  # rows-only: sampling is engine-specific (seeded, deterministic per run)
+@graded(
+    "q_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5('sample:' || CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
+    """,
+)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (deterministic within Spark; not
-    cross-engine reproducible → rows-only). Dev-time subsetting op."""
+    """~10% Bernoulli sample as a deterministic md5 hash gate
+    (0x1999/0x10000 = 9.998% keep rate) — engine-reproducible, so it is
+    oracle-paired, unlike Spark's seeded ``.sample`` whose draw depends
+    on partition layout. Same gate family as queries/sampling.py.
+
+    100 TB: scan-local predicate, zero shuffle, identical survivors on
+    1 or 1000 executors, and rerun-stable after executor loss (a seeded
+    RNG re-draws different rows when a lost partition recomputes)."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.sample(fraction=0.1, seed=42)
-        .select("o_orderkey", "o_totalprice")
-        .orderBy("o_orderkey")
+    gate = F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("o_orderkey").cast("string"))), 1, 4
     )
+    return orders.where(gate < F.lit("1999")).select("o_orderkey", "o_totalprice")
 
 
 @graded("q_fingerprint")  # rows-only: xxhash64 is not comparable to DuckDB hashes

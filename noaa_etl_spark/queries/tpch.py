@@ -485,7 +485,8 @@ def q_tpch_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3_shipping",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -494,7 +495,7 @@ def q_tpch_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '1997-06-30'
       AND l_shipdate  > TIMESTAMP '1997-06-30'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
     LIMIT 10
     """,
 )
@@ -502,7 +503,12 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 shape: top-10 unshipped orders by revenue for one market
     segment. Customer filters+broadcasts into orders, one fact shuffle
     on orderkey, TakeOrderedAndProject for the top-10 — the canonical
-    'selective dim × big fact × top-k' plan."""
+    'selective dim × big fact × top-k' plan.
+
+    Revenue is exact integer CENTS (per-term floor, bigint sum — Q6's
+    form): a graded double sum is accumulation-order-sensitive across
+    engines/partitionings, and the top-10 cut makes a 4th-decimal flip
+    a whole-row diff, not just a value diff."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -517,12 +523,18 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents")
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.desc("revenue_cents"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
         .limit(10)
     )
 
@@ -613,4 +625,297 @@ def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
         .limit(100)
+    )
+
+
+@graded(
+    "q_tpch_q2_min_cost",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             min(CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT))
+               AS unit_cost_cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rsupply AS (
+      SELECT pk, sk, unit_cost_cents, s_name, s_acctbal, n_name
+      FROM supply JOIN supplier ON sk = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    best AS (SELECT pk AS bpk, min(unit_cost_cents) AS best_cost
+             FROM rsupply GROUP BY pk)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost_cents
+    FROM rsupply JOIN best ON pk = bpk AND unit_cost_cents = best_cost
+    JOIN part ON pk = p_partkey
+    WHERE p_type = 'PROMO' AND p_size <= 15
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+    """,
+)
+def q_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: minimum-cost supplier per part within a region — the
+    correlated-min subquery, hand-decorrelated as agg + equality join
+    back (what Catalyst produces from the subquery form the oracle
+    uses). The fixture has no partsupp table, so the supply relation is
+    derived from lineitem: unit cost = min observed price-per-unit per
+    (part, supplier), floored to exact integer cents (min is
+    accumulation-order-free; the floor makes the join-back equality
+    exact across engines — a raw-double equality join would be the
+    classic cross-engine trap).
+
+    100 TB: supply agg is map-side combinable on (partkey, suppkey);
+    supplier⋈nation⋈region are broadcast dims; `best` re-aggregates the
+    already-reduced supply rows; the final equality join back is on the
+    reduced relation, not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 15)
+    )
+    supply = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.min(
+            F.floor(F.col("l_extendedprice") * 100 / F.col("l_quantity")).cast(
+                "bigint"
+            )
+        ).alias("unit_cost_cents")
+    )
+    rsupply = (
+        supply.join(F.broadcast(sup), F.col("sk") == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("pk", "sk", "unit_cost_cents", "s_name", "s_acctbal", "n_name")
+    )
+    best = rsupply.groupBy(F.col("pk").alias("bpk")).agg(
+        F.min("unit_cost_cents").alias("best_cost")
+    )
+    return (
+        rsupply.join(
+            best,
+            (F.col("pk") == F.col("bpk"))
+            & (F.col("unit_cost_cents") == F.col("best_cost")),
+        )
+        .join(F.broadcast(part), F.col("pk") == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            "unit_cost_cents",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(20)
+    )
+
+
+@graded(
+    "q_tpch_q9_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+           CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                                - 0.6 * p_retailprice * l_quantity) * 100)
+                         AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: product-line profit by supplier nation and year for a
+    part-name pattern. The fixture has no partsupp.ps_supplycost, so
+    cost is modeled as 0.6 × p_retailprice × quantity; profit is
+    floored to exact integer cents per term (the graded sum of a
+    float expression must not depend on accumulation order).
+
+    100 TB: part (name-filtered) and supplier/nation broadcast; one
+    fact shuffle on the group keys, map-side combinable agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(F.floor(profit * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("profit_cents")
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@graded(
+    "q_tpch_q12_late_priority",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: order-priority mix among late shipments per class.
+    The fixture lacks l_shipmode/l_commitdate/l_receiptdate, so "late"
+    is ship-lag > 365 days vs the order date and the grouping class is
+    l_returnflag — same join + conditional-count skeleton.
+
+    100 TB: the shipdate year-window prunes the fact scan; the
+    row-vs-row date predicate evaluates post-join but the join itself
+    is an equi-join on orderkey; the agg output is |classes| rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ntz_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ntz_lit("1997-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@graded(
+    "q_tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: how many distinct suppliers serve each surviving
+    (brand, type, size) bucket, excluding a supplier denylist — the
+    NOT-IN-subquery shape, written as a broadcast anti-join (safe here:
+    s_suppkey is never NULL, so NOT IN ≡ anti). The supply relation is
+    lineitem pairs (no partsupp in the fixture); the denylist predicate
+    is s_acctbal < 0 in place of the comment-pattern complaint filter.
+
+    100 TB: part filter broadcasts; the denylist is tiny → broadcast
+    anti-join, no shuffle added; count_distinct shuffles once on the
+    3-key group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    deny = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(deny), li.l_suppkey == deny.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+@graded(
+    "q_tpch_q21_waiting",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 1700 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_sup,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_sup
+      FROM l GROUP BY 1
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM l JOIN per_order USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE late AND n_sup >= 2 AND n_late_sup = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier finished order. The original's EXISTS / NOT EXISTS
+    pair decorrelates to one per-order aggregate — n_suppliers ≥ 2
+    (exists another supplier) and n_late_suppliers = 1 (no OTHER late
+    supplier, given this row is late) — joined back on orderkey.
+    "Late" is ship-lag > 1700 days (~p95 of the fixture's lag
+    distribution; the fixture lacks commit/receipt dates).
+
+    100 TB: one shuffle on orderkey for the per-order agg, reusable by
+    the join-back (same key); supplier dim broadcasts; no correlated
+    per-row subquery execution anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    l = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 1700 DAY")
+            ).alias("late"),
+        )
+    )
+    per_order = l.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_sup"),
+        F.count_distinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_sup"),
+    )
+    return (
+        l.join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter(F.col("late") & (F.col("n_sup") >= 2) & (F.col("n_late_sup") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
     )
