@@ -65,51 +65,68 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   TIMESTAMP(NANOS) to TIMESTAMP(MICROS, ntz) between rounds, breaking
 #   q_sessionize_bucketed / q_stream_interval_join / q_stream_sessionize
 #   (unix_micros + watermarks reject TIMESTAMP_NTZ) — fixed in
-#   io.normalize_events_ts; those three stay in the window for driver
-#   confirmation. The remaining 31 never-driver-graded oracle-paired
-#   entries all enter (after r4 every oracle-paired query has driver
-#   signal at least once); the other 16 slots re-confirm family reps,
-#   preferring events.ts-touching queries to validate the NTZ fix
-#   (q_sessionize, q_window_rolling_1h, q_tumbling_window,
-#   q_stream_tumbling, q_json_extract, q_asof_join).
+#   io.normalize_events_ts; those three stayed in the window for driver
+#   confirmation (r4: 50/50 green). NOTE: 10 oracle-paired queries
+#   added late in round 4 (chunk_dedup, gap_fill, incremental_dedup,
+#   referential_audit, fingerprint_md5, the two stream twins, TPC-H
+#   Q3/Q6/Q18) landed AFTER that window froze and had never been
+#   driver-graded until round 5.
+# - Round 5: those 10 enter, plus the 5 new TPC-H completions
+#   (Q2/Q9/Q12/Q16/Q21 — the suite now covers all 22 shapes), the 4
+#   queries whose plans changed this round (rolling_1h / tfidf /
+#   asof_join lost their terminal sorts; q_sample became an
+#   oracle-paired hash-gate), and — a first — the 16 rows-only
+#   queries that had NEVER had driver signal (the driver records a
+#   weaker rows-only check for them; the point is confirming they run
+#   clean under the vanilla driver, where worker-side pickling bugs
+#   surface). Remaining slots: one green rep per family + the 6
+#   headline bench queries.
 GRADED_WINDOW: list[str] = [
-    # I LLM-data-pipeline (text / multimodal)
-    "q_stopword_filter", "q_ngrams", "q_repetition_quality",
-    "q_text_norm", "q_multimodal_meta", "q_frame_sample",
-    "q_dedup_exact", "q_chunk_documents", "q_decontaminate",
-    "q_pii_scrub", "q_quantize_int8",
-    # sampling / mixing layer
-    "q_stratified_sample", "q_source_mix", "q_group_sample",
-    "q_sequence_pack", "q_quality_bins",
-    # D aggregations (heavy hitters never graded)
-    "q_heavy_hitters", "q_heavy_hitters_mg", "q_pricing_summary",
-    # H scalars / arrays / SQL surface
-    "q_centroid_by_label", "q_sql_surface", "q_json_extract",
-    # K UDF surface
-    "q_mapinpandas_vowels", "q_udaf_trimmed_mean",
-    # J streaming / temporal (incl. the three r3 fixes)
-    "q_stream_sliding", "q_stream_interval_join", "q_stream_sessionize",
-    "q_stream_tumbling",
-    # E windows / sessionize (events.ts re-confirmation)
-    "q_sessionize_bucketed", "q_window_rolling_1h",
-    # NOAA
-    "q_ghcn_daily_wide",
-    # subqueries (never graded)
-    "q_scalar_subquery", "q_in_subquery_agg", "q_double_exists",
-    "q_lateral_join",
-    # TPC-H (never graded)
-    "q_tpch_q11_value", "q_tpch_q14_promo", "q_tpch_q17_small_qty",
-    "q_tpch_q4_priority", "q_tpch_q13_custdist", "q_tpch_q15_top_supplier",
-    "q_tpch_q19_disjunctive", "q_tpch_q20_nested_in",
-    "q_tpch_q22_idle_balance",
+    # round-4 late additions, never driver-graded (oracle-paired)
+    "q_chunk_dedup", "q_incremental_dedup", "q_referential_audit",
+    "q_fingerprint_md5", "q_stream_pii_scrub", "q_stream_chunk_documents",
+    "q_gap_fill", "q_tpch_q3_shipping", "q_tpch_q6_forecast",
+    "q_tpch_q18_large_volume",
+    # round-5 TPC-H completions (suite now spans all 22 shapes)
+    "q_tpch_q2_min_cost", "q_tpch_q9_profit", "q_tpch_q12_late_priority",
+    "q_tpch_q16_supplier_cnt", "q_tpch_q21_waiting",
+    # plans changed this round (terminal sorts dropped / oracle upgrade)
+    "q_window_rolling_1h", "q_tfidf", "q_asof_join", "q_sample",
+    # rows-only queries getting their FIRST driver signal (err=null is
+    # the check: vanilla-driver crashes — pickling, configs — only
+    # surface here)
+    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
+    "q_doc_similarity", "q_semantic_dedup_lsh", "q_fingerprint",
+    "q_hll_sketch_union", "q_approx_aggs", "q_stream_stateful",
+    "q_stream_heavy_hitters", "q_custom_datasource", "q_embed_docs",
+    "q_multimodal_features", "q_lang_id", "q_quality_score",
     # family re-confirmation reps
     "q_csv_roundtrip",        # A sources
     "q_filter_predicates",    # B filters
-    "q_asof_join",            # C joins (events.ts)
+    "q_pricing_summary",      # D aggs (headline)
     "q_sort_offset",          # F sort/limit
     "q_dedup_keyed",          # G set ops
+    "q_json_extract",         # H scalars (events.ts)
+    "q_stream_sessionize",    # J streaming (events.ts NTZ re-confirm)
+    "q_udaf_trimmed_mean",    # K UDFs
+    "q_ghcn_daily_wide",      # NOAA
     "q_merge_upsert",         # ETL
+    # headline bench queries (fresh signal on the graded perf surface;
+    # q_wordcount sits out — I-family signal comes via tfidf/knn_cosine)
+    "q_sessionize", "q_join3_topk", "q_join5_region", "q_window_rank",
+    "q_knn_cosine",
 ]
+
+# The deliberate rows-only subset of the window (no oracle by design:
+# engine-specific hashes/sketches/ANN, streaming state, custom source).
+# test_graded_window_spans_every_family pins window∩rows-only == this.
+ROWS_ONLY_WINDOW: set[str] = {
+    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
+    "q_doc_similarity", "q_semantic_dedup_lsh", "q_fingerprint",
+    "q_hll_sketch_union", "q_approx_aggs", "q_stream_stateful",
+    "q_stream_heavy_hitters", "q_custom_datasource", "q_embed_docs",
+    "q_multimodal_features", "q_lang_id", "q_quality_score",
+}
 
 
 def load_all_queries() -> None:

@@ -109,13 +109,16 @@ def test_rows_only_smoke(spark, name):
 
 def test_graded_window_spans_every_family():
     """The driver grades only the FIRST 50 registered queries. Guard the
-    curated window: exactly 50, all oracle-paired, first-50 in
-    registration order, and every §2 family represented."""
-    from noaa_etl_spark.registry import GRADED_WINDOW
+    curated window: exactly 50, first-50 in registration order, every
+    §2 family represented, and any rows-only entries are the DELIBERATE
+    set (round 5 spends slots confirming never-signaled rows-only
+    queries run clean under the vanilla driver), never an accident."""
+    from noaa_etl_spark.registry import GRADED_WINDOW, ROWS_ONLY_WINDOW
 
     assert len(GRADED_WINDOW) == 50
     assert list(QUERIES)[:50] == GRADED_WINDOW
-    assert all(n in ORACLES for n in GRADED_WINDOW)
+    rows_only_in_window = {n for n in GRADED_WINDOW if n not in ORACLES}
+    assert rows_only_in_window == ROWS_ONLY_WINDOW
     # Any-of sets so the window can ROTATE entries between rounds
     # (spreading driver signal) without losing a family.
     reps = {
@@ -136,8 +139,15 @@ def test_graded_window_spans_every_family():
             "q_tpch_q14_promo", "q_tpch_q15_top_supplier",
             "q_tpch_q17_small_qty", "q_tpch_q19_disjunctive",
             "q_tpch_q20_nested_in", "q_tpch_q22_idle_balance",
+            "q_tpch_q3_shipping", "q_tpch_q6_forecast",
+            "q_tpch_q18_large_volume", "q_tpch_q2_min_cost",
+            "q_tpch_q9_profit", "q_tpch_q12_late_priority",
+            "q_tpch_q16_supplier_cnt", "q_tpch_q21_waiting",
         },
-        "etl": {"q_merge_upsert", "q_scd2_intervals", "q_incremental_agg"},
+        "etl": {
+            "q_merge_upsert", "q_scd2_intervals", "q_incremental_agg",
+            "q_incremental_dedup", "q_referential_audit",
+        },
         "noaa": {"q_ghcn_pipeline", "q_ghcn_daily_wide"},
     }
     window = set(GRADED_WINDOW)

@@ -53,6 +53,14 @@ AUDITED = [
     "q_quantize_int8",
     "q_decontaminate",
     "q_chunk_dedup",
+    # Round-5 TPC-H completions: Q2's decorrelated min join-back and
+    # Q21's orderkey-agg-plus-join-back are the shapes most likely to
+    # regress into extra fact shuffles — gate them.
+    "q_tpch_q2_min_cost",
+    "q_tpch_q9_profit",
+    "q_tpch_q12_late_priority",
+    "q_tpch_q16_supplier_cnt",
+    "q_tpch_q21_waiting",
 ]
 
 
