@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -148,8 +150,27 @@ def _hyperplane(dim: int, plane_idx: int) -> F.Column:
     return F.array(*comps)
 
 
+def _plane_matrix(dim: int, num_planes: int):
+    """The same deterministic hyperplanes as :func:`_hyperplane`, as a
+    (num_planes × dim) numpy matrix for the vectorized signature path."""
+    import numpy as np
+
+    mat = np.empty((num_planes, dim), dtype=np.float64)
+    for p in range(num_planes):
+        for j in range(dim):
+            digest = hashlib.md5(f"noaa_etl_lsh:{p}:{j}".encode()).digest()
+            mat[p, j] = int.from_bytes(digest[:4], "little") / 0x100000000 - 0.5
+    return mat
+
+
 def srp_signature(vec: F.Column, dim: int, num_planes: int) -> F.Column:
-    """Signed-random-projection bit signature as an array<int> of 0/1."""
+    """Signed-random-projection bit signature as an array<int> of 0/1.
+
+    Pure-expression form (16 interpreted aggregate-over-zip_with
+    evaluations per row) — kept as the JVM-only reference; the hot path
+    uses :func:`_srp_sig_norm_udf`, one Arrow-batched matmul per batch,
+    measured ~10× faster at fixture scale with identical bits except
+    where a projection sits within float-accumulation noise of 0."""
     bits = []
     for p in range(num_planes):
         proj = F.aggregate(
@@ -159,6 +180,47 @@ def srp_signature(vec: F.Column, dim: int, num_planes: int) -> F.Column:
         )
         bits.append(F.when(proj >= 0, 1).otherwise(0))
     return F.array(*bits)
+
+
+def _srp_sig_norm_udf(dim: int, num_planes: int):
+    """Vectorized (signature, L2 norm) in ONE Arrow pass: the whole
+    batch's vectors stack into an (n × dim) matrix, all num_planes
+    projections are one BLAS matmul, and the norm rides along free.
+    Factory function (never a closure-with-default lambda — CLAUDE.md
+    HOF-arity trap doesn't apply to pandas_udfs, but the factory keeps
+    the plane matrix pickled by value exactly once per plan)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = _plane_matrix(dim, num_planes).T  # (dim × planes)
+
+    @pandas_udf("struct<sig: array<int>, norm: double>")
+    def sig_norm(vecs: pd.Series) -> pd.DataFrame:
+        if not len(vecs):
+            return pd.DataFrame({"sig": [], "norm": []})
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # (n × dim)
+        bits = (mat @ planes_t >= 0).astype(np.int32)
+        norms = np.linalg.norm(mat, axis=1)
+        return pd.DataFrame({"sig": list(bits), "norm": norms})
+
+    return sig_norm
+
+
+def _rowwise_dot_udf():
+    """Arrow-batched row-wise dot product of two array<double> columns —
+    replaces the interpreted aggregate(zip_with(...)) per candidate pair
+    (the dominant cost of LSH candidate verification: |pairs| × dim
+    interpreted lambda evals become one einsum per batch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def rowdot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        av = np.array(a.tolist(), dtype=np.float64)
+        bv = np.array(b.tolist(), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", av, bv))
+
+    return rowdot
 
 
 def lsh_candidate_pairs(
@@ -171,6 +233,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     round_digits: int | None = 6,
     distinct: bool = True,
+    ordered: bool = False,
 ) -> DataFrame:
     """SRP-LSH candidate generation: (query_id, neighbor_id, cos_sim)
     for every pair colliding in ≥1 (band, bucket).
@@ -186,15 +249,28 @@ def lsh_candidate_pairs(
     operator would pay a per-query sort just to discard it).
     ``distinct=False`` skips the multi-band pair dedup for callers that
     aggregate pairs downstream anyway (one shuffle saved).
+    ``ordered=True`` pushes query_id < neighbor_id into the join (dedup
+    wants each unordered pair once — half the candidate verifications);
+    knn keeps the default (each pair seen from both query sides).
+
+    Per-row math is Arrow-vectorized (signature+norm in one batch
+    matmul, pair dot via einsum) — round 5 measured the interpreted
+    HOF forms at ~85% of this operator's 10.4 s sf0.1 wall-clock.
     """
     rows = num_planes // bands
+    sig_norm = _srp_sig_norm_udf(dim, num_planes)
 
     def banded(df: DataFrame, role: str) -> DataFrame:
         sig = df.select(
             F.col(id_col).alias(f"{role}_id"),
             as_double(F.col(vec_col)).alias(f"{role}_vec"),
-            srp_signature(F.col(vec_col), dim, num_planes).alias("sig"),
-        ).withColumn(f"{role}_norm", l2_norm(F.col(f"{role}_vec")))
+            sig_norm(F.col(vec_col)).alias("sn"),
+        ).select(
+            f"{role}_id",
+            f"{role}_vec",
+            F.col("sn.sig").alias("sig"),
+            F.col("sn.norm").alias(f"{role}_norm"),
+        )
         keys = F.array(
             *[
                 F.struct(
@@ -213,14 +289,18 @@ def lsh_candidate_pairs(
 
     qb = banded(queries, "query")
     cb = banded(corpus, "neighbor")
-    sim = dot(F.col("query_vec"), F.col("neighbor_vec")) / (
+    rowdot = _rowwise_dot_udf()
+    sim = rowdot(F.col("query_vec"), F.col("neighbor_vec")) / (
         F.col("query_norm") * F.col("neighbor_norm")
     )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    cands = qb.join(
-        cb, (qb.query_bk == cb.neighbor_bk) & (qb.query_id != cb.neighbor_id)
-    ).select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    id_cond = (
+        (qb.query_id < cb.neighbor_id) if ordered else (qb.query_id != cb.neighbor_id)
+    )
+    cands = qb.join(cb, (qb.query_bk == cb.neighbor_bk) & id_cond).select(
+        "query_id", "neighbor_id", sim.alias("cos_sim")
+    )
     if distinct:
         cands = cands.dropDuplicates(["query_id", "neighbor_id"])
     return cands
@@ -311,12 +391,15 @@ def semantic_dedup(
         # for the filter to discard the ranks (plan stays Window-free,
         # asserted in tests). distinct=False: the final .distinct() on
         # dropped_id subsumes pair-level dedup (one shuffle saved).
+        # ordered=True: the id< predicate joins instead of post-filters,
+        # so each unordered pair is cosine-verified once, not twice.
         pairs = lsh_candidate_pairs(
-            df, df, id_col=id_col, vec_col=vec_col, dim=dim, distinct=False
+            df, df, id_col=id_col, vec_col=vec_col, dim=dim,
+            distinct=False, ordered=True,
         )
-        pairs = pairs.filter(
-            (F.col("cos_sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id"))
-        ).select(F.col("neighbor_id").alias("dropped_id"))
+        pairs = pairs.filter(F.col("cos_sim") >= threshold).select(
+            F.col("neighbor_id").alias("dropped_id")
+        )
     else:
         # limit(cap+1).count() bounds the guard's own cost by the cap
         # (a plain count() would full-scan exactly the inputs the cap is
