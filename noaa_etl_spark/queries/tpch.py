@@ -664,10 +664,13 @@ def q_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact across engines — a raw-double equality join would be the
     classic cross-engine trap).
 
-    100 TB: supply agg is map-side combinable on (partkey, suppkey);
-    supplier⋈nation⋈region are broadcast dims; `best` re-aggregates the
-    already-reduced supply rows; the final equality join back is on the
-    reduced relation, not the fact table."""
+    100 TB: the ASIA-supplier dim filter is applied BELOW the fact
+    aggregation (broadcast join before groupBy), so the big (partkey,
+    suppkey) agg only ingests the region's share of lineitem — the
+    dim-filter-pushdown the optimizer can't do for us because the agg
+    key includes the join key. The agg is map-side combinable;
+    supplier⋈nation⋈region broadcast; `best` re-aggregates the reduced
+    relation; the final equality join back never touches the fact."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
@@ -675,20 +678,32 @@ def q_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "PROMO") & (F.col("p_size") <= 15)
     )
-    supply = li.groupBy(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).agg(
-        F.min(
-            F.floor(F.col("l_extendedprice") * 100 / F.col("l_quantity")).cast(
-                "bigint"
-            )
-        ).alias("unit_cost_cents")
-    )
-    rsupply = (
-        supply.join(F.broadcast(sup), F.col("sk") == sup.s_suppkey)
-        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+    rsup = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
-        .select("pk", "sk", "unit_cost_cents", "s_name", "s_acctbal", "n_name")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # Semi-join keeps the pre-agg stream NARROW (pk, sk, price, qty —
+    # the dim columns join AFTER the agg on the reduced relation);
+    # attaching them before the agg was measured to ride ~11 MB of
+    # functionally-redundant payload through the shuffle at sf0.1.
+    supply = (
+        li.join(
+            F.broadcast(rsup.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") * 100 / F.col("l_quantity")).cast(
+                    "bigint"
+                )
+            ).alias("unit_cost_cents")
+        )
+    )
+    rsupply = supply.join(F.broadcast(rsup), F.col("sk") == rsup.s_suppkey).select(
+        "pk", "sk", "unit_cost_cents", "s_name", "s_acctbal", "n_name"
     )
     best = rsupply.groupBy(F.col("pk").alias("bpk")).agg(
         F.min("unit_cost_cents").alias("best_cost")
