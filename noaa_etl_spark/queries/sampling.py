@@ -253,3 +253,43 @@ def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@graded(
+    "q_train_val_split",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, lang,
+             substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS g
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN g < 'f5c2' THEN 'train'
+                WHEN g < 'fae1' THEN 'val'
+                ELSE 'test' END AS split
+    FROM gated
+    """,
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~96/2/2) by md5 range
+    over the durable key — the split every training corpus needs, done
+    the only way that survives re-ingestion: a document keeps its split
+    forever (pure function of doc_id), new documents land in the right
+    proportions, and no engine/run/partitioning changes membership.
+    Range thresholds: 0xf5c2/0x10000 ≈ 96.0%, 0xfae1 ≈ 98.0%.
+
+    100 TB: scan-local projection, zero shuffle; the split column is
+    computable at read time by ANY engine that has md5 — the
+    contamination-audit property (val/test membership is re-derivable,
+    not an artifact of a lost RNG state).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = _hash_gate(F.col("doc_id"), "split:")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(g < "f5c2", "train")
+        .when(g < "fae1", "val")
+        .otherwise("test")
+        .alias("split"),
+    )

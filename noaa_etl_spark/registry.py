@@ -112,9 +112,11 @@ GRADED_WINDOW: list[str] = [
     "q_ghcn_daily_wide",      # NOAA
     "q_merge_upsert",         # ETL
     # headline bench queries (fresh signal on the graded perf surface;
-    # q_wordcount sits out — I-family signal comes via tfidf/knn_cosine)
-    "q_sessionize", "q_join3_topk", "q_join5_region", "q_window_rank",
-    "q_knn_cosine",
+    # q_wordcount/q_window_rank sit out — their families stay covered
+    # via tfidf/knn_cosine and rolling_1h)
+    "q_sessionize", "q_join3_topk", "q_join5_region", "q_knn_cosine",
+    # round-5 addition: deterministic train/val/test hash split
+    "q_train_val_split",
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:

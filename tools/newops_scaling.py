@@ -7,7 +7,9 @@ fixed per-job overhead is amortized); decontamination additionally
 exercises the broadcast-side growth (benchmark grams scale with corpus
 here — in production the benchmark side is fixed).
 
-Usage: python tools/newops_scaling.py [N]    (default 10)
+Usage: python tools/newops_scaling.py [N] [query ...]
+(default N=10 over NEW_OPS; pass query names to probe a different set —
+e.g. the round-5 TPC-H completions)
 Prints one JSON line; record results in SCALING.md.
 """
 
@@ -34,13 +36,14 @@ NEW_OPS = [
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    ops = sys.argv[2:] or NEW_OPS
     load_all_queries()
     spark = get_spark("newops_scaling")
     spark.sparkContext.setLogLevel("ERROR")
     big = build(spark, n)
 
     result = {"n": n, "queries": {}}
-    for name in NEW_OPS:
+    for name in ops:
         t1 = timed(QUERIES[name], spark, BASE_SF)
         tn = timed(QUERIES[name], spark, big)
         result["queries"][name] = {
