@@ -322,3 +322,61 @@ def q_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@graded(
+    "q_schema_evolution",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN year(o_orderdate) = 1997
+                           THEN o_orderpriority END) AS BIGINT)
+             AS n_with_priority,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1996
+                         THEN CAST(floor(o_totalprice) AS BIGINT) END)
+                AS BIGINT) AS old_floor_total,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1997
+                         THEN CAST(floor(o_totalprice) AS BIGINT) END)
+                AS BIGINT) AS new_floor_total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: a dataset written in two batches whose
+    schemas drifted (batch 2 gained o_orderpriority), read back as ONE
+    table via mergeSchema — rows from the pre-evolution batch surface
+    the new column as NULL. This is the append-only data-lake reality
+    every long-lived corpus hits; the aggregate proves the merged read
+    sees every row and NULL-fills exactly the old batch.
+
+    100 TB: mergeSchema reconciles footers at planning time (cost ∝
+    #files, not bytes); recursiveFileLookup keeps batch layout free.
+    Production datasets checkpoint the merged schema in a catalog so
+    the reconcile is one-time — the read path here is the fallback that
+    makes un-cataloged batches still queryable."""
+    path = _tmp("evo_orders", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(path, "batch1"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "batch2"))
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    has_priority = F.col("o_orderpriority").isNotNull()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(has_priority, 1)).alias("n_with_priority"),
+        F.sum(F.when(~has_priority, F.floor("o_totalprice").cast("bigint")))
+        .cast("bigint")
+        .alias("old_floor_total"),
+        F.sum(F.when(has_priority, F.floor("o_totalprice").cast("bigint")))
+        .cast("bigint")
+        .alias("new_floor_total"),
+    )

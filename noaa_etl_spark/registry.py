@@ -112,11 +112,12 @@ GRADED_WINDOW: list[str] = [
     "q_ghcn_daily_wide",      # NOAA
     "q_merge_upsert",         # ETL
     # headline bench queries (fresh signal on the graded perf surface;
-    # q_wordcount/q_window_rank sit out — their families stay covered
-    # via tfidf/knn_cosine and rolling_1h)
-    "q_sessionize", "q_join3_topk", "q_join5_region", "q_knn_cosine",
-    # round-5 addition: deterministic train/val/test hash split
-    "q_train_val_split",
+    # q_wordcount/q_window_rank/q_join5_region sit out — families stay
+    # covered via tfidf/knn_cosine, rolling_1h, join3/asof)
+    "q_sessionize", "q_join3_topk", "q_knn_cosine",
+    # round-5 additions (every new query enters the window the round it
+    # lands — the r4 late-addition gap does not repeat)
+    "q_train_val_split", "q_schema_evolution",
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:
