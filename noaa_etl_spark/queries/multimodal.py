@@ -92,21 +92,41 @@ _EMBED_DIM = 16
 def _hashed_bow_embed(texts: pd.Series) -> pd.Series:
     """Deterministic embedding stub: hashed bag-of-words into a fixed
     dim, L2-normalized. Same Spark plumbing (Arrow batches in,
-    float-vector column out) as a real encoder."""
+    float-vector column out) as a real encoder.
+
+    Token→(slot, sign) lookups are memoized per executor: vocabulary
+    reuse makes the md5 of an already-seen token pure waste (a corpus
+    has far fewer distinct tokens than token occurrences — the memo
+    turns the digest cost from per-occurrence into per-vocab-entry).
+    Capped so an adversarial vocabulary cannot grow worker memory
+    unboundedly; eviction just falls back to hashing."""
     import hashlib
     import math
+
+    memo = _hashed_bow_embed_memo
+    MEMO_CAP = 1_000_000
+
+    def tok_slot(tok: str) -> tuple[int, float]:
+        hit = memo.get(tok)
+        if hit is None:
+            digest = hashlib.md5(tok.encode()).digest()
+            hit = (digest[0] % _EMBED_DIM, 1.0 if digest[1] % 2 == 0 else -1.0)
+            if len(memo) < MEMO_CAP:
+                memo[tok] = hit
+        return hit
 
     def embed(t: str) -> list[float]:
         vec = [0.0] * _EMBED_DIM
         for tok in (t or "").split(" "):
-            digest = hashlib.md5(tok.encode()).digest()
-            idx = digest[0] % _EMBED_DIM
-            sign = 1.0 if digest[1] % 2 == 0 else -1.0
+            idx, sign = tok_slot(tok)
             vec[idx] += sign
         norm = math.sqrt(sum(x * x for x in vec)) or 1.0
         return [x / norm for x in vec]
 
     return texts.map(embed)
+
+
+_hashed_bow_embed_memo: dict = {}
 
 
 @graded("q_doc_similarity")  # rows-only: engine-defined embeddings feed the ANN
