@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from noaa_etl_spark.functions.vectors import as_double, cosine_similarity, dot, l2_norm
+from noaa_etl_spark.functions.vectors import as_double, dot, l2_norm
 
 
 def knn_bruteforce(
@@ -48,11 +48,11 @@ def knn_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("q_vec"),
-    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
+    ).withColumn("q_norm", F.greatest(l2_norm(F.col("q_vec")), F.lit(1e-12)))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("c_vec"),
-    ).withColumn("c_norm", l2_norm(F.col("c_vec")))
+    ).withColumn("c_norm", F.greatest(l2_norm(F.col("c_vec")), F.lit(1e-12)))
     sim = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -199,7 +199,10 @@ def _srp_sig_norm_udf(dim: int, num_planes: int):
             return pd.DataFrame({"sig": [], "norm": []})
         mat = np.array(vecs.tolist(), dtype=np.float64)  # (n × dim)
         bits = (mat @ planes_t >= 0).astype(np.int32)
-        norms = np.linalg.norm(mat, axis=1)
+        # Floor the norm: a degenerate all-zero vector (e.g. a hashed
+        # BoW whose signs cancel) must yield sim 0, not an ANSI
+        # divide-by-zero when the cosine denominator multiplies norms.
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
         return pd.DataFrame({"sig": list(bits), "norm": norms})
 
     return sig_norm
@@ -486,11 +489,6 @@ def train_ivf_centroids(
     )
 
 
-def _unit_vec(vec: F.Column) -> F.Column:
-    v = as_double(vec)
-    return F.transform(v, lambda x: x / l2_norm(v))
-
-
 def _nearest_cells(df: DataFrame, centroids: DataFrame, role: str, n: int) -> DataFrame:
     """Tag each vector with its n nearest cell ids (unit-vector L2 ==
     cosine order).
@@ -555,13 +553,20 @@ def knn_ivf(
     """
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_cells, vec_col)
+    # Norm floored at 1e-12: degenerate zero vectors read as sim 0
+    # instead of an ANSI divide-by-zero (surfaced by all-cancelling
+    # hashed-BoW chunk embeddings in the corpus pipeline at sf0.1).
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("query_vec")
-    ).withColumn("query_norm", l2_norm(F.col("query_vec")))
+    ).withColumn(
+        "query_norm", F.greatest(l2_norm(F.col("query_vec")), F.lit(1e-12))
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("neighbor_vec"),
-    ).withColumn("neighbor_norm", l2_norm(F.col("neighbor_vec")))
+    ).withColumn(
+        "neighbor_norm", F.greatest(l2_norm(F.col("neighbor_vec")), F.lit(1e-12))
+    )
     qc = _nearest_cells(q, centroids, "query", n_probe)
     cc = _nearest_cells(c, centroids, "neighbor", 1)
     rowdot = _rowwise_dot_udf()
