@@ -341,3 +341,69 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.token_idx
         """
     )
+
+
+# --- Python UDTF with dynamic schema (analyze) ------------------------
+
+
+class _FixedSlices:
+    """UDTF whose OUTPUT SCHEMA is computed at plan time from a constant
+    argument: ``fixed_slices(text, 'head:16,mid:16')`` emits one column
+    per spec entry. The ``analyze`` hook is the Spark-4 extension point
+    for table functions whose shape depends on their arguments — the
+    Python-side equivalent of a macro expanding to a typed projection.
+    """
+
+    @staticmethod
+    def analyze(text, spec):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        schema = StructType()
+        for part in spec.value.split(","):
+            name, _width = part.split(":")
+            schema = schema.add(name, StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text, spec):
+        out, pos = [], 0
+        for part in spec.split(","):
+            _name, width = part.split(":")
+            w = int(width)
+            out.append((text or "")[pos : pos + w])
+            pos += w
+        yield tuple(out)
+
+
+@graded(
+    "q_udtf_dynamic_schema",
+    oracle="""
+    SELECT doc_id,
+           substr(text, 1, 16)  AS head,
+           substr(text, 17, 16) AS mid
+    FROM documents
+    WHERE doc_id < 20
+    ORDER BY doc_id
+    """,
+)
+def q_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-schema Python UDTF via the ``analyze`` hook: the output
+    columns (head, mid — 16 chars each) exist only because the constant
+    spec argument says so; change the spec literal and the plan gets a
+    different schema with no Python-side code change. Oracle replays
+    the slices as plain substr projections.
+
+    100 TB: per-row work is a bounded string slice; the UDTF runs
+    Arrow-batched like any Python UDTF — fine off the hot path, and the
+    pattern's value is plan-time typing, not throughput."""
+    spark.udtf.register("fixed_slices", udtf(_FixedSlices))
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 20).createOrReplaceTempView("udtf_dyn_docs")
+    # No ORDER BY: the graded compare is order-insensitive (house rule).
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.head, s.mid
+        FROM udtf_dyn_docs d,
+             LATERAL fixed_slices(d.text, 'head:16,mid:16') s
+        """
+    )

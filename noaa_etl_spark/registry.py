@@ -108,7 +108,7 @@ GRADED_WINDOW: list[str] = [
     "q_dedup_keyed",          # G set ops
     "q_json_extract",         # H scalars (events.ts)
     "q_stream_sessionize",    # J streaming (events.ts NTZ re-confirm)
-    "q_udaf_trimmed_mean",    # K UDFs
+    "q_udtf_dynamic_schema",  # K UDFs (new this round: analyze-hook UDTF)
     "q_ghcn_daily_wide",      # NOAA
     "q_merge_upsert",         # ETL
     # headline bench queries (fresh signal on the graded perf surface;

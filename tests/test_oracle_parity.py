@@ -132,7 +132,7 @@ def test_graded_window_spans_every_family():
         "H_scalars": {"q_json_extract", "q_date_functions", "q_date_arithmetic", "q_string_functions", "q_map_functions", "q_math_haversine", "q_variant_json"},
         "I_llm": {"q_dedup_exact", "q_dedup_hash", "q_wordcount", "q_token_stats", "q_tfidf", "q_knn_cosine", "q_semantic_dedup"},
         "J_streaming": {"q_stream_tumbling", "q_stream_interval_join", "q_stream_sessionize", "q_stream_sliding", "q_stream_dedup"},
-        "K_udfs": {"q_udaf_trimmed_mean", "q_grouped_zscore", "q_cogroup_merge", "q_udtf_tokens", "q_pandas_udf_scalar"},
+        "K_udfs": {"q_udaf_trimmed_mean", "q_grouped_zscore", "q_cogroup_merge", "q_udtf_tokens", "q_pandas_udf_scalar", "q_udtf_dynamic_schema"},
         "tpch": {
             "q_tpch_q7_volume", "q_tpch_q8_share", "q_tpch_q10_returns",
             "q_tpch_q4_priority", "q_tpch_q11_value", "q_tpch_q13_custdist",
