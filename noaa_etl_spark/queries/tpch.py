@@ -129,17 +129,26 @@ def q_tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q11_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: parts whose traded value exceeds 1.25x the mean part
-    value — HAVING against an uncorrelated scalar aggregate,
-    decorrelated as a cross-join against the one-row threshold. (A
+    value — HAVING against an uncorrelated scalar aggregate. (A
     mean-relative threshold stays non-trivial at every scale factor;
-    fraction-of-total thresholds go vacuous as the part count grows.)"""
+    fraction-of-total thresholds go vacuous as the part count grows.)
+
+    The threshold is a GLOBAL WINDOW over the per-part aggregate, not a
+    second lineitem aggregate cross-joined back: sum is distributive
+    (sum of per-part sums == sum over lineitem) and count(per-part
+    rows) == count_distinct(partkey), so the scalar derives from the
+    reduced relation — referencing lineitem from a second subtree made
+    Spark scan+aggregate the fact twice (the Q21 double-plan smell).
+    The window's single-partition exchange moves only |parts| skinny
+    rows."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("part_value"))
-    total = li.agg(
-        (1.25 * F.sum("l_extendedprice") / F.count_distinct("l_partkey")).alias("threshold")
-    )
+    w = Window.partitionBy()
     return (
-        per_part.join(F.broadcast(total))
+        per_part.withColumn(
+            "threshold",
+            1.25 * F.sum("part_value").over(w) / F.count(F.lit(1)).over(w),
+        )
         .filter(F.col("part_value") > F.col("threshold"))
         .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
@@ -194,16 +203,23 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 shape: revenue from unusually-small-quantity orders of one
-    brand's parts — correlated average, decorrelated as a per-part
-    aggregate joined back to the fact."""
+    brand's parts — correlated average, decorrelated as a PER-PART
+    WINDOW over the brand-filtered fact. The brand join selects whole
+    partkeys, so the window avg over the joined rows equals the
+    correlated subquery's avg over all lineitems of that part — and
+    this form beats the agg+join-back two ways at scale: the fact is
+    referenced once (the old per-part-avg subtree re-scanned ALL of
+    lineitem), and only the brand's share of rows (~1/|brands|)
+    shuffles for the partkey window."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    per_part_avg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#11")), li.l_partkey == part.p_partkey)
-        .join(per_part_avg, li.l_partkey == F.col("a_partkey"))
+        li.join(
+            F.broadcast(part.filter(F.col("p_brand") == "Brand#11")),
+            li.l_partkey == part.p_partkey,
+        )
+        .withColumn("half_avg_qty", 0.5 * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
@@ -354,9 +370,13 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("raw_rev"))
     )
-    mx = rev.agg(F.max("raw_rev").alias("mx"))
+    # Global-window max over the per-supplier aggregate (|suppliers|
+    # rows through one single-partition exchange) instead of a second
+    # agg subtree that re-plans the fact scan; max is order-exact so
+    # the equality filter is unchanged.
+    w = Window.partitionBy()
     return (
-        rev.join(F.broadcast(mx))
+        rev.withColumn("mx", F.max("raw_rev").over(w))
         .filter(F.col("raw_rev") == F.col("mx"))
         .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .select("s_suppkey", "s_name", F.round("raw_rev", 4).alias("total_rev"))
