@@ -111,10 +111,11 @@ GRADED_WINDOW: list[str] = [
     "q_udtf_dynamic_schema",  # K UDFs (new this round: analyze-hook UDTF)
     "q_ghcn_daily_wide",      # NOAA
     "q_merge_upsert",         # ETL
-    # headline bench queries (fresh signal on the graded perf surface;
-    # q_wordcount/q_window_rank/q_join5_region sit out — families stay
-    # covered via tfidf/knn_cosine, rolling_1h, join3/asof)
-    "q_sessionize", "q_join3_topk", "q_knn_cosine",
+    # TPC-H threshold rewrites (plans changed this round → fresh signal;
+    # the headline bench queries sit out — they're r2-r4 green and
+    # benched every round, and their families stay covered via
+    # tfidf/rolling_1h/asof_join)
+    "q_tpch_q11_value", "q_tpch_q15_top_supplier", "q_tpch_q17_small_qty",
     # round-5 additions (every new query enters the window the round it
     # lands — the r4 late-addition gap does not repeat)
     "q_train_val_split", "q_schema_evolution",
