@@ -730,3 +730,40 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+@graded(
+    "q_dedup_survivor_policy",
+    oracle="""
+    SELECT arg_max(doc_id, n_chars * 10000000 - doc_id) AS kept_doc_id,
+           CAST(max(n_chars) AS BIGINT)                 AS kept_n_chars,
+           count(*)                                     AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup with a QUALITY-AWARE survivor policy: per duplicate group
+    keep the highest-quality copy (longest here; any scored column in
+    practice), tie-broken to the smallest doc_id — real pipelines keep
+    the best-rendered duplicate, not an arbitrary or min-id one, and
+    the policy must be deterministic under retries/speculation, which
+    raw first()/dropDuplicates is not. max_by over the composite key
+    (quality major, -doc_id minor — encoded as one integer because
+    DuckDB's arg_max takes scalar keys only) is the deterministic form
+    of that policy.
+
+    100 TB: same single hash shuffle as q_dedup_hash (16-byte keys,
+    never text); max_by is algebraic — partial-aggregates combine
+    map-side, so the policy costs nothing over min-id."""
+    docs = load_table(spark, sf_dir, "documents")
+    policy_key = F.col("n_chars") * 10_000_000 - F.col("doc_id")
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.max_by("doc_id", policy_key).alias("kept_doc_id"),
+            F.max("n_chars").alias("kept_n_chars"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("kept_doc_id", "kept_n_chars", "n_copies")
+    )

@@ -100,8 +100,9 @@ GRADED_WINDOW: list[str] = [
     "q_hll_sketch_union", "q_approx_aggs", "q_stream_stateful",
     "q_stream_heavy_hitters", "q_custom_datasource", "q_embed_docs",
     "q_multimodal_features", "q_lang_id", "q_quality_score",
-    # family re-confirmation reps
-    "q_csv_roundtrip",        # A sources
+    # family re-confirmation reps (A sources is carried by
+    # q_schema_evolution below)
+    "q_dedup_survivor_policy",  # I dedup: new quality-aware survivor
     "q_filter_predicates",    # B filters
     "q_pricing_summary",      # D aggs (headline)
     "q_sort_offset",          # F sort/limit
