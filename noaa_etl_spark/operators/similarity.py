@@ -450,6 +450,13 @@ def train_ivf_centroids(
     (measured: 5 s for 20 iterations over 2,000 fixture rows, vs <50 ms
     here, identical recall within test tolerances).
 
+    Determinism caveat: the unordered ``.limit(sample_cap)`` sample is
+    deterministic for a FIXED file layout + partitioning; across
+    different layouts/cluster configs the sample (hence the exact
+    centroids) can differ. That is acceptable for an ANN index — recall
+    gates, not centroid values, are the contract. Sort by a key before
+    the limit if bit-identical centroids across layouts are required.
+
     Returns (cell_id int, centroid array<double>).
     """
     rows = (
@@ -457,6 +464,11 @@ def train_ivf_centroids(
         .limit(sample_cap)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "train_ivf_centroids: corpus is empty — cannot train an IVF "
+            "index on zero vectors"
+        )
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

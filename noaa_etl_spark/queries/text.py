@@ -735,9 +735,9 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @graded(
     "q_dedup_survivor_policy",
     oracle="""
-    SELECT arg_max(doc_id, n_chars * 10000000 - doc_id) AS kept_doc_id,
-           CAST(max(n_chars) AS BIGINT)                 AS kept_n_chars,
-           count(*)                                     AS n_copies
+    SELECT arg_max(doc_id, n_chars * 8589934592 - doc_id) AS kept_doc_id,
+           CAST(max(n_chars) AS BIGINT)                   AS kept_n_chars,
+           count(*)                                       AS n_copies
     FROM documents
     GROUP BY md5(text)
     """,
@@ -749,15 +749,22 @@ def q_dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the best-rendered duplicate, not an arbitrary or min-id one, and
     the policy must be deterministic under retries/speculation, which
     raw first()/dropDuplicates is not. max_by over the composite key
-    (quality major, -doc_id minor — encoded as one integer because
+    (quality major, -doc_id minor — encoded as one bigint because
     DuckDB's arg_max takes scalar keys only) is the deterministic form
     of that policy.
+
+    Encoding contract: key = n_chars * 2^33 - doc_id on BIGINT, valid
+    while doc_id < 2^33 (~8.6e9 docs) and n_chars < 2^30 — within those
+    bounds the quality term strictly dominates the tie-break term, so
+    ordering is (n_chars DESC, doc_id ASC) exactly. Overflow headroom:
+    2^30 * 2^33 = 2^63 fits bigint only as an upper bound, so practical
+    n_chars (document lengths, << 2^30) stay far inside range.
 
     100 TB: same single hash shuffle as q_dedup_hash (16-byte keys,
     never text); max_by is algebraic — partial-aggregates combine
     map-side, so the policy costs nothing over min-id."""
     docs = load_table(spark, sf_dir, "documents")
-    policy_key = F.col("n_chars") * 10_000_000 - F.col("doc_id")
+    policy_key = F.col("n_chars").cast("long") * F.lit(2**33) - F.col("doc_id")
     return (
         docs.groupBy(F.md5("text").alias("h"))
         .agg(

@@ -117,14 +117,21 @@ def q_tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @graded(
     "q_tpch_q11_value",
     oracle="""
-    SELECT l_partkey,
-           sum(l_extendedprice) AS part_value
-    FROM lineitem
-    GROUP BY l_partkey
-    HAVING sum(l_extendedprice) > (
-      SELECT 1.25 * sum(l_extendedprice) / count(DISTINCT l_partkey) FROM lineitem
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS part_value_cents
+      FROM lineitem
+      GROUP BY l_partkey
+    ), tot AS (
+      SELECT CAST(sum(part_value_cents) AS BIGINT) AS total_cents,
+             count(*) AS nparts
+      FROM per_part
     )
-    ORDER BY part_value DESC, l_partkey
+    SELECT l_partkey, part_value_cents
+    FROM per_part, tot
+    WHERE part_value_cents * nparts * 4 > total_cents * 5
+    ORDER BY part_value_cents DESC, l_partkey
     """,
 )
 def q_tpch_q11_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,18 +147,26 @@ def q_tpch_q11_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced relation — referencing lineitem from a second subtree made
     Spark scan+aggregate the fact twice (the Q21 double-plan smell).
     The window's single-partition exchange moves only |parts| skinny
-    rows."""
+    rows.
+
+    Values are exact integer CENTS (per-term floor, bigint sum — the
+    Q3/Q6 form) and the 1.25x-mean threshold is the cross-multiplied
+    integer predicate 4*n*value > 5*total, so boundary membership is
+    bit-exact across engines, partitionings, and accumulation orders —
+    no double sum ever meets a ulp-sensitive comparison."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("part_value"))
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    per_part = li.groupBy("l_partkey").agg(F.sum(cents).alias("part_value_cents"))
     w = Window.partitionBy()
     return (
-        per_part.withColumn(
-            "threshold",
-            1.25 * F.sum("part_value").over(w) / F.count(F.lit(1)).over(w),
+        per_part.withColumn("total_cents", F.sum("part_value_cents").over(w))
+        .withColumn("nparts", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("part_value_cents") * F.col("nparts") * 4
+            > F.col("total_cents") * 5
         )
-        .filter(F.col("part_value") > F.col("threshold"))
-        .select("l_partkey", "part_value")
-        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+        .select("l_partkey", "part_value_cents")
+        .orderBy(F.desc("part_value_cents"), F.asc("l_partkey"))
     )
 
 
