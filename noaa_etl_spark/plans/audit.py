@@ -86,6 +86,18 @@ def executed_exchange_counts(df: DataFrame) -> tuple[int, int, int]:
     return exchanges, broadcast, reused
 
 
+def stream_plan_exchange_counts(plan: str) -> tuple[int, int, int]:
+    """(shuffle_exchanges, broadcast_exchanges, reused_exchanges) from a
+    captured micro-batch plan string (streaming/core.LAST_STREAM_PLANS).
+    Same disjoint regexes as executed_exchange_counts — streaming plans
+    use the identical Exchange node names, plus StateStore operators the
+    caller can grep for separately."""
+    exchanges = len(re.findall(r"\bExchange\b", plan))
+    broadcast = len(re.findall(r"BroadcastExchange", plan))
+    reused = len(re.findall(r"ReusedExchange", plan))
+    return exchanges, broadcast, reused
+
+
 def _job_group_stage_ids(spark, group: str) -> tuple[int, set[int], int]:
     """(job_count, stage_ids, task_count) recorded for a job group."""
     tracker = spark.sparkContext.statusTracker()

@@ -24,6 +24,13 @@ _CHECKPOINT_ROOT = os.path.join(
     "checkpoints",
 )
 
+# Last executed micro-batch physical plan per query name, captured after
+# every run_to_memory drain. Streaming plans are invisible to the batch
+# cost audit (df.explain on the returned memory table shows the SINK
+# scan, not the micro-batch pipeline) — this is the hook the streaming
+# COSTS gate reads so a stream query gaining a shuffle fails CI.
+LAST_STREAM_PLANS: dict[str, str] = {}
+
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Open one fixture table as a file-source stream.
@@ -69,4 +76,12 @@ def run_to_memory(
         .start()
     )
     query.awaitTermination()
+    # explainInternal on a terminated availableNow query returns the
+    # LAST micro-batch's executed physical plan (incremental execution
+    # is retained on the query handle) — the only surface that shows
+    # streaming Exchange/StateStore nodes.
+    try:
+        LAST_STREAM_PLANS[query_name] = query._jsq.explainInternal(False)
+    except Exception:  # plan capture is an audit aid, never a failure
+        LAST_STREAM_PLANS.pop(query_name, None)
     return spark.table(query_name)

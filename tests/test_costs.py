@@ -93,6 +93,49 @@ def test_no_shuffle_byte_inflation_vs_committed_costs(spark, name):
     )
 
 
+COSTS_STREAMING = (
+    _COSTS.get("streaming_test_sf", {}) if _COSTS.get("test_sf_dir") == SF_DIR else {}
+)
+
+
+@pytest.mark.parametrize("name", sorted(COSTS_STREAMING))
+def test_streaming_micro_batch_plan_vs_committed_costs(spark, name):
+    """Streaming twin of the exchange gate: the batch explain of a
+    run_to_memory result shows only the memory-sink scan, so a stream
+    query gaining a shuffle (or a state-store stage) was previously
+    invisible to CI. The micro-batch plan captured at drain time
+    (streaming/core.LAST_STREAM_PLANS) is the auditable surface — the
+    stateless ETL twins must hold at ZERO exchanges."""
+    from noaa_etl_spark.plans.audit import stream_plan_exchange_counts
+    from noaa_etl_spark.streaming.core import LAST_STREAM_PLANS
+
+    QUERIES[name](spark, SF_DIR).collect()
+    sink = {
+        "q_stream_pii_scrub": "mem_stream_pii_scrub",
+        "q_stream_chunk_documents": "mem_stream_chunk_documents",
+        "q_stream_tumbling": "mem_stream_tumbling",
+        "q_stream_sessionize": "mem_stream_sessionize",
+        "q_stream_dedup": "mem_stream_dedup",
+    }[name]
+    plan = LAST_STREAM_PLANS.get(sink)
+    assert plan, f"{name}: no micro-batch plan captured at drain time"
+    exchanges, broadcast, _ = stream_plan_exchange_counts(plan)
+    committed = COSTS_STREAMING[name]
+    assert exchanges <= committed["exchanges"], (
+        f"{name}: micro-batch plan has {exchanges} exchanges vs committed "
+        f"{committed['exchanges']} — a shuffle entered the stream; if "
+        f"intended, regenerate COSTS.json (python tools/cost_audit.py)\n{plan}"
+    )
+    assert exchanges + broadcast <= (
+        committed["exchanges"] + committed.get("broadcast_exchanges", 0)
+    ), f"{name}: a BroadcastExchange entered the micro-batch plan\n{plan}"
+    state_ops = plan.count("StateStore")
+    assert state_ops <= committed.get("state_store_ops", 0), (
+        f"{name}: micro-batch plan gained state-store operators "
+        f"({state_ops} vs {committed.get('state_store_ops', 0)})\n{plan}"
+    )
+
+
 def test_gate_catches_injected_repartition(spark):
     """Self-test: an injected repartition() must trip the count gate."""
     df = QUERIES["q_pricing_summary"](spark, SF_DIR).repartition(8)

@@ -61,7 +61,49 @@ AUDITED = [
     "q_tpch_q12_late_priority",
     "q_tpch_q16_supplier_cnt",
     "q_tpch_q21_waiting",
+    # Round 6: the whole remaining TPC-H suite. The r5 double-plan
+    # rewrites (Q11/Q15/Q17 thresholds as windows over the reduced
+    # relation instead of agg+join-back — 14→6 / 8→4 exchanges) are
+    # precisely the regressions only a plan gate catches; the rest join
+    # the audit so no TPC-H shape can silently grow a fact shuffle.
+    "q_tpch_q4_priority",
+    "q_tpch_q7_volume",
+    "q_tpch_q8_share",
+    "q_tpch_q10_returns",
+    "q_tpch_q11_value",
+    "q_tpch_q13_custdist",
+    "q_tpch_q14_promo",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q17_small_qty",
+    "q_tpch_q19_disjunctive",
+    "q_tpch_q20_nested_in",
+    "q_tpch_q22_idle_balance",
+    "q_tpch_q3_shipping",
+    "q_tpch_q6_forecast",
+    "q_tpch_q18_large_volume",
 ]
+
+# Streaming queries whose LAST micro-batch plan is auditable via
+# streaming/core.LAST_STREAM_PLANS (batch explain sees only the memory
+# sink). Exchange counts only — stage->query byte attribution isn't
+# stable across micro-batches. The two stateless ETL twins must stay at
+# ZERO exchanges; the windowed/stateful ones gate their shuffle count.
+AUDITED_STREAMING = [
+    "q_stream_pii_scrub",
+    "q_stream_chunk_documents",
+    "q_stream_tumbling",
+    "q_stream_sessionize",
+    "q_stream_dedup",
+]
+
+# run_to_memory query names, keyed by graded query name.
+_STREAM_SINK_NAMES = {
+    "q_stream_pii_scrub": "mem_stream_pii_scrub",
+    "q_stream_chunk_documents": "mem_stream_chunk_documents",
+    "q_stream_tumbling": "mem_stream_tumbling",
+    "q_stream_sessionize": "mem_stream_sessionize",
+    "q_stream_dedup": "mem_stream_dedup",
+}
 
 
 def audit_query(spark, name, fn, sf_dir) -> dict:
@@ -86,6 +128,27 @@ def main() -> None:
             audit_query(spark, name, QUERIES[name], sf_dir)  # warm-up (fills caches, JIT)
             payload[section][name] = audit_query(spark, name, QUERIES[name], sf_dir)
             print(sf_dir, name, json.dumps(payload[section][name]), flush=True)
+
+    # Streaming micro-batch plans at the TEST SF (where the gate runs).
+    from noaa_etl_spark.plans.audit import stream_plan_exchange_counts
+    from noaa_etl_spark.streaming.core import LAST_STREAM_PLANS
+
+    payload["streaming_test_sf"] = {}
+    for name in AUDITED_STREAMING:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, TEST_SF_DIR).collect()
+        plan = LAST_STREAM_PLANS.get(_STREAM_SINK_NAMES[name])
+        if plan is None:
+            raise RuntimeError(f"no captured micro-batch plan for {name}")
+        ex, bc, ru = stream_plan_exchange_counts(plan)
+        payload["streaming_test_sf"][name] = {
+            "exchanges": ex,
+            "broadcast_exchanges": bc,
+            "reused_exchanges": ru,
+            "state_store_ops": plan.count("StateStore"),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        print("stream", name, json.dumps(payload["streaming_test_sf"][name]), flush=True)
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
