@@ -459,6 +459,27 @@ def train_ivf_centroids(
 
     Returns (cell_id int, centroid array<double>).
     """
+    centers = _train_ivf_centers(corpus, n_cells, vec_col, seed, max_iter, sample_cap)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell_id int, centroid array<double>",
+    )
+
+
+def _train_ivf_centers(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_cap: int = 50_000,
+) -> np.ndarray:
+    """Numpy body of :func:`train_ivf_centroids` — returns the (cells x
+    dim) center matrix directly. knn_ivf uses this path to skip the
+    createDataFrame/collect round-trip (the wrapper frame is RDD-backed,
+    so every .collect() on it pays a Python-worker job — measured ~1 s
+    at local[32], twice per search via cell assignment)."""
     rows = (
         corpus.select(as_double(F.col(vec_col)).alias("v"))
         .limit(sample_cap)
@@ -494,33 +515,46 @@ def train_ivf_centroids(
         if np.allclose(new_centers, centers):
             break
         centers = new_centers
-    spark = corpus.sparkSession
-    return spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "cell_id int, centroid array<double>",
-    )
+    return centers
 
 
-def _nearest_cells(df: DataFrame, centroids: DataFrame, role: str, n: int) -> DataFrame:
+def _centroids_to_np(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Collect a (cell_id, centroid) frame ONCE into (cell_ids, centers).
+    Callers that assign both a query side and a corpus side share this
+    single collect — the frame is RDD-backed, so each collect is a job."""
+    cent_rows = centroids.orderBy("cell_id").collect()
+    cell_ids = np.array([r["cell_id"] for r in cent_rows], dtype=np.int64)
+    centers = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    return cell_ids, centers
+
+
+def _nearest_cells(
+    df: DataFrame,
+    centroids: "DataFrame | tuple[np.ndarray, np.ndarray]",
+    role: str,
+    n: int,
+) -> DataFrame:
     """Tag each vector with its n nearest cell ids (unit-vector L2 ==
     cosine order).
 
     The centroid table is tiny by contract (n_cells); it is collected
-    once at plan-build time and closed over by an Arrow-batched UDF that
-    scores the whole batch against every centroid in one matmul and
-    argpartitions the top-n — replacing the previous
-    |df| × n_cells broadcast-join blow-up, its interpreted per-pair HOF
-    distance, and the per-vector row_number window. Assignment is now a
-    narrow projection + explode: no shuffle, no window, no row
-    inflation. Ties break by ascending cell_id (stable argsort over the
-    cell_id-ordered centroid matrix), matching the old orderBy."""
+    once at plan-build time (or passed pre-collected as a
+    (cell_ids, centers) tuple — knn_ivf shares one collect across both
+    sides) and closed over by an Arrow-batched UDF that scores the whole
+    batch against every centroid in one matmul and argpartitions the
+    top-n — replacing the previous |df| × n_cells broadcast-join
+    blow-up, its interpreted per-pair HOF distance, and the per-vector
+    row_number window. Assignment is a narrow projection + explode: no
+    shuffle, no window, no row inflation. Ties break by ascending
+    cell_id (stable argsort over the cell_id-ordered centroid matrix),
+    matching the old orderBy."""
     from pyspark.sql.functions import pandas_udf
 
-    cent_rows = centroids.orderBy("cell_id").collect()
-    cell_ids = np.array([r["cell_id"] for r in cent_rows], dtype=np.int64)
-    cent_mat_t = np.array(
-        [r["centroid"] for r in cent_rows], dtype=np.float64
-    ).T  # (dim × cells)
+    if isinstance(centroids, DataFrame):
+        cell_ids, centers = _centroids_to_np(centroids)
+    else:
+        cell_ids, centers = centroids
+    cent_mat_t = centers.T  # (dim × cells)
     c2 = (cent_mat_t * cent_mat_t).sum(axis=0)  # ||c||² per cell
     top = min(n, len(cell_ids))
 
@@ -564,7 +598,10 @@ def knn_ivf(
     ``centroids`` frame to amortize training across calls.
     """
     if centroids is None:
-        centroids = train_ivf_centroids(corpus, n_cells, vec_col)
+        centers = _train_ivf_centers(corpus, n_cells, vec_col)
+        cents_np = (np.arange(len(centers), dtype=np.int64), centers)
+    else:
+        cents_np = _centroids_to_np(centroids)  # one collect, shared below
     # Norm floored at 1e-12: degenerate zero vectors read as sim 0
     # instead of an ANSI divide-by-zero (surfaced by all-cancelling
     # hashed-BoW chunk embeddings in the corpus pipeline at sf0.1).
@@ -579,17 +616,81 @@ def knn_ivf(
     ).withColumn(
         "neighbor_norm", F.greatest(l2_norm(F.col("neighbor_vec")), F.lit(1e-12))
     )
-    qc = _nearest_cells(q, centroids, "query", n_probe)
-    cc = _nearest_cells(c, centroids, "neighbor", 1)
-    rowdot = _rowwise_dot_udf()
-    sim = rowdot(F.col("query_vec"), F.col("neighbor_vec")) / (
-        F.col("query_norm") * F.col("neighbor_norm")
+    qc = _nearest_cells(q, cents_np, "query", n_probe)
+    cc = _nearest_cells(c, cents_np, "neighbor", 1)
+
+    # Score per probed CELL with one BLAS matmul (cogroup on cell_id),
+    # not per candidate PAIR. The previous equi-join shipped BOTH 128-dim
+    # vectors for every (query, candidate) pair through Arrow — at
+    # sf0.1 that is ~62k pairs x 256 doubles ≈ 128 MB of serialized
+    # fan-in for 50 queries. Cogrouping moves each corpus vector across
+    # the wire ONCE (keyed by its cell) and each query vector n_probe
+    # times; the pair space exists only inside numpy. Per-cell top-k
+    # (same rounded-score-desc, id-asc total order as the final window)
+    # cannot drop a global top-k member — global top-k ∩ cell ⊆ cell
+    # top-k under one total order — so the result is unchanged.
+    #
+    # 100 TB: per-task memory is one cell's corpus matrix — the standard
+    # IVF sizing contract (n_cells grows ~sqrt(N) so cells stay
+    # task-sized); the corpus blocks inside the UDF bound the matmul
+    # intermediate regardless of cell width. A hot cell concentrates in
+    # one task exactly as it did in the join form — cell balance is the
+    # trainer's job, not the scorer's.
+    k_eff = k
+    rd = round_digits
+    BLOCK = 8192
+
+    def _score_cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"})
+        qm = np.array(qpdf["query_vec"].tolist(), dtype=np.float64)
+        qn = qpdf["query_norm"].to_numpy(dtype=np.float64)
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        nq = len(qids)
+        best_s = np.full((nq, 0), 0.0)
+        best_i = np.full((nq, 0), -1, dtype=np.int64)
+        for lo in range(0, len(cpdf), BLOCK):
+            blk = cpdf.iloc[lo : lo + BLOCK]
+            cm = np.array(blk["neighbor_vec"].tolist(), dtype=np.float64)
+            cn = blk["neighbor_norm"].to_numpy(dtype=np.float64)
+            cids = blk["neighbor_id"].to_numpy(dtype=np.int64)
+            s = (qm @ cm.T) / (qn[:, None] * cn[None, :])
+            if rd is not None:
+                s = np.round(s, rd)
+            s[qids[:, None] == cids[None, :]] = -np.inf  # self-exclusion
+            all_s = np.concatenate([best_s, s], axis=1)
+            all_i = np.concatenate(
+                [best_i, np.broadcast_to(cids, (nq, len(cids)))], axis=1
+            )
+            # (score desc, neighbor_id asc): stable argsort by id, then
+            # stable argsort by -score — composition is the total order.
+            o1 = np.argsort(all_i, axis=1, kind="stable")
+            s1 = np.take_along_axis(all_s, o1, axis=1)
+            o2 = np.argsort(-s1, axis=1, kind="stable")[:, :k_eff]
+            keep = np.take_along_axis(o1, o2, axis=1)
+            best_s = np.take_along_axis(all_s, keep, axis=1)
+            best_i = np.take_along_axis(all_i, keep, axis=1)
+        mask = np.isfinite(best_s) & (best_i >= 0)
+        reps = mask.sum(axis=1)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, reps),
+                "neighbor_id": best_i[mask],
+                "cos_sim": best_s[mask],
+            }
+        )
+
+    cands = (
+        qc.groupby("cell_id")
+        .cogroup(cc.groupby("cell_id"))
+        .applyInPandas(
+            lambda ql, cl: _score_cell(ql, cl),
+            "query_id long, neighbor_id long, cos_sim double",
+        )
     )
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    cands = qc.join(
-        cc, (qc.cell_id == cc.cell_id) & (qc.query_id != cc.neighbor_id)
-    ).select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    # ≤ n_probe*k survivors per query reach the global top-k window.
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         cands.withColumn("rn", F.row_number().over(w))
