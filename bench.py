@@ -5,10 +5,18 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Methodology mirrors BASELINE.md: per query 1 warm-up run then median of
-3 timed runs of ``collect()`` latency; session startup excluded. The
-headline set maps 1:1 onto the BASELINE.md rows so the driver's
-BENCH_r{N}.json is directly comparable.
+Methodology (round 6): one full warm-up pass over the whole headline
+set, then ROUNDS=5 *interleaved* passes — each pass times every query
+once, in order, inside the same session. Per-query value = median of
+the 5 interleaved samples. Interleaving spreads each query's samples
+across the session lifetime so JVM/JIT warmth (measured at ±30%
+per-session on sub-second queries, BASELINE.md §floor) perturbs all
+queries alike instead of whichever ran last; round-over-round deltas
+become attributable to plan changes. The extra "dispersion" field
+carries each query's relative sample range ((max-min)/median) so a
+reader can tell a real regression from warmth noise. Session startup
+is excluded; the headline set maps 1:1 onto the BASELINE.md rows so
+the driver's BENCH_r{N}.json is directly comparable.
 """
 
 from __future__ import annotations
@@ -38,17 +46,7 @@ HEADLINE = [
     "q_wordcount",
 ]
 
-
-def time_query(spark, name: str, sf_dir: str, warmups: int = 1, runs: int = 3) -> float:
-    fn = QUERIES[name]
-    for _ in range(warmups):
-        fn(spark, sf_dir).collect()
-    samples = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        samples.append(time.perf_counter() - t0)
-    return statistics.median(samples)
+ROUNDS = 5
 
 
 def main() -> None:
@@ -57,9 +55,24 @@ def main() -> None:
     spark = get_spark("noaa-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    per_query: dict[str, float] = {}
+    # Warm-up pass: plan compilation, file-listing caches, JIT ramp.
     for name in HEADLINE:
-        per_query[name] = round(time_query(spark, name, sf_dir), 4)
+        QUERIES[name](spark, sf_dir).collect()
+
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(ROUNDS):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
+
+    per_query: dict[str, float] = {}
+    dispersion: dict[str, float] = {}
+    for name in HEADLINE:
+        s = samples[name]
+        med = statistics.median(s)
+        per_query[name] = round(med, 4)
+        dispersion[name] = round((max(s) - min(s)) / med, 3) if med > 0 else 0.0
 
     total = round(sum(per_query.values()), 4)
     print(
@@ -70,6 +83,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "runs": ROUNDS,
+                "dispersion": dispersion,
             }
         )
     )
@@ -78,3 +93,12 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# -- round-6 methodology note ------------------------------------------------
+# Previous rounds timed each query in its own block (warmup + median-of-3
+# before moving on). r4->r5 showed +5..+21% "regressions" on sub-second
+# queries that were pure session warmth (BASELINE.md A/B/A/B analysis).
+# The interleaved design makes every query sample the same warmth
+# trajectory; with 5 samples the median sits past the JIT knee for all
+# queries simultaneously.

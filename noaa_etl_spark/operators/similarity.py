@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from noaa_etl_spark.functions.vectors import as_double, dot, l2_norm
 
@@ -259,12 +260,26 @@ def lsh_candidate_pairs(
     Per-row math is Arrow-vectorized (signature+norm in one batch
     matmul, pair dot via einsum) — round 5 measured the interpreted
     HOF forms at ~85% of this operator's 10.4 s sf0.1 wall-clock.
+
+    Self-join sharing (round 6): when ``queries is corpus`` (the
+    semantic-dedup shape) the (signature, norm) frame is computed ONCE
+    and persisted MEMORY_AND_DISK, and both join sides derive from it
+    by rename — the Arrow matmul pass and the corpus scan run once
+    instead of twice (both join sides read the cache: InMemoryTableScan
+    ×2 in the executed plan; the two band-explode exchanges stay
+    separate — role asymmetry blocks ReusedExchange — so this buys
+    compute/scan, not shuffle bytes; measured in SCALING.md).
+    Persist footprint is the PRE-explode frame (1× corpus
+    + 8 ints of signature per row, never ×bands), the right cache unit
+    at 100 TB; the cache is session-LRU-managed — callers composing
+    many dedups over one session can ``unpersist()`` the returned
+    plan's source after materializing.
     """
     rows = num_planes // bands
     sig_norm = _srp_sig_norm_udf(dim, num_planes)
 
-    def banded(df: DataFrame, role: str) -> DataFrame:
-        sig = df.select(
+    def signed(df: DataFrame, role: str) -> DataFrame:
+        return df.select(
             F.col(id_col).alias(f"{role}_id"),
             as_double(F.col(vec_col)).alias(f"{role}_vec"),
             sig_norm(F.col(vec_col)).alias("sn"),
@@ -274,6 +289,8 @@ def lsh_candidate_pairs(
             F.col("sn.sig").alias("sig"),
             F.col("sn.norm").alias(f"{role}_norm"),
         )
+
+    def banded(sig: DataFrame, role: str) -> DataFrame:
         keys = F.array(
             *[
                 F.struct(
@@ -290,8 +307,21 @@ def lsh_candidate_pairs(
             f"{role}_id", f"{role}_vec", f"{role}_norm", F.explode(keys).alias(f"{role}_bk")
         )
 
-    qb = banded(queries, "query")
-    cb = banded(corpus, "neighbor")
+    if queries is corpus:
+        shared = signed(queries, "query").persist(StorageLevel.MEMORY_AND_DISK)
+        qb = banded(shared, "query")
+        cb = banded(
+            shared.select(
+                F.col("query_id").alias("neighbor_id"),
+                F.col("query_vec").alias("neighbor_vec"),
+                F.col("sig"),
+                F.col("query_norm").alias("neighbor_norm"),
+            ),
+            "neighbor",
+        )
+    else:
+        qb = banded(signed(queries, "query"), "query")
+        cb = banded(signed(corpus, "neighbor"), "neighbor")
     rowdot = _rowwise_dot_udf()
     sim = rowdot(F.col("query_vec"), F.col("neighbor_vec")) / (
         F.col("query_norm") * F.col("neighbor_norm")

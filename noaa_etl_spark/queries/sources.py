@@ -380,3 +380,64 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("new_floor_total"),
     )
+
+
+@graded(
+    "q_zstd_roundtrip",
+    oracle="""
+    SELECT leg, o_orderstatus,
+           count(*)                                 AS n_orders,
+           min(o_totalprice)                        AS min_price,
+           max(o_totalprice)                        AS max_price,
+           CAST(sum(floor(o_totalprice)) AS BIGINT) AS floor_total
+    FROM (
+        SELECT 'csv_zst' AS leg, o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT 'parquet_zstd', o_orderstatus, o_totalprice FROM orders
+    )
+    GROUP BY leg, o_orderstatus
+    ORDER BY leg, o_orderstatus
+    """,
+)
+def q_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compressed_scan, zstd legs (SURVEY §2.A '.gz/.zst'): round-trip
+    orders through BOTH zstd paths the engine speaks and prove each
+    lossless against the oracle's plain view.
+
+    - ``parquet_zstd``: Spark-native (``compression=zstd`` on parquet —
+      zstd-jni is bundled for columnar formats).
+    - ``csv_zst``: the engine's Python DataSource pair (executor-side
+      pyarrow codec; sources/zstd_text.py) — this container's JVM lacks
+      the Hadoop native zstd TEXT codec, so the DataSource supplies it
+      without giving up distributed reads/writes.
+
+    One identical aggregate per leg; a hash match proves both sink+scan
+    pairs byte-faithful.
+    """
+    from noaa_etl_spark.sources.zstd_text import read_csv_zst, write_csv_zst
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    pq_path = _tmp("zstd_orders_pq", sf_dir)
+    orders.write.mode("overwrite").option("compression", "zstd").parquet(pq_path)
+    pq_back = spark.read.parquet(pq_path).withColumn("leg", F.lit("parquet_zstd"))
+
+    csv_path = _tmp("zstd_orders_csv", sf_dir)
+    write_csv_zst(orders, csv_path)
+    csv_back = read_csv_zst(
+        spark, csv_path, "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    ).withColumn("leg", F.lit("csv_zst"))
+
+    return (
+        csv_back.unionByName(pq_back)
+        .groupBy("leg", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.sum(F.floor("o_totalprice").cast("bigint")).alias("floor_total"),
+        )
+        .orderBy("leg", "o_orderstatus")
+    )

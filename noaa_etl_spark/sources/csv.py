@@ -1,7 +1,11 @@
 """CSV ingest with declared schema (NOAA by-year CSV style).
 
-Compression (.gz/.zst) is transparent by file extension in Spark's text
-datasources — the same reader covers the compressed_scan surface.
+Compression is transparent by file extension in Spark's text
+datasources for the codecs the JVM carries (.gz/.bz2/.lz4/.deflate —
+this reader covers the gzip compressed_scan surface). zstd TEXT needs
+the Hadoop native codec, absent in this container: the ``.zst`` leg
+lives in :mod:`noaa_etl_spark.sources.zstd_text` (Python DataSource
+pair, executor-side pyarrow codec).
 
 Scale: a schema-declared CSV scan is splittable per file (gzip files are
 not splittable — at 100 TB prefer many medium files or zstd with
