@@ -79,58 +79,64 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   queries that had NEVER had driver signal (the driver records a
 #   weaker rows-only check for them; the point is confirming they run
 #   clean under the vanilla driver, where worker-side pickling bugs
-#   surface). Remaining slots: one green rep per family + the 6
-#   headline bench queries.
+#   surface). Remaining slots went to one green rep per family plus
+#   q_pricing_summary; the other headline bench queries sat out (green
+#   r2-r4 and benched every round).
+# - Round 6: after r5 every registered query has had driver signal at
+#   least once, so the window shifts to RE-confirmation ordered by
+#   staleness: the new round-6 query (q_zstd_roundtrip), the 5 queries
+#   whose plans/semantics changed this round (shared-signature LSH
+#   self-join, IVF cogroup scoring, widened survivor key, Q11
+#   integer-cents threshold), then ALL 15 queries last graded in r1 and
+#   all 19 last graded in r2 (both pre-date two fixture regenerations),
+#   and 10 r3-graded family/high-value reps so every family carries
+#   post-r5-fixture signal. All 166 registered queries passed today's
+#   full vanilla-session sweep at sf0.01 before this rotation froze.
 GRADED_WINDOW: list[str] = [
-    # round-4 late additions, never driver-graded (oracle-paired)
-    "q_chunk_dedup", "q_incremental_dedup", "q_referential_audit",
-    "q_fingerprint_md5", "q_stream_pii_scrub", "q_stream_chunk_documents",
-    "q_gap_fill", "q_tpch_q3_shipping", "q_tpch_q6_forecast",
-    "q_tpch_q18_large_volume",
-    # round-5 TPC-H completions (suite now spans all 22 shapes)
-    "q_tpch_q2_min_cost", "q_tpch_q9_profit", "q_tpch_q12_late_priority",
-    "q_tpch_q16_supplier_cnt", "q_tpch_q21_waiting",
-    # plans changed this round (terminal sorts dropped / oracle upgrade)
-    "q_window_rolling_1h", "q_tfidf", "q_asof_join", "q_sample",
-    # rows-only queries getting their FIRST driver signal (err=null is
-    # the check: vanilla-driver crashes — pickling, configs — only
-    # surface here)
-    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
-    "q_doc_similarity", "q_semantic_dedup_lsh", "q_fingerprint",
-    "q_hll_sketch_union", "q_approx_aggs", "q_stream_stateful",
-    "q_stream_heavy_hitters", "q_custom_datasource", "q_embed_docs",
-    "q_multimodal_features", "q_lang_id", "q_quality_score",
-    # family re-confirmation reps (A sources is carried by
-    # q_schema_evolution below)
-    "q_dedup_survivor_policy",  # I dedup: new quality-aware survivor
-    "q_filter_predicates",    # B filters
-    "q_pricing_summary",      # D aggs (headline)
-    "q_sort_offset",          # F sort/limit
-    "q_dedup_keyed",          # G set ops
-    "q_json_extract",         # H scalars (events.ts)
-    "q_stream_sessionize",    # J streaming (events.ts NTZ re-confirm)
-    "q_udtf_dynamic_schema",  # K UDFs (new this round: analyze-hook UDTF)
-    "q_ghcn_daily_wide",      # NOAA
-    "q_merge_upsert",         # ETL
-    # TPC-H threshold rewrites (plans changed this round → fresh signal;
-    # the headline bench queries sit out — they're r2-r4 green and
-    # benched every round, and their families stay covered via
-    # tfidf/rolling_1h/asof_join)
-    "q_tpch_q11_value", "q_tpch_q15_top_supplier", "q_tpch_q17_small_qty",
-    # round-5 additions (every new query enters the window the round it
-    # lands — the r4 late-addition gap does not repeat)
-    "q_train_val_split", "q_schema_evolution",
+    # new this round (every new query enters the window the round it
+    # lands)
+    "q_zstd_roundtrip",
+    # plans/semantics changed this round → fresh signal
+    "q_semantic_dedup_lsh",     # rows-only: shared-signature self-join
+    "q_doc_similarity",         # rows-only: IVF cogroup-by-cell scoring
+    "q_knn_ivf",                # rows-only: numpy-trained centroids
+    "q_dedup_survivor_policy",  # widened (quality, -id) key encoding
+    "q_tpch_q11_value",         # integer-cents threshold form
+    # last graded in ROUND 1 (stalest signal; all 15)
+    "q_agg_filtered", "q_conditional_case", "q_null_handling",
+    "q_distinct_rows", "q_join_cross", "q_join_range",
+    "q_window_running_total", "q_window_moving_avg", "q_record_tracking",
+    "q_window_range_numeric", "q_ntile_cume", "q_sliding_window",
+    "q_unpivot", "q_date_spine", "q_lang_stats",
+    # last graded in ROUND 2 (all 19)
+    "q_agg_stats", "q_percentiles", "q_minmax_by", "q_rollup",
+    "q_join3_topk", "q_join5_region", "q_join_left", "q_bool_aggs",
+    "q_union_all_yearly", "q_window_rank", "q_window_first_last",
+    "q_sessionize", "q_tumbling_window", "q_date_functions",
+    "q_quality_filter", "q_jsonl_roundtrip", "q_regexp_extract",
+    "q_variant_json", "q_tpch_q7_volume",
+    # round-3-graded family/high-value reps (fill to 50; keep every
+    # family's rep post-r5-fixture)
+    "q_try_cast_qc",      # B filters
+    "q_topk_global",      # F sort/limit
+    "q_dedup_hash",       # I dedup (scale path)
+    "q_semantic_dedup",   # I semantic (exact twin of the changed LSH)
+    "q_knn_cosine",       # I knn (headline)
+    "q_stream_dedup",     # J streaming
+    "q_udtf_tokens",      # K UDFs (worker-side pickling coverage)
+    "q_incremental_agg",  # ETL + D aggs
+    "q_ghcn_pipeline",    # NOAA
+    "q_tpch_q8_share",    # TPC-H (oldest-graded of the suite)
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:
 # engine-specific hashes/sketches/ANN, streaming state, custom source).
 # test_graded_window_spans_every_family pins window∩rows-only == this.
 ROWS_ONLY_WINDOW: set[str] = {
-    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
-    "q_doc_similarity", "q_semantic_dedup_lsh", "q_fingerprint",
-    "q_hll_sketch_union", "q_approx_aggs", "q_stream_stateful",
-    "q_stream_heavy_hitters", "q_custom_datasource", "q_embed_docs",
-    "q_multimodal_features", "q_lang_id", "q_quality_score",
+    # round 6: only the three rows-only queries whose plans changed this
+    # round spend slots (all 16 rows-only queries got their first clean
+    # driver signal in r5)
+    "q_semantic_dedup_lsh", "q_doc_similarity", "q_knn_ivf",
 }
 
 

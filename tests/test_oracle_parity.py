@@ -122,7 +122,7 @@ def test_graded_window_spans_every_family():
     # Any-of sets so the window can ROTATE entries between rounds
     # (spreading driver signal) without losing a family.
     reps = {
-        "A_sources": {"q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip", "q_fixed_width_scan", "q_parquet_sink_partitioned", "q_schema_evolution"},
+        "A_sources": {"q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip", "q_fixed_width_scan", "q_parquet_sink_partitioned", "q_schema_evolution", "q_zstd_roundtrip"},
         "B_filters": {"q_filter_predicates", "q_try_cast_qc"},
         "C_joins": {"q_join3_topk", "q_join5_region", "q_join_semi", "q_join_left", "q_join_anti", "q_asof_join", "q_interval_join"},
         "D_aggs": {"q_pricing_summary", "q_agg_stats", "q_count_distinct", "q_percentiles", "q_rollup", "q_cube", "q_pivot_events", "q_incremental_agg"},
