@@ -727,3 +727,69 @@ def knn_ivf(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def cluster_report(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus clustering report: spherical k-means over the embedding
+    column, every vector assigned to its single nearest cell, one row
+    per cluster — the corpus-analysis step (topic balance, cluster-
+    stratified sampling, over-represented-cluster detection) a training
+    pipeline runs before fixing a data mix.
+
+    Reuses the IVF machinery end-to-end: centroids train driver-side on
+    a ≤50k sample (:func:`_train_ivf_centers` — deterministic given
+    (sample, seed)), and assignment is :func:`_nearest_cells` with n=1:
+    one Arrow-batched matmul per batch, a narrow projection — NO
+    shuffle, NO per-vector window, no n_cells× row blow-up. The only
+    exchanges are the two tiny aggregations after assignment
+    ((cell, label) → cell), whose cardinality is bounded by
+    n_cells × |labels|, not the corpus.
+
+    Output: (cell_id, n_vecs, top_label, top_label_n, purity) where
+    purity = top_label_n / n_vecs (rounded to 4); ties on the majority
+    label break toward the smaller label (max_by over (count, -label)).
+    With ``label_col=None`` the label columns are omitted.
+
+    100 TB: train sees a bounded sample, assignment is scan-local per
+    batch, and the report shuffles only (n_cells × |labels|) count
+    rows. Determinism matches the IVF contract — fixed layout + seed ⇒
+    identical cells (tests/test_algorithms.py).
+    """
+    centers = _train_ivf_centers(corpus, n_cells, vec_col, seed=seed)
+    cell_ids = np.arange(len(centers), dtype=np.int64)
+    cols = [
+        F.col(id_col).alias("v_id"),
+        as_double(F.col(vec_col)).alias("v_vec"),
+    ]
+    if label_col is not None:
+        cols.append(F.col(label_col).alias("v_label"))
+    assigned = _nearest_cells(corpus.select(*cols), (cell_ids, centers), "v", 1)
+
+    if label_col is None:
+        return assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+    per_label = assigned.groupBy("cell_id", "v_label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_label.groupBy("cell_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_vecs"),
+            F.max_by(
+                "v_label",
+                F.struct(F.col("cnt"), (-F.col("v_label")).alias("neg")),
+            ).alias("top_label"),
+            F.max("cnt").cast("bigint").alias("top_label_n"),
+        )
+        .withColumn(
+            "purity",
+            F.round(F.col("top_label_n") / F.col("n_vecs"), 4),
+        )
+    )

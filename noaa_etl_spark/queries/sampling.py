@@ -293,3 +293,86 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@graded(
+    "q_mixture_epochs",
+    oracle="""
+    WITH d AS (
+      SELECT source, n_chars,
+             CAST(substr(source, 4) AS INT) % 4 AS m,
+             substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 4) AS draw
+      FROM documents
+    ), c AS (
+      SELECT source, n_chars,
+             (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END)
+             + (CASE WHEN draw < (CASE m WHEN 0 THEN '8000'
+                                         WHEN 1 THEN '4000'
+                                         WHEN 2 THEN '0000'
+                                         ELSE 'c000' END)
+                     THEN 1 ELSE 0 END) AS copies
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)              AS n_base,
+           CAST(sum(copies) AS BIGINT)           AS n_emitted,
+           CAST(sum(copies * n_chars) AS BIGINT) AS chars_emitted
+    FROM c
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-expansion source mixing — the "source A is seen 2.25
+    epochs, source B 0.5 epochs" step of assembling a training mix from
+    weighted corpora. A fractional weight w means every doc is emitted
+    floor(w) times plus ONE more with probability frac(w) — realized
+    here as the deterministic md5 hash gate (draw < frac(w) in 16-bit
+    hex), so the same docs get the extra copy on every engine, rerun,
+    and cluster size, and the achieved epoch count concentrates tightly
+    around w per source.
+
+    Weights derive from the source id (w = 0.5 + (src_num % 4) * 0.75
+    → 0.5 / 1.25 / 2.0 / 2.75) so both engines compute them without a
+    side table; a real pipeline would broadcast-join a weights dim.
+
+    The graded report aggregates per-doc copy counts ALGEBRAICALLY
+    (sum(copies), sum(copies * n_chars)) — identical totals to
+    physically exploding, without manufacturing rows: the scan-local
+    projection computes copies, one map-side-combinable agg produces
+    the mix report (zero pre-agg shuffle). The physical expansion for
+    a writer is ``explode(sequence(1, copies))`` on the same per-doc
+    frame — row inflation happens AFTER the gate, post-filter, never
+    shuffled (tests/test_sampling.py asserts explode-form totals equal
+    the algebraic ones).
+
+    100 TB: copies is a pure function of (doc_id, source) — resumable,
+    auditable, and recomputable at read time; no RNG state, no shuffle
+    before the final tiny per-source agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = (F.substring("source", 4, 10).cast("int") % 4).alias("m")
+    draw = _hash_gate(F.col("doc_id"), "epoch:")
+    base = (
+        F.when(F.col("m") == 0, 0)
+        .when(F.col("m") == 1, 1)
+        .otherwise(2)
+    )
+    thresh = (
+        F.when(F.col("m") == 0, "8000")
+        .when(F.col("m") == 1, "4000")
+        .when(F.col("m") == 2, "0000")
+        .otherwise("c000")
+    )
+    per_doc = docs.select("source", "n_chars", m, draw.alias("draw")).withColumn(
+        "copies", base + F.when(F.col("draw") < thresh, 1).otherwise(0)
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum("copies").cast("bigint").alias("n_emitted"),
+            F.sum(F.col("copies") * F.col("n_chars")).cast("bigint").alias("chars_emitted"),
+        )
+        .orderBy("source")
+    )

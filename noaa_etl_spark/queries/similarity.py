@@ -262,3 +262,21 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qv", F.lit(0).cast("bigint"), lambda acc, v: acc + F.abs(v)
         ).alias("q_l1"),
     )
+
+
+@graded("q_cluster_corpus")  # rows-only: k-means cells are engine-specific
+def q_cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering report — per-cluster size, majority label, and
+    purity over the embedding corpus (spherical k-means, 8 cells). The
+    corpus-analysis step (topic balance, cluster-stratified sampling)
+    a training pipeline runs before fixing its data mix.
+
+    Shares the IVF machinery: driver-side sample-trained seeded
+    centroids, one Arrow matmul per batch for assignment (no shuffle,
+    no window, no row inflation); only the (cell × label) counts
+    shuffle. Contract + determinism + cluster-recovery asserted in
+    tests/test_algorithms.py."""
+    from noaa_etl_spark.operators.similarity import cluster_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_report(emb, n_cells=8)

@@ -95,7 +95,8 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 GRADED_WINDOW: list[str] = [
     # new this round (every new query enters the window the round it
     # lands)
-    "q_zstd_roundtrip",
+    "q_zstd_roundtrip", "q_mixture_epochs",
+    "q_cluster_corpus",  # rows-only: k-means cells
     # plans/semantics changed this round → fresh signal
     "q_semantic_dedup_lsh",     # rows-only: shared-signature self-join
     "q_doc_similarity",         # rows-only: IVF cogroup-by-cell scoring
@@ -121,22 +122,21 @@ GRADED_WINDOW: list[str] = [
     "q_topk_global",      # F sort/limit
     "q_dedup_hash",       # I dedup (scale path)
     "q_semantic_dedup",   # I semantic (exact twin of the changed LSH)
-    "q_knn_cosine",       # I knn (headline)
     "q_stream_dedup",     # J streaming
     "q_udtf_tokens",      # K UDFs (worker-side pickling coverage)
     "q_incremental_agg",  # ETL + D aggs
     "q_ghcn_pipeline",    # NOAA
-    "q_tpch_q8_share",    # TPC-H (oldest-graded of the suite)
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:
 # engine-specific hashes/sketches/ANN, streaming state, custom source).
 # test_graded_window_spans_every_family pins window∩rows-only == this.
 ROWS_ONLY_WINDOW: set[str] = {
-    # round 6: only the three rows-only queries whose plans changed this
-    # round spend slots (all 16 rows-only queries got their first clean
-    # driver signal in r5)
+    # round 6: the three rows-only queries whose plans changed this
+    # round plus the new clustering report (all 16 pre-existing
+    # rows-only queries got their first clean driver signal in r5)
     "q_semantic_dedup_lsh", "q_doc_similarity", "q_knn_ivf",
+    "q_cluster_corpus",
 }
 
 

@@ -467,3 +467,58 @@ def test_minhash_banding_recall_follows_s_curve(spark):
     if mid is not None:
         assert mid >= 0.3, f"transition-zone recall collapsed: {mid:.2f} (n={n_mid})"
     assert low <= 0.3, f"low-sim pairs becoming candidates: {low:.2f} (n={n_low}) — banding too loose"
+
+
+def test_cluster_report_contract_and_determinism(spark):
+    """cluster_report on the fixture embeddings: every vector assigned
+    exactly once, at most n_cells rows, internally consistent purity,
+    deterministic across runs. (Fixture labels are NOT geometric
+    clusters — purity vs label is near chance here by design; the
+    recovery property is asserted on the synthetic corpus below.)"""
+    from noaa_etl_spark.operators.similarity import cluster_report
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    rows = cluster_report(emb, n_cells=8).collect()
+    assert 0 < len(rows) <= 8
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    for r in rows:
+        assert 1 <= r["top_label_n"] <= r["n_vecs"]
+        assert r["purity"] == round(r["top_label_n"] / r["n_vecs"], 4)
+    again = cluster_report(emb, n_cells=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # label_col=None: counts-only report, same totals
+    plain = cluster_report(emb, n_cells=8, label_col=None).collect()
+    assert sum(r["n_vecs"] for r in plain) == emb.count()
+    assert {r["cell_id"]: r["n_vecs"] for r in plain} == {
+        r["cell_id"]: r["n_vecs"] for r in rows
+    }
+
+
+def test_cluster_report_recovers_separated_clusters(spark):
+    """On a synthetic corpus of 4 well-separated direction clusters,
+    k-means with n_cells=4 must recover them: purity 1.0 in every cell
+    and cluster sizes matching the generator."""
+    import numpy as np
+
+    from noaa_etl_spark.operators.similarity import cluster_report
+
+    rng = np.random.default_rng(7)
+    dim, per = 16, 50
+    # 4 orthogonal anchor directions + small noise => unambiguous cells
+    anchors = np.eye(dim)[:4]
+    rows = []
+    vid = 0
+    for lab, anchor in enumerate(anchors):
+        for _ in range(per):
+            v = anchor + rng.normal(0, 0.05, dim)
+            rows.append((vid, [float(x) for x in v], lab))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    rep = cluster_report(df, n_cells=4).collect()
+    assert len(rep) == 4
+    assert sorted(r["n_vecs"] for r in rep) == [per] * 4
+    assert all(r["purity"] == 1.0 for r in rep)
+    # each generator label claims exactly one cell
+    assert sorted(r["top_label"] for r in rep) == [0, 1, 2, 3]

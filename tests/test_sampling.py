@@ -135,3 +135,48 @@ def test_approx_bins_track_exact_ntile(spark):
     envel.sort(key=lambda r: r.bin)
     for prev, cur in zip(envel, envel[1:]):
         assert prev.hi <= cur.lo
+
+
+def test_mixture_epochs_explode_equals_algebraic(spark):
+    """The physical epoch expansion (explode(sequence(1, copies))) must
+    emit exactly the totals the graded report derives algebraically, and
+    achieved epochs must track the target weight per source class."""
+    report = {r["source"]: r for r in QUERIES["q_mixture_epochs"](spark, SF_DIR).collect()}
+
+    docs = load_table(spark, SF_DIR, "documents")
+    m = (F.substring("source", 4, 10).cast("int") % 4).alias("m")
+    draw = _hash_gate(F.col("doc_id"), "epoch:")
+    base = F.when(F.col("m") == 0, 0).when(F.col("m") == 1, 1).otherwise(2)
+    thresh = (
+        F.when(F.col("m") == 0, "8000")
+        .when(F.col("m") == 1, "4000")
+        .when(F.col("m") == 2, "0000")
+        .otherwise("c000")
+    )
+    per_doc = docs.select("source", "n_chars", m, draw.alias("draw")).withColumn(
+        "copies", base + F.when(F.col("draw") < thresh, 1).otherwise(0)
+    )
+    exploded = per_doc.filter(F.col("copies") > 0).withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), F.col("copies")))
+    )
+    phys = {
+        r["source"]: r
+        for r in exploded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_emitted"),
+            F.sum("n_chars").cast("bigint").alias("chars_emitted"),
+        )
+        .collect()
+    }
+    assert set(phys) <= set(report)  # a source can vanish only if every doc gated out
+    for src, rep in report.items():
+        got = phys.get(src)
+        n_emitted = got["n_emitted"] if got else 0
+        chars = got["chars_emitted"] if got else 0
+        assert n_emitted == rep["n_emitted"], src
+        assert chars == rep["chars_emitted"], src
+        # achieved epochs concentrate around the target weight
+        m_cls = int(src[3:]) % 4
+        target = 0.5 + m_cls * 0.75
+        achieved = rep["n_emitted"] / rep["n_base"]
+        assert abs(achieved - target) < 0.35, (src, achieved, target)
