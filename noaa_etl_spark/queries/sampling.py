@@ -376,3 +376,64 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@graded(
+    "q_corpus_shuffle_shard",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_chars, hx,
+             CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) >> 1
+                  AS INT) AS shard
+      FROM h
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)  AS chars_total,
+           arg_min(doc_id, hx)           AS first_doc_id,
+           arg_max(doc_id, hx)           AS last_doc_id
+    FROM s
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def q_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — the global-shuffle step
+    every training run needs, done without RNG state: each document's
+    position key is md5('shuffle:' || doc_id) and its shard is the top
+    hex nibble >> 1 (8 shards). Order and placement are pure functions
+    of the durable key, so the shuffle is identical across engines,
+    reruns, and cluster sizes, and any shard can be re-materialized
+    alone. The graded report pins the assignment: per shard, the doc
+    count, payload size, and the first/last document in shuffle order
+    (md5 keys are unique per doc, so min_by/max_by are deterministic).
+
+    100 TB: shard assignment is scan-local (no shuffle to DECIDE
+    placement); materializing shards is repartition(shard) writes with
+    in-partition sortWithinPartitions(hx) — one exchange, no global
+    sort. The report itself is one tiny 8-row agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    nibble = F.conv(F.substring(F.col("hx"), 1, 1), 16, 10).cast("int")
+    return (
+        docs.select("doc_id", "n_chars", hx.alias("hx"))
+        .select(
+            "doc_id",
+            "n_chars",
+            "hx",
+            F.shiftright(nibble, 1).alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.min_by("doc_id", F.col("hx")).alias("first_doc_id"),
+            F.max_by("doc_id", F.col("hx")).alias("last_doc_id"),
+        )
+        .orderBy("shard")
+    )

@@ -381,3 +381,28 @@ def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         chunk_documents_projection(docs), "mem_stream_chunk_documents", "append"
     )
+
+
+from noaa_etl_spark.queries.text import (
+    QUALITY_GATE_ORACLE,
+    quality_gate_projection,
+)
+
+
+@graded("q_stream_quality_gate", oracle=QUALITY_GATE_ORACLE)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the rule-based quality gate: the identical
+    stateless projection (queries/text.quality_gate_projection) on
+    readStream in append mode — gate-as-you-ingest, the stage that runs
+    ahead of any dedup so junk never reaches the expensive operators.
+    Statelessness makes the availableNow drain equal the batch result,
+    so it shares the batch oracle verbatim.
+
+    100 TB: zero-shuffle micro-batches, no state store, arbitrary
+    parallelism — same plan as the batch gate plus streaming's bound on
+    in-flight data.
+    """
+    docs = stream_table(spark, sf_dir, "documents")
+    return run_to_memory(
+        quality_gate_projection(docs), "mem_stream_quality_gate", "append"
+    )

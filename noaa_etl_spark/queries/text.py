@@ -774,3 +774,252 @@ def q_dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("kept_doc_id", "kept_n_chars", "n_copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rule-based quality gating (Gopher-style) and repetition filtering
+# ---------------------------------------------------------------------------
+
+# Small closed stopword probe set shared with the oracle (subset of
+# EN_STOPWORDS; rule semantics need a FIXED list both engines agree on).
+_GATE_STOPWORDS = ["a", "an", "the", "of", "to", "and", "is", "in", "it", "that"]
+
+QUALITY_GATE_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS cs,
+             len(list_intersect(list_distinct(toks),
+                 ['a','an','the','of','to','and','is','in','it','that'])) AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           n BETWEEN 20 AND 80                        AS r_len,
+           cs * 10 BETWEEN n * 40 AND n * 48          AS r_word_len,
+           n_stop >= 2                                AS r_stop,
+           (n BETWEEN 20 AND 80)
+             AND (cs * 10 BETWEEN n * 40 AND n * 48)
+             AND (n_stop >= 2)                        AS keep
+    FROM s
+    """
+
+
+def quality_gate_projection(docs: DataFrame) -> DataFrame:
+    """Per-document rule-based quality gate (Gopher-style heuristics
+    adapted to the fixture corpus) as a pure projection, shared verbatim
+    by the batch query and its stateless streaming twin:
+
+    - r_len:      20 <= token count <= 80
+    - r_word_len: mean word length in [4.0, 4.8] — evaluated as the
+      INTEGER inequality 40*n <= 10*char_sum <= 48*n so both engines
+      compare exact integers (no float accumulation at all)
+    - r_stop:     at least 2 distinct probe stopwords present
+
+    All three rules are array-expression-only (no explode, no shuffle,
+    no Python): whole-stage-codegen'd per row.
+    """
+    toks = tokenize(F.col("text"))
+    n = F.size(toks).cast("long")
+    cs = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in _GATE_STOPWORDS])
+        )
+    )
+    r_len = n.between(20, 80)
+    r_word_len = (cs * 10 >= n * 40) & (cs * 10 <= n * 48)
+    r_stop = n_stop >= 2
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        r_len.alias("r_len"),
+        r_word_len.alias("r_word_len"),
+        r_stop.alias("r_stop"),
+        (r_len & r_word_len & r_stop).alias("keep"),
+    )
+
+
+@graded("q_quality_gate", oracle=QUALITY_GATE_ORACLE)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document quality gate (Gopher-style): per-doc booleans
+    for each named rule plus the conjunction. Emitting the per-rule
+    booleans (not just the survivors) is the production form — corpus
+    curation wants per-rule drop attribution before committing to a
+    threshold set.
+
+    100 TB: zero-shuffle linear scan; the word-length rule is integer
+    arithmetic end-to-end so the gate is bit-reproducible across
+    engines, partitionings, and hardware (no float accumulation).
+    """
+    return quality_gate_projection(load_table(spark, sf_dir, "documents"))
+
+
+@graded(
+    "q_gopher_quality",
+    oracle="""
+    WITH t AS (
+      SELECT source, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT source,
+             CAST(len(toks) AS BIGINT) AS n,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS cs,
+             len(list_intersect(list_distinct(toks),
+                 ['a','an','the','of','to','and','is','in','it','that'])) AS n_stop
+      FROM t
+    ), r AS (
+      SELECT source,
+             n BETWEEN 20 AND 80               AS r_len,
+             cs * 10 BETWEEN n * 40 AND n * 48 AS r_word_len,
+             n_stop >= 2                       AS r_stop
+      FROM s
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                                   AS n_docs,
+           CAST(sum(CASE WHEN r_len AND r_word_len AND r_stop
+                         THEN 1 ELSE 0 END) AS BIGINT)                AS n_pass,
+           CAST(sum(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+           CAST(sum(CASE WHEN NOT r_word_len THEN 1 ELSE 0 END) AS BIGINT)
+                                                                      AS fail_word_len,
+           CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop
+    FROM r
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-rule attribution report: how many documents
+    each Gopher-style rule would drop, per corpus source — the view a
+    curation run reads before picking thresholds (rule costs are not
+    independent; attribution per source finds the corpus whose crawl is
+    broken rather than globally tightening a rule).
+
+    100 TB: the gate is scan-local; the only shuffle is the tiny
+    per-source count agg (|sources| rows), map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # The rules ride the same scan as source: recompute inline rather
+    # than joining the per-doc gate back (zero-shuffle pre-agg).
+    toks = tokenize(F.col("text"))
+    n = F.size(toks).cast("long")
+    cs = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in _GATE_STOPWORDS])
+        )
+    )
+    r_len = n.between(20, 80)
+    r_word_len = (cs * 10 >= n * 40) & (cs * 10 <= n * 48)
+    r_stop = n_stop >= 2
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select(
+            "source",
+            r_len.alias("r_len"),
+            r_word_len.alias("r_word_len"),
+            r_stop.alias("r_stop"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("r_len") & F.col("r_word_len") & F.col("r_stop"), one)
+                .otherwise(zero)
+            ).alias("n_pass"),
+            F.sum(F.when(~F.col("r_len"), one).otherwise(zero)).alias("fail_len"),
+            F.sum(F.when(~F.col("r_word_len"), one).otherwise(zero)).alias(
+                "fail_word_len"
+            ),
+            F.sum(F.when(~F.col("r_stop"), one).otherwise(zero)).alias("fail_stop"),
+        )
+        .orderBy("source")
+    )
+
+
+@graded(
+    "q_repetition_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), wc AS (
+      SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word
+    ), wm AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_word_cnt,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens
+      FROM wc GROUP BY doc_id
+    ), t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_transform(toks[1:len(toks)-1],
+                                   (x, i) -> x || ' ' || toks[i + 1])) AS bg
+      FROM t WHERE len(toks) >= 2
+    ), bc AS (
+      SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg
+    ), bm AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+             CAST(sum(cnt) AS BIGINT) AS n_bigrams
+      FROM bc GROUP BY doc_id
+    )
+    SELECT wm.doc_id, wm.n_tokens, wm.top_word_cnt, bm.top_bigram_cnt,
+           (wm.top_word_cnt * 8 <= wm.n_tokens)
+             AND (bm.top_bigram_cnt * 16 <= bm.n_bigrams) AS keep
+    FROM wm JOIN bm ON wm.doc_id = bm.doc_id
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (Gopher's "repetitive content"
+    family): drop documents whose most frequent word exceeds 1/8 of all
+    tokens or whose most frequent bigram exceeds 1/16 of all bigrams.
+    Thresholds are evaluated as integer inequalities (cnt*8 <= n), so
+    the keep decision is exact on both engines — no float ratios.
+
+    100 TB: explode + two-level groupBy is the scale-robust form — the
+    per-(doc, term) count is map-side combinable, keys are (8-byte id,
+    short term), and the final doc-grain join is co-partitioned (both
+    sides hash-partitioned on doc_id by their aggregates, so AQE plans
+    no extra exchange). The expression-only alternative (array_max over
+    transform(array_distinct)) is O(n * distinct) per row — quadratic
+    on pathological documents, which repetition filtering specifically
+    targets, so the shuffle form is the right one here.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+
+    words = docs.select("doc_id", F.explode(toks).alias("word"))
+    wm = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_word_cnt"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+    )
+    bigrams = docs.filter(F.size(toks) >= 2).select(
+        "doc_id", F.explode(ngrams(toks, 2)).alias("bg")
+    )
+    bm = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_bigram_cnt"),
+            F.sum("cnt").alias("n_bigrams"),
+        )
+    )
+    return wm.join(bm, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "top_word_cnt",
+        "top_bigram_cnt",
+        (
+            (F.col("top_word_cnt") * 8 <= F.col("n_tokens"))
+            & (F.col("top_bigram_cnt") * 16 <= F.col("n_bigrams"))
+        ).alias("keep"),
+    )

@@ -84,19 +84,23 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   r2-r4 and benched every round).
 # - Round 6: after r5 every registered query has had driver signal at
 #   least once, so the window shifts to RE-confirmation ordered by
-#   staleness: the new round-6 query (q_zstd_roundtrip), the 5 queries
-#   whose plans/semantics changed this round (shared-signature LSH
-#   self-join, IVF cogroup scoring, widened survivor key, Q11
-#   integer-cents threshold), then ALL 15 queries last graded in r1 and
-#   all 19 last graded in r2 (both pre-date two fixture regenerations),
-#   and 10 r3-graded family/high-value reps so every family carries
-#   post-r5-fixture signal. All 166 registered queries passed today's
-#   full vanilla-session sweep at sf0.01 before this rotation froze.
+#   staleness: the 8 new round-6 queries (zstd roundtrip, mixture
+#   epochs, corpus clustering, quality gate + its streaming twin,
+#   gopher per-source report, repetition filter, corpus shuffle-shard),
+#   the 5 queries whose plans/semantics changed this round
+#   (shared-signature LSH self-join, IVF cogroup scoring, widened
+#   survivor key, Q11 integer-cents threshold), then ALL 15 queries
+#   last graded in r1 and 14 of the 19 last graded in r2 (both
+#   pre-date two fixture regenerations), and 8 r3-graded
+#   family/high-value reps so every family carries post-r5-fixture
+#   signal.
 GRADED_WINDOW: list[str] = [
     # new this round (every new query enters the window the round it
     # lands)
     "q_zstd_roundtrip", "q_mixture_epochs",
     "q_cluster_corpus",  # rows-only: k-means cells
+    "q_quality_gate", "q_gopher_quality", "q_repetition_filter",
+    "q_corpus_shuffle_shard", "q_stream_quality_gate",
     # plans/semantics changed this round → fresh signal
     "q_semantic_dedup_lsh",     # rows-only: shared-signature self-join
     "q_doc_similarity",         # rows-only: IVF cogroup-by-cell scoring
@@ -109,13 +113,16 @@ GRADED_WINDOW: list[str] = [
     "q_window_running_total", "q_window_moving_avg", "q_record_tracking",
     "q_window_range_numeric", "q_ntile_cume", "q_sliding_window",
     "q_unpivot", "q_date_spine", "q_lang_stats",
-    # last graded in ROUND 2 (all 19)
-    "q_agg_stats", "q_percentiles", "q_minmax_by", "q_rollup",
-    "q_join3_topk", "q_join5_region", "q_join_left", "q_bool_aggs",
-    "q_union_all_yearly", "q_window_rank", "q_window_first_last",
+    # last graded in ROUND 2 (14 of 19 — q_percentiles, q_rollup,
+    # q_join_left, q_window_first_last, q_variant_json yield their
+    # slots to the five new round-6 queries; their families stay
+    # covered by other window entries and they rotate back in r7)
+    "q_agg_stats", "q_minmax_by",
+    "q_join3_topk", "q_join5_region", "q_bool_aggs",
+    "q_union_all_yearly", "q_window_rank",
     "q_sessionize", "q_tumbling_window", "q_date_functions",
     "q_quality_filter", "q_jsonl_roundtrip", "q_regexp_extract",
-    "q_variant_json", "q_tpch_q7_volume",
+    "q_tpch_q7_volume",
     # round-3-graded family/high-value reps (fill to 50; keep every
     # family's rep post-r5-fixture)
     "q_try_cast_qc",      # B filters

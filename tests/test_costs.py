@@ -116,6 +116,7 @@ def test_streaming_micro_batch_plan_vs_committed_costs(spark, name):
         "q_stream_tumbling": "mem_stream_tumbling",
         "q_stream_sessionize": "mem_stream_sessionize",
         "q_stream_dedup": "mem_stream_dedup",
+        "q_stream_quality_gate": "mem_stream_quality_gate",
     }[name]
     plan = LAST_STREAM_PLANS.get(sink)
     assert plan, f"{name}: no micro-batch plan captured at drain time"

@@ -220,3 +220,38 @@ def test_tpch_q18_broadcasts_qualifying_orders(spark):
     plan = plan_of(spark, "q_tpch_q18_large_volume")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_gate_is_narrow_only(spark):
+    """The rule gate is array expressions only — an Exchange means a
+    rule got re-planned as a wide op and the gate stops being a
+    scan-local predicate stage."""
+    plan = plan_of(spark, "q_quality_gate")
+    assert "Exchange" not in plan
+
+
+def test_repetition_filter_join_is_co_partitioned(spark):
+    """Both repetition branches end hash-partitioned on doc_id, so the
+    doc-grain join must add NO shuffle exchange beyond the four
+    aggregate shuffles (2 per branch). At fixture scale the optimizer
+    broadcasts the smaller branch instead (also fine — no 5th
+    shuffle); what must never appear is a join-induced hash
+    repartition or a cartesian. formatted_plan lists nodes twice, so
+    4 physical shuffles appear as <= 8 'Exchange hash'/'Exchange (n)'
+    mentions after stripping Broadcast/Reused prefixes."""
+    import re
+
+    plan = plan_of(spark, "q_repetition_filter")
+    shuffles = len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange", plan))
+    assert shuffles <= 8
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_shuffle_shard_assignment_is_scan_local(spark):
+    """Shard assignment (md5 nibble) must be decided in the scan
+    projection — the only exchanges are the tiny 8-row report agg and
+    its orderBy, never a repartition to COMPUTE placement."""
+    plan = plan_of(spark, "q_corpus_shuffle_shard")
+    # hash agg exchange + range sort exchange, doubled by formatted_plan
+    assert plan.count("Exchange") <= 4
+    assert "Window" not in plan

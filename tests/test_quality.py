@@ -159,3 +159,59 @@ def test_observe_quality_rides_the_action(spark, tmp_path):
     observed2.write.mode("overwrite").parquet(str(tmp_path / "out2"))
     with pytest.raises(DataQualityError, match="impossible"):
         assert_observed(obs2)
+
+
+def test_quality_gate_rules_discriminate(spark):
+    """Each gate rule must actually drop documents at fixture scale —
+    a rule that passes everything is a threshold bug, not a gate."""
+    from noaa_etl_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q_quality_gate"](spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    for rule in ("r_len", "r_word_len", "r_stop"):
+        failed = sum(0 if r[rule] else 1 for r in rows)
+        assert 0 < failed < n, f"{rule} drops {failed}/{n} (non-discriminating)"
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < n
+
+
+def test_repetition_filter_discriminates_and_is_consistent(spark):
+    """keep must be exactly the advertised integer inequality, and both
+    thresholds must bite at fixture scale."""
+    from noaa_etl_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q_repetition_filter"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    dropped = [r for r in rows if not r["keep"]]
+    assert 0 < len(dropped) < len(rows)
+    for r in rows:
+        word_ok = r["top_word_cnt"] * 8 <= r["n_tokens"]
+        # keep implies the word-side inequality (bigram side is not
+        # re-derivable from the report alone)
+        if r["keep"]:
+            assert word_ok
+        # a doc failing the word rule can never be kept
+        if not word_ok:
+            assert not r["keep"]
+    # top_word_cnt can never exceed n_tokens
+    assert all(r["top_word_cnt"] <= r["n_tokens"] for r in rows)
+
+
+def test_corpus_shuffle_shard_is_deterministic_partition(spark):
+    """Shards partition the corpus exactly (counts sum to |docs|) and
+    re-running yields the identical assignment (pure function of the
+    key, no RNG state)."""
+    from noaa_etl_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+    from noaa_etl_spark.io import load_table
+
+    a = {r["shard"]: r for r in QUERIES["q_corpus_shuffle_shard"](spark, SF_DIR).collect()}
+    b = {r["shard"]: r for r in QUERIES["q_corpus_shuffle_shard"](spark, SF_DIR).collect()}
+    assert a.keys() == b.keys() == set(range(8))
+    for s in a:
+        assert a[s] == b[s]
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in a.values()) == n_docs

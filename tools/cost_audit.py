@@ -81,6 +81,15 @@ AUDITED = [
     "q_tpch_q3_shipping",
     "q_tpch_q6_forecast",
     "q_tpch_q18_large_volume",
+    # Round-6 LLM-pipeline additions: the gate must stay at ZERO
+    # shuffles (narrow-only), the repetition filter must never grow a
+    # join-induced 5th shuffle, and the shard report stays at its tiny
+    # agg+sort pair.
+    "q_quality_gate",
+    "q_gopher_quality",
+    "q_repetition_filter",
+    "q_corpus_shuffle_shard",
+    "q_mixture_epochs",
 ]
 
 # Streaming queries whose LAST micro-batch plan is auditable via
@@ -91,6 +100,7 @@ AUDITED = [
 AUDITED_STREAMING = [
     "q_stream_pii_scrub",
     "q_stream_chunk_documents",
+    "q_stream_quality_gate",
     "q_stream_tumbling",
     "q_stream_sessionize",
     "q_stream_dedup",
@@ -103,6 +113,7 @@ _STREAM_SINK_NAMES = {
     "q_stream_tumbling": "mem_stream_tumbling",
     "q_stream_sessionize": "mem_stream_sessionize",
     "q_stream_dedup": "mem_stream_dedup",
+    "q_stream_quality_gate": "mem_stream_quality_gate",
 }
 
 
