@@ -1,0 +1,204 @@
+"""Data-profiling and constraint-suite graded queries — the Deequ-style
+observability surface every production table needs (SURVEY.md §2
+adjunct; operators/quality.py carries the fail-fast/observe twin used
+inside pipelines, these queries grade the REPORT form cross-engine).
+
+Both queries are deliberately single-pass: the profile is one aggregate
+over the table (multi-countDistinct planned as one Expand, not N scans),
+and the constraint suite folds its row rules, the composite-key
+uniqueness count, and the referential check into ONE aggregate over a
+single broadcast-joined scan — the SCALING.md "agg + join-back =
+double-plan smell" rule applied to QC: never pay a second 100 TB read
+for metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.io import load_table, ntz_lit
+from noaa_etl_spark.registry import graded
+
+_PROFILE_NUM = ["event_id", "user_id", "value"]
+_PROFILE_STR = ["event_type"]
+
+
+@graded(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'event_id' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(min(event_id) AS DOUBLE) AS min_num,
+           CAST(max(event_id) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+           NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT),
+           CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE),
+           NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(event_type), max(event_type)
+    FROM events
+    ORDER BY col_name
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (row count, null count, exact distinct
+    count, numeric/lexicographic envelopes) — the ANALYZE/Deequ-profile
+    report, one row per column with a single stable schema across
+    numeric and string columns.
+
+    100 TB: ONE aggregate job — the multi-column countDistinct plans as
+    a single Expand (k groupings in one shuffle), never one scan per
+    column, and the per-column report rows are a ``stack`` projection
+    of the single aggregate row (no re-scan per report row — the
+    double-plan smell applied to profiling). Exact distincts are the
+    graded contract; the 100 TB default swaps them for
+    approx_count_distinct (one pass, no Expand, mergeable sketches —
+    q_approx_aggs grades that path).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    n_rows = F.count(F.lit(1)).alias("n_rows")
+    aggs = [n_rows]
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    for c in _PROFILE_NUM:
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"mn_{c}"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"mx_{c}"))
+    for c in _PROFILE_STR:
+        aggs.append(F.min(F.col(c)).alias(f"mns_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"mxs_{c}"))
+    one = ev.agg(*aggs)
+
+    rows = []
+    for c in _PROFILE_NUM:
+        rows.append(
+            f"'{c}', n_rows, nn_{c}, nd_{c}, mn_{c}, mx_{c}, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in _PROFILE_STR:
+        rows.append(
+            f"'{c}', n_rows, nn_{c}, nd_{c}, CAST(NULL AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), mns_{c}, mxs_{c}"
+        )
+    n = len(rows)
+    return one.select(
+        F.expr(
+            f"stack({n}, {', '.join(rows)}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, "
+            "min_str, max_str)"
+        )
+    ).orderBy("col_name")
+
+
+@graded(
+    "q_dq_checks",
+    oracle="""
+    WITH j AS (
+      SELECT l.*, o.o_orderkey AS ref_key
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+    ), a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_complete,
+             CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS v_range,
+             CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
+                  AS BIGINT) AS v_accepted,
+             CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '2000-01-01'
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_ship,
+             CAST(sum(CASE WHEN ref_key IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_ref,
+             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                  AS BIGINT) AS v_unique
+      FROM j
+    )
+    SELECT rule, violations, n_rows, violations = 0 AS passed
+    FROM (
+      SELECT 'completeness_orderkey' AS rule, v_complete AS violations, n_rows FROM a
+      UNION ALL SELECT 'range_quantity_1_50', v_range, n_rows FROM a
+      UNION ALL SELECT 'accepted_returnflag', v_accepted, n_rows FROM a
+      UNION ALL SELECT 'ship_before_2000', v_ship, n_rows FROM a
+      UNION ALL SELECT 'referential_orders', v_ref, n_rows FROM a
+      UNION ALL SELECT 'unique_order_line', v_unique, n_rows FROM a
+    )
+    ORDER BY rule
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite report (Deequ/expect-style, report form): each
+    named rule with its violation count and pass verdict — completeness,
+    numeric range, accepted values, freshness bound, referential
+    integrity against orders, and composite-key uniqueness. The suite
+    intentionally contains rules that FAIL on the fixture (late
+    shipments, the non-unique (orderkey, linenumber) pair) so the
+    report's failure path is graded, not just the happy path.
+
+    100 TB: all six rules cost ONE pass — row rules and the uniqueness
+    countDistinct fold into a single aggregate over one broadcast-joined
+    scan (referential violations are null refs from the broadcast left
+    join, not a second anti-join scan). Report rows are a stack
+    projection of the one aggregate row. At real scale the orders side
+    outgrows broadcast → the join shuffles but stays one pass;
+    operators/quality.observe_quality is the zero-extra-scan variant
+    that rides an existing sink write.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    refs = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    j = li.join(F.broadcast(refs), li["l_orderkey"] == refs["o_orderkey"], "left")
+
+    def violations(ok_cond):
+        return F.sum(F.when(ok_cond, 0).otherwise(1).cast("long"))
+
+    one = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("v_complete"),
+        violations(F.col("l_quantity").between(1, 50)).alias("v_range"),
+        violations(F.col("l_returnflag").isin("A", "N", "R")).alias("v_accepted"),
+        violations(F.col("l_shipdate") < ntz_lit("2000-01-01")).alias("v_ship"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("v_ref"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("v_unique"),
+    )
+    rules = [
+        ("completeness_orderkey", "v_complete"),
+        ("range_quantity_1_50", "v_range"),
+        ("accepted_returnflag", "v_accepted"),
+        ("ship_before_2000", "v_ship"),
+        ("referential_orders", "v_ref"),
+        ("unique_order_line", "v_unique"),
+    ]
+    stacked = ", ".join(f"'{name}', {col}, n_rows" for name, col in rules)
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(rules)}, {stacked}) AS (rule, violations, n_rows)"
+            )
+        )
+        .withColumn("passed", F.col("violations") == 0)
+        .orderBy("rule")
+    )

@@ -84,16 +84,17 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   r2-r4 and benched every round).
 # - Round 6: after r5 every registered query has had driver signal at
 #   least once, so the window shifts to RE-confirmation ordered by
-#   staleness: the 8 new round-6 queries (zstd roundtrip, mixture
+#   staleness: the 10 new round-6 queries (zstd roundtrip, mixture
 #   epochs, corpus clustering, quality gate + its streaming twin,
-#   gopher per-source report, repetition filter, corpus shuffle-shard),
-#   the 5 queries whose plans/semantics changed this round
-#   (shared-signature LSH self-join, IVF cogroup scoring, widened
-#   survivor key, Q11 integer-cents threshold), then ALL 15 queries
-#   last graded in r1 and 14 of the 19 last graded in r2 (both
-#   pre-date two fixture regenerations), and 8 r3-graded
-#   family/high-value reps so every family carries post-r5-fixture
-#   signal.
+#   gopher per-source report, repetition filter, corpus shuffle-shard,
+#   column profile, constraint suite), the 5 queries whose
+#   plans/semantics changed this round (shared-signature LSH
+#   self-join, IVF cogroup scoring, widened survivor key, Q11
+#   integer-cents threshold), then ALL 15 queries last graded in r1
+#   and 12 of the 19 last graded in r2 (both pre-date two fixture
+#   regenerations; the 7 r2 entries that yielded slots to new queries
+#   rotate back in r7), and 8 r3-graded family/high-value reps so
+#   every family carries post-r5-fixture signal.
 GRADED_WINDOW: list[str] = [
     # new this round (every new query enters the window the round it
     # lands)
@@ -101,6 +102,7 @@ GRADED_WINDOW: list[str] = [
     "q_cluster_corpus",  # rows-only: k-means cells
     "q_quality_gate", "q_gopher_quality", "q_repetition_filter",
     "q_corpus_shuffle_shard", "q_stream_quality_gate",
+    "q_profile_columns", "q_dq_checks",
     # plans/semantics changed this round → fresh signal
     "q_semantic_dedup_lsh",     # rows-only: shared-signature self-join
     "q_doc_similarity",         # rows-only: IVF cogroup-by-cell scoring
@@ -118,9 +120,9 @@ GRADED_WINDOW: list[str] = [
     # slots to the five new round-6 queries; their families stay
     # covered by other window entries and they rotate back in r7)
     "q_agg_stats", "q_minmax_by",
-    "q_join3_topk", "q_join5_region", "q_bool_aggs",
+    "q_join3_topk", "q_join5_region",
     "q_union_all_yearly", "q_window_rank",
-    "q_sessionize", "q_tumbling_window", "q_date_functions",
+    "q_sessionize", "q_date_functions",
     "q_quality_filter", "q_jsonl_roundtrip", "q_regexp_extract",
     "q_tpch_q7_volume",
     # round-3-graded family/high-value reps (fill to 50; keep every
@@ -169,6 +171,7 @@ def load_all_queries() -> None:
         subqueries,
         tpch,
         sampling,
+        profiling,
     )
 
     missing = [n for n in GRADED_WINDOW if n not in QUERIES]

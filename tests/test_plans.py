@@ -255,3 +255,24 @@ def test_corpus_shuffle_shard_assignment_is_scan_local(spark):
     # hash agg exchange + range sort exchange, doubled by formatted_plan
     assert plan.count("Exchange") <= 4
     assert "Window" not in plan
+
+
+def test_profile_columns_is_single_pass(spark):
+    """The profile must read the table ONCE: multi-column distinct
+    counts plan as one Expand, and per-column report rows are a stack
+    projection of the single aggregate row — never a scan per column
+    (4 profiled columns reading 100 TB four times)."""
+    plan = plan_of(spark, "q_profile_columns")
+    # formatted_plan lists each node twice (tree + details)
+    assert plan.count("Scan parquet") <= 2
+    assert "Expand" in plan
+
+
+def test_dq_checks_is_single_pass_with_broadcast_ref(spark):
+    """All six rules (row rules + uniqueness + referential) fold into
+    one aggregate over one broadcast-joined scan: one lineitem scan,
+    one orders scan, broadcast join, no anti-join second pass."""
+    plan = plan_of(spark, "q_dq_checks")
+    assert plan.count("Scan parquet") <= 4  # lineitem + orders, listed twice
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -90,6 +90,11 @@ AUDITED = [
     "q_repetition_filter",
     "q_corpus_shuffle_shard",
     "q_mixture_epochs",
+    # Profiling / constraint suite: both must stay single-pass (one
+    # scan per table) — a per-column or per-rule rescan regression
+    # multiplies the 100 TB read volume by the rule count.
+    "q_profile_columns",
+    "q_dq_checks",
 ]
 
 # Streaming queries whose LAST micro-batch plan is auditable via
