@@ -280,3 +280,46 @@ def q_cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cluster_report(emb, n_cells=8)
+
+
+@graded("q_ann_index_update")  # rows-only: centroids are engine-trained
+def q_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance report: train the index on the ~60%
+    md5-gated split of the embedding corpus, take the distance baseline
+    from a ~20% CALIBRATION split (out-of-sample — in-sample training
+    distances are biased low, so a training-data baseline reads every
+    future batch as "elevated": the generalization gap, not drift),
+    then absorb the remaining ~20% as an arriving batch against the
+    FROZEN centroids and report per-cell (n_base, n_new, mean
+    assignment distances, drift verdict). This is the index-operations
+    view a serving pipeline watches — the retrain trigger is rising
+    assignment distance, not a wall clock.
+
+    100 TB: batch absorption is scan-local (one Arrow matmul per batch
+    against the tiny frozen centroid matrix, zero shuffle); the report
+    is |cells| rows; the existing index rows never move. Determinism,
+    the calibration-baseline rationale, and the
+    drift-fires-on-shifted-data property are tested in
+    tests/test_algorithms.py.
+    """
+    from noaa_etl_spark.operators.ann_maintenance import (
+        assign_with_distance,
+        cell_stats,
+        drift_report,
+    )
+    from noaa_etl_spark.operators.similarity import _train_ivf_centers
+
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gate = F.substring(
+        F.md5(F.concat(F.lit("ann_update:"), F.col("vec_id").cast("string"))), 1, 2
+    )
+    train = emb.filter(gate < "99")                      # ~60%
+    calib = emb.filter((gate >= "99") & (gate < "cc"))   # ~20%
+    arriving = emb.filter(gate >= "cc")                  # ~20%
+    centers = _train_ivf_centers(train, n_cells=8)
+    cents = (np.arange(len(centers), dtype=np.int64), centers)
+    base_stats = cell_stats(assign_with_distance(calib, cents))
+    new_assigned = assign_with_distance(arriving, cents)
+    return drift_report(base_stats, new_assigned).orderBy("cell_id")

@@ -84,17 +84,18 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   r2-r4 and benched every round).
 # - Round 6: after r5 every registered query has had driver signal at
 #   least once, so the window shifts to RE-confirmation ordered by
-#   staleness: the 10 new round-6 queries (zstd roundtrip, mixture
+#   staleness: the 11 new round-6 queries (zstd roundtrip, mixture
 #   epochs, corpus clustering, quality gate + its streaming twin,
 #   gopher per-source report, repetition filter, corpus shuffle-shard,
-#   column profile, constraint suite), the 5 queries whose
-#   plans/semantics changed this round (shared-signature LSH
-#   self-join, IVF cogroup scoring, widened survivor key, Q11
-#   integer-cents threshold), then ALL 15 queries last graded in r1
-#   and 12 of the 19 last graded in r2 (both pre-date two fixture
-#   regenerations; the 7 r2 entries that yielded slots to new queries
-#   rotate back in r7), and 8 r3-graded family/high-value reps so
-#   every family carries post-r5-fixture signal.
+#   column profile, constraint suite, ANN index drift report), the 5
+#   queries whose plans/semantics changed this round
+#   (shared-signature LSH self-join, IVF cogroup scoring, widened
+#   survivor key, Q11 integer-cents threshold), then ALL 15 queries
+#   last graded in r1 and 11 of the 19 last graded in r2 (both
+#   pre-date two fixture regenerations; the 8 r2 entries that yielded
+#   slots to new queries rotate back in r7), and 8 r3-graded
+#   family/high-value reps so every family carries post-r5-fixture
+#   signal.
 GRADED_WINDOW: list[str] = [
     # new this round (every new query enters the window the round it
     # lands)
@@ -103,6 +104,7 @@ GRADED_WINDOW: list[str] = [
     "q_quality_gate", "q_gopher_quality", "q_repetition_filter",
     "q_corpus_shuffle_shard", "q_stream_quality_gate",
     "q_profile_columns", "q_dq_checks",
+    "q_ann_index_update",  # rows-only: engine-trained centroids
     # plans/semantics changed this round → fresh signal
     "q_semantic_dedup_lsh",     # rows-only: shared-signature self-join
     "q_doc_similarity",         # rows-only: IVF cogroup-by-cell scoring
@@ -123,7 +125,7 @@ GRADED_WINDOW: list[str] = [
     "q_join3_topk", "q_join5_region",
     "q_union_all_yearly", "q_window_rank",
     "q_sessionize", "q_date_functions",
-    "q_quality_filter", "q_jsonl_roundtrip", "q_regexp_extract",
+    "q_jsonl_roundtrip", "q_regexp_extract",
     "q_tpch_q7_volume",
     # round-3-graded family/high-value reps (fill to 50; keep every
     # family's rep post-r5-fixture)
@@ -145,7 +147,7 @@ ROWS_ONLY_WINDOW: set[str] = {
     # round plus the new clustering report (all 16 pre-existing
     # rows-only queries got their first clean driver signal in r5)
     "q_semantic_dedup_lsh", "q_doc_similarity", "q_knn_ivf",
-    "q_cluster_corpus",
+    "q_cluster_corpus", "q_ann_index_update",
 }
 
 

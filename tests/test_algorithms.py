@@ -522,3 +522,127 @@ def test_cluster_report_recovers_separated_clusters(spark):
     assert all(r["purity"] == 1.0 for r in rep)
     # each generator label claims exactly one cell
     assert sorted(r["top_label"] for r in rep) == [0, 1, 2, 3]
+
+
+class TestAnnMaintenance:
+    def _emb(self, spark):
+        from noaa_etl_spark.io import load_table
+        from tests.conftest import SF_DIR
+
+        return load_table(spark, SF_DIR, "embeddings")
+
+    def test_add_batch_matches_full_rebuild_assignment(self, spark):
+        """Absorbing a batch against frozen centroids must give each
+        new vector the SAME cell a full re-assignment pass would (the
+        index stays consistent — only training is skipped)."""
+        import numpy as np
+
+        from noaa_etl_spark.operators.ann_maintenance import (
+            assign_with_distance,
+            ivf_add_batch,
+        )
+        from noaa_etl_spark.operators.similarity import _train_ivf_centers
+        from pyspark.sql import functions as F
+
+        emb = self._emb(spark)
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        batch = emb.filter(F.col("vec_id") % 5 == 0)
+        centers = _train_ivf_centers(base, n_cells=8)
+        cents = (np.arange(len(centers), dtype=np.int64), centers)
+
+        index = assign_with_distance(base, cents)
+        updated = {
+            r["vec_id"]: r["cell_id"]
+            for r in ivf_add_batch(index, batch, cents).collect()
+        }
+        full = {
+            r["vec_id"]: r["cell_id"]
+            for r in assign_with_distance(emb, cents).collect()
+        }
+        assert updated == full
+        assert len(updated) == emb.count()
+
+    @staticmethod
+    def _clustered(spark, anchors, per, vid0, seed):
+        """Rows around the given anchor directions + small noise."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        rows, vid = [], vid0
+        for anchor in anchors:
+            for _ in range(per):
+                v = anchor + rng.normal(0, 0.05, len(anchor))
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def test_drift_silent_on_in_distribution_batch(self, spark):
+        """An in-distribution batch scored against an OUT-OF-SAMPLE
+        calibration baseline must not trip the monitor. (The baseline
+        must be a calibration split, not the training data: in-sample
+        assignment distances are biased low, so any new data reads
+        'elevated' against them — the generalization gap, not drift.)"""
+        import numpy as np
+
+        from noaa_etl_spark.operators.ann_maintenance import (
+            assign_with_distance,
+            cell_stats,
+            drift_report,
+        )
+        from noaa_etl_spark.operators.similarity import _train_ivf_centers
+
+        anchors = np.eye(16)[:4]
+        train = self._clustered(spark, anchors, 50, 0, seed=7)
+        calib = self._clustered(spark, anchors, 20, 1000, seed=8)
+        indist = self._clustered(spark, anchors, 20, 2000, seed=9)
+        centers = _train_ivf_centers(train, n_cells=4)
+        cents = (np.arange(len(centers), dtype=np.int64), centers)
+        rep = drift_report(
+            cell_stats(assign_with_distance(calib, cents)),
+            assign_with_distance(indist, cents),
+        ).collect()
+        assert 0 < len(rep) <= 4
+        assert not any(r["drift"] for r in rep)
+        assert sum(r["n_new"] for r in rep) == indist.count()
+
+    def test_drift_fires_on_shifted_batch(self, spark):
+        """A batch drawn from DIFFERENT directions (orthogonal anchors
+        the index never trained on) must trip the monitor in at least
+        one populated cell — the retrain signal the operator exists
+        for."""
+        import numpy as np
+
+        from noaa_etl_spark.operators.ann_maintenance import (
+            assign_with_distance,
+            cell_stats,
+            drift_report,
+        )
+        from noaa_etl_spark.operators.similarity import _train_ivf_centers
+
+        anchors = np.eye(16)[:4]
+        shifted_anchors = np.eye(16)[8:12]  # orthogonal to every trained cell
+        train = self._clustered(spark, anchors, 50, 0, seed=7)
+        calib = self._clustered(spark, anchors, 20, 1000, seed=8)
+        shifted = self._clustered(spark, shifted_anchors, 20, 3000, seed=10)
+        centers = _train_ivf_centers(train, n_cells=4)
+        cents = (np.arange(len(centers), dtype=np.int64), centers)
+        rep = drift_report(
+            cell_stats(assign_with_distance(calib, cents)),
+            assign_with_distance(shifted, cents),
+        ).collect()
+        touched = [r for r in rep if r["n_new"] >= 5]
+        assert touched, "shifted batch landed nowhere (bad test setup)"
+        assert any(r["drift"] for r in touched)
+
+    def test_graded_report_contract(self, spark):
+        from noaa_etl_spark.queries import QUERIES
+        from tests.conftest import SF_DIR
+
+        rows = QUERIES["q_ann_index_update"](spark, SF_DIR).collect()
+        assert 0 < len(rows) <= 8
+        assert [r["cell_id"] for r in rows] == sorted(r["cell_id"] for r in rows)
+        for r in rows:
+            assert r["n_base"] + r["n_new"] > 0
+            if r["n_base"] > 0:
+                assert r["mean_d2_base"] >= 0.0
+            assert r["drift"] in (True, False)
