@@ -1023,3 +1023,34 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("top_bigram_cnt") * 16 <= F.col("n_bigrams"))
         ).alias("keep"),
     )
+
+
+@graded(
+    "q_fuzzy_name_match",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM n a JOIN n b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part-name catalog: every pair of
+    distinct names within 2 edit operations ("cold bolt" ↔ "old bolt",
+    "old rod" ↔ "red rod") — the fuzzy-key matching step of any
+    master-data/catalog dedup.
+
+    EXACT despite blocking: the positional q-gram count filter
+    (operators/fuzzy.py) is a necessary condition for edit distance
+    ≤ d, so candidates are a superset and the levenshtein verify
+    reproduces the brute-force cross join bit-for-bit (equality with
+    the cross join asserted in tests; the DuckDB oracle IS the cross
+    join). 100 TB: gram explode is narrow, candidate join is an
+    equi-join on gram bounded by per-gram occupancy — never |N|² pairs.
+    """
+    from noaa_etl_spark.operators.fuzzy import fuzzy_self_join
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_self_join(part, "p_name", max_dist=2).orderBy("name_a", "name_b")

@@ -84,16 +84,16 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   r2-r4 and benched every round).
 # - Round 6: after r5 every registered query has had driver signal at
 #   least once, so the window shifts to RE-confirmation ordered by
-#   staleness: the 11 new round-6 queries (zstd roundtrip, mixture
+#   staleness: the 12 new round-6 queries (zstd roundtrip, mixture
 #   epochs, corpus clustering, quality gate + its streaming twin,
 #   gopher per-source report, repetition filter, corpus shuffle-shard,
-#   column profile, constraint suite, ANN index drift report), the 5
-#   queries whose plans/semantics changed this round
-#   (shared-signature LSH self-join, IVF cogroup scoring, widened
-#   survivor key, Q11 integer-cents threshold), then ALL 15 queries
-#   last graded in r1 and 11 of the 19 last graded in r2 (both
-#   pre-date two fixture regenerations; the 8 r2 entries that yielded
-#   slots to new queries rotate back in r7), and 8 r3-graded
+#   column profile, constraint suite, ANN index drift report, fuzzy
+#   name match), the 5 queries whose plans/semantics changed this
+#   round (shared-signature LSH self-join, IVF cogroup scoring,
+#   widened survivor key, Q11 integer-cents threshold), then ALL 15
+#   queries last graded in r1 and 10 of the 19 last graded in r2
+#   (both pre-date two fixture regenerations; the 9 r2 entries that
+#   yielded slots to new queries rotate back in r7), and 8 r3-graded
 #   family/high-value reps so every family carries post-r5-fixture
 #   signal.
 GRADED_WINDOW: list[str] = [
@@ -105,6 +105,7 @@ GRADED_WINDOW: list[str] = [
     "q_corpus_shuffle_shard", "q_stream_quality_gate",
     "q_profile_columns", "q_dq_checks",
     "q_ann_index_update",  # rows-only: engine-trained centroids
+    "q_fuzzy_name_match",
     # plans/semantics changed this round → fresh signal
     "q_semantic_dedup_lsh",     # rows-only: shared-signature self-join
     "q_doc_similarity",         # rows-only: IVF cogroup-by-cell scoring
@@ -121,7 +122,7 @@ GRADED_WINDOW: list[str] = [
     # q_join_left, q_window_first_last, q_variant_json yield their
     # slots to the five new round-6 queries; their families stay
     # covered by other window entries and they rotate back in r7)
-    "q_agg_stats", "q_minmax_by",
+    "q_minmax_by",
     "q_join3_topk", "q_join5_region",
     "q_union_all_yearly", "q_window_rank",
     "q_sessionize", "q_date_functions",

@@ -646,3 +646,76 @@ class TestAnnMaintenance:
             if r["n_base"] > 0:
                 assert r["mean_d2_base"] >= 0.0
             assert r["drift"] in (True, False)
+
+
+class TestFuzzyJoin:
+    def test_blocked_equals_bruteforce_on_fixture(self, spark):
+        """The q-gram count filter must be lossless: the blocked result
+        equals the O(N^2) cross-join answer exactly."""
+        from pyspark.sql import functions as F
+
+        from noaa_etl_spark.io import load_table
+        from noaa_etl_spark.operators.fuzzy import fuzzy_self_join
+        from tests.conftest import SF_DIR
+
+        part = load_table(spark, SF_DIR, "part")
+        blocked = {
+            (r["name_a"], r["name_b"], r["dist"])
+            for r in fuzzy_self_join(part, "p_name", max_dist=2).collect()
+        }
+        n = part.select("p_name").distinct()
+        a = n.select(F.col("p_name").alias("name_a"))
+        b = n.select(F.col("p_name").alias("name_b"))
+        brute = {
+            (r["name_a"], r["name_b"], r["dist"])
+            for r in a.join(b, F.col("name_a") < F.col("name_b"))
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= 2)
+            .collect()
+        }
+        assert blocked == brute
+        assert len(blocked) > 0, "fixture has no close name pairs (bad setup)"
+        assert any(d == 1 for _, _, d in blocked)
+        assert any(d == 2 for _, _, d in blocked)
+
+    def test_blocked_equals_bruteforce_on_adversarial_strings(self, spark):
+        """Synthetic keys with repeated grams, indels, and prefix edits
+        (the cases a naive prefix/length blocker drops)."""
+        from pyspark.sql import functions as F
+
+        from noaa_etl_spark.operators.fuzzy import fuzzy_self_join
+
+        words = [
+            "abababab", "babababa",     # shifted repeats (indel-like)
+            "xbababab", "abababay",     # prefix and suffix edits
+            "mississippi", "misisippi", # deletion inside repeats
+            "mississippx", "qmississippi",
+            "zzzzzzzz", "zzzzzzz",
+            "distinct", "disjoint",
+        ]
+        df = spark.createDataFrame([(w,) for w in words], "key string")
+        blocked = {
+            tuple(r)
+            for r in fuzzy_self_join(df, "key", max_dist=2).collect()
+        }
+        a = df.select(F.col("key").alias("name_a"))
+        b = df.select(F.col("key").alias("name_b"))
+        brute = {
+            tuple(r)
+            for r in a.join(b, F.col("name_a") < F.col("name_b"))
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= 2)
+            .collect()
+        }
+        assert blocked == brute
+        assert len(blocked) > 0
+
+    def test_short_key_contract_raises(self, spark):
+        from noaa_etl_spark.operators.fuzzy import fuzzy_self_join
+
+        df = spark.createDataFrame([("abc",), ("abd",)], "key string")
+        try:
+            fuzzy_self_join(df, "key", max_dist=2)
+            assert False, "expected ValueError for short keys"
+        except ValueError as e:
+            assert "length-band" in str(e)
