@@ -1,13 +1,17 @@
 """Corpus-prep pipeline: the LLM-data operators composed into the one
-job a training-data team actually runs — scrub → quality gate → chunk →
-chunk-level dedup → embed → ANN neighbor index — with every stage the
-graded operator it corresponds to (queries/text.py, queries/multimodal.py,
-operators/similarity.py).
+job a training-data team actually runs — scrub → quality gate →
+repetition filter → chunk → chunk-level dedup → embed → ANN neighbor
+index — with every stage the graded operator it corresponds to
+(queries/text.py, queries/multimodal.py, operators/similarity.py).
 
 Scale posture per stage (the composition inherits each operator's
 documented plan):
 
-- scrub + quality gate: expression-only, zero shuffles;
+- scrub + quality gate: expression-only, zero shuffles (the gate filter
+  reuses queries/text.quality_rules as a scan-local predicate — no
+  join-back of the per-doc gate);
+- repetition filter: per-(doc, term) combiner counts + a doc_id
+  left-semi join of survivors (both sides doc_id-partitioned);
 - chunking: narrow-only sequence-explode (zero shuffles);
 - chunk dedup: groupBy on 16-byte signatures (never chunk text);
 - embed: Arrow-batched pandas_udf (the stub stands in for a real
@@ -79,10 +83,18 @@ def run_corpus_pipeline(
     from noaa_etl_spark.operators.similarity import ann_index
     from noaa_etl_spark.queries.multimodal import _hashed_bow_embed
 
+    from noaa_etl_spark.queries.text import quality_keep, repetition_report
+
     docs = load_table(spark, sf_dir, "documents")
     n_raw = docs.count()
 
-    clean = scrub_text(docs).filter(F.size(tokenize(F.col("text"))) >= min_tokens)
+    scrubbed = scrub_text(docs).filter(
+        F.size(tokenize(F.col("text"))) >= min_tokens
+    )
+    gated = scrubbed.filter(quality_keep("text"))
+    n_gated = gated.count()
+    survivors = repetition_report(gated).filter(F.col("keep")).select("doc_id")
+    clean = gated.join(survivors, "doc_id", "left_semi")
     clean.write.mode("overwrite").parquet(f"{out_path}/clean_docs")
     clean = spark.read.parquet(f"{out_path}/clean_docs")
     n_clean = clean.count()
@@ -131,6 +143,7 @@ def run_corpus_pipeline(
 
     return {
         "n_raw_docs": n_raw,
+        "n_gated_docs": n_gated,
         "n_clean_docs": n_clean,
         "n_chunks_raw": n_chunks_raw,
         "n_chunks_kept": n_chunks,

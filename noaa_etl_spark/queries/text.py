@@ -807,10 +807,10 @@ QUALITY_GATE_ORACLE = """
     """
 
 
-def quality_gate_projection(docs: DataFrame) -> DataFrame:
-    """Per-document rule-based quality gate (Gopher-style heuristics
-    adapted to the fixture corpus) as a pure projection, shared verbatim
-    by the batch query and its stateless streaming twin:
+def quality_rules(text_col: str = "text"):
+    """The gate's rule Columns, shared by the graded projections AND the
+    corpus pipeline's filter stage (a scan-local predicate — reusing the
+    Columns avoids a join-back of the per-doc gate at 100 TB):
 
     - r_len:      20 <= token count <= 80
     - r_word_len: mean word length in [4.0, 4.8] — evaluated as the
@@ -819,9 +819,10 @@ def quality_gate_projection(docs: DataFrame) -> DataFrame:
     - r_stop:     at least 2 distinct probe stopwords present
 
     All three rules are array-expression-only (no explode, no shuffle,
-    no Python): whole-stage-codegen'd per row.
+    no Python): whole-stage-codegen'd per row. Returns
+    (n_tokens, {rule_name: Column}).
     """
-    toks = tokenize(F.col("text"))
+    toks = tokenize(F.col(text_col))
     n = F.size(toks).cast("long")
     cs = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
@@ -831,16 +832,37 @@ def quality_gate_projection(docs: DataFrame) -> DataFrame:
             F.array_distinct(toks), F.array(*[F.lit(s) for s in _GATE_STOPWORDS])
         )
     )
-    r_len = n.between(20, 80)
-    r_word_len = (cs * 10 >= n * 40) & (cs * 10 <= n * 48)
-    r_stop = n_stop >= 2
+    rules = {
+        "r_len": n.between(20, 80),
+        "r_word_len": (cs * 10 >= n * 40) & (cs * 10 <= n * 48),
+        "r_stop": n_stop >= 2,
+    }
+    return n, rules
+
+
+def quality_keep(text_col: str = "text"):
+    """Conjunction of every gate rule as one Column (the pipeline's
+    filter predicate)."""
+    _, rules = quality_rules(text_col)
+    out = None
+    for c in rules.values():
+        out = c if out is None else (out & c)
+    return out
+
+
+def quality_gate_projection(docs: DataFrame) -> DataFrame:
+    """Per-document rule-based quality gate (Gopher-style heuristics
+    adapted to the fixture corpus) as a pure projection, shared verbatim
+    by the batch query and its stateless streaming twin (rule
+    definitions in :func:`quality_rules`)."""
+    n, rules = quality_rules()
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
-        r_len.alias("r_len"),
-        r_word_len.alias("r_word_len"),
-        r_stop.alias("r_stop"),
-        (r_len & r_word_len & r_stop).alias("keep"),
+        rules["r_len"].alias("r_len"),
+        rules["r_word_len"].alias("r_word_len"),
+        rules["r_stop"].alias("r_stop"),
+        (rules["r_len"] & rules["r_word_len"] & rules["r_stop"]).alias("keep"),
     )
 
 
@@ -904,17 +926,10 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # The rules ride the same scan as source: recompute inline rather
     # than joining the per-doc gate back (zero-shuffle pre-agg).
-    toks = tokenize(F.col("text"))
-    n = F.size(toks).cast("long")
-    cs = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-    n_stop = F.size(
-        F.array_intersect(
-            F.array_distinct(toks), F.array(*[F.lit(s) for s in _GATE_STOPWORDS])
-        )
+    _, rules = quality_rules()
+    r_len, r_word_len, r_stop = (
+        rules["r_len"], rules["r_word_len"], rules["r_stop"]
     )
-    r_len = n.between(20, 80)
-    r_word_len = (cs * 10 >= n * 40) & (cs * 10 <= n * 48)
-    r_stop = n_stop >= 2
     one = F.lit(1).cast("long")
     zero = F.lit(0).cast("long")
     return (
@@ -988,7 +1003,12 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     on pathological documents, which repetition filtering specifically
     targets, so the shuffle form is the right one here.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return repetition_report(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_report(docs: DataFrame) -> DataFrame:
+    """The repetition filter as a reusable report (q_repetition_filter's
+    body; the corpus pipeline semi-joins on its keep column)."""
     toks = tokenize(F.col("text"))
 
     words = docs.select("doc_id", F.explode(toks).alias("word"))

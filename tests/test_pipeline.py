@@ -181,8 +181,12 @@ def test_corpus_pipeline_end_to_end(spark, tmp_dir):
     stats = run_corpus_pipeline(
         spark, SF_SMALL, f"{tmp_dir}/corpus", k_neighbors=3, n_queries=20
     )
-    assert stats["n_clean_docs"] <= stats["n_raw_docs"]
+    assert stats["n_gated_docs"] <= stats["n_raw_docs"]
+    assert stats["n_clean_docs"] <= stats["n_gated_docs"]
     assert stats["n_clean_docs"] > 0
+    # the gate + repetition stages must actually drop something at
+    # fixture scale (they discriminate — tests/test_quality.py)
+    assert stats["n_gated_docs"] < stats["n_raw_docs"]
     assert stats["n_chunks_kept"] <= stats["n_chunks_raw"]
     assert stats["n_chunks_kept"] > 0
     assert stats["n_neighbor_rows"] <= 20 * 3

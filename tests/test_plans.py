@@ -276,3 +276,14 @@ def test_dq_checks_is_single_pass_with_broadcast_ref(spark):
     assert plan.count("Scan parquet") <= 4  # lineitem + orders, listed twice
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_name_match_never_plans_cartesian(spark):
+    """The whole point of q-gram blocking: the candidate join is an
+    equi-join on gram — a CartesianProduct or BroadcastNestedLoopJoin
+    here means the blocker degenerated into the O(N²) cross join it
+    exists to avoid. (The length-band inequality predicates ride the
+    equi-join as join filters, not as the join condition.)"""
+    plan = plan_of(spark, "q_fuzzy_name_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -95,6 +95,10 @@ AUDITED = [
     # multiplies the 100 TB read volume by the rule count.
     "q_profile_columns",
     "q_dq_checks",
+    # Blocked fuzzy join: the gram equi-join must never degenerate into
+    # a cross join; shuffle bytes bound the gram-occupancy candidate
+    # space.
+    "q_fuzzy_name_match",
 ]
 
 # Streaming queries whose LAST micro-batch plan is auditable via
