@@ -870,3 +870,75 @@ def q_sort_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(10)
     )
+
+
+@graded(
+    "q_set_ops_all",
+    oracle="""
+    WITH a AS (SELECT l_returnflag, l_linestatus FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l_shipdate <  TIMESTAMP '1997-07-01'),
+         b AS (SELECT l_returnflag, l_linestatus FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+                 AND l_shipdate <  TIMESTAMP '1998-01-01')
+    SELECT 'except_all' AS op, l_returnflag, l_linestatus
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_returnflag, l_linestatus
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
+    MULTIPLICITY, the semantics reconciliation jobs actually need
+    ("how many rows of this shape did H1 have beyond H2", not "which
+    distinct shapes"): two half-year slices of (returnflag, linestatus)
+    compared as bags. The driver's order-insensitive hash grades the
+    multiset exactly.
+
+    100 TB: Spark plans both as a single hash aggregate computing
+    per-side counts then replicating min/difference counts — one
+    shuffle on the compared columns, no join, multiplicities never
+    materialize as row explosions mid-plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus"]
+    a = li.filter(
+        (F.col("l_shipdate") >= ntz_lit("1997-01-01"))
+        & (F.col("l_shipdate") < ntz_lit("1997-07-01"))
+    ).select(*cols)
+    b = li.filter(
+        (F.col("l_shipdate") >= ntz_lit("1997-07-01"))
+        & (F.col("l_shipdate") < ntz_lit("1998-01-01"))
+    ).select(*cols)
+    return a.exceptAll(b).select(F.lit("except_all").alias("op"), *cols).unionByName(
+        b.intersectAll(a).select(F.lit("intersect_all").alias("op"), *cols)
+    )
+
+
+@graded(
+    "q_sort_null_ordering",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio_or_null
+    FROM orders
+    ORDER BY prio_or_null ASC NULLS FIRST, o_orderkey
+    LIMIT 15
+    """,
+)
+def q_sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in ordered-limit results: NULLS FIRST
+    pulls the NULLified sentinel rows into the top-k, so null ordering
+    changes WHICH rows survive the limit (the only place null placement
+    is observable under an order-insensitive grade). Tie-broken by key
+    for cross-engine determinism.
+
+    100 TB: TakeOrderedAndProject per-partition heaps — null ordering
+    rides the comparator, costing nothing over a plain top-k.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return (
+        orders.select("o_orderkey", prio.alias("prio_or_null"))
+        .orderBy(F.col("prio_or_null").asc_nulls_first(), F.col("o_orderkey"))
+        .limit(15)
+    )

@@ -84,18 +84,18 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   r2-r4 and benched every round).
 # - Round 6: after r5 every registered query has had driver signal at
 #   least once, so the window shifts to RE-confirmation ordered by
-#   staleness: the 12 new round-6 queries (zstd roundtrip, mixture
+#   staleness: the 14 new round-6 queries (zstd roundtrip, mixture
 #   epochs, corpus clustering, quality gate + its streaming twin,
 #   gopher per-source report, repetition filter, corpus shuffle-shard,
 #   column profile, constraint suite, ANN index drift report, fuzzy
-#   name match), the 5 queries whose plans/semantics changed this
-#   round (shared-signature LSH self-join, IVF cogroup scoring,
-#   widened survivor key, Q11 integer-cents threshold), then ALL 15
-#   queries last graded in r1 and 10 of the 19 last graded in r2
-#   (both pre-date two fixture regenerations; the 9 r2 entries that
-#   yielded slots to new queries rotate back in r7), and 8 r3-graded
-#   family/high-value reps so every family carries post-r5-fixture
-#   signal.
+#   name match, multiset set-ops, null-ordering top-k), the 5 queries
+#   whose plans/semantics changed this round (shared-signature LSH
+#   self-join, IVF cogroup scoring, widened survivor key, Q11
+#   integer-cents threshold), then ALL 15 queries last graded in r1
+#   and 8 of the 19 last graded in r2 (both pre-date two fixture
+#   regenerations; the 11 r2 entries that yielded slots to new
+#   queries rotate back in r7), and 8 r3-graded family/high-value
+#   reps so every family carries post-r5-fixture signal.
 GRADED_WINDOW: list[str] = [
     # new this round (every new query enters the window the round it
     # lands)
@@ -105,7 +105,7 @@ GRADED_WINDOW: list[str] = [
     "q_corpus_shuffle_shard", "q_stream_quality_gate",
     "q_profile_columns", "q_dq_checks",
     "q_ann_index_update",  # rows-only: engine-trained centroids
-    "q_fuzzy_name_match",
+    "q_fuzzy_name_match", "q_set_ops_all", "q_sort_null_ordering",
     # plans/semantics changed this round → fresh signal
     "q_semantic_dedup_lsh",     # rows-only: shared-signature self-join
     "q_doc_similarity",         # rows-only: IVF cogroup-by-cell scoring
@@ -118,13 +118,14 @@ GRADED_WINDOW: list[str] = [
     "q_window_running_total", "q_window_moving_avg", "q_record_tracking",
     "q_window_range_numeric", "q_ntile_cume", "q_sliding_window",
     "q_unpivot", "q_date_spine", "q_lang_stats",
-    # last graded in ROUND 2 (14 of 19 — q_percentiles, q_rollup,
-    # q_join_left, q_window_first_last, q_variant_json yield their
-    # slots to the five new round-6 queries; their families stay
-    # covered by other window entries and they rotate back in r7)
-    "q_minmax_by",
+    # last graded in ROUND 2 (8 of 19 — q_percentiles, q_rollup,
+    # q_join_left, q_window_first_last, q_variant_json, q_bool_aggs,
+    # q_tumbling_window, q_quality_filter, q_agg_stats, q_minmax_by,
+    # q_union_all_yearly yielded their slots to the 14 new round-6
+    # queries; their families stay covered by other window entries and
+    # they rotate back in r7)
     "q_join3_topk", "q_join5_region",
-    "q_union_all_yearly", "q_window_rank",
+    "q_window_rank",
     "q_sessionize", "q_date_functions",
     "q_jsonl_roundtrip", "q_regexp_extract",
     "q_tpch_q7_volume",
