@@ -168,3 +168,58 @@ def ivf_add_batch(
         new_vectors, centroids, id_col=id_col, vec_col=vec_col
     )
     return index_assignments.unionByName(new_assigned)
+
+
+def streaming_drift_monitor(
+    stream_vectors: DataFrame,
+    centroids,
+    base_stats: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin: float = 0.1,
+    min_new: int = 5,
+):
+    """Continuous index maintenance: per micro-batch, assign arriving
+    vectors against the FROZEN centroids, write the assignments (the
+    incremental index append), and emit that batch's per-cell drift
+    report stamped with batch_id — the monitoring stream an index
+    service alerts on.
+
+    foreachBatch form: each batch is a plain DataFrame, so the batch
+    operators (assign_with_distance / drift_report) run verbatim — one
+    definition for both planes, like the stateless ETL twins. Output is
+    append-only parquet (assignments under data/, reports under
+    reports/) keyed by batch_id, so a restarted query re-emitting a
+    batch overwrites deterministically rather than double-counting.
+
+    100 TB: per-batch work is the scan-local Arrow matmul + a |cells|-row
+    report; state is the FROZEN (centroids, baseline) pair closed over
+    at start — no state store, no watermark, arbitrary parallelism.
+    Centroid refresh = restart the query with new frozen state (the
+    drift report is what tells you when).
+    """
+    base = base_stats.collect()
+    spark = stream_vectors.sparkSession
+    base_local = spark.createDataFrame(base, base_stats.schema)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = assign_with_distance(
+            batch_df, centroids, id_col=id_col, vec_col=vec_col
+        )
+        assigned.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/data/batch_id={batch_id}")
+        rep = drift_report(
+            base_local, assigned, margin=margin, min_new=min_new
+        )
+        rep.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/reports/batch_id={batch_id}")
+
+    return (
+        stream_vectors.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )
