@@ -214,3 +214,135 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1)
         ).alias("matched"),
     )
+
+
+@graded(
+    "q_table_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    ), gated AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             substr(md5('diff:' || CAST(o_orderkey AS VARCHAR)), 1, 2) AS g
+      FROM orders
+    ), new AS (
+      -- deleted: g < '15'; changed price: '15' <= g < '30';
+      -- changed priority: '30' <= g < '40'; rest unchanged
+      SELECT o_orderkey,
+             CASE WHEN g >= '15' AND g < '30'
+                  THEN floor(o_totalprice * 110) / 100 ELSE o_totalprice END
+               AS o_totalprice,
+             CASE WHEN g >= '30' AND g < '40'
+                  THEN '9-RECLASSIFIED' ELSE o_orderpriority END
+               AS o_orderpriority
+      FROM gated WHERE g >= '15'
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 0.0, '0-NEW'
+      FROM gated WHERE g >= 'f8'
+    ), j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS key,
+             o.o_orderkey IS NULL AS is_added,
+             n.o_orderkey IS NULL AS is_removed,
+             o.o_totalprice IS DISTINCT FROM n.o_totalprice AS price_chg,
+             o.o_orderpriority IS DISTINCT FROM n.o_orderpriority AS prio_chg
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT CASE WHEN is_added THEN 'added'
+                WHEN is_removed THEN 'removed'
+                WHEN price_chg OR prio_chg THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN NOT is_added AND NOT is_removed AND price_chg
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_price_changed,
+           CAST(sum(CASE WHEN NOT is_added AND NOT is_removed AND prio_chg
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_priority_changed
+    FROM j
+    GROUP BY 1
+    ORDER BY status
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two pipeline versions of a table — the
+    regression-comparison report (added / removed / changed / unchanged
+    with per-column change attribution) every ETL migration runs before
+    cutting over. The "new version" is synthesized deterministically
+    from orders by md5 gate (delete ~8%, reprice ~10%, reclassify ~6%,
+    append ~3% new keys) so both engines diff identical inputs; the
+    diff logic itself — full outer join on the key, null-safe
+    IS DISTINCT FROM per column — is what is graded.
+
+    100 TB: one full-outer join co-partitioned on the key (both sides
+    shuffle once; bucketed tables would make it exchange-free) and a
+    tiny status agg; per-column attribution is expression-only on the
+    joined row. Null-safe comparison (eqNullSafe) is the part hand
+    rolled diffs get wrong — NULL→value transitions count as changes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    g = F.substring(
+        F.md5(F.concat(F.lit("diff:"), F.col("o_orderkey").cast("string"))), 1, 2
+    )
+    gated = old.withColumn("g", g)
+    modified = gated.filter(F.col("g") >= "15").select(
+        "o_orderkey",
+        F.when(
+            (F.col("g") >= "15") & (F.col("g") < "30"),
+            F.floor(F.col("o_totalprice") * 110) / 100,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when((F.col("g") >= "30") & (F.col("g") < "40"), "9-RECLASSIFIED")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    appended = gated.filter(F.col("g") >= "f8").select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        F.lit(0.0).alias("o_totalprice"),
+        F.lit("0-NEW").alias("o_orderpriority"),
+    )
+    new = modified.unionByName(appended)
+
+    o = old.alias("o")
+    n = new.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full").select(
+        F.col("o.o_orderkey").isNull().alias("is_added"),
+        F.col("n.o_orderkey").isNull().alias("is_removed"),
+        (~F.col("o.o_totalprice").eqNullSafe(F.col("n.o_totalprice"))).alias(
+            "price_chg"
+        ),
+        (
+            ~F.col("o.o_orderpriority").eqNullSafe(F.col("n.o_orderpriority"))
+        ).alias("prio_chg"),
+    )
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return (
+        j.select(
+            F.when(F.col("is_added"), "added")
+            .when(F.col("is_removed"), "removed")
+            .when(F.col("price_chg") | F.col("prio_chg"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+            "is_added",
+            "is_removed",
+            "price_chg",
+            "prio_chg",
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    ~F.col("is_added") & ~F.col("is_removed") & F.col("price_chg"),
+                    one,
+                ).otherwise(zero)
+            ).alias("n_price_changed"),
+            F.sum(
+                F.when(
+                    ~F.col("is_added") & ~F.col("is_removed") & F.col("prio_chg"),
+                    one,
+                ).otherwise(zero)
+            ).alias("n_priority_changed"),
+        )
+        .orderBy("status")
+    )

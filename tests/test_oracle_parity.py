@@ -146,7 +146,7 @@ def test_graded_window_spans_every_family():
         },
         "etl": {
             "q_merge_upsert", "q_scd2_intervals", "q_incremental_agg",
-            "q_incremental_dedup", "q_referential_audit",
+            "q_incremental_dedup", "q_referential_audit", "q_table_diff",
         },
         "noaa": {"q_ghcn_pipeline", "q_ghcn_daily_wide"},
     }
