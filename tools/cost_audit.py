@@ -99,6 +99,9 @@ AUDITED = [
     # a cross join; shuffle bytes bound the gram-occupancy candidate
     # space.
     "q_fuzzy_name_match",
+    # Snapshot diff: one co-partitioned full-outer join — a second fact
+    # pass or a join-induced extra exchange is the regression to catch.
+    "q_table_diff",
 ]
 
 # Streaming queries whose LAST micro-batch plan is auditable via
