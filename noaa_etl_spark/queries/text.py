@@ -1074,3 +1074,37 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part")
     return fuzzy_self_join(part, "p_name", max_dist=2).orderBy("name_a", "name_b")
+
+
+@graded(
+    "q_fuzzy_match_q3",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name || ' ' || p_brand AS k FROM part)
+    SELECT a.k AS name_a, b.k AS name_b,
+           CAST(levenshtein(a.k, b.k) AS INT) AS dist
+    FROM n a JOIN n b ON a.k < b.k
+    WHERE levenshtein(a.k, b.k) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def q_fuzzy_match_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram (q=3) twin of the fuzzy matcher over the composite
+    (name, brand) entity key — the q-gram order that survives LARGE
+    catalogs: the gram universe is alphabet^q, so bigram prefixes
+    saturate as N grows while trigrams cube the universe and keep
+    rare-gram occupancy bounded (measured 1.3× faster at 50k keys and
+    widening — SCALING.md). Cost of q=3 is the length contract
+    (len ≥ (q−1)+d·q+1 = 9): plain part names are 7 chars, the
+    composite key is ≥ 17 — exactly the real-world trade (fuzzy-match
+    composite entity keys at scale, single short fields only at
+    bounded N).
+    """
+    from noaa_etl_spark.operators.fuzzy import fuzzy_self_join
+
+    part = load_table(spark, sf_dir, "part")
+    keyed = part.select(
+        F.concat(F.col("p_name"), F.lit(" "), F.col("p_brand")).alias("k")
+    )
+    return fuzzy_self_join(keyed, "k", max_dist=2, q=3).orderBy(
+        "name_a", "name_b"
+    )

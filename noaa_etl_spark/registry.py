@@ -84,18 +84,20 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   r2-r4 and benched every round).
 # - Round 6: after r5 every registered query has had driver signal at
 #   least once, so the window shifts to RE-confirmation ordered by
-#   staleness: the 15 new round-6 queries (zstd roundtrip, mixture
+#   staleness: the 16 new round-6 queries (zstd roundtrip, mixture
 #   epochs, corpus clustering, quality gate + its streaming twin,
 #   gopher per-source report, repetition filter, corpus shuffle-shard,
 #   column profile, constraint suite, ANN index drift report, fuzzy
-#   name match, multiset set-ops, null-ordering top-k, table diff),
+#   name match + its q=3 composite-key twin, multiset set-ops,
+#   null-ordering top-k, table diff),
 #   the 5 queries whose plans/semantics changed this round
 #   (shared-signature LSH self-join, IVF cogroup scoring, widened
-#   survivor key, Q11 integer-cents threshold), then 14 of the 15
-#   queries last graded in r1 (q_date_spine yielded to q_table_diff;
-#   H/temporal stays covered by q_date_functions) and 8 of the 19
+#   survivor key, Q11 integer-cents threshold), then 13 of the 15
+#   queries last graded in r1 (q_date_spine and q_unpivot yielded
+#   their slots; H/temporal and reshape stay covered by
+#   q_date_functions and the r5-graded pivot queries) and 8 of the 19
 #   last graded in r2 (both pre-date two fixture regenerations; the
-#   12 r1/r2 entries that yielded slots to new queries rotate back in
+#   13 r1/r2 entries that yielded slots to new queries rotate back in
 #   r7), and 8 r3-graded family/high-value reps so every family
 #   carries post-r5-fixture signal.
 GRADED_WINDOW: list[str] = [
@@ -108,20 +110,20 @@ GRADED_WINDOW: list[str] = [
     "q_profile_columns", "q_dq_checks",
     "q_ann_index_update",  # rows-only: engine-trained centroids
     "q_fuzzy_name_match", "q_set_ops_all", "q_sort_null_ordering",
-    "q_table_diff",
+    "q_table_diff", "q_fuzzy_match_q3",
     # plans/semantics changed this round → fresh signal
     "q_semantic_dedup_lsh",     # rows-only: shared-signature self-join
     "q_doc_similarity",         # rows-only: IVF cogroup-by-cell scoring
     "q_knn_ivf",                # rows-only: numpy-trained centroids
     "q_dedup_survivor_policy",  # widened (quality, -id) key encoding
     "q_tpch_q11_value",         # integer-cents threshold form
-    # last graded in ROUND 1 (stalest signal; 14 of 15 — q_date_spine
-    # yielded to q_table_diff, back in r7)
+    # last graded in ROUND 1 (stalest signal; 13 of 15 — q_date_spine
+    # and q_unpivot yielded to new round-6 queries, back in r7)
     "q_agg_filtered", "q_conditional_case", "q_null_handling",
     "q_distinct_rows", "q_join_cross", "q_join_range",
     "q_window_running_total", "q_window_moving_avg", "q_record_tracking",
     "q_window_range_numeric", "q_ntile_cume", "q_sliding_window",
-    "q_unpivot", "q_lang_stats",
+    "q_lang_stats",
     # last graded in ROUND 2 (8 of 19 — q_percentiles, q_rollup,
     # q_join_left, q_window_first_last, q_variant_json, q_bool_aggs,
     # q_tumbling_window, q_quality_filter, q_agg_stats, q_minmax_by,
