@@ -202,3 +202,57 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("passed", F.col("violations") == 0)
         .orderBy("rule")
     )
+
+
+@graded(
+    "q_k_anonymity",
+    oracle="""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*)                          AS n,
+               count(DISTINCT sign(c_acctbal))   AS n_sensitive
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(count(*) AS BIGINT)                                   AS n_classes,
+           CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)    AS n_violating,
+           CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)    AS n_exposed_rows,
+           CAST(min(n) AS BIGINT)                                     AS min_class_size,
+           CAST(max(n) AS BIGINT)                                     AS max_class_size,
+           CAST(sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                      AS n_low_diversity
+    FROM classes
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the quasi-identifier pair
+    (c_nationkey, c_mktsegment) with balance sign as the sensitive
+    attribute: one report row counting equivalence classes, classes
+    smaller than k=10 (re-identifiable), the rows they expose, the
+    class-size envelope, and classes with fewer than 2 distinct
+    sensitive values (attribute disclosure even when k holds) — the
+    privacy gate a dataset passes before leaving a governed zone.
+
+    100 TB: one hash aggregate on the QI key (map-side combinable — the
+    sensitive distinct-count is per-class, planned as a single Expand)
+    then a second aggregate over |classes| rows, which is tiny by
+    construction; no join-back to the source, no second scan.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    # collect_set, not countDistinct: the sensitive domain is bounded
+    # (sign ∈ {-1,0,1}), so the set is ≤3 elements and the whole class
+    # table builds in ONE map-side-combinable aggregate — countDistinct
+    # would plan a second Expand+exchange phase for the same answer.
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.size(F.collect_set(F.sign("c_acctbal"))).alias("n_sensitive"),
+    )
+    k = F.lit(10)
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("n") < k, 1).otherwise(0)).alias("n_violating"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)).alias("n_exposed_rows"),
+        F.min("n").alias("min_class_size"),
+        F.max("n").alias("max_class_size"),
+        F.sum(F.when(F.col("n_sensitive") < 2, 1).otherwise(0)).alias("n_low_diversity"),
+    )

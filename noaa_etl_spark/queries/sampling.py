@@ -437,3 +437,56 @@ def q_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@graded(
+    "q_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               -ln((CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                         AS UBIGINT) + 1) / 281474976710656.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM keyed
+    ORDER BY k
+    LIMIT 100
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, RNG-free (Efraimidis–
+    Spirakis via the exponential-race formulation): each doc draws
+    u ∈ (0,1] from an md5 hash of its key and competes with key
+    −ln(u)/w; the k smallest win. Inclusion probability is
+    proportional-to-weight (here n_chars — longer docs favored, the
+    length-weighted mixture knob), and unlike the Bernoulli md5 gates
+    (q_sample, q_train_val_split) the output size is EXACTLY k.
+
+    Determinism story shared with every gate in this engine: survivors
+    are a pure function of the key — rerun-stable, engine-reproducible
+    (the oracle replays the identical hash-to-uniform arithmetic),
+    stable under cluster resizing and executor loss, and auditable
+    after the fact.
+
+    100 TB: the key is scan-local arithmetic; top-k is
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows) — no global sort, no shuffle of non-winners. Weighted
+    PER-GROUP k-sampling composes the same key with the rank-by-hash
+    window of q_group_sample.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    u = (v + F.lit(1)) / F.lit(float(2**48))
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("k"))
+        .orderBy("k")
+        .limit(100)
+        .drop("k")
+    )

@@ -4,7 +4,7 @@ dashboard path), multi-granularity time rollup."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from noaa_etl_spark.io import load_table
@@ -150,4 +150,114 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "approx_users_total",
             )
         )
+    )
+
+
+@graded(
+    "q_hist_quantiles",
+    oracle="""
+    WITH dom AS (
+        SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               greatest(least(CAST(floor((value - lo) / ((hi - lo) / 64))
+                                   AS INT), 63), 0) AS bin
+        FROM events, dom
+    ),
+    hist AS (
+        SELECT event_type, bin, count(*) AS cnt
+        FROM binned GROUP BY event_type, bin
+    ),
+    cum AS (
+        SELECT event_type, bin,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type)              AS n_total
+        FROM hist
+    ),
+    qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+    est AS (
+        SELECT event_type, q,
+               min(lo + (bin + 1) * ((hi - lo) / 64)) AS est
+        FROM cum, qs, dom
+        WHERE cum >= ceil(q * n_total)
+        GROUP BY event_type, q
+    ),
+    ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*)     OVER (PARTITION BY event_type)                AS n
+        FROM events
+    ),
+    disc AS (
+        SELECT r.event_type, q.q, min(r.value) AS x_disc
+        FROM ranked r, qs q
+        WHERE r.rn = CAST(ceil(q.q * r.n) AS BIGINT)
+        GROUP BY r.event_type, q.q
+    )
+    SELECT e.event_type, e.q, e.est, d.x_disc,
+           (d.x_disc <= e.est AND e.est - d.x_disc
+                <= (SELECT (hi - lo) / 64 FROM dom)) AS within_one_bin
+    FROM est e JOIN disc d ON e.event_type = d.event_type AND e.q = d.q
+    ORDER BY e.event_type, e.q
+    """,
+)
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch → bounded-error quantiles
+    (operators/histogram.py), graded against the exact discrete
+    quantile: per (event_type, q ∈ {0.5, 0.9, 0.99}) the sketch
+    estimate, the exact rank-⌈q·N⌉ value, and the one-bin-error bound —
+    which is a THEOREM of the construction (x_disc ≤ est ≤ x_disc + w),
+    so the booleans are deterministic under any fixture. The oracle
+    replays the identical bin arithmetic, making `est` itself exact-
+    comparable (pure IEEE arithmetic on both engines).
+
+    This is the quantile member of the persisted-sketch kit (HLL =
+    distincts, CMS = point frequencies): fixed global bin edges make
+    per-day grids cell-wise ADDITIVE (tests prove merge-exactness), so
+    range quantile queries read KB-sized grids, never history.
+
+    100 TB: the sketch build shuffles ≤ |groups|·|bins| combined cells
+    per partition; quantile extraction runs on the cell table alone.
+    The exact-quantile leg here exists only to grade the bound — it is
+    the expensive path the sketch replaces in production.
+    """
+    from noaa_etl_spark.operators.histogram import hist_build, hist_quantiles
+
+    N_BINS, QS = 64, [0.5, 0.9, 0.99]
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dom = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    lo, hi = float(dom.lo), float(dom.hi)
+    w = (hi - lo) / N_BINS
+
+    hist = hist_build(ev, "value", lo, hi, N_BINS, group_cols=("event_type",))
+    est = hist_quantiles(hist, QS, lo, hi, N_BINS, group_cols=("event_type",))
+
+    gw = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(gw.orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(gw).alias("n"),
+    )
+    q_df = spark.createDataFrame([(q,) for q in QS], "q double")
+    disc = (
+        ranked.crossJoin(F.broadcast(q_df))
+        .filter(F.col("rn") == F.ceil(F.col("q") * F.col("n")))
+        .groupBy("event_type", "q")
+        .agg(F.min("value").alias("x_disc"))
+    )
+    return (
+        est.join(disc, ["event_type", "q"])
+        .select(
+            "event_type",
+            "q",
+            "est",
+            "x_disc",
+            (
+                (F.col("x_disc") <= F.col("est"))
+                & (F.col("est") - F.col("x_disc") <= F.lit(w))
+            ).alias("within_one_bin"),
+        )
+        .orderBy("event_type", "q")
     )

@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from noaa_etl_spark.io import load_table
+from noaa_etl_spark.io import load_table, ntz_lit
 from noaa_etl_spark.registry import graded
 from noaa_etl_spark.sources import read_csv, read_fixed_width, read_jsonl
 from noaa_etl_spark.sources.fixed_width import GHCND_STATIONS_SPEC
@@ -440,4 +440,59 @@ def q_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor("o_totalprice").cast("bigint")).alias("floor_total"),
         )
         .orderBy("leg", "o_orderstatus")
+    )
+
+
+@graded(
+    "q_stats_skipping",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                                    AS n_items,
+           sum(l_quantity)                             AS sum_qty,
+           CAST(sum(floor(l_extendedprice)) AS BIGINT) AS floor_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level stats-index data skipping (operators/skipping.py):
+    write lineitem range-layed-out on l_shipdate, build the footer-only
+    min/max manifest, prune the file list to the 1995 span driver-side,
+    scan only surviving files, then apply the row filter and aggregate.
+
+    The graded property is SOUNDNESS: if pruning ever drops a file that
+    contains matching rows, the aggregate diverges from the full-table
+    oracle. tests/test_plans.py asserts the skipping actually bites
+    (pruned scan reads strictly fewer files than the layout wrote).
+
+    100 TB: the manifest build touches footers only (no data pages) and
+    the pruned read never schedules tasks for skipped files — Delta/
+    Iceberg manifest pruning on plain parquet, composing with the
+    range/Z-order layouts that make per-file spans disjoint.
+    """
+    from noaa_etl_spark.operators.skipping import build_stats_index, read_pruned
+
+    path = _tmp("stats_skip_lineitem", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    li.repartitionByRange(8, "l_shipdate").write.mode("overwrite").parquet(path)
+
+    index = build_stats_index(spark, path, ["l_shipdate"])
+    lo, hi = "1995-01-01", "1996-01-01"
+    pruned = read_pruned(spark, path, index, {"l_shipdate": (lo, hi)})
+    return (
+        pruned.filter(
+            (F.col("l_shipdate") >= ntz_lit(lo)) & (F.col("l_shipdate") < ntz_lit(hi))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.floor("l_extendedprice").cast("bigint")).alias("floor_revenue"),
+        )
+        .orderBy("l_returnflag")
     )

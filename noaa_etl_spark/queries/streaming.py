@@ -406,3 +406,74 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         quality_gate_projection(docs), "mem_stream_quality_gate", "append"
     )
+
+
+@graded("q_stream_drift_monitor")  # rows-only: engine-trained centroids
+def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ANN-index maintenance as a stream
+    (operators/ann_maintenance.streaming_drift_monitor): train IVF
+    centroids on a ~50% md5-gated split of the embedding corpus, take
+    the distance baseline from a ~25% out-of-sample CALIBRATION split,
+    then drain the remaining ~25% as a two-file stream
+    (maxFilesPerTrigger=1 → two micro-batches). Each micro-batch
+    appends its frozen-centroid assignments under data/batch_id=N and
+    emits a per-cell drift report under reports/batch_id=N; the query
+    returns the union of the per-batch reports — the monitoring table
+    an index service alerts on.
+
+    100 TB: per-batch work is a scan-local Arrow matmul against the
+    tiny frozen centroid matrix plus a |cells|-row report; foreachBatch
+    holds no state store (the frozen (centroids, baseline) pair is the
+    only state), and batch_id-keyed overwrite makes checkpoint-restart
+    replays idempotent (tests/test_drift_stream.py).
+    """
+    import os
+    import shutil
+
+    import numpy as np
+
+    from noaa_etl_spark.operators.ann_maintenance import (
+        assign_with_distance,
+        cell_stats,
+        streaming_drift_monitor,
+    )
+    from noaa_etl_spark.operators.similarity import _train_ivf_centers
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gate = F.substring(
+        F.md5(F.concat(F.lit("sdm:"), F.col("vec_id").cast("string"))), 1, 2
+    )
+    train = emb.filter(gate < "80")                      # ~50%
+    calib = emb.filter((gate >= "80") & (gate < "c0"))   # ~25%
+    arriving = emb.filter(gate >= "c0")                  # ~25%
+
+    centers = _train_ivf_centers(train, n_cells=8)
+    cents = (np.arange(len(centers), dtype=np.int64), centers)
+    base_stats = cell_stats(assign_with_distance(calib, cents))
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "drift_monitor")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # two arrival files → two micro-batches under maxFilesPerTrigger=1
+    g2 = F.substring(
+        F.md5(F.concat(F.lit("sdm2:"), F.col("vec_id").cast("string"))), 1, 1
+    )
+    arriving.filter(g2 < "8").coalesce(1).write.parquet(src)
+    arriving.filter(g2 >= "8").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = streaming_drift_monitor(stream, cents, base_stats, out, ckpt).start()
+    query.awaitTermination()
+    return spark.read.parquet(os.path.join(out, "reports")).orderBy(
+        "batch_id", "cell_id"
+    )

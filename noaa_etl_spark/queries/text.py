@@ -1108,3 +1108,63 @@ def q_fuzzy_match_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_join(keyed, "k", max_dist=2, q=3).orderBy(
         "name_a", "name_b"
     )
+
+
+@graded(
+    "q_cms_frequencies",
+    oracle="""
+    SELECT l_partkey,
+           cnt  AS true_cnt,
+           TRUE AS lower_ok,
+           TRUE AS upper_ok
+    FROM (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+          FROM lineitem GROUP BY l_partkey
+          ORDER BY cnt DESC, l_partkey LIMIT 20)
+    ORDER BY l_partkey
+    """,
+)
+def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimation (operators/cms.py),
+    graded in PROPERTY form: for the 20 most frequent part keys, emit
+    the exact count plus the two CMS guarantees as booleans —
+    lower_ok (est ≥ true: structural, collisions only over-count) and
+    upper_ok (est ≤ true + 4e·N/w: Markov per hash row gives per-key
+    failure ≤ (1/4e)^d ≈ 7e-5 at d=4, deterministic for a fixed fixture
+    and hash seeds). The oracle states both hold; a broken sketch (or a
+    bound regression on a regenerated fixture) grades as a mismatch.
+    The tight e·N/w bound and exact grid mergeability are unit-tested
+    (tests/test_algorithms.py).
+
+    100 TB: the grid build shuffles ≤ d·w partial cells per partition
+    (map-side combine) — a fixed-size mergeable summary like the HLL
+    sketch table; estimates broadcast-join the KB-sized grid. The exact
+    per-key counts exist here only to grade the bound — production
+    point queries touch the grid alone, never the corpus.
+    """
+    from noaa_etl_spark.operators.cms import cms_build, cms_estimate, cms_total
+
+    DEPTH, WIDTH = 4, 1024
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    # persist + eager materialize (SCALING.md rule): the grid feeds both
+    # the estimate join and cms_total, and top20 feeds both the probe
+    # side and the final report join — un-persisted, each consumer
+    # re-plans its subtree and the fact is scanned four times instead
+    # of twice. Both frames are tiny (d·w cells / 20 rows).
+    cells = cms_build(li, "l_partkey", depth=DEPTH, width=WIDTH).persist()
+    cells.count()
+    true_cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    top20 = true_cnt.orderBy(F.desc("cnt"), F.asc("l_partkey")).limit(20).persist()
+    top20.count()
+    est = cms_estimate(cells, top20, "l_partkey", depth=DEPTH, width=WIDTH)
+    margin = F.ceil(F.lit(4 * 2.718281828459045) * F.col("n_total") / F.lit(WIDTH))
+    return (
+        top20.join(est, "l_partkey")
+        .crossJoin(F.broadcast(cms_total(cells)))
+        .select(
+            "l_partkey",
+            F.col("cnt").alias("true_cnt"),
+            (F.col("est") >= F.col("cnt")).alias("lower_ok"),
+            (F.col("est") <= F.col("cnt") + margin).alias("upper_ok"),
+        )
+        .orderBy("l_partkey")
+    )

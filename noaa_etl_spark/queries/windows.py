@@ -323,3 +323,66 @@ def q_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         F.percent_rank().over(w).alias("prank"),
     ).orderBy("c_custkey")
+
+
+@graded(
+    "q_anomaly_mad",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, event_type, value,
+               quantile_cont(value, 0.5)
+                   OVER (PARTITION BY event_type) AS med
+        FROM events
+    ),
+    s2 AS (
+        SELECT *,
+               quantile_cont(abs(value - med), 0.5)
+                   OVER (PARTITION BY event_type) AS mad
+        FROM s
+    )
+    SELECT event_id, event_type, value,
+           round(med, 6) AS med,
+           round(mad, 6) AS mad
+    FROM s2
+    WHERE abs(value - med) > 5 * mad
+    ORDER BY event_id
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (median / MAD, the sensor-QC staple):
+    flag events whose value deviates from the per-type median by more
+    than 5× the median absolute deviation. Median+MAD resist the very
+    outliers they hunt (mean/stddev get dragged by them), which is why
+    QC pipelines (e.g. climate-record screening) use this exact rule.
+
+    Plan shape: TWO stacked unbounded windows on the SAME partition key
+    (median, then MAD of deviations-from-median) — one exchange total,
+    no sort (unbounded frames), and crucially NO agg + join-back: the
+    SCALING.md double-plan rule applied to percentiles. Exact
+    percentile interpolation matches DuckDB's quantile_cont bit-for-bit
+    (same linear-interpolation formula; q_percentiles establishes the
+    parity).
+
+    100 TB: one shuffle on event_type; exact windowed percentiles
+    materialize each partition's values on one reducer — fine for
+    bounded per-key cardinality; the scale swap is
+    approx_percentile-as-scalar broadcast or the mergeable histogram
+    sketch (operators/histogram.py).
+    """
+    w = Window.partitionBy("event_type")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    with_med = ev.withColumn("med", F.percentile("value", F.lit(0.5)).over(w))
+    with_mad = with_med.withColumn(
+        "mad", F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).over(w)
+    )
+    return (
+        with_mad.filter(F.abs(F.col("value") - F.col("med")) > 5 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+        .orderBy("event_id")
+    )

@@ -111,20 +111,29 @@ GRADED_WINDOW: list[str] = [
     "q_ann_index_update",  # rows-only: engine-trained centroids
     "q_fuzzy_name_match", "q_set_ops_all", "q_sort_null_ordering",
     "q_table_diff", "q_fuzzy_match_q3",
+    "q_stats_skipping", "q_cms_frequencies", "q_k_anonymity",
+    "q_stream_drift_monitor",  # rows-only: engine-trained centroids
+    "q_anomaly_mad", "q_hist_quantiles", "q_weighted_sample",
     # plans/semantics changed this round → fresh signal
     "q_semantic_dedup_lsh",     # rows-only: shared-signature self-join
     "q_doc_similarity",         # rows-only: IVF cogroup-by-cell scoring
     "q_knn_ivf",                # rows-only: numpy-trained centroids
     "q_dedup_survivor_policy",  # widened (quality, -id) key encoding
     "q_tpch_q11_value",         # integer-cents threshold form
-    # last graded in ROUND 1 (stalest signal; 13 of 15 — q_date_spine
-    # and q_unpivot yielded to new round-6 queries, back in r7)
-    "q_agg_filtered", "q_conditional_case", "q_null_handling",
-    "q_distinct_rows", "q_join_cross", "q_join_range",
-    "q_window_running_total", "q_window_moving_avg", "q_record_tracking",
+    # last graded in ROUND 1 (stalest signal; 9 of 15 — q_date_spine,
+    # q_unpivot, q_conditional_case, q_null_handling, q_distinct_rows
+    # and q_window_moving_avg yielded to new round-6 queries, back in
+    # r7; B stays covered by q_try_cast_qc/q_agg_filtered, E by the
+    # running-total/rank/rolling entries)
+    "q_agg_filtered",
+    "q_join_cross", "q_join_range",
+    "q_window_running_total", "q_record_tracking",
     "q_window_range_numeric", "q_ntile_cume", "q_sliding_window",
     "q_lang_stats",
-    # last graded in ROUND 2 (8 of 19 — q_percentiles, q_rollup,
+    # last graded in ROUND 2 (6 of 19 — q_percentiles, q_rollup,
+    # q_jsonl_roundtrip (A covered by q_zstd_roundtrip +
+    # q_stats_skipping), q_regexp_extract (H covered by
+    # q_date_functions),
     # q_join_left, q_window_first_last, q_variant_json, q_bool_aggs,
     # q_tumbling_window, q_quality_filter, q_agg_stats, q_minmax_by,
     # q_union_all_yearly yielded their slots to the 15 new round-6
@@ -133,12 +142,10 @@ GRADED_WINDOW: list[str] = [
     "q_join3_topk", "q_join5_region",
     "q_window_rank",
     "q_sessionize", "q_date_functions",
-    "q_jsonl_roundtrip", "q_regexp_extract",
     "q_tpch_q7_volume",
     # round-3-graded family/high-value reps (fill to 50; keep every
     # family's rep post-r5-fixture)
     "q_try_cast_qc",      # B filters
-    "q_topk_global",      # F sort/limit
     "q_dedup_hash",       # I dedup (scale path)
     "q_semantic_dedup",   # I semantic (exact twin of the changed LSH)
     "q_stream_dedup",     # J streaming
@@ -155,7 +162,7 @@ ROWS_ONLY_WINDOW: set[str] = {
     # round plus the new clustering report (all 16 pre-existing
     # rows-only queries got their first clean driver signal in r5)
     "q_semantic_dedup_lsh", "q_doc_similarity", "q_knn_ivf",
-    "q_cluster_corpus", "q_ann_index_update",
+    "q_cluster_corpus", "q_ann_index_update", "q_stream_drift_monitor",
 }
 
 

@@ -719,3 +719,142 @@ class TestFuzzyJoin:
             assert False, "expected ValueError for short keys"
         except ValueError as e:
             assert "length-band" in str(e)
+
+
+class TestCountMinSketch:
+    """operators/cms.py: the two CMS guarantees, exact grid
+    mergeability, and unseen-key behavior."""
+
+    def _skewed(self, spark):
+        # zipf-ish: key k appears ~ 2000/k times, 200 distinct keys
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(1, 201)
+            .select(
+                F.col("id").alias("key"),
+                F.explode(
+                    F.sequence(F.lit(1), (F.lit(2000) / F.col("id")).cast("int"))
+                ).alias("rep"),
+            )
+            .select(F.concat(F.lit("k"), F.col("key").cast("string")).alias("key"))
+        )
+
+    def test_overestimate_and_tight_bound(self, spark):
+        from pyspark.sql import functions as F
+
+        from noaa_etl_spark.operators.cms import cms_build, cms_estimate, cms_total
+
+        df = self._skewed(spark)
+        depth, width = 5, 2048
+        cells = cms_build(df, "key", depth=depth, width=width)
+        true = df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+        est = cms_estimate(cells, true, "key", depth=depth, width=width)
+        n = cms_total(cells).collect()[0].n_total
+        joined = true.join(est, "key").collect()
+        assert len(joined) == 200
+        eps_n = 2.718281828459045 * n / width
+        for r in joined:
+            assert r.est >= r.cnt, f"{r.key}: CMS under-counted"
+        # the (e/w)·N bound holds for at least 1−e^−d of keys; with
+        # d=5 and 200 keys expect ≈1.3 violations — allow a handful
+        bad = sum(1 for r in joined if r.est > r.cnt + eps_n)
+        assert bad <= 5, f"{bad}/200 keys exceed the eps·N bound"
+
+    def test_grid_merge_is_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from noaa_etl_spark.operators.cms import cms_build, cms_merge
+
+        df = self._skewed(spark).withColumn(
+            "day", F.pmod(F.xxhash64("key"), F.lit(7))
+        )
+        global_grid = {
+            (r.d, r.bucket): r.cnt
+            for r in cms_build(df, "key", depth=3, width=256).collect()
+        }
+        merged = {
+            (r.d, r.bucket): r.cnt
+            for r in cms_merge(
+                cms_build(df, "key", depth=3, width=256, group_cols=("day",))
+            ).collect()
+        }
+        assert merged == global_grid  # cells are additive, exactly
+
+    def test_unseen_key_bounded_by_collisions(self, spark):
+        from noaa_etl_spark.operators.cms import cms_build, cms_estimate, cms_total
+
+        df = self._skewed(spark)
+        cells = cms_build(df, "key", depth=5, width=2048)
+        probes = spark.createDataFrame([("never-seen",)], "key string")
+        est = cms_estimate(cells, probes, "key", depth=5, width=2048).collect()[0]
+        n = cms_total(cells).collect()[0].n_total
+        assert 0 <= est.est <= 4 * 2.718281828459045 * n / 2048
+
+    def test_null_keys_ignored(self, spark):
+        from noaa_etl_spark.operators.cms import cms_build, cms_total
+
+        df = spark.createDataFrame(
+            [("a",), (None,), ("a",), (None,)], "key string"
+        )
+        cells = cms_build(df, "key", depth=2, width=16)
+        assert cms_total(cells).collect()[0].n_total == 2
+
+
+class TestHistogramSketch:
+    """operators/histogram.py: one-bin error theorem, exact grid
+    mergeability, and domain-edge clamping."""
+
+    def test_quantile_within_one_bin_of_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from noaa_etl_spark.operators.histogram import hist_build, hist_quantiles
+
+        # deterministic lumpy data: squares mod a prime, two groups
+        df = spark.range(0, 4000).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            ((F.col("id") * F.col("id")) % 997).cast("double").alias("v"),
+        )
+        lo, hi, n_bins = 0.0, 996.0, 32
+        w = (hi - lo) / n_bins
+        hist = hist_build(df, "v", lo, hi, n_bins, group_cols=("g",))
+        est = hist_quantiles(hist, [0.25, 0.5, 0.95], lo, hi, n_bins, ("g",))
+        rows = {(r.g, r.q): r.est for r in est.collect()}
+        pdf = df.toPandas()
+        for (g, q), e in rows.items():
+            vals = sorted(pdf[pdf.g == g].v)
+            x = vals[max(0, -(-int(q * len(vals)) // 1) - 1)]  # rank ceil(qN), 1-based
+            assert x <= e <= x + w + 1e-9, (g, q, x, e)
+
+    def test_per_day_grids_merge_exactly(self, spark):
+        from pyspark.sql import functions as F
+
+        from noaa_etl_spark.operators.histogram import hist_build, hist_merge
+
+        df = spark.range(0, 3000).select(
+            (F.col("id") % 7).alias("day"),
+            (F.col("id") % 2).cast("string").alias("g"),
+            ((F.col("id") * 37) % 500).cast("double").alias("v"),
+        )
+        per_day = hist_build(df, "v", 0.0, 499.0, 16, group_cols=("day", "g"))
+        merged = {
+            (r.g, r.bin): r.cnt
+            for r in hist_merge(per_day, group_cols=("g",)).collect()
+        }
+        direct = {
+            (r.g, r.bin): r.cnt
+            for r in hist_build(df, "v", 0.0, 499.0, 16, group_cols=("g",)).collect()
+        }
+        assert merged == direct
+
+    def test_out_of_domain_values_clamp_into_edge_bins(self, spark):
+        from noaa_etl_spark.operators.histogram import hist_build
+
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (50.0,), (100.0,), (250.0,)], "v double"
+        )
+        hist = {r.bin: r.cnt for r in hist_build(df, "v", 0.0, 100.0, 10).collect()}
+        assert hist[0] == 2   # -5 clamped in, 0.0
+        assert hist[9] == 2   # 100.0 (== hi) and 250 clamped in
+        assert hist[5] == 1
+        assert sum(hist.values()) == 5

@@ -180,3 +180,30 @@ def test_mixture_epochs_explode_equals_algebraic(spark):
         target = 0.5 + m_cls * 0.75
         achieved = rep["n_emitted"] / rep["n_base"]
         assert abs(achieved - target) < 0.35, (src, achieved, target)
+
+
+def test_weighted_sample_tracks_weights(spark):
+    """Efraimidis–Spirakis hash sampling (q_weighted_sample's core):
+    with two weight classes at 10:1, the heavy class must win far more
+    of the k slots than its population share — and the selection must
+    be exactly k, deterministic across repartitionings."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 10.0).otherwise(1.0).alias("w"),
+    )
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit("t:"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    key = -F.log((v + F.lit(1)) / F.lit(float(2**48))) / F.col("w")
+    pick = df.select("doc_id", "w", key.alias("k")).orderBy("k").limit(200)
+    rows = pick.collect()
+    assert len(rows) == 200
+    heavy = sum(1 for r in rows if r.w == 10.0)
+    # expected heavy share ≈ 10/11 ≈ 0.91; population share is 0.5
+    assert heavy > 150, f"heavy class won only {heavy}/200 slots"
+    again = df.repartition(13).select("doc_id", "w", key.alias("k")).orderBy("k").limit(200)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(r.doc_id for r in rows)

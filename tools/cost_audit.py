@@ -102,6 +102,15 @@ AUDITED = [
     # Snapshot diff: one co-partitioned full-outer join — a second fact
     # pass or a join-induced extra exchange is the regression to catch.
     "q_table_diff",
+    # Late round-6 additions: the CMS grid must keep its map-side
+    # combine (shuffle carries ≤ d·w partial cells per partition, never
+    # raw rows) and broadcast the grid for estimates; the k-anonymity
+    # audit is one QI aggregate + one tiny class-level agg — a source
+    # join-back is the regression; the stats-skipping query's pruned
+    # scan must stay pruned (file-count regression shows as bytes).
+    "q_cms_frequencies",
+    "q_k_anonymity",
+    "q_stats_skipping",
 ]
 
 # Streaming queries whose LAST micro-batch plan is auditable via
