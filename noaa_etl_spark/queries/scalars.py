@@ -538,3 +538,56 @@ def q_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(grams, lambda s: F.md5(s))),
     ).otherwise(F.md5(F.col("text")))
     return docs.select("doc_id", fp.alias("fp")).orderBy("doc_id")
+
+
+@graded(
+    "q_array_functions",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> length(x) > 3)) AS INT)
+               AS n_long_tokens,
+           len(list_filter(toks, x -> regexp_matches(x, '[0-9]'))) > 0
+               AS has_digit,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS total_chars,
+           array_to_string(toks[1:3], '-') AS first3
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (filter / exists / aggregate /
+    slice) evaluated entirely in the JVM — the lambda surface that
+    keeps per-element logic out of Python. DuckDB's list lambdas are
+    the oracle, so the cross-engine contract covers lambda SEMANTICS
+    (empty arrays, no matches, fold initial value), not just plain
+    projections.
+
+    Lambdas are single-argument or (acc, x) fold form — never bare
+    arity-2 element lambdas, which Spark reinterprets as
+    (element, index) (CLAUDE.md pitfall).
+
+    100 TB: all codegen'd expressions on the scan — zero shuffles,
+    zero Python; the doc_id<50 bound exists only to keep the graded
+    artifact small.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split("text", " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.filter(toks, lambda x: F.length(x) > 3)).alias("n_long_tokens"),
+            F.exists(toks, lambda x: x.rlike("[0-9]")).alias("has_digit"),
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+            ).alias("total_chars"),
+            F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
+        )
+        .orderBy("doc_id")
+    )

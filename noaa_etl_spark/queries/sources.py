@@ -496,3 +496,59 @@ def q_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@graded(
+    "q_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                         THEN floor(o_totalprice * 1.1)
+                         ELSE floor(o_totalprice) END) AS BIGINT)
+               AS floor_total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill write
+    semantic: rewrite ONLY the partitions present in the incoming
+    batch, leave every other partition's files untouched. Orders are
+    laid out by status, then the 'F' partition alone is re-priced
+    (+10%, exact floor-cents) and overwritten in dynamic mode; the
+    read-back aggregate proves O and P survived while F changed —
+    static overwrite mode would have deleted them (the classic
+    backfill data-loss bug). File-level untouchedness is asserted in
+    tests/test_partition_overwrite.py.
+
+    100 TB: a day's backfill rewrites one day's files; combined with
+    the manifest-commit sink or Delta-style logs this is the
+    partition-at-a-time reprocessing loop every lake ETL runs nightly.
+    """
+    path = _tmp("dyn_overwrite_orders", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        repriced = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 1.1
+        )
+        repriced.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor("o_totalprice").cast("bigint")).alias("floor_total"),
+        )
+        .orderBy("o_orderstatus")
+    )

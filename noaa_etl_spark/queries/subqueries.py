@@ -11,6 +11,7 @@ timestamp literal syntax differs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from noaa_etl_spark.io import register_views
 from noaa_etl_spark.registry import graded
@@ -165,4 +166,63 @@ def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 200
         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
         """
+    )
+
+
+@graded(
+    "q_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE r AS (
+        SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, r.root, r.depth + 1
+        FROM customer c JOIN r ON c.c_custkey // 10 = r.node
+        WHERE c.c_custkey >= 10
+    )
+    SELECT root,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(max(depth) AS INT)  AS max_depth,
+           CAST(sum(depth) AS BIGINT) AS total_depth
+    FROM r
+    GROUP BY root
+    ORDER BY root
+    """,
+)
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy resolution — the WITH RECURSIVE capability
+    Spark lacks natively (operators/hierarchy.py). The customer keys
+    form a deterministic decimal forest (parent = key // 10, roots are
+    the single-digit keys); every node is resolved to its root and
+    depth by POINTER DOUBLING, then rolled up per root (subtree size,
+    max/total depth). The oracle is DuckDB's actual recursive CTE over
+    the same parenting rule, so the graded artifact is transitive-
+    closure correctness, not arithmetic.
+
+    100 TB: O(log depth) self-join rounds (each one shuffle on the
+    ancestor key) versus O(depth) for naive parent-following or a
+    recursive-CTE executor's per-level iteration; per-round
+    localCheckpoint cuts lineage exactly like connected_components.
+    Termination is a ROUND-count driver loop (log-depth few), never a
+    row-wise collect.
+    """
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.operators.hierarchy import resolve_roots
+
+    cust = load_table(spark, sf_dir, "customer")
+    nodes = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") < 10, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("c_custkey div 10"))
+        .alias("parent"),
+    )
+    resolved = resolve_roots(nodes)
+    return (
+        resolved.groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("depth").cast("int").alias("max_depth"),
+            F.sum("depth").alias("total_depth"),
+        )
+        .orderBy("root")
     )

@@ -470,3 +470,218 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("ft", ignorenulls=True).over(w).alias("floor_total_filled"),
         F.col("n").isNull().cast("int").alias("is_gap"),
     ).orderBy("event_type", "d")
+
+
+@graded(
+    "q_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts)             AS s,
+               epoch_us(ts) + 600000000 AS e
+        FROM events
+        WHERE user_id IS NOT NULL
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island, min(s) AS m_start, max(e) AS m_end
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)            AS n_intervals,
+           CAST(sum(m_end - m_start) AS BIGINT) AS covered_us,
+           CAST(max(m_end - m_start) AS BIGINT) AS max_len_us
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval coalescing (the gaps-and-islands problem):
+    each event opens a 10-minute validity interval; per user, merge
+    every overlapping-or-touching interval chain and report interval
+    count, covered time and longest merged span — the operator behind
+    downtime windows, validity ranges and meeting-room style coverage.
+
+    Island detection is the running-max trick: an interval starts a new
+    island iff its start exceeds the max end among ALL earlier
+    intervals (the cumulative max — comparing only the previous row's
+    end is the classic bug that splits chains a long interval bridges).
+    All arithmetic is integer micros (epoch_us both engines), so parity
+    is exact.
+
+    Plan shape: one exchange on user_id serves the running-max window,
+    the island cumsum, and both aggregates (island grain, then user
+    grain — each key a prefix of the window partitioning). No self
+    join, no agg-and-join-back.
+
+    100 TB: per-user sort like sessionize; the skew escape hatch is the
+    same bucketed two-phase form (operators/sessionize.py) because an
+    island, like a session, is a prefix-mergeable structure.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    s = F.unix_micros("ts")
+    iv = ev.select("user_id", s.alias("s"), (s + F.lit(600_000_000)).alias("e"))
+
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max_end = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("m_start"), F.max("e").alias("m_end")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("m_end") - F.col("m_start")).alias("covered_us"),
+            F.max(F.col("m_end") - F.col("m_start")).alias("max_len_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@graded(
+    "q_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS t_view,
+               min(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS n_view,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view)
+                AS BIGINT) AS n_view_click,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                                 AND t_purchase > t_click)
+                AS BIGINT) AS n_full_funnel,
+           CAST(sum(t_purchase - t_view)
+                    FILTER (t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click)
+                AS BIGINT) AS total_conversion_us
+    FROM per_user
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel (view → click → purchase): per user take
+    the FIRST occurrence of each stage, then count users whose first
+    occurrences respect the order — the product-analytics conversion
+    funnel, plus total first-view→first-purchase latency over full
+    converters.
+
+    Shape: one conditional aggregate per user (min-CASE pivots the
+    three stages in a single pass — no per-stage self-joins, which is
+    the naive funnel query's downfall), then one global scalar
+    aggregate over the tiny per-user frame. NULL ordering is handled
+    by strict > comparisons: a missing stage yields NULL and fails the
+    predicate on both engines identically.
+
+    100 TB: single shuffle on user_id with map-side combine; the
+    per-user frame is |users| rows. Longer funnels add CASE branches,
+    not passes.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    t = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", t)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", t)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    converted = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).alias("n_view"),
+        F.count(F.when(clicked, 1)).alias("n_view_click"),
+        F.count(F.when(converted, 1)).alias("n_full_funnel"),
+        F.sum(F.when(converted, F.col("t_purchase") - F.col("t_view"))).alias(
+            "total_conversion_us"
+        ),
+    )
+
+
+@graded(
+    "q_cohort_retention",
+    oracle="""
+    WITH act AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS week_idx
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id, CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT)
+    ),
+    cohorts AS (
+        SELECT user_id, min(week_idx) AS cohort_week FROM act GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           a.week_idx - c.cohort_week AS weeks_since,
+           CAST(count(*) AS BIGINT)   AS n_users
+    FROM act a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY c.cohort_week, a.week_idx - c.cohort_week
+    ORDER BY cohort_week, weeks_since
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active week,
+    counted in every later week they return — the
+    activation/churn report every growth dashboard runs.
+
+    Week index is pure integer arithmetic on epoch micros
+    (floor(us / week_us)) rather than date_trunc('week', …):
+    engine-neutral (no week-start convention to disagree on) and
+    scan-local. Distinct (user, week) activity first (map-side
+    combinable), then the cohort week as a MIN window over the user
+    partition — the same one-shuffle trick as the funnel: cohort
+    assignment and the retention join-back collapse into a window
+    because the partitioning (user_id) already matches, so the
+    activity table is never scanned twice.
+
+    100 TB: one exchange on user_id (activity distinct + cohort
+    window), one tiny exchange on the |cohorts|×|weeks| matrix.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    week = F.floor(F.unix_micros("ts") / F.lit(604_800_000_000.0)).cast("bigint")
+    act = ev.select("user_id", week.alias("week_idx")).distinct()
+    w_user = Window.partitionBy("user_id")
+    with_cohort = act.withColumn("cohort_week", F.min("week_idx").over(w_user))
+    return (
+        with_cohort.groupBy(
+            "cohort_week", (F.col("week_idx") - F.col("cohort_week")).alias("weeks_since")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )

@@ -19,7 +19,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 from pyspark.sql.types import DoubleType
@@ -406,4 +406,77 @@ def q_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_dyn_docs d,
              LATERAL fixed_slices(d.text, 'head:16,mid:16') s
         """
+    )
+
+
+@graded(
+    "q_fuzzy_rank",
+    oracle="""
+    WITH cand AS (
+        SELECT a.p_partkey AS left_key, b.p_partkey AS right_key,
+               jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+        WHERE a.p_partkey <= 200 AND b.p_partkey <= 200
+    ),
+    ranked AS (
+        SELECT left_key, right_key, jw,
+               row_number() OVER (PARTITION BY left_key
+                                  ORDER BY jw DESC, right_key) AS rnk
+        FROM cand
+    )
+    SELECT left_key, right_key, jw, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY left_key, rnk
+    """,
+)
+def q_fuzzy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler similarity ranking (functions/strings.py): for each
+    part in a bounded slice, the 3 most-similar same-brand part names —
+    the "did you mean" / survivor-ranking step that runs AFTER a
+    blocking join has bounded the candidate space. The UDF is
+    calibrated bit-exactly against DuckDB's jaro_winkler_similarity
+    (0.7 boost threshold, p=0.1, prefix cap 4 — 300+ randomized pairs
+    in tests), so the similarity FLOATS themselves are graded, not just
+    the ranks; ties at the rank boundary break on right_key for
+    engine-agnostic determinism.
+
+    100 TB: the brand equi-join does the heavy lifting (blocking =
+    hash join, no cross join — same doctrine as operators/fuzzy.py);
+    the Arrow-batched Python scorer touches only surviving pairs.
+    Corpus-scale edit-distance joins stay on the JVM levenshtein path
+    (q_fuzzy_name_match); this is the richer scorer for the bounded
+    tail.
+    """
+    from noaa_etl_spark.functions.strings import jaro_winkler
+
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select("p_partkey", "p_brand", "p_name")
+    )
+    a = part.select(
+        F.col("p_partkey").alias("left_key"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("left_name"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("right_key"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("right_name"),
+    )
+    cand = (
+        a.join(b, "brand")
+        .filter(F.col("left_key") != F.col("right_key"))
+        .select(
+            "left_key",
+            "right_key",
+            jaro_winkler("left_name", "right_name").alias("jw"),
+        )
+    )
+    w = Window.partitionBy("left_key").orderBy(F.desc("jw"), F.asc("right_key"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("left_key", "rnk")
     )

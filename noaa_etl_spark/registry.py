@@ -102,7 +102,12 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   carries post-r5-fixture signal.
 GRADED_WINDOW: list[str] = [
     # new this round (every new query enters the window the round it
-    # lands)
+    # lands; the third round-6 session added 11 more — stats skipping,
+    # CMS + histogram sketches, k-anonymity, streaming drift monitor,
+    # MAD outliers, weighted sampling, interval merge, funnel, cohort
+    # retention, Jaro-Winkler rank — displacing stale re-confirmation
+    # entries whose families stay covered; displaced list in the r7
+    # notes)
     "q_zstd_roundtrip", "q_mixture_epochs",
     "q_cluster_corpus",  # rows-only: k-means cells
     "q_quality_gate", "q_gopher_quality", "q_repetition_filter",
@@ -114,6 +119,8 @@ GRADED_WINDOW: list[str] = [
     "q_stats_skipping", "q_cms_frequencies", "q_k_anonymity",
     "q_stream_drift_monitor",  # rows-only: engine-trained centroids
     "q_anomaly_mad", "q_hist_quantiles", "q_weighted_sample",
+    "q_interval_merge", "q_funnel", "q_cohort_retention", "q_fuzzy_rank",
+    "q_recursive_hierarchy", "q_array_functions", "q_partition_overwrite",
     # plans/semantics changed this round → fresh signal
     "q_semantic_dedup_lsh",     # rows-only: shared-signature self-join
     "q_doc_similarity",         # rows-only: IVF cogroup-by-cell scoring
@@ -126,10 +133,7 @@ GRADED_WINDOW: list[str] = [
     # r7; B stays covered by q_try_cast_qc/q_agg_filtered, E by the
     # running-total/rank/rolling entries)
     "q_agg_filtered",
-    "q_join_cross", "q_join_range",
-    "q_window_running_total", "q_record_tracking",
-    "q_window_range_numeric", "q_ntile_cume", "q_sliding_window",
-    "q_lang_stats",
+    "q_join_range",
     # last graded in ROUND 2 (6 of 19 — q_percentiles, q_rollup,
     # q_jsonl_roundtrip (A covered by q_zstd_roundtrip +
     # q_stats_skipping), q_regexp_extract (H covered by

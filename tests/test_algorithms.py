@@ -858,3 +858,87 @@ class TestHistogramSketch:
         assert hist[9] == 2   # 100.0 (== hi) and 250 clamped in
         assert hist[5] == 1
         assert sum(hist.values()) == 5
+
+
+class TestJaroWinkler:
+    """functions/strings.py: bit-exact calibration against DuckDB's
+    jaro_winkler_similarity — the property that lets q_fuzzy_rank grade
+    similarity floats cross-engine."""
+
+    def test_matches_duckdb_bit_exactly(self, duck):
+        import random
+        import string as _string
+
+        from noaa_etl_spark.functions.strings import jaro_winkler_py
+
+        rng = random.Random(7)
+        pairs = [
+            ("martha", "marhta"), ("dixon", "dicksonx"), ("abc", "abc"),
+            ("abc", "xyz"), ("dwayne", "duane"), ("arnab", "aranb"),
+            ("ab", ""), ("", ""), ("prefix", "prefixxxxxxlong"),
+        ]
+        for _ in range(300):
+            a = "".join(rng.choices(_string.ascii_lowercase[:6], k=rng.randint(0, 10)))
+            b = "".join(rng.choices(_string.ascii_lowercase[:6], k=rng.randint(0, 10)))
+            pairs.append((a, b))
+        for a, b in pairs:
+            want = duck.execute(
+                "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+            got = jaro_winkler_py(a, b)
+            assert got == want, (a, b, got, want)
+
+    def test_null_propagates(self, spark):
+        from noaa_etl_spark.functions.strings import jaro_winkler
+
+        df = spark.createDataFrame(
+            [("a", None), (None, "b"), ("ab", "ab")], "x string, y string"
+        ).select(jaro_winkler("x", "y").alias("jw"))
+        vals = [r.jw for r in df.collect()]
+        assert vals == [None, None, 1.0]
+
+
+class TestHierarchy:
+    """operators/hierarchy.py pointer doubling: deep-chain resolution in
+    O(log depth) rounds, forests, and cycle failure."""
+
+    def test_deep_chain_resolves_logarithmically(self, spark):
+        from pyspark.sql import functions as F
+
+        from noaa_etl_spark.operators.hierarchy import resolve_roots
+
+        # a single 200-deep chain: node i's parent is i-1, root is 0
+        nodes = spark.range(0, 200).select(
+            F.col("id").alias("node"),
+            F.when(F.col("id") == 0, F.lit(None).cast("bigint"))
+            .otherwise(F.col("id") - 1)
+            .alias("parent"),
+        )
+        # 2^9 = 512 ≥ 200: must converge within 9+1 doubling rounds
+        out = {r.node: (r.root, r.depth) for r in resolve_roots(nodes, max_iter=10).collect()}
+        assert out[0] == (0, 0)
+        assert out[199] == (0, 199)
+        assert out[100] == (0, 100)
+
+    def test_forest_keeps_trees_apart(self, spark):
+        from noaa_etl_spark.operators.hierarchy import resolve_roots
+
+        rows = [(1, None), (2, None), (10, 1), (11, 1), (20, 2), (21, 20)]
+        nodes = spark.createDataFrame(rows, "node bigint, parent bigint")
+        out = {r.node: (r.root, r.depth) for r in resolve_roots(nodes).collect()}
+        assert out == {
+            1: (1, 0), 2: (2, 0),
+            10: (1, 1), 11: (1, 1),
+            20: (2, 1), 21: (2, 2),
+        }
+
+    def test_cycle_raises(self, spark):
+        import pytest as _pytest
+
+        from noaa_etl_spark.operators.hierarchy import resolve_roots
+
+        nodes = spark.createDataFrame(
+            [(1, 2), (2, 1)], "node bigint, parent bigint"
+        )
+        with _pytest.raises(RuntimeError, match="did not resolve"):
+            resolve_roots(nodes, max_iter=5)

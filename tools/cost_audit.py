@@ -111,6 +111,22 @@ AUDITED = [
     "q_cms_frequencies",
     "q_k_anonymity",
     "q_stats_skipping",
+    # MAD outliers must keep the single-exchange stacked-window shape
+    # (a percentile agg + join-back would re-scan the fact); the
+    # histogram query's sketch leg is cell-table-sized (its exact-
+    # quantile grading leg carries the window sort); weighted sampling
+    # must stay TakeOrderedAndProject (a full sort is the regression).
+    "q_anomaly_mad",
+    "q_hist_quantiles",
+    "q_weighted_sample",
+    # Gaps-and-islands + funnel + cohort: all three are one-fact-pass
+    # shapes (windows/conditional aggs on a single user_id exchange);
+    # a self-join or agg+join-back regression doubles the 100 TB scan.
+    "q_interval_merge",
+    "q_funnel",
+    "q_cohort_retention",
+    # Array HOF showcase must stay a zero-exchange scan projection.
+    "q_array_functions",
 ]
 
 # Streaming queries whose LAST micro-batch plan is auditable via
