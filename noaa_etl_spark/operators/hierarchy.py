@@ -46,18 +46,23 @@ def resolve_roots(nodes: DataFrame, max_iter: int = 20) -> DataFrame:
             F.col("depth").alias("a_depth"),
             F.col("done").alias("a_done"),
         )
-        # unresolved nodes jump: ancestor's ancestor, accumulated depth
+        # unresolved nodes jump: ancestor's ancestor, accumulated depth.
+        # A DANGLING parent (anc not present as a node — trimmed input,
+        # partial snapshot) resolves as its own root rather than
+        # spinning: the deepest KNOWN ancestor is the honest answer for
+        # a forest cut at an ingestion boundary.
+        dangling = ~F.col("done") & F.col("a_node").isNull()
         state = (
             state.join(anc, state["anc"] == anc["a_node"], "left")
             .select(
                 "node",
-                F.when(F.col("done"), F.col("anc"))
+                F.when(F.col("done") | dangling, F.col("anc"))
                 .otherwise(F.col("a_anc"))
                 .alias("anc"),
-                F.when(F.col("done"), F.col("depth"))
+                F.when(F.col("done") | dangling, F.col("depth"))
                 .otherwise(F.col("depth") + F.col("a_depth"))
                 .alias("depth"),
-                F.when(F.col("done"), F.lit(True))
+                F.when(F.col("done") | dangling, F.lit(True))
                 .otherwise(F.coalesce("a_done", F.lit(False)))
                 .alias("done"),
             )

@@ -477,3 +477,71 @@ def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out, "reports")).orderBy(
         "batch_id", "cell_id"
     )
+
+
+from noaa_etl_spark.queries.text import CMS_FREQUENCIES_ORACLE
+
+
+@graded("q_stream_cms_frequencies", oracle=CMS_FREQUENCIES_ORACLE)
+def q_stream_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the count-min sketch: lineitem drained as
+    three micro-batches (maxFilesPerTrigger=1 over a 3-file split);
+    each batch builds ITS OWN grid inside foreachBatch and appends it
+    under grids/batch_id=N (batch_id-keyed overwrite ⇒ restart-
+    idempotent, the drift-monitor pattern). Because CMS grids are
+    cell-wise ADDITIVE, merging the per-batch grids reproduces the
+    one-pass batch grid EXACTLY — so this twin shares the batch
+    query's oracle verbatim, the same equality contract as the
+    stateless ETL twins but for sketch STATE rather than row
+    transforms.
+
+    100 TB: per-trigger work is one map-side-combined grid over the
+    batch (≤ d·w cells shuffle); the persisted per-day/per-batch grid
+    table answers point-frequency queries over any time range without
+    rescanning history — the streaming ingestion half of the sketch
+    kit (HLL has the same publishing pattern in q_hll_sketch_union).
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.operators.cms import cms_build, cms_merge
+    from noaa_etl_spark.queries.text import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_bound_report,
+    )
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_cms")
+    src = os.path.join(root, "src")
+    grids = os.path.join(root, "grids")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, grids, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    gate = F.pmod(F.xxhash64(F.lit("scms"), F.col("l_partkey")), F.lit(3))
+    for i in range(3):
+        li.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        grid = cms_build(batch_df, "l_partkey", depth=CMS_DEPTH, width=CMS_WIDTH)
+        grid.write.mode("overwrite").parquet(f"{grids}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    cells = cms_merge(spark.read.parquet(grids)).persist()
+    cells.count()
+    return cms_bound_report(spark, sf_dir, cells)

@@ -1110,9 +1110,7 @@ def q_fuzzy_match_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_cms_frequencies",
-    oracle="""
+CMS_FREQUENCIES_ORACLE = """
     SELECT l_partkey,
            cnt  AS true_cnt,
            TRUE AS lower_ok,
@@ -1121,8 +1119,40 @@ def q_fuzzy_match_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM lineitem GROUP BY l_partkey
           ORDER BY cnt DESC, l_partkey LIMIT 20)
     ORDER BY l_partkey
-    """,
-)
+"""
+
+CMS_DEPTH, CMS_WIDTH = 4, 1024
+
+
+def cms_bound_report(spark: SparkSession, sf_dir: str, cells) -> DataFrame:
+    """Shared report leg of the CMS twins: given the (d, bucket, cnt)
+    grid — built in one batch pass OR merged from per-micro-batch grids
+    (cells are additive, so both grids are IDENTICAL and the twins
+    share one oracle) — grade the two CMS bounds for the 20 most
+    frequent part keys. `cells` must be persisted+materialized by the
+    caller (it feeds both the estimate join and cms_total)."""
+    from noaa_etl_spark.operators.cms import cms_estimate, cms_total
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    true_cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    top20 = true_cnt.orderBy(F.desc("cnt"), F.asc("l_partkey")).limit(20).persist()
+    top20.count()
+    est = cms_estimate(cells, top20, "l_partkey", depth=CMS_DEPTH, width=CMS_WIDTH)
+    margin = F.ceil(F.lit(4 * 2.718281828459045) * F.col("n_total") / F.lit(CMS_WIDTH))
+    return (
+        top20.join(est, "l_partkey")
+        .crossJoin(F.broadcast(cms_total(cells)))
+        .select(
+            "l_partkey",
+            F.col("cnt").alias("true_cnt"),
+            (F.col("est") >= F.col("cnt")).alias("lower_ok"),
+            (F.col("est") <= F.col("cnt") + margin).alias("upper_ok"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@graded("q_cms_frequencies", oracle=CMS_FREQUENCIES_ORACLE)
 def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimation (operators/cms.py),
     graded in PROPERTY form: for the 20 most frequent part keys, emit
@@ -1141,30 +1171,14 @@ def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key counts exist here only to grade the bound — production
     point queries touch the grid alone, never the corpus.
     """
-    from noaa_etl_spark.operators.cms import cms_build, cms_estimate, cms_total
+    from noaa_etl_spark.operators.cms import cms_build
 
-    DEPTH, WIDTH = 4, 1024
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
     # persist + eager materialize (SCALING.md rule): the grid feeds both
     # the estimate join and cms_total, and top20 feeds both the probe
     # side and the final report join — un-persisted, each consumer
     # re-plans its subtree and the fact is scanned four times instead
     # of twice. Both frames are tiny (d·w cells / 20 rows).
-    cells = cms_build(li, "l_partkey", depth=DEPTH, width=WIDTH).persist()
+    cells = cms_build(li, "l_partkey", depth=CMS_DEPTH, width=CMS_WIDTH).persist()
     cells.count()
-    true_cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    top20 = true_cnt.orderBy(F.desc("cnt"), F.asc("l_partkey")).limit(20).persist()
-    top20.count()
-    est = cms_estimate(cells, top20, "l_partkey", depth=DEPTH, width=WIDTH)
-    margin = F.ceil(F.lit(4 * 2.718281828459045) * F.col("n_total") / F.lit(WIDTH))
-    return (
-        top20.join(est, "l_partkey")
-        .crossJoin(F.broadcast(cms_total(cells)))
-        .select(
-            "l_partkey",
-            F.col("cnt").alias("true_cnt"),
-            (F.col("est") >= F.col("cnt")).alias("lower_ok"),
-            (F.col("est") <= F.col("cnt") + margin).alias("upper_ok"),
-        )
-        .orderBy("l_partkey")
-    )
+    return cms_bound_report(spark, sf_dir, cells)

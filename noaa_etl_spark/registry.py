@@ -102,12 +102,13 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   carries post-r5-fixture signal.
 GRADED_WINDOW: list[str] = [
     # new this round (every new query enters the window the round it
-    # lands; the third round-6 session added 11 more — stats skipping,
-    # CMS + histogram sketches, k-anonymity, streaming drift monitor,
-    # MAD outliers, weighted sampling, interval merge, funnel, cohort
-    # retention, Jaro-Winkler rank — displacing stale re-confirmation
-    # entries whose families stay covered; displaced list in the r7
-    # notes)
+    # lands; the third round-6 session added 15 more — stats skipping,
+    # CMS + histogram sketches + the streaming CMS twin, k-anonymity,
+    # streaming drift monitor, MAD outliers, weighted sampling,
+    # interval merge, funnel, cohort retention, Jaro-Winkler rank,
+    # recursive hierarchy, array HOFs, dynamic partition overwrite —
+    # displacing stale re-confirmation entries whose families stay
+    # covered; displaced list in the r7 notes)
     "q_zstd_roundtrip", "q_mixture_epochs",
     "q_cluster_corpus",  # rows-only: k-means cells
     "q_quality_gate", "q_gopher_quality", "q_repetition_filter",
@@ -121,6 +122,7 @@ GRADED_WINDOW: list[str] = [
     "q_anomaly_mad", "q_hist_quantiles", "q_weighted_sample",
     "q_interval_merge", "q_funnel", "q_cohort_retention", "q_fuzzy_rank",
     "q_recursive_hierarchy", "q_array_functions", "q_partition_overwrite",
+    "q_stream_cms_frequencies",
     # plans/semantics changed this round → fresh signal
     "q_semantic_dedup_lsh",     # rows-only: shared-signature self-join
     "q_doc_similarity",         # rows-only: IVF cogroup-by-cell scoring
@@ -132,7 +134,6 @@ GRADED_WINDOW: list[str] = [
     # and q_window_moving_avg yielded to new round-6 queries, back in
     # r7; B stays covered by q_try_cast_qc/q_agg_filtered, E by the
     # running-total/rank/rolling entries)
-    "q_agg_filtered",
     "q_join_range",
     # last graded in ROUND 2 (6 of 19 — q_percentiles, q_rollup,
     # q_jsonl_roundtrip (A covered by q_zstd_roundtrip +

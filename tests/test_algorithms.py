@@ -942,3 +942,18 @@ class TestHierarchy:
         )
         with _pytest.raises(RuntimeError, match="did not resolve"):
             resolve_roots(nodes, max_iter=5)
+
+
+def test_hierarchy_dangling_parent_resolves_as_root(spark):
+    """A parent referenced but absent from the node set (trimmed input,
+    partial snapshot) must terminate as the deepest KNOWN ancestor, not
+    spin to the iteration cap (surfaced by the 10x key-offset fixture)."""
+    from noaa_etl_spark.operators.hierarchy import resolve_roots
+
+    rows = [(5, None), (50, 5), (51, 5), (99, 9), (990, 99)]  # 9 missing
+    nodes = spark.createDataFrame(rows, "node bigint, parent bigint")
+    out = {r.node: (r.root, r.depth) for r in resolve_roots(nodes).collect()}
+    assert out[5] == (5, 0) and out[50] == (5, 1) and out[51] == (5, 1)
+    # 99's parent 9 is unknown: 99 roots at 9 with the known 1 edge
+    assert out[99] == (9, 1)
+    assert out[990] == (9, 2)
