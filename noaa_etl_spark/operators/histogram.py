@@ -97,3 +97,46 @@ def hist_quantiles(
         .groupBy(*gcols, "q")
         .agg(F.min(F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("est"))
     )
+
+
+def approx_mad(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Sketch-based median + MAD per group — the documented 100 TB swap
+    for q_anomaly_mad's exact windowed percentiles: two histogram
+    passes (values, then absolute deviations from the estimated
+    median) instead of materializing each partition's values on a
+    reducer. Returns (group…, med_est, mad_est).
+
+    Error bounds compose from the one-bin theorem: med_est is within
+    one value-bin width w of the exact median, so each |x − med_est|
+    deviates from |x − med| by ≤ w, and the deviation histogram (bin
+    width w_d over [0, hi−lo]) puts mad_est within w + w_d of the
+    exact MAD — tested in tests/test_algorithms.py. Both passes are
+    map-side-combined cell tables; the second pass's per-row subtract
+    is scan-local arithmetic against the broadcast median frame.
+    """
+    gcols = list(group_cols)
+    med = hist_quantiles(
+        hist_build(df, col, lo, hi, n_bins, gcols), [0.5], lo, hi, n_bins, gcols
+    ).select(*gcols, F.col("est").alias("med_est"))
+    dev = (
+        df.join(F.broadcast(med), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(med))
+    ).withColumn("_absdev", F.abs(F.col(col) - F.col("med_est")))
+    span = hi - lo
+    mad = hist_quantiles(
+        hist_build(dev, "_absdev", 0.0, span, n_bins, gcols),
+        [0.5],
+        0.0,
+        span,
+        n_bins,
+        gcols,
+    ).select(*gcols, F.col("est").alias("mad_est"))
+    return med.join(mad, gcols) if gcols else med.crossJoin(mad)

@@ -366,8 +366,9 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: one shuffle on event_type; exact windowed percentiles
     materialize each partition's values on one reducer — fine for
     bounded per-key cardinality; the scale swap is
-    approx_percentile-as-scalar broadcast or the mergeable histogram
-    sketch (operators/histogram.py).
+    operators/histogram.approx_mad (two map-side-combined sketch
+    passes, estimates within composed one-bin bounds — proven against
+    this query's exact form in tests/test_algorithms.py).
     """
     w = Window.partitionBy("event_type")
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")

@@ -957,3 +957,47 @@ def test_hierarchy_dangling_parent_resolves_as_root(spark):
     # 99's parent 9 is unknown: 99 roots at 9 with the known 1 edge
     assert out[99] == (9, 1)
     assert out[990] == (9, 2)
+
+
+def test_approx_mad_tracks_exact_within_bin_bounds(spark):
+    """operators/histogram.approx_mad: sketch median/MAD within the
+    composed one-bin bounds of the exact values on the events fixture —
+    the claimed scale swap for q_anomaly_mad, proven not just cited."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.operators.histogram import approx_mad
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_type", "value"
+    )
+    dom = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    lo, hi = float(dom[0]), float(dom[1])
+    n_bins = 256
+    w = (hi - lo) / n_bins
+
+    est = {
+        r.event_type: (r.med_est, r.mad_est)
+        for r in approx_mad(ev, "value", lo, hi, n_bins, ("event_type",)).collect()
+    }
+
+    gw = Window.partitionBy("event_type")
+    exact = {
+        r.event_type: (r.med, r.mad)
+        for r in ev.withColumn("med", F.percentile("value", F.lit(0.5)).over(gw))
+        .withColumn(
+            "mad",
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).over(gw),
+        )
+        .select("event_type", "med", "mad")
+        .distinct()
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for g, (me, mde) in est.items():
+        mex, mdx = exact[g]
+        assert abs(me - mex) <= w + 1e-9, (g, me, mex)
+        # med shift (≤w) + deviation-bin width (≤w here: same n_bins
+        # over a span ≤ value span)
+        assert abs(mde - mdx) <= 2 * w + 1e-9, (g, mde, mdx)
