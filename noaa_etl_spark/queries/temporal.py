@@ -685,3 +685,208 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@graded(
+    "q_feature_store_pit",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type, value FROM events),
+    snap_click AS (
+        SELECT user_id, max(ts) AS snap_ts,
+               count(*) AS clicks_in_day,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS click_cents
+        FROM e WHERE event_type = 'click'
+        GROUP BY user_id, date_trunc('day', ts)
+    ),
+    snap_view AS (
+        SELECT user_id, max(ts) AS snap_ts, count(*) AS views_in_day
+        FROM e WHERE event_type = 'view'
+        GROUP BY user_id, date_trunc('day', ts)
+    ),
+    p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts,
+           a.clicks_in_day, a.click_cents, b.views_in_day
+    FROM p
+    ASOF LEFT JOIN snap_click a ON p.user_id = a.user_id AND p.ts >= a.snap_ts
+    ASOF LEFT JOIN snap_view  b ON p.user_id = b.user_id AND p.ts >= b.snap_ts
+    """,
+)
+def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: each purchase (the training
+    label row) picks up the *latest snapshot at or before its own
+    timestamp* from two independently-maintained daily feature tables
+    (click activity, view activity) — the leakage-free join every
+    feature store runs at training-set build time.
+
+    Composition: two chained backward as-of joins (operators/asof.py),
+    each one shuffle of (probe ∪ snapshots) on user_id — never the
+    (purchase × snapshot) range-join blow-up. Snapshot tables are built
+    with one map-side-combinable agg each. Day sums are floor-cents
+    BIGINTs (exact cross-engine); snapshot ts is unique per (user, day)
+    by construction so the as-of match is deterministic.
+
+    100 TB: feature tables are orders of magnitude smaller than the
+    event log (daily grain); each as-of is a single hash-partitioned
+    window over user_id — skew handled by AQE, no broadcast needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    snap_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("a_user"), day.alias("a_day"))
+        .agg(
+            F.max("ts").alias("click_snap_ts"),
+            F.count(F.lit(1)).alias("clicks_in_day"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("click_cents"),
+        )
+        .drop("a_day")
+    )
+    snap_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id").alias("b_user"), day.alias("b_day"))
+        .agg(
+            F.max("ts").alias("view_snap_ts"),
+            F.count(F.lit(1)).alias("views_in_day"),
+        )
+        .drop("b_day")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    with_click = asof_join(
+        probe=purchases,
+        build=snap_click,
+        probe_keys=["user_id"],
+        build_keys=["a_user"],
+        probe_ts="ts",
+        build_ts="click_snap_ts",
+        build_payload=["clicks_in_day", "click_cents"],
+    )
+    with_both = asof_join(
+        probe=with_click,
+        build=snap_view,
+        probe_keys=["user_id"],
+        build_keys=["b_user"],
+        probe_ts="ts",
+        build_ts="view_snap_ts",
+        build_payload=["views_in_day"],
+    )
+    return with_both.select(
+        "event_id", "user_id", "ts", "clicks_in_day", "click_cents", "views_in_day"
+    )
+
+
+@graded(
+    "q_resample_interpolate",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day_idx,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' AND user_id < 40
+    ),
+    obs AS (
+        SELECT user_id, day_idx, CAST(sum(cents) AS BIGINT) AS day_cents
+        FROM e GROUP BY user_id, day_idx
+    ),
+    spans AS (
+        SELECT user_id, min(day_idx) AS d0, max(day_idx) AS d1
+        FROM obs GROUP BY user_id
+    ),
+    grid AS (
+        SELECT s.user_id, g.day_idx
+        FROM spans s, LATERAL unnest(generate_series(s.d0, s.d1)) AS g(day_idx)
+    ),
+    joined AS (
+        SELECT g.user_id, g.day_idx, o.day_cents
+        FROM grid g LEFT JOIN obs o
+          ON g.user_id = o.user_id AND g.day_idx = o.day_idx
+    ),
+    bounded AS (
+        SELECT user_id, day_idx, day_cents,
+               last_value(day_cents IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY day_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+               last_value(CASE WHEN day_cents IS NOT NULL THEN day_idx END IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY day_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+               first_value(day_cents IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY day_idx
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+               first_value(CASE WHEN day_cents IS NOT NULL THEN day_idx END IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY day_idx
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+        FROM joined
+    )
+    SELECT user_id, day_idx,
+           day_cents IS NULL AS is_interpolated,
+           CASE WHEN day_cents IS NOT NULL THEN CAST(day_cents AS DOUBLE)
+                ELSE prev_c + (next_c - prev_c) * (day_idx - prev_d) / (next_d - prev_d)
+           END AS value_cents
+    FROM bounded
+    """,
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series upsampling with linear interpolation: per-user daily
+    purchase totals resampled onto each user's full [first, last] day
+    grid, missing days filled by interpolating between the surrounding
+    observed days (no extrapolation — the grid is bounded by observed
+    endpoints so every gap has both neighbours).
+
+    Exactness contract: day totals are floor-cents BIGINTs; the
+    interpolation `prev + (next-prev)*(d-pd)/(nd-pd)` is a single
+    arithmetic expression over those integers evaluated with identical
+    association on both engines, so the doubles are bit-equal — no
+    tolerance needed.
+
+    100 TB: grid expansion is `sequence()` + explode (scan-local, no
+    join against a calendar table); prev/next neighbours are two frames
+    over ONE window partitioning (user_id) — Catalyst evaluates both in
+    a single sort+shuffle, the same cost as the gap-fill operator.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 40)
+    )
+    day_idx = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    obs = (
+        ev.select("user_id", day_idx.alias("day_idx"),
+                  F.floor(F.col("value") * 100).cast("bigint").alias("cents"))
+        .groupBy("user_id", "day_idx")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day_idx"))
+    )
+    joined = grid.join(obs, ["user_id", "day_idx"], "left")
+    w_back = (
+        Window.partitionBy("user_id").orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id").orderBy("day_idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_cents").isNotNull(), F.col("day_idx"))
+    bounded = joined.select(
+        "user_id", "day_idx", "day_cents",
+        F.last("day_cents", ignorenulls=True).over(w_back).alias("prev_c"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("prev_d"),
+        F.first("day_cents", ignorenulls=True).over(w_fwd).alias("next_c"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("next_d"),
+    )
+    interp = (
+        F.col("prev_c")
+        + (F.col("next_c") - F.col("prev_c"))
+        * (F.col("day_idx") - F.col("prev_d"))
+        / (F.col("next_d") - F.col("prev_d"))
+    )
+    return bounded.select(
+        "user_id", "day_idx",
+        F.col("day_cents").isNull().alias("is_interpolated"),
+        F.when(F.col("day_cents").isNotNull(), F.col("day_cents").cast("double"))
+        .otherwise(interp)
+        .alias("value_cents"),
+    )
