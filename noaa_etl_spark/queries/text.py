@@ -6,6 +6,8 @@ golden-tested in tests/.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1182,3 +1184,127 @@ def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = cms_build(li, "l_partkey", depth=CMS_DEPTH, width=CMS_WIDTH).persist()
     cells.count()
     return cms_bound_report(spark, sf_dir, cells)
+
+
+def _register_perplexity_udf():
+    """Deferred pandas UDF construction (module-level Column/type parse
+    needs an active SparkContext — CLAUDE.md). ``pd`` must be a module
+    global: pandas_udf resolves the stringified type hints (PEP 563)
+    against this module's namespace."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def ordered_logp_sum(v: pd.Series) -> float:
+        # Sequential ascending accumulation == DuckDB's
+        # sum(logp ORDER BY logp): bit-identical double sums.
+        total = 0.0
+        for x in sorted(v.to_numpy()):
+            total += x
+        return total
+
+    @pandas_udf(DoubleType())
+    def group_count(v: pd.Series) -> float:
+        # Grouped-agg pandas UDFs can't mix with JVM aggregates in one
+        # .agg() (INVALID_PANDAS_UDF_PLACEMENT) — count rides along as a
+        # second UDF, exact for n < 2^53.
+        return float(len(v))
+
+    return ordered_logp_sum, group_count
+
+
+@graded(
+    "q_perplexity_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    toks2 AS (SELECT * FROM toks WHERE len(ws) >= 2),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS bg
+      FROM toks2
+    ),
+    uni AS (SELECT unnest(ws) AS w FROM toks),
+    ucnt AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM uni),
+    bcnt AS (SELECT bg, count(*) AS cb FROM big GROUP BY bg),
+    scored AS (
+      SELECT b.doc_id, ln((bc.cb + 1) / (uc.cu + vocab.v)) AS logp
+      FROM big b
+      JOIN bcnt bc USING (bg)
+      JOIN ucnt uc ON uc.w = split_part(b.bg, ' ', 1)
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           -(sum(logp ORDER BY logp)) / count(*) AS avg_nll,
+           (-(sum(logp ORDER BY logp)) / count(*)) <= 3.45 AS kept
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality filtering: train an add-one-smoothed
+    bigram language model on the corpus itself, score every document by
+    average negative log-likelihood, and flag the high-perplexity tail
+    for drop — the classic KenLM-style quality gate of LLM data
+    pipelines, self-trained so no external model is needed.
+
+    p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V). All model inputs are BIGINT
+    counts, so the double ratio and its ln() are bit-identical
+    cross-engine; the per-doc log-prob sum is accumulated in ascending
+    order on BOTH engines (pandas grouped-agg mirrors DuckDB's
+    `sum(logp ORDER BY logp)`) so even the float aggregate hashes exact
+    — the same contract as q_udaf_trimmed_mean. Docs with <2 tokens
+    have no bigrams and are (deliberately) absent from the output.
+
+    100 TB: bigram extraction is scan-local array math (transform over
+    sequence — no self-join on positions); the model is two
+    map-side-combinable counts; scoring is two equi-joins on token keys
+    (Zipf skew → AQE skew-split; the vocab scalar rides a broadcast).
+    The per-doc regroup is one shuffle on doc_id with Arrow-batched
+    accumulation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    toks = docs.select("doc_id", ws.alias("ws"))
+    toks2 = toks.filter(F.size("ws") >= 2)
+    bigrams = toks2.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    uni = toks.select(F.explode("ws").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.agg(F.countDistinct("w").alias("v"))
+    bcnt = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bigrams.join(bcnt, "bg")
+        .join(ucnt, F.split(F.col("bg"), " ").getItem(0) == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("cb") + 1) / (F.col("cu") + F.col("v"))).alias("logp"),
+        )
+    )
+    ordered_logp_sum, group_count = _register_perplexity_udf()
+    per_doc = scored.groupBy("doc_id").agg(
+        group_count(F.col("logp")).cast("bigint").alias("n_bigrams"),
+        ordered_logp_sum(F.col("logp")).alias("logp_sum"),
+    )
+    avg_nll = -F.col("logp_sum") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        avg_nll.alias("avg_nll"),
+        (avg_nll <= F.lit(3.45)).alias("kept"),
+    )
