@@ -1308,3 +1308,30 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_nll.alias("avg_nll"),
         (avg_nll <= F.lit(3.45)).alias("kept"),
     )
+
+
+@graded("q_bpe_train")  # rows-only: iterative argmax loop, not SQL-expressible
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 24 BPE tokenizer merges on the documents corpus
+    word-frequency dictionary (operators/bpe.py — driver-coordinated
+    rounds; each round is one map-side-combinable pair count + a top-1
+    collect + a scan-local aggregate() rewrite). Deterministic for a
+    given corpus under any partitioning: exact BIGINT pair counts with
+    a total (count desc, left asc, right asc) tie-break. Golden-tested
+    on a hand-computable corpus in tests/test_algorithms.py."""
+    from noaa_etl_spark.operators.bpe import bpe_merges_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda t: t != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return bpe_merges_df(spark, words, n_merges=24)

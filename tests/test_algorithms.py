@@ -1001,3 +1001,62 @@ def test_approx_mad_tracks_exact_within_bin_bounds(spark):
         # med shift (≤w) + deviation-bin width (≤w here: same n_bins
         # over a span ≤ value span)
         assert abs(mde - mdx) <= 2 * w + 1e-9, (g, mde, mdx)
+
+
+def test_bpe_train_textbook_corpus(spark):
+    """Golden BPE merges on the classic low/lower/newest/widest corpus —
+    hand-computable: es(9), est(9), lo(7), low(7), ew(6), ewest(6),
+    newest(6), dest(3) with the (count desc, left asc, right asc)
+    tie-break."""
+    from noaa_etl_spark.operators.bpe import train_bpe
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, cnt bigint",
+    )
+    merges = train_bpe(words, 8)
+    assert merges == [
+        (0, "e", "s", 9),
+        (1, "es", "t", 9),
+        (2, "l", "o", 7),
+        (3, "lo", "w", 7),
+        (4, "e", "w", 6),
+        (5, "ew", "est", 6),
+        (6, "n", "ewest", 6),
+        (7, "d", "est", 3),
+    ]
+
+
+def test_bpe_greedy_merge_nonoverlapping(spark):
+    """The aggregate() fold is greedy left-to-right: 'aaa' under ('a','a')
+    → ['aa','a'], never ['a','aa'] or a double-merge."""
+    from noaa_etl_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(
+        spark.createDataFrame([("aaa", 1)], "word string, cnt bigint"), 2
+    )
+    # round 0: pairs (a,a)x2 → merge; round 1: symbols ['aa','a'] → pair
+    # (aa,a)x1 → merge
+    assert merges == [(0, "a", "a", 2), (1, "aa", "a", 1)]
+
+
+def test_bpe_stops_when_no_pairs(spark):
+    from noaa_etl_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(
+        spark.createDataFrame([("ab", 1)], "word string, cnt bigint"), 5
+    )
+    assert merges == [(0, "a", "b", 1)]
+
+
+def test_bpe_local_equals_distributed(spark):
+    """The driver-local fast path and the distributed per-round loop
+    produce identical merge sequences (same argmax total order)."""
+    from noaa_etl_spark.operators.bpe import train_bpe, train_bpe_local
+
+    words = [("banana", 4), ("bandana", 2), ("cabana", 3), ("nab", 7)]
+    df = spark.createDataFrame(words, "word string, cnt bigint")
+    local = train_bpe_local(words, 10)
+    dist = train_bpe(df, 10, local_vocab_cap=0)  # force distributed loop
+    assert local == dist
+    assert train_bpe(df, 10) == local  # default takes the local path
