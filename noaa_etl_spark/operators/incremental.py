@@ -59,3 +59,56 @@ def finalize(state: DataFrame) -> DataFrame:
         F.col("s_max").alias("max_value"),
         (F.col("s_sum") / F.col("s_nncount")).alias("avg_value"),
     )
+
+
+# --- variance-capable state (count / sum / sum-of-squares) -------------
+
+
+def stats_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Mergeable second-moment state over an *integer* value column
+    (floor-cents by convention): (n, nn, s, s2) — everything a
+    mean/variance/stddev needs, exactly mergeable because all three
+    accumulators are BIGINT sums. The caller guarantees the value range
+    keeps sum(v²) under 2^63 (document per use; events floor-cents
+    ≤ 5·10⁴ keeps s2 < 2.5·10¹⁵ per million rows)."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("s_count"),
+        F.count(value_col).alias("s_nncount"),
+        F.sum(value_col).alias("s_sum"),
+        F.sum(v * v).alias("s_sumsq"),
+    )
+
+
+def merge_stats_states(*states: DataFrame) -> DataFrame:
+    """Fold stats states: pure BIGINT addition, so fold(a, b) is exactly
+    state(a ∪ b) — no accumulation-order caveat."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns if not c.startswith("s_")]
+    return merged.groupBy(*keys).agg(
+        F.sum("s_count").alias("s_count"),
+        F.sum("s_nncount").alias("s_nncount"),
+        F.sum("s_sum").alias("s_sum"),
+        F.sum("s_sumsq").alias("s_sumsq"),
+    )
+
+
+def finalize_stats(state: DataFrame) -> DataFrame:
+    """Derive mean / population variance / stddev from the state in ONE
+    fixed double expression — `(s2 - s·s/n)/n` with explicit casts — so
+    the floats are bit-identical to any engine evaluating the same
+    formula over the same integer state."""
+    keys = [c for c in state.columns if not c.startswith("s_")]
+    n = F.col("s_nncount")
+    s = F.col("s_sum").cast("double")
+    s2 = F.col("s_sumsq").cast("double")
+    var_pop = (s2 - s * s / n) / n
+    return state.select(
+        *keys,
+        F.col("s_count").alias("n_rows"),
+        (s / n).alias("mean_value"),
+        var_pop.alias("var_pop"),
+        F.sqrt(var_pop).alias("std_pop"),
+    )

@@ -346,3 +346,58 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@graded(
+    "q_incremental_stats_merge",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    st AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(cents) AS BIGINT)          AS s,
+             CAST(sum(cents * cents) AS BIGINT)  AS s2
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type,
+           n AS n_rows,
+           CAST(s AS DOUBLE) / n AS mean_value,
+           (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n AS var_pop,
+           sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS std_pop
+    FROM st
+    ORDER BY event_type
+    """,
+)
+def q_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental *second-moment* maintenance: per-type mean/variance/
+    stddev kept as mergeable (n, Σv, Σv²) BIGINT state over floor-cents —
+    the old half-month and the new half-month build state separately,
+    fold with pure integer addition, and finalize. The oracle recomputes
+    from scratch, so the hash match proves fold == recompute INCLUDING
+    the derived floats (one fixed expression over identical integers ⇒
+    bit-equal doubles; sqrt is correctly rounded by both engines).
+
+    This is the sketch-free path to streaming/batch-incremental quality
+    dashboards at 100 TB: state is one row per key; each load shuffles
+    only the delta's partial states. Overflow contract documented in
+    operators/incremental.py (cents ≤ 5·10⁴ here)."""
+    from noaa_etl_spark.io import ntz_lit
+    from noaa_etl_spark.operators.incremental import (
+        finalize_stats,
+        merge_stats_states,
+        stats_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    mid = ntz_lit("2024-01-16")
+    old_state = stats_state(ev.filter(F.col("ts") < mid), ["event_type"], "cents")
+    new_state = stats_state(ev.filter(F.col("ts") >= mid), ["event_type"], "cents")
+    merged = merge_stats_states(old_state, new_state)
+    return finalize_stats(merged.drop("ts", "cents")).orderBy("event_type")
