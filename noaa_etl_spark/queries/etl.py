@@ -348,9 +348,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_incremental_stats_merge",
-    oracle="""
+STATS_MERGE_ORACLE = """
     WITH e AS (
       SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
       FROM events
@@ -369,8 +367,10 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS std_pop
     FROM st
     ORDER BY event_type
-    """,
-)
+"""
+
+
+@graded("q_incremental_stats_merge", oracle=STATS_MERGE_ORACLE)
 def q_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental *second-moment* maintenance: per-type mean/variance/
     stddev kept as mergeable (n, Σv, Σv²) BIGINT state over floor-cents —

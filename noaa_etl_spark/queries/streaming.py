@@ -545,3 +545,69 @@ def q_stream_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = cms_merge(spark.read.parquet(grids)).persist()
     cells.count()
     return cms_bound_report(spark, sf_dir, cells)
+
+
+from noaa_etl_spark.queries.etl import STATS_MERGE_ORACLE
+
+
+@graded("q_stream_stats_merge", oracle=STATS_MERGE_ORACLE)
+def q_stream_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the mergeable variance state: events drained as
+    three micro-batches (maxFilesPerTrigger=1 over a 3-file hash split);
+    each batch builds its own (n, Σv, Σv²) BIGINT state inside
+    foreachBatch and writes it under states/batch_id=N (batch_id-keyed
+    overwrite ⇒ restart-idempotent, the drift-monitor/CMS pattern).
+    Because the state is pure integer addition, folding the per-batch
+    states reproduces the one-pass batch state EXACTLY — so this twin
+    shares the batch query's oracle verbatim, extending the
+    twin-equality contract from row transforms (PII scrub) and sketch
+    grids (CMS) to incremental-view state.
+
+    100 TB: per-trigger work is one map-side-combined agg over the
+    batch (state rows = |keys|, never raw rows); the persisted state
+    table IS the continuously-maintained rollup — finalize() serves
+    mean/var/stddev dashboards without rescanning history."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.operators.incremental import (
+        finalize_stats,
+        merge_stats_states,
+        stats_state,
+    )
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_stats")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    gate = F.pmod(F.xxhash64(F.lit("sst"), F.col("cents")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        state = stats_state(batch_df, ["event_type"], "cents")
+        state.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    merged = merge_stats_states(spark.read.parquet(states).drop("batch_id"))
+    return finalize_stats(merged).orderBy("event_type")

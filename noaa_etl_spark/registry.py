@@ -134,6 +134,17 @@ GRADED_WINDOW: list[str] = [
     # and q_window_moving_avg yielded to new round-6 queries, back in
     # r7; B stays covered by q_try_cast_qc/q_agg_filtered, E by the
     # running-total/rank/rolling entries)
+    # new in the fourth round-6 session (every new query enters the
+    # window the round it lands): feature-store PIT join, linear
+    # interpolation resample, bigram-LM perplexity filter, BPE merge
+    # training (rows-only: iterative argmax loop), mergeable variance
+    # state. Displaced: q_join3_topk / q_join5_region (C carried by
+    # q_feature_store_pit; both benched every round), q_sessionize
+    # (E carried by q_window_rank + q_resample_interpolate),
+    # q_incremental_agg (D/etl carried by q_incremental_stats_merge +
+    # q_table_diff), q_tpch_q7_volume (tpch carried by q_tpch_q11_value).
+    "q_feature_store_pit", "q_resample_interpolate",
+    "q_perplexity_filter", "q_bpe_train", "q_incremental_stats_merge",
     "q_join_range",
     # last graded in ROUND 2 (6 of 19 — q_percentiles, q_rollup,
     # q_jsonl_roundtrip (A covered by q_zstd_roundtrip +
@@ -144,10 +155,8 @@ GRADED_WINDOW: list[str] = [
     # q_union_all_yearly yielded their slots to the 15 new round-6
     # queries; their families stay covered by other window entries and
     # they rotate back in r7)
-    "q_join3_topk", "q_join5_region",
     "q_window_rank",
-    "q_sessionize", "q_date_functions",
-    "q_tpch_q7_volume",
+    "q_date_functions",
     # round-3-graded family/high-value reps (fill to 50; keep every
     # family's rep post-r5-fixture)
     "q_try_cast_qc",      # B filters
@@ -155,7 +164,6 @@ GRADED_WINDOW: list[str] = [
     "q_semantic_dedup",   # I semantic (exact twin of the changed LSH)
     "q_stream_dedup",     # J streaming
     "q_udtf_tokens",      # K UDFs (worker-side pickling coverage)
-    "q_incremental_agg",  # ETL + D aggs
     "q_ghcn_pipeline",    # NOAA
 ]
 
@@ -168,6 +176,10 @@ ROWS_ONLY_WINDOW: set[str] = {
     # rows-only queries got their first clean driver signal in r5)
     "q_semantic_dedup_lsh", "q_doc_similarity", "q_knn_ivf",
     "q_cluster_corpus", "q_ann_index_update", "q_stream_drift_monitor",
+    # fourth round-6 session: BPE training is a driver-coordinated
+    # iterative argmax loop — not SQL-expressible; golden-tested in
+    # tests/test_algorithms.py
+    "q_bpe_train",
 }
 
 

@@ -127,6 +127,18 @@ AUDITED = [
     "q_cohort_retention",
     # Array HOF showcase must stay a zero-exchange scan projection.
     "q_array_functions",
+    # Fourth round-6 session: the PIT join must stay two union+window
+    # passes (never a per-probe range join); interpolation is one grid
+    # join + ONE window partitioning serving both frames; the
+    # perplexity filter's model joins must never re-scan the corpus per
+    # model table; the stats merge is two partial-state aggs + one
+    # state-sized fold. (q_bpe_train is a driver-coordinated loop —
+    # its returned frame is a createDataFrame artifact, nothing to
+    # audit.)
+    "q_feature_store_pit",
+    "q_resample_interpolate",
+    "q_perplexity_filter",
+    "q_incremental_stats_merge",
 ]
 
 # Streaming queries whose LAST micro-batch plan is auditable via
