@@ -145,6 +145,7 @@ GRADED_WINDOW: list[str] = [
     # q_table_diff), q_tpch_q7_volume (tpch carried by q_tpch_q11_value).
     "q_feature_store_pit", "q_resample_interpolate",
     "q_perplexity_filter", "q_bpe_train", "q_incremental_stats_merge",
+    "q_stream_stats_merge",  # shares the batch oracle verbatim
     "q_join_range",
     # last graded in ROUND 2 (6 of 19 — q_percentiles, q_rollup,
     # q_jsonl_roundtrip (A covered by q_zstd_roundtrip +
@@ -162,7 +163,6 @@ GRADED_WINDOW: list[str] = [
     "q_try_cast_qc",      # B filters
     "q_dedup_hash",       # I dedup (scale path)
     "q_semantic_dedup",   # I semantic (exact twin of the changed LSH)
-    "q_stream_dedup",     # J streaming
     "q_udtf_tokens",      # K UDFs (worker-side pickling coverage)
     "q_ghcn_pipeline",    # NOAA
 ]
