@@ -35,6 +35,8 @@ operators/hierarchy.py).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -175,3 +177,51 @@ def bpe_merges_df(
     return spark.createDataFrame(
         merges, schema="rank int, left string, right string, pair_count bigint"
     )
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with a trained merge table: repeatedly apply the
+    LOWEST-rank applicable merge (the standard BPE encode order — merge
+    priority is training order, not left-to-right discovery)."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode_udf(merges: list[tuple[int, str, str, int]]):
+    """Arrow-batched encoder over a token-array column: returns a pandas
+    UDF mapping array<string> words → flat array<string> BPE tokens.
+    The merge table rides the closure (small — vocab-bounded — the
+    broadcast-variable equivalent for a Python UDF); per-batch word
+    memoization exploits the Zipf repeat rate so each distinct word is
+    encoded once per Arrow batch."""
+    ranks = {(left, right): rank for rank, left, right, _ in merges}
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def encode(words: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def enc_doc(ws):
+            out: list[str] = []
+            for w in ws:
+                toks = memo.get(w)
+                if toks is None:
+                    toks = encode_word(w, ranks)
+                    memo[w] = toks
+                out.extend(toks)
+            return out
+
+        return words.map(enc_doc)
+
+    return encode

@@ -401,3 +401,73 @@ def q_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_state = stats_state(ev.filter(F.col("ts") >= mid), ["event_type"], "cents")
     merged = merge_stats_states(old_state, new_state)
     return finalize_stats(merged.drop("ts", "cents")).orderBy("event_type")
+
+
+@graded(
+    "q_linear_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) - 19723 AS x,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events
+      GROUP BY event_type, 2
+    ),
+    sums AS (
+      SELECT event_type,
+             count(*)                        AS n,
+             CAST(sum(x) AS BIGINT)          AS sx,
+             CAST(sum(y) AS BIGINT)          AS sy,
+             CAST(sum(x * y) AS BIGINT)      AS sxy,
+             CAST(sum(x * x) AS BIGINT)      AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           n AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope_cents_per_day,
+           (sy - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx) / n AS intercept_cents
+    FROM sums
+    ORDER BY event_type
+    """,
+)
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear trend (least-squares slope/intercept of daily
+    revenue vs day index) computed from ALGEBRAIC integer sums —
+    n, Σx, Σy, Σxy, Σx² — instead of regr_slope/corr, whose double
+    accumulators are accumulation-order-sensitive and would hash-differ
+    across engines/partitionings. Day index is re-based (x = days since
+    2024-01-01) so every product stays far inside BIGINT; the closed
+    form `(nΣxy − ΣxΣy)/(nΣxx − ΣxΣx)` is one double expression over
+    identical integers ⇒ bit-equal cross-engine. The same trick is the
+    100 TB answer to trend dashboards: a single map-side-combinable
+    pass, mergeable state (these five sums fold like
+    operators/incremental.stats_state), no second scan, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    day_x = (
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+        - F.lit(19723)
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            day_x.alias("x"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx)
+    return sums.select(
+        "event_type",
+        n.alias("n_days"),
+        slope.alias("slope_cents_per_day"),
+        ((sy - slope * sx) / n).alias("intercept_cents"),
+    ).orderBy("event_type")

@@ -1335,3 +1335,40 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return bpe_merges_df(spark, words, n_merges=24)
+
+
+@graded("q_bpe_tokenize")  # rows-only: tokens depend on the trained merge table
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode: apply the 24 learned BPE merges back to the
+    corpus (operators/bpe.py encode path — merge table rides the Arrow
+    UDF closure, per-batch word memoization) and report per-doc word /
+    BPE-token / distinct-token counts plus the corpus-level compression
+    the merges bought. Golden-tested end-to-end (tests/
+    test_algorithms.py asserts exact token sequences on the textbook
+    corpus).
+
+    100 TB: encoding is scan-local (the merge table is KBs); the only
+    shuffle is the final per-doc report agg — and even that vanishes if
+    the consumer wants the tokenized column rather than the report."""
+    from noaa_etl_spark.operators.bpe import bpe_encode_udf, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    words = (
+        docs.select(F.explode(ws).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges = train_bpe(words, n_merges=24)
+    encode = bpe_encode_udf(merges)
+    toks = docs.select("doc_id", ws.alias("ws")).select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        encode(F.col("ws")).alias("bpe"),
+    )
+    return toks.select(
+        "doc_id",
+        "n_words",
+        F.size("bpe").alias("n_tokens"),
+        F.size(F.array_distinct("bpe")).alias("n_distinct_tokens"),
+    )

@@ -146,6 +146,8 @@ GRADED_WINDOW: list[str] = [
     "q_feature_store_pit", "q_resample_interpolate",
     "q_perplexity_filter", "q_bpe_train", "q_incremental_stats_merge",
     "q_stream_stats_merge",  # shares the batch oracle verbatim
+    "q_bpe_tokenize",  # rows-only: tokens depend on the trained merges
+    "q_linear_trend",
     "q_join_range",
     # last graded in ROUND 2 (6 of 19 — q_percentiles, q_rollup,
     # q_jsonl_roundtrip (A covered by q_zstd_roundtrip +
@@ -156,12 +158,10 @@ GRADED_WINDOW: list[str] = [
     # q_union_all_yearly yielded their slots to the 15 new round-6
     # queries; their families stay covered by other window entries and
     # they rotate back in r7)
-    "q_window_rank",
     "q_date_functions",
     # round-3-graded family/high-value reps (fill to 50; keep every
     # family's rep post-r5-fixture)
     "q_try_cast_qc",      # B filters
-    "q_dedup_hash",       # I dedup (scale path)
     "q_semantic_dedup",   # I semantic (exact twin of the changed LSH)
     "q_udtf_tokens",      # K UDFs (worker-side pickling coverage)
     "q_ghcn_pipeline",    # NOAA
@@ -178,8 +178,11 @@ ROWS_ONLY_WINDOW: set[str] = {
     "q_cluster_corpus", "q_ann_index_update", "q_stream_drift_monitor",
     # fourth round-6 session: BPE training is a driver-coordinated
     # iterative argmax loop — not SQL-expressible; golden-tested in
-    # tests/test_algorithms.py
+    # tests/test_algorithms.py; the encode twin's token sequences
+    # depend on that trained table, so it is rows-only for the same
+    # reason (golden-tested end-to-end)
     "q_bpe_train",
+    "q_bpe_tokenize",
 }
 
 

@@ -1060,3 +1060,25 @@ def test_bpe_local_equals_distributed(spark):
     dist = train_bpe(df, 10, local_vocab_cap=0)  # force distributed loop
     assert local == dist
     assert train_bpe(df, 10) == local  # default takes the local path
+
+
+def test_bpe_encode_textbook_sequences(spark):
+    """Encoding with the trained table reproduces the hand-derivable
+    segmentations: training-corpus words collapse to their merged
+    forms; unseen words segment with the same table."""
+    from noaa_etl_spark.operators.bpe import encode_word, train_bpe
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, cnt bigint",
+    )
+    merges = train_bpe(words, 8)
+    ranks = {(l, r): k for k, l, r, _ in merges}
+    assert encode_word("low", ranks) == ["low"]
+    assert encode_word("newest", ranks) == ["newest"]
+    # 'lower': low + e + r (no 'er'/'we' merge was learned)
+    assert encode_word("lower", ranks) == ["low", "e", "r"]
+    # 'widest': w,i,d,est → d+est merged at rank 7
+    assert encode_word("widest", ranks) == ["w", "i", "dest"]
+    # unseen word reusing learned merges
+    assert encode_word("lowest", ranks) == ["low", "est"]
