@@ -611,3 +611,74 @@ def q_stream_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merged = merge_stats_states(spark.read.parquet(states).drop("batch_id"))
     return finalize_stats(merged).orderBy("event_type")
+
+
+from noaa_etl_spark.queries.temporal import PIT_ORACLE, pit_enrich, pit_snapshots
+
+
+@graded("q_stream_feature_pit", oracle=PIT_ORACLE)
+def q_stream_feature_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static feature enrichment: purchase label rows arrive as
+    three micro-batches and each batch is point-in-time joined (inside
+    foreachBatch) against the STATIC daily feature snapshots — the
+    online half of the feature store, where q_feature_store_pit is the
+    offline/training half. The as-of match of a probe row depends only
+    on that row and the static build side, so the union of per-batch
+    outputs equals the batch join exactly — this twin shares the batch
+    oracle verbatim (the PII-scrub contract, extended to an as-of
+    JOIN rather than a row-local transform). batch_id-keyed overwrite
+    keeps checkpoint-restart replays idempotent.
+
+    100 TB: per-trigger cost is one (batch ∪ snapshots) window on
+    user_id; the snapshot tables are daily-grain (orders of magnitude
+    smaller than the event log) and would be served broadcast on a real
+    cluster once they fit the threshold."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_pit")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events")
+    snap_click, snap_view = pit_snapshots(ev)
+    snap_click = snap_click.persist()
+    snap_view = snap_view.persist()
+    snap_click.count(), snap_view.count()
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    gate = F.pmod(F.xxhash64(F.lit("spit"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        purchases.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def enrich(batch_df, batch_id: int) -> None:
+        pit_enrich(batch_df, snap_click, snap_view).write.mode("overwrite").parquet(
+            f"{out}/batch_id={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    result = spark.read.parquet(out).drop("batch_id").select(
+        "event_id", "user_id", "ts", "clicks_in_day", "click_cents", "views_in_day"
+    )
+    snap_click.unpersist()
+    snap_view.unpersist()
+    return result

@@ -687,9 +687,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_feature_store_pit",
-    oracle="""
+PIT_ORACLE = """
     WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
                       event_type, value FROM events),
     snap_click AS (
@@ -710,27 +708,12 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p
     ASOF LEFT JOIN snap_click a ON p.user_id = a.user_id AND p.ts >= a.snap_ts
     ASOF LEFT JOIN snap_view  b ON p.user_id = b.user_id AND p.ts >= b.snap_ts
-    """,
-)
-def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-store point-in-time join: each purchase (the training
-    label row) picks up the *latest snapshot at or before its own
-    timestamp* from two independently-maintained daily feature tables
-    (click activity, view activity) — the leakage-free join every
-    feature store runs at training-set build time.
+"""
 
-    Composition: two chained backward as-of joins (operators/asof.py),
-    each one shuffle of (probe ∪ snapshots) on user_id — never the
-    (purchase × snapshot) range-join blow-up. Snapshot tables are built
-    with one map-side-combinable agg each. Day sums are floor-cents
-    BIGINTs (exact cross-engine); snapshot ts is unique per (user, day)
-    by construction so the as-of match is deterministic.
 
-    100 TB: feature tables are orders of magnitude smaller than the
-    event log (daily grain); each as-of is a single hash-partitioned
-    window over user_id — skew handled by AQE, no broadcast needed.
-    """
-    ev = load_table(spark, sf_dir, "events")
+def pit_snapshots(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Daily-grain click/view feature snapshots (shared by the batch PIT
+    query and its stream-static enrichment twin)."""
     day = F.date_trunc("day", F.col("ts"))
     snap_click = (
         ev.filter(F.col("event_type") == "click")
@@ -751,9 +734,14 @@ def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("b_day")
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
+    return snap_click, snap_view
+
+
+def pit_enrich(
+    purchases: DataFrame, snap_click: DataFrame, snap_view: DataFrame
+) -> DataFrame:
+    """Two chained backward as-of joins: label rows pick up the latest
+    snapshot at or before their own timestamp from each feature table."""
     with_click = asof_join(
         probe=purchases,
         build=snap_click,
@@ -775,6 +763,33 @@ def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_both.select(
         "event_id", "user_id", "ts", "clicks_in_day", "click_cents", "views_in_day"
     )
+
+
+@graded("q_feature_store_pit", oracle=PIT_ORACLE)
+def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: each purchase (the training
+    label row) picks up the *latest snapshot at or before its own
+    timestamp* from two independently-maintained daily feature tables
+    (click activity, view activity) — the leakage-free join every
+    feature store runs at training-set build time.
+
+    Composition: two chained backward as-of joins (operators/asof.py),
+    each one shuffle of (probe ∪ snapshots) on user_id — never the
+    (purchase × snapshot) range-join blow-up. Snapshot tables are built
+    with one map-side-combinable agg each. Day sums are floor-cents
+    BIGINTs (exact cross-engine); snapshot ts is unique per (user, day)
+    by construction so the as-of match is deterministic.
+
+    100 TB: feature tables are orders of magnitude smaller than the
+    event log (daily grain); each as-of is a single hash-partitioned
+    window over user_id — skew handled by AQE, no broadcast needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    snap_click, snap_view = pit_snapshots(ev)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return pit_enrich(purchases, snap_click, snap_view)
 
 
 @graded(

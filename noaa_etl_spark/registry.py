@@ -147,7 +147,7 @@ GRADED_WINDOW: list[str] = [
     "q_perplexity_filter", "q_bpe_train", "q_incremental_stats_merge",
     "q_stream_stats_merge",  # shares the batch oracle verbatim
     "q_bpe_tokenize",  # rows-only: tokens depend on the trained merges
-    "q_linear_trend",
+    "q_linear_trend", "q_stream_feature_pit",
     "q_join_range",
     # last graded in ROUND 2 (6 of 19 — q_percentiles, q_rollup,
     # q_jsonl_roundtrip (A covered by q_zstd_roundtrip +
@@ -162,7 +162,6 @@ GRADED_WINDOW: list[str] = [
     # round-3-graded family/high-value reps (fill to 50; keep every
     # family's rep post-r5-fixture)
     "q_try_cast_qc",      # B filters
-    "q_semantic_dedup",   # I semantic (exact twin of the changed LSH)
     "q_udtf_tokens",      # K UDFs (worker-side pickling coverage)
     "q_ghcn_pipeline",    # NOAA
 ]

@@ -131,7 +131,7 @@ def test_graded_window_spans_every_family():
         "G_setops": {"q_set_ops", "q_set_ops_all", "q_union_all_yearly", "q_dedup_keyed"},
         "H_scalars": {"q_json_extract", "q_date_functions", "q_date_arithmetic", "q_string_functions", "q_map_functions", "q_math_haversine", "q_variant_json"},
         "I_llm": {"q_dedup_exact", "q_dedup_hash", "q_wordcount", "q_token_stats", "q_tfidf", "q_knn_cosine", "q_semantic_dedup", "q_perplexity_filter", "q_bpe_train", "q_bpe_tokenize"},
-        "J_streaming": {"q_stream_tumbling", "q_stream_interval_join", "q_stream_sessionize", "q_stream_sliding", "q_stream_dedup", "q_stream_stats_merge"},
+        "J_streaming": {"q_stream_tumbling", "q_stream_interval_join", "q_stream_sessionize", "q_stream_sliding", "q_stream_dedup", "q_stream_stats_merge", "q_stream_feature_pit"},
         "K_udfs": {"q_udaf_trimmed_mean", "q_grouped_zscore", "q_cogroup_merge", "q_udtf_tokens", "q_pandas_udf_scalar", "q_udtf_dynamic_schema"},
         "tpch": {
             "q_tpch_q7_volume", "q_tpch_q8_share", "q_tpch_q10_returns",
