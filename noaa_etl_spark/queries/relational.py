@@ -942,3 +942,57 @@ def q_sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("prio_or_null").asc_nulls_first(), F.col("o_orderkey"))
         .limit(15)
     )
+
+
+@graded(
+    "q_mode_by_group",
+    oracle="""
+    WITH counted AS (
+      SELECT c_mktsegment, o_orderpriority, count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority
+    ),
+    ranked AS (
+      SELECT c_mktsegment, o_orderpriority, n,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, o_orderpriority) AS rn,
+             CAST(sum(n) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS total_orders
+      FROM counted
+    )
+    SELECT c_mktsegment,
+           o_orderpriority AS modal_priority,
+           n               AS n_modal,
+           total_orders
+    FROM ranked WHERE rn = 1
+    ORDER BY c_mktsegment
+    """,
+)
+def q_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the most frequent order priority in
+    each market segment, ties broken toward the lexicographically
+    smallest value — built-in mode() has engine-specific tie behavior,
+    so the engine computes it as count + min_by over the composite
+    (−count, value) key: two map-side-combinable aggs, NO window sort
+    (the oracle replays it as a row_number window, which is the shape
+    Spark would need if min_by couldn't encode the tie-break).
+
+    100 TB: the second agg runs over |segments × priorities| rows —
+    nothing after the first count touches fact-table volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    counted = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counted.groupBy("c_mktsegment")
+        .agg(
+            F.min_by(
+                "o_orderpriority", F.struct(-F.col("n"), F.col("o_orderpriority"))
+            ).alias("modal_priority"),
+            F.max("n").alias("n_modal"),
+            F.sum("n").alias("total_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )

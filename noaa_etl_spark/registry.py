@@ -147,8 +147,7 @@ GRADED_WINDOW: list[str] = [
     "q_perplexity_filter", "q_bpe_train", "q_incremental_stats_merge",
     "q_stream_stats_merge",  # shares the batch oracle verbatim
     "q_bpe_tokenize",  # rows-only: tokens depend on the trained merges
-    "q_linear_trend", "q_stream_feature_pit",
-    "q_join_range",
+    "q_linear_trend", "q_stream_feature_pit", "q_mode_by_group",
     # last graded in ROUND 2 (6 of 19 — q_percentiles, q_rollup,
     # q_jsonl_roundtrip (A covered by q_zstd_roundtrip +
     # q_stats_skipping), q_regexp_extract (H covered by
