@@ -287,3 +287,53 @@ def test_fuzzy_name_match_never_plans_cartesian(spark):
     plan = plan_of(spark, "q_fuzzy_name_match")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_feature_store_pit_never_plans_range_join(spark):
+    """The PIT join is two (probe ∪ snapshot) windows — a
+    CartesianProduct / nested-loop here means the as-of composition
+    degenerated into the per-probe range join it exists to avoid; the
+    event_type filters must reach the scans."""
+    plan = plan_of(spark, "q_feature_store_pit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # formatted plans mention each node twice (tree + detail section)
+    assert plan.count("Window (") == 2
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_resample_interpolate_single_window_partitioning(spark):
+    """prev/next neighbours are two frames over ONE user_id
+    partitioning — Catalyst must evaluate both in a single sort, so
+    exactly one Window spec partitioned by user_id (the grid explode is
+    scan-local: no join against a calendar table)."""
+    plan = plan_of(spark, "q_resample_interpolate")
+    assert plan.count("Window (") <= 2  # backward + forward frames share the sort
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_bigrams_are_scan_local(spark):
+    """Bigram extraction must be transform(sequence(...)) over the token
+    array — a position self-join (Sort/ShuffledHash join keyed on a
+    position column) would shuffle the full token stream twice."""
+    plan = plan_of(spark, "q_perplexity_filter")
+    assert "CartesianProduct" not in plan
+    # the vocab scalar rides a broadcast, never a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_linear_trend_is_agg_only(spark):
+    plan = plan_of(spark, "q_linear_trend")
+    assert "Window" not in plan, "trend must come from algebraic sums, not a window"
+    assert "Join" not in plan
+
+
+def test_mode_by_group_is_window_free(spark):
+    plan = plan_of(spark, "q_mode_by_group")
+    assert "Window" not in plan, "min_by encodes the tie-break; no row_number sort"
+    assert "BroadcastHashJoin" in plan, "customer dim must broadcast"
+
+
+def test_stats_merge_is_agg_only(spark):
+    plan = plan_of(spark, "q_incremental_stats_merge")
+    assert "Window" not in plan and "Join" not in plan

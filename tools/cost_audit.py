@@ -139,6 +139,13 @@ AUDITED = [
     "q_resample_interpolate",
     "q_perplexity_filter",
     "q_incremental_stats_merge",
+    # The trend fit must stay two nested map-side-combinable aggs (a
+    # window or join-back regression would re-shuffle the fact); mode
+    # must stay agg-only (the window row_number form is the shape to
+    # avoid); the BPE encode leg is scan-local UDF + one report agg.
+    "q_linear_trend",
+    "q_mode_by_group",
+    "q_bpe_tokenize",
 ]
 
 # Streaming queries whose LAST micro-batch plan is auditable via
