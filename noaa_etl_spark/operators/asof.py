@@ -58,6 +58,20 @@ def asof_join(
     probe_cols = probe.columns
     payload_types = {f.name: f.dataType for f in build.schema.fields}
 
+    # SQL ASOF semantics: a NULL join key or NULL timestamp on the build
+    # side can never match any probe row (`p.k = b.k` / `p.ts >= b.ts`
+    # are NULL-rejecting). Spark's window partitionBy groups NULL keys
+    # into ONE partition, so without this filter a NULL-key build row
+    # would serve NULL-key probe rows — diverging from the DuckDB ASOF
+    # oracle. Probe rows with NULL key/ts are RETAINED (left as-of) and
+    # get NULL payload: NULL-key probes partition alone once build NULLs
+    # are dropped, and NULL-ts probes sort before every build row (see
+    # the nulls_first ordering below).
+    build_not_null = F.col(build_ts).isNotNull()
+    for k in build_keys:
+        build_not_null = build_not_null & F.col(k).isNotNull()
+    build = build.filter(build_not_null)
+
     # Side ordering at equal timestamps: inclusive → build sorts before
     # probe (visible to the growing frame); strict → probe first (build
     # rows at the identical ts are not yet visible).
@@ -81,7 +95,16 @@ def asof_join(
     )
 
     unioned = probe_side.unionByName(build_side)
-    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    # nulls_first in BOTH directions: NULL-ts probe rows must sort before
+    # every (non-NULL-ts, filtered-above) build row so last(ignorenulls)
+    # has seen no payload yet → NULL payload, matching SQL's NULL-rejecting
+    # range predicate. Spark's desc() default is nulls_LAST, which would
+    # hand NULL-ts probes the final carried payload — wrong.
+    ts_order = (
+        F.col("__ts").asc_nulls_first()
+        if direction == "backward"
+        else F.col("__ts").desc_nulls_first()
+    )
     order = [ts_order, F.col("__side").asc()]
     if tiebreak is not None:
         # Nearest-sorted-last wins under last(): ascending puts the max

@@ -49,15 +49,21 @@ def merge_states(*states: DataFrame) -> DataFrame:
 
 
 def finalize(state: DataFrame) -> DataFrame:
-    """Present the state as user-facing aggregates."""
+    """Present the state as user-facing aggregates.
+
+    avg divides by the NON-NULL count (F.avg semantics) and is guarded
+    for the all-NULL group: under the pinned ANSI mode an unguarded
+    s_sum/0 throws DIVIDE_BY_ZERO and aborts the whole query; the guard
+    yields NULL, matching what DuckDB's sum(x)/count(x) CASE does."""
     keys = [c for c in state.columns if not c.startswith("s_")]
+    nn = F.col("s_nncount")
     return state.select(
         *keys,
         F.col("s_count").alias("n_rows"),
         F.col("s_sum").alias("total"),
         F.col("s_min").alias("min_value"),
         F.col("s_max").alias("max_value"),
-        (F.col("s_sum") / F.col("s_nncount")).alias("avg_value"),
+        F.when(nn > 0, F.col("s_sum") / nn).alias("avg_value"),
     )
 
 
@@ -104,11 +110,15 @@ def finalize_stats(state: DataFrame) -> DataFrame:
     n = F.col("s_nncount")
     s = F.col("s_sum").cast("double")
     s2 = F.col("s_sumsq").cast("double")
-    var_pop = (s2 - s * s / n) / n
+    # Divide by the NON-NULL count on both engines (the oracle mirrors
+    # with count(value)); guard n=0 — the all-NULL group — because ANSI
+    # mode throws DIVIDE_BY_ZERO even for double division. The guarded
+    # branch yields NULL, matching the oracle's CASE.
+    var_pop = F.when(n > 0, (s2 - s * s / n) / n)
     return state.select(
         *keys,
         F.col("s_count").alias("n_rows"),
-        (s / n).alias("mean_value"),
+        F.when(n > 0, s / n).alias("mean_value"),
         var_pop.alias("var_pop"),
         F.sqrt(var_pop).alias("std_pop"),
     )

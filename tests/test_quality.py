@@ -135,6 +135,61 @@ def test_incremental_avg_ignores_nulls_like_spark_avg(spark):
     assert f == r
 
 
+def test_incremental_all_null_group_yields_null_not_ansi_error(spark):
+    """An all-NULL value group must finalize to NULL avg/mean/var/std —
+    not throw DIVIDE_BY_ZERO under the pinned ANSI mode (ADVICE r6)."""
+    from noaa_etl_spark.operators.incremental import (
+        finalize_stats,
+        merge_stats_states,
+        stats_state,
+    )
+
+    rows = [("a", None), ("a", None), ("b", 4)]
+    df = spark.createDataFrame(rows, "k string, v bigint")
+    folded = finalize(merge_states(agg_state(df, ["k"], "v")))
+    by_k = {r["k"]: r for r in folded.collect()}
+    assert by_k["a"]["n_rows"] == 2 and by_k["a"]["avg_value"] is None
+    assert by_k["b"]["avg_value"] == 4.0
+
+    stats = finalize_stats(merge_stats_states(stats_state(df, ["k"], "v")))
+    by_k = {r["k"]: r for r in stats.collect()}
+    assert by_k["a"]["mean_value"] is None and by_k["a"]["var_pop"] is None
+    assert by_k["a"]["std_pop"] is None
+    assert by_k["b"]["mean_value"] == 4.0 and by_k["b"]["var_pop"] == 0.0
+
+
+def test_linear_trend_single_day_group_yields_null_slope(spark, monkeypatch, tmp_path):
+    """An event_type seen on exactly one distinct day has a zero
+    least-squares denominator: slope/intercept must be NULL, not an
+    ANSI DIVIDE_BY_ZERO abort (ADVICE r6). Synthesizes a one-day-only
+    type alongside a normal one via a temp events table."""
+    import pandas as pd_mod
+
+    from noaa_etl_spark.queries.etl import q_linear_trend
+
+    ts0 = pd_mod.Timestamp("2024-01-01 06:00:00")
+    rows = [
+        ("only_day", ts0, 1.00, 1, "{}"),
+        ("only_day", ts0 + pd_mod.Timedelta(hours=1), 2.00, 1, "{}"),
+        ("normal", ts0, 1.00, 2, "{}"),
+        ("normal", ts0 + pd_mod.Timedelta(days=1), 3.00, 2, "{}"),
+    ]
+    pdf = pd_mod.DataFrame(
+        rows, columns=["event_type", "ts", "value", "user_id", "props"]
+    )
+    pdf["event_id"] = range(len(pdf))
+    out = str(tmp_path / "sf_tiny")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    pdf.to_parquet(os.path.join(out, "events.parquet"), index=False)
+    got = {r["event_type"]: r for r in q_linear_trend(spark, out).collect()}
+    assert got["only_day"]["n_days"] == 1
+    assert got["only_day"]["slope_cents_per_day"] is None
+    assert got["only_day"]["intercept_cents"] is None
+    assert got["normal"]["slope_cents_per_day"] == 200.0
+
+
 def test_observe_quality_rides_the_action(spark, tmp_path):
     """observe_quality must deliver violation counts as a side effect of
     the sink write — no second scan — and flag violations post-action."""
