@@ -205,18 +205,19 @@ def streaming_drift_monitor(
     base_local = spark.createDataFrame(base, base_stats.schema)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
         assigned = assign_with_distance(
             batch_df, centroids, id_col=id_col, vec_col=vec_col
         )
-        assigned.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).parquet(f"{out_path}/data/batch_id={batch_id}")
+        data = assigned.withColumn("batch_id", F.lit(batch_id))
+        record_foreach_batch_plan("drift_data", data)
+        data.write.mode("overwrite").parquet(f"{out_path}/data/batch_id={batch_id}")
         rep = drift_report(
             base_local, assigned, margin=margin, min_new=min_new
-        )
-        rep.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).parquet(f"{out_path}/reports/batch_id={batch_id}")
+        ).withColumn("batch_id", F.lit(batch_id))
+        record_foreach_batch_plan("drift_report", rep)
+        rep.write.mode("overwrite").parquet(f"{out_path}/reports/batch_id={batch_id}")
 
     return (
         stream_vectors.writeStream.foreachBatch(handle)

@@ -1,0 +1,109 @@
+"""Connected components over an edge list — the graph primitive under
+every dedup-cluster / entity-resolution job (SURVEY.md §2.I: the
+MinHash-LSH dedup already runs a lineage-cut variant inside
+operators/dedup.py; this is the standalone, reusable form).
+
+Algorithm: iterated *hash-min label propagation with path compression*
+(the DataFrame rendering of the classic MapReduce CC family — Kiveris
+et al., "Connected Components in MapReduce and Beyond", SOCC'14; the
+two-phase propagate+shortcut loop is equivalent to alternating their
+large-star/small-star operations on the label forest):
+
+  lab(u) ← u
+  repeat:
+    propagate: lab'(u) = min(lab(u), min_{(u,v)∈E} lab(v))
+               — one shuffle: symmetrized edges equi-joined to labels
+                 on the neighbor side, then a map-side-combinable min.
+    shortcut:  lab''(u) = lab'(lab'(u))
+               — one self-join of the label table: pointer jumping
+                 halves the label-forest depth each round (the
+                 operators/hierarchy.py trick), so convergence is
+                 O(log diameter) rounds, not O(diameter).
+  until no label changed (exact count of changed rows == 0).
+
+Per round the shuffles move only (node, label) pairs — 16 bytes a row,
+never adjacency payloads — and the edge table is re-used as-is (no
+rewriting, unlike the pure star algorithms), so each round costs two
+hash-partitioned joins on node id + one min agg. Skewed hubs (one node
+in many edges) are plain aggregation skew: AQE skew-split handles the
+join; the min agg combines map-side.
+
+Termination: labels are monotonically non-increasing and bounded below
+by each component's min node id; propagate can only copy a strictly
+smaller label along an edge, shortcut only along an existing
+label-pointer chain, so both preserve "lab(u) is reachable from u" and
+the fixpoint is exactly lab(u) = min(component(u)).
+
+Lineage is cut with localCheckpoint every round (iterative-plan
+precedent: operators/hierarchy.py, operators/bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Label every node of the undirected graph ``edges`` with the
+    minimum node id of its connected component.
+
+    Returns (node BIGINT, component BIGINT). Isolated self-loops are
+    fine; NULL endpoints are dropped (no NULL-keyed propagation —
+    same contract as operators/asof.py). Raises after ``max_rounds``
+    non-converged rounds (2·log2(n) rounds suffice for any graph that
+    fits storage, so hitting the cap means a bug, not a big input).
+    """
+    e = (
+        edges.select(F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    # symmetrize once; reused by every round's propagate join
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_rounds):
+        # propagate: min label over {self} ∪ neighbors. The self rows are
+        # tagged so the pre-round label rides the SAME aggregate as the
+        # min (max of the only tagged value) — change detection costs no
+        # extra join against the previous label table.
+        nbr = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .select(sym["u"].alias("node"), "component", F.lit(0).alias("self"))
+        )
+        propagated = (
+            labels.select("node", "component", F.lit(1).alias("self"))
+            .unionByName(nbr)
+            .groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("self") == 1, F.col("component"))).alias("old"),
+            )
+        )
+        # shortcut: component ← label(component)  (pointer jumping)
+        parent = propagated.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        jumped = (
+            propagated.join(parent, propagated["component"] == parent["p_node"])
+            .select("node", F.col("p_comp").alias("component"), "old")
+            .localCheckpoint(eager=True)
+        )
+        changed = jumped.filter(F.col("component") != F.col("old")).limit(1).count()
+        labels = jumped.drop("old")
+        if changed == 0:
+            sym.unpersist()
+            return labels
+    sym.unpersist()
+    raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")

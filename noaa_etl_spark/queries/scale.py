@@ -261,3 +261,51 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "q")
     )
+
+
+@graded(
+    "q_connected_components",
+    oracle="""
+    WITH RECURSIVE
+    e0 AS (
+        SELECT DISTINCT CAST(l_orderkey * 2 AS BIGINT)     AS u,
+                        CAST(l_partkey * 2 + 1 AS BIGINT)  AS v
+        FROM lineitem WHERE l_quantity >= 49
+    ),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+    reach(node, lab) AS (
+        SELECT u AS node, u AS lab FROM edges
+        UNION
+        SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node, CAST(min(lab) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the high-quantity co-purchase graph
+    (orders ↔ parts that appear together with l_quantity ≥ 49) — the
+    graph primitive under every dedup-cluster / entity-resolution job.
+    Bipartite node encoding: order → 2k, part → 2k+1 (disjoint id
+    spaces, reversible). At sf0.01 this is ~1.2k components of up to
+    16 nodes, so the propagation genuinely runs multiple hops.
+
+    Engine side: operators/graph.py hash-min label propagation with
+    pointer-jumping shortcut — O(log diameter) rounds, each round two
+    (node, label)-only joins + a map-side-combinable min; the oracle is
+    a DuckDB recursive CTE computing min reachable id per node (exact
+    reachability semantics — tractable because the graded subgraph's
+    transitive closure is ~13k pairs at sf0.01).
+
+    100 TB: per-round shuffle volume is 16 bytes/node regardless of
+    edge payloads; hub skew is AQE-split aggregation skew, not a
+    cartesian (full analysis in operators/graph.py docstring).
+    """
+    from noaa_etl_spark.operators.graph import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") >= 49).select(
+        (F.col("l_orderkey") * 2).cast("bigint").alias("src"),
+        (F.col("l_partkey") * 2 + 1).cast("bigint").alias("dst"),
+    )
+    return connected_components(edges)

@@ -526,7 +526,10 @@ def q_stream_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
 
     def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
         grid = cms_build(batch_df, "l_partkey", depth=CMS_DEPTH, width=CMS_WIDTH)
+        record_foreach_batch_plan("stream_cms_grid", grid)
         grid.write.mode("overwrite").parquet(f"{grids}/batch_id={batch_id}")
 
     stream = (
@@ -593,7 +596,10 @@ def q_stream_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
 
     def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
         state = stats_state(batch_df, ["event_type"], "cents")
+        record_foreach_batch_plan("stream_stats_state", state)
         state.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
 
     stream = (
@@ -660,9 +666,11 @@ def q_stream_feature_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
 
     def enrich(batch_df, batch_id: int) -> None:
-        pit_enrich(batch_df, snap_click, snap_view).write.mode("overwrite").parquet(
-            f"{out}/batch_id={batch_id}"
-        )
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        enriched = pit_enrich(batch_df, snap_click, snap_view)
+        record_foreach_batch_plan("stream_pit_enrich", enriched)
+        enriched.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
 
     stream = (
         spark.readStream.schema(purchases.schema)

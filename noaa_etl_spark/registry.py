@@ -101,87 +101,45 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   r7), and 8 r3-graded family/high-value reps so every family
 #   carries post-r5-fixture signal.
 GRADED_WINDOW: list[str] = [
-    # new this round (every new query enters the window the round it
-    # lands; the third round-6 session added 15 more — stats skipping,
-    # CMS + histogram sketches + the streaming CMS twin, k-anonymity,
-    # streaming drift monitor, MAD outliers, weighted sampling,
-    # interval merge, funnel, cohort retention, Jaro-Winkler rank,
-    # recursive hierarchy, array HOFs, dynamic partition overwrite —
-    # displacing stale re-confirmation entries whose families stay
-    # covered; displaced list in the r7 notes)
-    "q_zstd_roundtrip", "q_mixture_epochs",
-    "q_cluster_corpus",  # rows-only: k-means cells
-    "q_quality_gate", "q_gopher_quality", "q_repetition_filter",
-    "q_corpus_shuffle_shard", "q_stream_quality_gate",
-    "q_profile_columns", "q_dq_checks",
-    "q_ann_index_update",  # rows-only: engine-trained centroids
-    "q_fuzzy_name_match", "q_set_ops_all", "q_sort_null_ordering",
-    "q_table_diff", "q_fuzzy_match_q3",
-    "q_stats_skipping", "q_cms_frequencies", "q_k_anonymity",
-    "q_stream_drift_monitor",  # rows-only: engine-trained centroids
-    "q_anomaly_mad", "q_hist_quantiles", "q_weighted_sample",
-    "q_interval_merge", "q_funnel", "q_cohort_retention", "q_fuzzy_rank",
-    "q_recursive_hierarchy", "q_array_functions", "q_partition_overwrite",
-    "q_stream_cms_frequencies",
-    # plans/semantics changed this round → fresh signal
-    "q_semantic_dedup_lsh",     # rows-only: shared-signature self-join
-    "q_doc_similarity",         # rows-only: IVF cogroup-by-cell scoring
-    "q_knn_ivf",                # rows-only: numpy-trained centroids
-    "q_dedup_survivor_policy",  # widened (quality, -id) key encoding
-    "q_tpch_q11_value",         # integer-cents threshold form
-    # last graded in ROUND 1 (stalest signal; 9 of 15 — q_date_spine,
-    # q_unpivot, q_conditional_case, q_null_handling, q_distinct_rows
-    # and q_window_moving_avg yielded to new round-6 queries, back in
-    # r7; B stays covered by q_try_cast_qc/q_agg_filtered, E by the
-    # running-total/rank/rolling entries)
-    # new in the fourth round-6 session (every new query enters the
-    # window the round it lands): feature-store PIT join, linear
-    # interpolation resample, bigram-LM perplexity filter, BPE merge
-    # training (rows-only: iterative argmax loop), mergeable variance
-    # state. Displaced: q_join3_topk / q_join5_region (C carried by
-    # q_feature_store_pit; both benched every round), q_sessionize
-    # (E carried by q_window_rank + q_resample_interpolate),
-    # q_incremental_agg (D/etl carried by q_incremental_stats_merge +
-    # q_table_diff), q_tpch_q7_volume (tpch carried by q_tpch_q11_value).
-    "q_feature_store_pit", "q_resample_interpolate",
-    "q_perplexity_filter", "q_bpe_train", "q_incremental_stats_merge",
-    "q_stream_stats_merge",  # shares the batch oracle verbatim
-    "q_bpe_tokenize",  # rows-only: tokens depend on the trained merges
-    "q_linear_trend", "q_stream_feature_pit", "q_mode_by_group",
-    # last graded in ROUND 2 (6 of 19 — q_percentiles, q_rollup,
-    # q_jsonl_roundtrip (A covered by q_zstd_roundtrip +
-    # q_stats_skipping), q_regexp_extract (H covered by
-    # q_date_functions),
-    # q_join_left, q_window_first_last, q_variant_json, q_bool_aggs,
-    # q_tumbling_window, q_quality_filter, q_agg_stats, q_minmax_by,
-    # q_union_all_yearly yielded their slots to the 15 new round-6
-    # queries; their families stay covered by other window entries and
-    # they rotate back in r7)
-    "q_date_functions",
-    # round-3-graded family/high-value reps (fill to 50; keep every
-    # family's rep post-r5-fixture)
-    "q_try_cast_qc",      # B filters
-    "q_udtf_tokens",      # K UDFs (worker-side pickling coverage)
-    "q_ghcn_pipeline",    # NOAA
+    # Round 7: CORRECTNESS_r06 went 50/50 and after r6 every registered
+    # query's LATEST driver grade is green, so this round's window is
+    # pure RE-confirmation by staleness (VERDICT r6 item 1): all 33
+    # queries whose last driver grade is round 1 or round 2 — both
+    # pre-date THREE fixture regenerations — plus the 8 queries whose
+    # semantics changed this round (asof NULL-key/ts hardening flows
+    # into the PIT pair; stats-merge/incremental-agg NULL-count+ANSI
+    # guards; linear-trend degenerate-group guard; perplexity 9-decimal
+    # grade), plus round-3-graded family/high-value fills. New round-7
+    # queries displace fills as they land (family any-of guard below).
+    # --- last graded ROUND 1 (15) ---
+    "q_agg_filtered", "q_conditional_case", "q_null_handling",
+    "q_distinct_rows", "q_join_cross", "q_join_range",
+    "q_window_running_total", "q_window_moving_avg", "q_record_tracking",
+    "q_window_range_numeric", "q_ntile_cume", "q_sliding_window",
+    "q_unpivot", "q_date_spine", "q_lang_stats",
+    # --- last graded ROUND 2 (18) ---
+    "q_agg_stats", "q_percentiles", "q_minmax_by", "q_rollup",
+    "q_join3_topk", "q_join5_region", "q_join_left", "q_bool_aggs",
+    "q_union_all_yearly", "q_window_rank", "q_window_first_last",
+    "q_sessionize", "q_tumbling_window", "q_quality_filter",
+    "q_jsonl_roundtrip", "q_regexp_extract", "q_variant_json",
+    "q_tpch_q7_volume",
+    # --- semantics/oracle changed this round (fresh signal) ---
+    "q_asof_join", "q_feature_store_pit", "q_stream_feature_pit",
+    "q_incremental_agg", "q_incremental_stats_merge",
+    "q_stream_stats_merge", "q_linear_trend", "q_perplexity_filter",
+    # --- round-3-graded fills (staleness order within family value;
+    # q_filter_predicates r5 keeps B, q_ghcn_daily_wide r5 keeps NOAA —
+    # the r6-graded q_try_cast_qc / q_ghcn_pipeline sit out) ---
+    "q_knn_cosine", "q_semantic_dedup", "q_manifest_sink_roundtrip",
+    "q_interval_join", "q_stream_dedup", "q_cogroup_merge",
+    "q_topk_global", "q_filter_predicates", "q_ghcn_daily_wide",
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:
 # engine-specific hashes/sketches/ANN, streaming state, custom source).
 # test_graded_window_spans_every_family pins window∩rows-only == this.
-ROWS_ONLY_WINDOW: set[str] = {
-    # round 6: the three rows-only queries whose plans changed this
-    # round plus the new clustering report (all 16 pre-existing
-    # rows-only queries got their first clean driver signal in r5)
-    "q_semantic_dedup_lsh", "q_doc_similarity", "q_knn_ivf",
-    "q_cluster_corpus", "q_ann_index_update", "q_stream_drift_monitor",
-    # fourth round-6 session: BPE training is a driver-coordinated
-    # iterative argmax loop — not SQL-expressible; golden-tested in
-    # tests/test_algorithms.py; the encode twin's token sequences
-    # depend on that trained table, so it is rows-only for the same
-    # reason (golden-tested end-to-end)
-    "q_bpe_train",
-    "q_bpe_tokenize",
-}
+ROWS_ONLY_WINDOW: set[str] = set()  # round 7: every entry oracle-paired
 
 
 def load_all_queries() -> None:

@@ -31,6 +31,49 @@ _CHECKPOINT_ROOT = os.path.join(
 # COSTS gate reads so a stream query gaining a shuffle fails CI.
 LAST_STREAM_PLANS: dict[str, str] = {}
 
+# Graded streaming query -> the LAST_STREAM_PLANS keys its drain leaves
+# behind: `mem_*` = executed micro-batch plan of a run_to_memory sink,
+# `fb_*` = formatted plans of the frames a foreachBatch function writes
+# (captured via record_foreach_batch_plan — invisible to both the batch
+# audit and explainInternal otherwise). tools/cost_audit.py records and
+# tests/test_costs.py gates the SUM of exchange counts across a query's
+# keys, so a shuffle creeping into ANY written frame fails CI.
+STREAM_PLAN_KEYS: dict[str, list[str]] = {
+    "q_stream_pii_scrub": ["mem_stream_pii_scrub"],
+    "q_stream_chunk_documents": ["mem_stream_chunk_documents"],
+    "q_stream_tumbling": ["mem_stream_tumbling"],
+    "q_stream_sessionize": ["mem_stream_sessionize"],
+    "q_stream_dedup": ["mem_stream_dedup"],
+    "q_stream_quality_gate": ["mem_stream_quality_gate"],
+    "q_stream_cms_frequencies": ["fb_stream_cms_grid"],
+    "q_stream_stats_merge": ["fb_stream_stats_state"],
+    "q_stream_feature_pit": ["fb_stream_pit_enrich"],
+    "q_stream_drift_monitor": ["fb_drift_data", "fb_drift_report"],
+}
+
+
+def record_foreach_batch_plan(name: str, df: DataFrame) -> None:
+    """Capture the physical plan of a frame a foreachBatch function is
+    about to write.
+
+    foreachBatch inner work is invisible to BOTH audit surfaces: the
+    batch cost audit never sees it (it runs only at drain time) and
+    ``query.explainInternal`` shows just the stream-scan→foreachBatch
+    sink, not the batch jobs the function launches. This hook closes the
+    gap: the foreachBatch twins call it on each frame they write, the
+    LAST batch's plan wins, and the streaming COSTS gate reads it under
+    the ``fb_<name>`` key. The plan is the pre-AQE formatted plan
+    (deterministic — no runtime shuffle→broadcast conversions), so
+    committed counts and gate counts come from one capture method.
+    Multiple frames per batch append under distinct names.
+    """
+    from noaa_etl_spark.plans.audit import formatted_plan
+
+    try:
+        LAST_STREAM_PLANS[f"fb_{name}"] = formatted_plan(df)
+    except Exception:  # audit aid, never a failure
+        LAST_STREAM_PLANS.pop(f"fb_{name}", None)
+
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Open one fixture table as a file-source stream.

@@ -1082,3 +1082,61 @@ def test_bpe_encode_textbook_sequences(spark):
     assert encode_word("widest", ranks) == ["w", "i", "dest"]
     # unseen word reusing learned merges
     assert encode_word("lowest", ranks) == ["low", "est"]
+
+
+def test_connected_components_path_star_and_isolation(spark):
+    """operators/graph.py hash-min + pointer jumping: a 9-node path
+    (worst case for plain propagation — needs multi-hop), a star, a
+    2-cycle, and NULL endpoints (dropped, per the asof NULL contract)."""
+    from noaa_etl_spark.operators.graph import connected_components
+
+    edges = [
+        # path 1-2-3-...-9 (component min = 1)
+        *[(i, i + 1) for i in range(1, 9)],
+        # star centered at 20 (component min = 20)
+        (20, 21), (20, 22), (20, 23),
+        # 2-cycle 30-31 given both directions (symmetrize must dedup)
+        (30, 31), (31, 30),
+        # NULL endpoints: contribute nothing
+        (None, 40), (41, None),
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert {n for n in got if 1 <= n <= 9} == set(range(1, 10))
+    assert all(got[n] == 1 for n in range(1, 10))
+    assert all(got[n] == 20 for n in (20, 21, 22, 23))
+    assert got[30] == 30 and got[31] == 30
+    assert 40 not in got and 41 not in got
+
+
+def test_connected_components_matches_union_find_on_random_graph(spark):
+    """Randomized (seeded) graph vs a driver-side union-find reference."""
+    import random
+
+    from noaa_etl_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    want = {}
+    comps: dict[int, int] = {}
+    for n in parent:
+        root = find(n)
+        comps.setdefault(root, n)
+        comps[root] = min(comps[root], n)
+    for n in parent:
+        want[n] = comps[find(n)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want

@@ -107,33 +107,31 @@ def test_streaming_micro_batch_plan_vs_committed_costs(spark, name):
     (streaming/core.LAST_STREAM_PLANS) is the auditable surface — the
     stateless ETL twins must hold at ZERO exchanges."""
     from noaa_etl_spark.plans.audit import stream_plan_exchange_counts
-    from noaa_etl_spark.streaming.core import LAST_STREAM_PLANS
+    from noaa_etl_spark.streaming.core import LAST_STREAM_PLANS, STREAM_PLAN_KEYS
 
     QUERIES[name](spark, SF_DIR).collect()
-    sink = {
-        "q_stream_pii_scrub": "mem_stream_pii_scrub",
-        "q_stream_chunk_documents": "mem_stream_chunk_documents",
-        "q_stream_tumbling": "mem_stream_tumbling",
-        "q_stream_sessionize": "mem_stream_sessionize",
-        "q_stream_dedup": "mem_stream_dedup",
-        "q_stream_quality_gate": "mem_stream_quality_gate",
-    }[name]
-    plan = LAST_STREAM_PLANS.get(sink)
-    assert plan, f"{name}: no micro-batch plan captured at drain time"
-    exchanges, broadcast, _ = stream_plan_exchange_counts(plan)
+    exchanges = broadcast = state_ops = 0
+    plans = []
+    for key in STREAM_PLAN_KEYS[name]:
+        plan = LAST_STREAM_PLANS.get(key)
+        assert plan, f"{name}: no plan captured at drain time for {key!r}"
+        e, b, _ = stream_plan_exchange_counts(plan)
+        exchanges, broadcast = exchanges + e, broadcast + b
+        state_ops += plan.count("StateStore")
+        plans.append(plan)
+    joined = "\n---\n".join(plans)
     committed = COSTS_STREAMING[name]
     assert exchanges <= committed["exchanges"], (
-        f"{name}: micro-batch plan has {exchanges} exchanges vs committed "
+        f"{name}: micro-batch plans have {exchanges} exchanges vs committed "
         f"{committed['exchanges']} — a shuffle entered the stream; if "
-        f"intended, regenerate COSTS.json (python tools/cost_audit.py)\n{plan}"
+        f"intended, regenerate COSTS.json (python tools/cost_audit.py)\n{joined}"
     )
     assert exchanges + broadcast <= (
         committed["exchanges"] + committed.get("broadcast_exchanges", 0)
-    ), f"{name}: a BroadcastExchange entered the micro-batch plan\n{plan}"
-    state_ops = plan.count("StateStore")
+    ), f"{name}: a BroadcastExchange entered the micro-batch plans\n{joined}"
     assert state_ops <= committed.get("state_store_ops", 0), (
-        f"{name}: micro-batch plan gained state-store operators "
-        f"({state_ops} vs {committed.get('state_store_ops', 0)})\n{plan}"
+        f"{name}: micro-batch plans gained state-store operators "
+        f"({state_ops} vs {committed.get('state_store_ops', 0)})\n{joined}"
     )
 
 

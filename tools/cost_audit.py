@@ -148,29 +148,17 @@ AUDITED = [
     "q_bpe_tokenize",
 ]
 
-# Streaming queries whose LAST micro-batch plan is auditable via
+# Streaming queries whose drain-time plans are auditable via
 # streaming/core.LAST_STREAM_PLANS (batch explain sees only the memory
-# sink). Exchange counts only — stage->query byte attribution isn't
-# stable across micro-batches. The two stateless ETL twins must stay at
-# ZERO exchanges; the windowed/stateful ones gate their shuffle count.
-AUDITED_STREAMING = [
-    "q_stream_pii_scrub",
-    "q_stream_chunk_documents",
-    "q_stream_quality_gate",
-    "q_stream_tumbling",
-    "q_stream_sessionize",
-    "q_stream_dedup",
-]
+# sink): `mem_*` keys carry the executed micro-batch plan of a
+# run_to_memory drain, `fb_*` keys the plans of frames written inside
+# foreachBatch (record_foreach_batch_plan). Exchange counts only —
+# stage->query byte attribution isn't stable across micro-batches. The
+# stateless ETL twins must stay at ZERO exchanges; windowed/stateful/
+# foreachBatch ones gate their shuffle count (summed over their keys).
+from noaa_etl_spark.streaming.core import STREAM_PLAN_KEYS
 
-# run_to_memory query names, keyed by graded query name.
-_STREAM_SINK_NAMES = {
-    "q_stream_pii_scrub": "mem_stream_pii_scrub",
-    "q_stream_chunk_documents": "mem_stream_chunk_documents",
-    "q_stream_tumbling": "mem_stream_tumbling",
-    "q_stream_sessionize": "mem_stream_sessionize",
-    "q_stream_dedup": "mem_stream_dedup",
-    "q_stream_quality_gate": "mem_stream_quality_gate",
-}
+AUDITED_STREAMING = sorted(STREAM_PLAN_KEYS)
 
 
 def audit_query(spark, name, fn, sf_dir) -> dict:
@@ -204,15 +192,19 @@ def main() -> None:
     for name in AUDITED_STREAMING:
         t0 = time.perf_counter()
         QUERIES[name](spark, TEST_SF_DIR).collect()
-        plan = LAST_STREAM_PLANS.get(_STREAM_SINK_NAMES[name])
-        if plan is None:
-            raise RuntimeError(f"no captured micro-batch plan for {name}")
-        ex, bc, ru = stream_plan_exchange_counts(plan)
+        ex = bc = ru = state_ops = 0
+        for key in STREAM_PLAN_KEYS[name]:
+            plan = LAST_STREAM_PLANS.get(key)
+            if plan is None:
+                raise RuntimeError(f"no captured plan {key!r} for {name}")
+            e, b, r = stream_plan_exchange_counts(plan)
+            ex, bc, ru = ex + e, bc + b, ru + r
+            state_ops += plan.count("StateStore")
         payload["streaming_test_sf"][name] = {
             "exchanges": ex,
             "broadcast_exchanges": bc,
             "reused_exchanges": ru,
-            "state_store_ops": plan.count("StateStore"),
+            "state_store_ops": state_ops,
             "wall_sec": round(time.perf_counter() - t0, 3),
         }
         print("stream", name, json.dumps(payload["streaming_test_sf"][name]), flush=True)
