@@ -490,3 +490,71 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("k")
     )
+
+
+@graded(
+    "q_token_budget_select",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  w -> w <> '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                                w -> w <> ''))) AS BIGINT) AS n_distinct
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(n_distinct AS DOUBLE) / n_tokens AS quality,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY CAST(n_distinct AS DOUBLE) / n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           cum_tokens <= 2000 AS kept
+    FROM ranked
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: within each source, rank documents
+    by lexical-diversity quality (distinct-token ratio, tie-break
+    doc_id) and keep the prefix whose running token total stays inside
+    a per-source budget — the data-selection step every mixture-
+    weighted pretraining run performs after quality scoring ("spend at
+    most B tokens of src_k, best documents first").
+
+    Determinism contract: the quality score is one double ratio of two
+    scan-local integers (bit-identical cross-engine), so the window
+    ORDER — and therefore the running sum and the kept set — is
+    reproducible across engines and cluster sizes; no RNG anywhere.
+
+    100 TB: token/distinct counts are scan-local array math; the only
+    exchange is the per-source window shuffle (sources ≪ docs — skew
+    bounded by the largest source; the sessionize-bucketed escape in
+    operators/sessionize.py applies if one source dominates). Running
+    totals combine map-side nothing — but the frame is the minimal
+    (doc_id, source, 2×BIGINT) projection, never text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_distinct"),
+    )
+    quality = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(quality.desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    ).withColumn("kept", F.col("cum_tokens") <= F.lit(2000))

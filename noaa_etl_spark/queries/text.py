@@ -1381,3 +1381,127 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bpe").alias("n_tokens"),
         F.size(F.array_distinct("bpe")).alias("n_distinct_tokens"),
     )
+
+
+BM25_TERMS = ("hash", "join", "scan", "vector")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _tf_term(t: str):
+    """Factory for the term-equality lambda (never a default-arg closure
+    — the HOF arity pitfall in CLAUDE.md)."""
+
+    def eq(x):
+        return x == F.lit(t)
+
+    return eq
+
+
+@graded(
+    "q_bm25_rank",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS dl,
+             CAST(len(list_filter(ws, x -> x = 'hash'))   AS BIGINT) AS tf_hash,
+             CAST(len(list_filter(ws, x -> x = 'join'))   AS BIGINT) AS tf_join,
+             CAST(len(list_filter(ws, x -> x = 'scan'))   AS BIGINT) AS tf_scan,
+             CAST(len(list_filter(ws, x -> x = 'vector')) AS BIGINT) AS tf_vector
+      FROM toks
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS BIGINT) AS sdl,
+             CAST(sum(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+             CAST(sum(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+             CAST(sum(CASE WHEN tf_scan   > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan,
+             CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+      FROM per_doc
+    )
+    SELECT doc_id,
+           dl,
+           tf_hash + tf_join + tf_scan + tf_vector AS tf_total,
+           round(
+               ln(1 + (n - df_hash + 0.5) / (df_hash + 0.5))
+                 * (CAST(tf_hash AS DOUBLE) * 2.2)
+                 / (tf_hash + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))))
+             + ln(1 + (n - df_join + 0.5) / (df_join + 0.5))
+                 * (CAST(tf_join AS DOUBLE) * 2.2)
+                 / (tf_join + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))))
+             + ln(1 + (n - df_scan + 0.5) / (df_scan + 0.5))
+                 * (CAST(tf_scan AS DOUBLE) * 2.2)
+                 / (tf_scan + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))))
+             + ln(1 + (n - df_vector + 0.5) / (df_vector + 0.5))
+                 * (CAST(tf_vector AS DOUBLE) * 2.2)
+                 / (tf_vector + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))))
+           , 9) AS score
+    FROM per_doc CROSS JOIN stats
+    WHERE tf_hash > 0 OR tf_join > 0 OR tf_scan > 0 OR tf_vector > 0
+    """,
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of every document against a fixed query
+    term set — the retrieval scorer between plain tf-idf (q_tfidf) and
+    the embedding ANN stack (q_doc_similarity): Robertson's idf
+    ln(1 + (N−df+0.5)/(df+0.5)) with k1=1.2, b=0.75 length
+    normalization (the Lucene/Okapi defaults).
+
+    Scale design: per-term tf is SCAN-LOCAL array math
+    (size(filter(ws, x = t)) per query term — no explode, so corpus
+    tokens never enter a shuffle; query terms are columns, not rows).
+    The corpus statistics (N, Σdl, per-term df) are ONE map-side-
+    combinable agg producing a single row that rides a broadcast
+    cross-join back onto the per-doc frame — at 100 TB the data-
+    proportional cost is exactly two columnar scans of (doc_id, text)
+    and zero data shuffles. The idf/tf expression is one fixed double
+    chain over BIGINT inputs, summed in fixed term order, graded at 9
+    decimals (the ln() 1-ulp contract of q_perplexity_filter).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(ws, _tf_term(t))).cast("bigint").alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("bigint").alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    avgdl = F.col("sdl").cast("double") / F.col("n")
+    norm = F.lit(1.2) * (
+        F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+    )
+
+    def term_score(t: str):
+        tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = F.log(F.lit(1) + (F.col("n") - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        return idf * (tf.cast("double") * F.lit(2.2)) / (tf + norm)
+
+    score = term_score(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + term_score(t)
+    matched = F.col(f"tf_{BM25_TERMS[0]}") > 0
+    for t in BM25_TERMS[1:]:
+        matched = matched | (F.col(f"tf_{t}") > 0)
+    tf_total = F.col(f"tf_{BM25_TERMS[0]}")
+    for t in BM25_TERMS[1:]:
+        tf_total = tf_total + F.col(f"tf_{t}")
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(matched)
+        .select("doc_id", "dl", tf_total.alias("tf_total"), F.round(score, 9).alias("score"))
+    )

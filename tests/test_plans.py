@@ -337,3 +337,24 @@ def test_mode_by_group_is_window_free(spark):
 def test_stats_merge_is_agg_only(spark):
     plan = plan_of(spark, "q_incremental_stats_merge")
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_bm25_is_scan_local_plus_broadcast_stats(spark):
+    """Per-term tf must be array HOF math on the token column (no
+    explode: corpus tokens never enter a shuffle) and the one-row stats
+    frame must ride a broadcast back — the only exchanges belong to the
+    global stats aggregate."""
+    plan = plan_of(spark, "q_bm25_rank")
+    assert "Generate" not in plan, "explode crept into BM25 — tf must be scan-local"
+    assert "BroadcastNestedLoopJoin" in plan, "stats row must broadcast"
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_token_budget_single_source_window(spark):
+    """One window shuffle on source; token counts are scan-local."""
+    plan = plan_of(spark, "q_token_budget_select")
+    assert "Window (" in plan
+    # one source-window shuffle is the only Exchange in the tree
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Generate" not in plan and "Join" not in plan

@@ -146,6 +146,10 @@ AUDITED = [
     "q_linear_trend",
     "q_mode_by_group",
     "q_bpe_tokenize",
+    # round 7: BM25 must stay scan-local + broadcast stats (no token
+    # shuffle); token-budget selection is one source-window exchange.
+    "q_bm25_rank",
+    "q_token_budget_select",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
