@@ -103,7 +103,12 @@ def prune_files(
     provably contains no matching rows); it may only be incomplete.
 
     Returns the surviving file URIs (tiny: paths only — the same shape
-    Delta's log replay hands the scan planner)."""
+    Delta's log replay hands the scan planner). Driver-side bound: the
+    collect moves ~100 B per SURVIVING file (1 MB at 10⁴ files; probed
+    curve in SCALING.md). Beyond ~10⁶ files the manifest itself should
+    be stored partitioned by the layout key so this filter prunes
+    manifest partitions before collecting — Delta-checkpoint-style —
+    keeping the collect proportional to the answer, not the table."""
     cond = F.lit(True)
     for c, (lo, hi) in bounds.items():
         mn, mx = F.col(f"{c}_min"), F.col(f"{c}_max")
