@@ -996,3 +996,48 @@ def q_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@graded(
+    "q_string_agg",
+    oracle="""
+    SELECT r_name AS region,
+           CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations,
+           string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations_csv,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY region
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation (SQL LISTAGG / string_agg):
+    per region, the sorted CSV of member nations plus customer counts.
+    Spark has no ordered string_agg — the deterministic composition is
+    collect_set → array_sort → array_join, which is order-insensitive
+    to partitioning (collect_list would not be) and therefore
+    reproducible across engines and cluster sizes.
+
+    100 TB: collect_set state is bounded by the DISTINCT value set per
+    group (25 nations here — listagg over unbounded-cardinality values
+    is an anti-pattern at any scale, documented by this query's shape);
+    both dims broadcast onto the customer scan, one combinable agg.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.countDistinct("n_name").cast("bigint").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias(
+                "nations_csv"
+            ),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("region")
+    )

@@ -1505,3 +1505,66 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(matched)
         .select("doc_id", "dl", tf_total.alias("tf_total"), F.round(score, 9).alias("score"))
     )
+
+
+@graded(
+    "q_feature_hashing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                w -> w <> '')) AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5('fh:' || w), 1, 8) AS UBIGINT) % 64
+                  AS BIGINT) AS bucket,
+             CASE WHEN CAST('0x' || substr(md5('fs:' || w), 1, 1) AS UBIGINT) < 8
+                  THEN 1 ELSE -1 END AS s
+      FROM toks
+    )
+    SELECT doc_id, bucket,
+           CAST(sum(s) AS BIGINT)   AS weight,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (the Weinberger et al. hashing trick):
+    project each document's token stream into a fixed 64-bucket sparse
+    vector — bucket = md5-derived hash mod 64, sign = an independent
+    md5 bit so collisions cancel in expectation — emitted in COO form
+    (doc_id, bucket, weight). The ML-prep step that turns unbounded
+    vocabularies into fixed-width model inputs without a vocabulary
+    table, trained-state-free and identical across engines, reruns and
+    cluster sizes (both hash and sign are pure functions of the token).
+
+    100 TB: bucketing is scan-local string math; the only shuffle is
+    the (doc_id, bucket)-grain combinable sum — output is bounded by
+    docs × 64, never tokens. No vocabulary build, no second pass, no
+    driver state (the architectural contrast to q_bpe_train's
+    vocab-capped trainer is deliberate).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    toks = docs.select("doc_id", F.explode(ws).alias("w"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("w"))), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(64),
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("fs:"), F.col("w"))), 1, 1), 16, 10)
+        .cast("int")
+        < 8,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("s").cast("bigint").alias("weight"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )

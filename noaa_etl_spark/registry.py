@@ -132,14 +132,18 @@ GRADED_WINDOW: list[str] = [
     # round it lands): connected components (recursive-CTE oracle),
     # BM25 ranking, token-budget selection ---
     "q_connected_components", "q_bm25_rank", "q_token_budget_select",
+    "q_string_agg", "q_feature_hashing",
     # --- round-3-graded fills (staleness order within family value;
     # q_filter_predicates r5 keeps B, q_ghcn_daily_wide r5 keeps NOAA —
     # the r6-graded q_try_cast_qc / q_ghcn_pipeline sit out; the new
     # queries displaced q_knn_cosine (benched every round, I carried by
     # q_semantic_dedup/q_perplexity_filter), q_interval_join (C carried
     # by five other joins) and q_stream_dedup (J carried by the
-    # stats-merge/feature-PIT twins)) ---
-    "q_semantic_dedup", "q_manifest_sink_roundtrip", "q_cogroup_merge",
+    # stats-merge/feature-PIT twins; q_string_agg/q_feature_hashing
+    # then displaced q_semantic_dedup (I carried by q_perplexity_filter
+    # + the new I entries) and q_manifest_sink_roundtrip (A carried by
+    # q_jsonl_roundtrip))) ---
+    "q_cogroup_merge",
     "q_topk_global", "q_filter_predicates", "q_ghcn_daily_wide",
 ]
 

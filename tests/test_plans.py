@@ -358,3 +358,19 @@ def test_token_budget_single_source_window(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
     assert "Generate" not in plan and "Join" not in plan
+
+
+def test_feature_hashing_single_combinable_agg(spark):
+    """Hash/sign are scan-local; the only shuffle is the (doc, bucket)
+    sum with a map-side partial."""
+    plan = plan_of(spark, "q_feature_hashing")
+    assert "Join" not in plan and "Window" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_string_agg_broadcasts_dims(spark):
+    plan = plan_of(spark, "q_string_agg")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

@@ -150,6 +150,10 @@ AUDITED = [
     # shuffle); token-budget selection is one source-window exchange.
     "q_bm25_rank",
     "q_token_budget_select",
+    # feature hashing is explode + ONE combinable (doc,bucket) agg;
+    # string_agg broadcasts both dims onto the customer scan.
+    "q_feature_hashing",
+    "q_string_agg",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
