@@ -1518,11 +1518,11 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h AS (
       SELECT doc_id,
-             CAST(CAST('0x' || substr(md5('fh:' || w), 1, 8) AS UBIGINT) % 64
+             CAST(CAST('0x' || substr(hx, 1, 8) AS UBIGINT) % 64
                   AS BIGINT) AS bucket,
-             CASE WHEN CAST('0x' || substr(md5('fs:' || w), 1, 1) AS UBIGINT) < 8
+             CASE WHEN CAST('0x' || substr(hx, 9, 1) AS UBIGINT) < 8
                   THEN 1 ELSE -1 END AS s
-      FROM toks
+      FROM (SELECT doc_id, md5('fh:' || w) AS hx FROM toks)
     )
     SELECT doc_id, bucket,
            CAST(sum(s) AS BIGINT)   AS weight,
@@ -1548,17 +1548,18 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
-    toks = docs.select("doc_id", F.explode(ws).alias("w"))
+    # ONE md5 per token instance: hex chars 1-8 are the bucket, char 9
+    # the independent sign bit (distinct digest bits ⇒ independent in
+    # the hashing-trick sense; halves the hash cost, which dominates
+    # the 10× scaling — SCALING.md round 7).
+    toks = docs.select("doc_id", F.explode(ws).alias("w")).select(
+        "doc_id", F.md5(F.concat(F.lit("fh:"), F.col("w"))).alias("hx")
+    )
     bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("w"))), 1, 8), 16, 10)
-        .cast("bigint"),
-        F.lit(64),
+        F.conv(F.substring(F.col("hx"), 1, 8), 16, 10).cast("bigint"), F.lit(64)
     )
     sign = F.when(
-        F.conv(F.substring(F.md5(F.concat(F.lit("fs:"), F.col("w"))), 1, 1), 16, 10)
-        .cast("int")
-        < 8,
-        F.lit(1),
+        F.conv(F.substring(F.col("hx"), 9, 1), 16, 10).cast("int") < 8, F.lit(1)
     ).otherwise(F.lit(-1))
     return (
         toks.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
