@@ -1140,3 +1140,19 @@ def test_connected_components_matches_union_find_on_random_graph(spark):
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == want
+
+
+def test_connected_components_log_depth_on_long_path(spark):
+    """Pointer jumping must make a 2048-node path converge in O(log n)
+    rounds: max_rounds=16 would be hopeless for plain min-label
+    propagation (needs ~2047 rounds on this graph) but is ample for
+    the shortcut form (2·log2(2048) = 22 ≥ actual)."""
+    from noaa_etl_spark.operators.graph import connected_components
+
+    n = 2048
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src bigint, dst bigint"
+    )
+    got = connected_components(df, max_rounds=16)
+    assert got.filter("component != 1").count() == 0
+    assert got.count() == n
