@@ -59,11 +59,45 @@ def connected_components(
     non-converged rounds (2·log2(n) rounds suffice for any graph that
     fits storage, so hitting the cap means a bug, not a big input).
     """
-    e = (
+    raw = (
         edges.select(F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .distinct()
     )
+    # Size the whole job to the GRAPH, not the session default: every
+    # round's joins/aggs materialize through localCheckpoint, which is
+    # the one shape AQE's advisory coalescing does not reach (the
+    # checkpoint job runs the pre-coalesce partitioning) — and the
+    # persisted edge table's partition count sets the map-side task
+    # count of EVERY round's propagate join. A 200-way session default
+    # costs rounds × 400 near-empty tasks on a small component graph;
+    # a small default would underparallelize a 10^11-edge dedup graph.
+    # ~500k edges per partition (pre-dedup count — an upper bound is
+    # fine for sizing), floored at executor parallelism; scoped set +
+    # restore (the test_runtime_bloom_filter pattern).
+    spark = edges.sparkSession
+    n_raw = raw.count()
+    part_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(part_key, None)
+    n_parts = max(spark.sparkContext.defaultParallelism, n_raw // 500_000)
+    spark.conf.set(part_key, str(n_parts))
+    try:
+        labels = _cc_loop(raw, max_rounds)
+    finally:
+        if prev_parts is None:
+            spark.conf.unset(part_key)
+        else:
+            spark.conf.set(part_key, prev_parts)
+    if labels is None:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    return labels
+
+
+def _cc_loop(raw: DataFrame, max_rounds: int) -> DataFrame | None:
+    """The propagate+shortcut fixpoint loop; returns None on round-cap.
+    Runs under the caller's graph-sized shuffle partitioning."""
+    e = raw.distinct()
     # symmetrize once; reused by every round's propagate join
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     labels = (
@@ -106,4 +140,4 @@ def connected_components(
             sym.unpersist()
             return labels
     sym.unpersist()
-    raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+    return None
