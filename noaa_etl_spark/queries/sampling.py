@@ -448,6 +448,11 @@ def q_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS UBIGINT) + 1) / 281474976710656.0)
                    / CAST(n_chars AS DOUBLE) AS k
         FROM documents
+        -- w=0 docs can never be sampled under E-S (key -> +inf);
+        -- excluding them up front mirrors that exactly and keeps ANSI
+        -- Spark from aborting on the division if a regenerated fixture
+        -- ever ships an empty document
+        WHERE n_chars > 0
     )
     SELECT doc_id, source, n_chars
     FROM keyed
@@ -476,7 +481,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     PER-GROUP k-sampling composes the same key with the rank-by-hash
     window of q_group_sample.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # w=0 docs are unsampleable under E-S (key → +inf) — filter them
+    # rather than divide by zero under ANSI (regen-robustness; oracle
+    # mirrors).
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     v = F.conv(
         F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 12),
         16,
@@ -506,12 +514,15 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT doc_id, source, n_tokens,
              CAST(n_distinct AS DOUBLE) / n_tokens AS quality,
+             -- zero-token docs are excluded below: they can't carry a
+             -- quality ratio (ANSI Spark would abort on the division)
+             -- and cost nothing against the budget either way
              CAST(sum(n_tokens) OVER (
                PARTITION BY source
                ORDER BY CAST(n_distinct AS DOUBLE) / n_tokens DESC, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS cum_tokens
-      FROM scored
+      FROM scored WHERE n_tokens > 0
     )
     SELECT doc_id, source, n_tokens, cum_tokens,
            cum_tokens <= 2000 AS kept
@@ -540,12 +551,15 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    # zero-token docs excluded (regen-robustness: an all-numeric text
+    # would otherwise ANSI-abort the quality division; such docs cost
+    # nothing against a token budget anyway — oracle mirrors)
     scored = docs.select(
         "doc_id",
         "source",
         F.size(ws).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(ws)).cast("bigint").alias("n_distinct"),
-    )
+    ).filter(F.col("n_tokens") > 0)
     quality = F.col("n_distinct").cast("double") / F.col("n_tokens")
     w = (
         Window.partitionBy("source")
