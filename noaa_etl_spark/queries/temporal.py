@@ -905,3 +905,159 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(interp)
         .alias("value_cents"),
     )
+
+
+@graded(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day_idx,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+      FROM events
+      GROUP BY event_type, 2
+    ),
+    seasonal AS (
+      SELECT event_type,
+             CAST((day_idx + 4) % 7 AS INT) AS dow,
+             day_idx, day_cents,
+             CAST(sum(day_cents) OVER (PARTITION BY event_type, (day_idx + 4) % 7) AS BIGINT) AS dow_sum,
+             CAST(count(*)      OVER (PARTITION BY event_type, (day_idx + 4) % 7) AS BIGINT) AS dow_n
+      FROM daily
+    )
+    SELECT event_type, day_idx, dow, day_cents,
+           CAST(dow_sum AS DOUBLE) / dow_n            AS dow_mean,
+           day_cents - CAST(dow_sum AS DOUBLE) / dow_n AS residual
+    FROM seasonal
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonal decomposition of daily revenue: per event type,
+    split each day's total into the day-of-week seasonal mean and the
+    residual — the additive-decomposition step behind every
+    'is this dip a weekend or an incident' dashboard, and the NOAA
+    climatology pattern (normals + anomalies) on business-event data.
+
+    Exactness: day totals are floor-cents BIGINTs; the seasonal mean is
+    one double division of two BIGINTs and the residual one subtraction
+    in the same op order on both engines ⇒ bit-equal doubles (the
+    linear-trend contract). Day-of-week is pure integer arithmetic on
+    the epoch-day index ((d+4) % 7, 1970-01-01 = Thursday) — no engine
+    week-start convention involved.
+
+    Plan: one map-side-combinable daily agg, then the seasonal mean as
+    a WINDOW over (type, dow) on the ~|types|·|days| daily table — the
+    SCALING.md double-plan rule (no agg + join-back re-scanning the
+    fact: the fact is touched once, the window runs on the reduced
+    relation).
+
+    100 TB: the daily rollup shuffles partial sums only; the window
+    input is |types|×|days| rows regardless of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            day_idx.alias("day_idx"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    dow = F.pmod(F.col("day_idx") + 4, F.lit(7)).cast("int")
+    w = Window.partitionBy("event_type", "dow")
+    seasonal = daily.withColumn("dow", dow).select(
+        "event_type",
+        "day_idx",
+        "dow",
+        "day_cents",
+        F.sum("day_cents").over(w).alias("dow_sum"),
+        F.count(F.lit(1)).over(w).alias("dow_n"),
+    )
+    dow_mean = F.col("dow_sum").cast("double") / F.col("dow_n")
+    return seasonal.select(
+        "event_type",
+        "day_idx",
+        "dow",
+        "day_cents",
+        dow_mean.alias("dow_mean"),
+        (F.col("day_cents") - dow_mean).alias("residual"),
+    )
+
+
+@graded(
+    "q_decayed_sum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day_idx,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+      FROM events
+      GROUP BY event_type, 2
+    ),
+    based AS (
+      SELECT event_type, day_idx, day_cents,
+             day_idx - min(day_idx) OVER (PARTITION BY event_type) AS d
+      FROM daily
+    ),
+    acc AS (
+      SELECT event_type, day_idx, day_cents, d,
+             sum(day_cents * pow(2.0, d)) OVER (
+               PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS a
+      FROM based
+    )
+    SELECT event_type, day_idx, day_cents,
+           a * pow(2.0, -d) AS decayed_cents
+    FROM acc
+    """,
+)
+def q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed running revenue (half-life = 1 day):
+    R_t = Σ_{i≤t} v_i · 2^{−(t−dᵢ)} per event type — the decayed
+    counter every freshness-weighted dashboard / trending-score system
+    keeps, here as a pure window expression.
+
+    The EWMA-family recursion is not window-expressible directly
+    (weights depend on the CURRENT row), but with α = 1/2 it factors:
+    Σ vᵢ·2^{−(t−dᵢ)} = 2^{−t'} · Σ vᵢ·2^{d'ᵢ} with day re-based per
+    type — and every term is a DYADIC rational spanning < 52 mantissa
+    bits (cents ≤ 2^21, day span ≤ 2^5 ⇒ products ≤ 2^52), so each
+    partial sum is exactly representable and the float result is
+    bit-identical regardless of accumulation order or engine: an
+    exact-float window over doubles, the trick that makes a decayed
+    metric GRADEABLE (general α would need order-matched sums).
+
+    100 TB: one combinable daily rollup, then two window passes over
+    the |types|×|days| reduced relation sharing one partitioning —
+    volume-independent, the seasonal-decompose shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            day_idx.alias("day_idx"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    wp = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    based = daily.withColumn("d", F.col("day_idx") - F.min("day_idx").over(wp))
+    acc = based.withColumn(
+        "a", F.sum(F.col("day_cents") * F.pow(F.lit(2.0), F.col("d"))).over(wo)
+    )
+    return acc.select(
+        "event_type",
+        "day_idx",
+        "day_cents",
+        (F.col("a") * F.pow(F.lit(2.0), -F.col("d"))).alias("decayed_cents"),
+    )

@@ -374,3 +374,20 @@ def test_string_agg_broadcasts_dims(spark):
     plan = plan_of(spark, "q_string_agg")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_seasonal_decompose_single_fact_pass(spark):
+    """Fact scanned once: daily rollup then a window over the reduced
+    relation — no agg + join-back (the double-plan smell)."""
+    plan = plan_of(spark, "q_seasonal_decompose")
+    assert "Join" not in plan
+    assert "Window (" in plan
+
+
+def test_decayed_sum_windows_share_partitioning(spark):
+    """The min-day and running-sum windows share the event_type
+    partitioning: one window exchange after the daily agg."""
+    plan = plan_of(spark, "q_decayed_sum")
+    assert "Join" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2, tree

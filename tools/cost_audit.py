@@ -154,6 +154,10 @@ AUDITED = [
     # string_agg broadcasts both dims onto the customer scan.
     "q_feature_hashing",
     "q_string_agg",
+    # seasonal/decayed: one combinable daily rollup + window(s) over the
+    # reduced relation — no join-back.
+    "q_seasonal_decompose",
+    "q_decayed_sum",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
