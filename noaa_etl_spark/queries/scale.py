@@ -309,3 +309,33 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2 + 1).cast("bigint").alias("dst"),
     )
     return connected_components(edges)
+
+
+@graded("q_pagerank")  # rows-only: float ranks are iteration-scheme-
+# specific (no SQL oracle — DuckDB 1.0 lacks recursive USING KEY);
+# exactness vs a numpy power iteration is pinned to 1e-9 in
+# tests/test_algorithms.py::test_pagerank_matches_numpy_power_iteration
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of the high-quantity co-purchase graph (the
+    q_connected_components graph, symmetrized): which orders/parts sit
+    at the center of the co-purchase web — the link-analysis step
+    behind dedup-cluster canonical-document election and catalog
+    importance scoring. Top 50 nodes by rank.
+
+    operators/graph.pagerank: per-iteration one (node, rank) hash join
+    to the edge table + a combinable sum, dangling mass redistributed,
+    shuffles sized to the graph (the CC cost model; 16-byte rows, no
+    adjacency materialization).
+    """
+    from noaa_etl_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.filter(F.col("l_quantity") >= 49).select(
+        (F.col("l_orderkey") * 2).cast("bigint").alias("src"),
+        (F.col("l_partkey") * 2 + 1).cast("bigint").alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iter=10)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(50)

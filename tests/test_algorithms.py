@@ -1156,3 +1156,43 @@ def test_connected_components_log_depth_on_long_path(spark):
     got = connected_components(df, max_rounds=16)
     assert got.filter("component != 1").count() == 0
     assert got.count() == n
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """operators/graph.pagerank vs a dense numpy rendering of the SAME
+    fixed-iteration scheme (damping 0.85, 15 rounds, dangling mass
+    redistributed) — agreement to 1e-9, mass conservation to 1e-9·N,
+    and the hub outranks its spokes."""
+    import numpy as np
+
+    from noaa_etl_spark.operators.graph import pagerank
+
+    edges = [
+        (1, 2), (2, 1),        # 2-cycle
+        (3, 1), (4, 1), (5, 1),  # spokes -> hub 1
+        (1, 6),                # hub passes mass on
+        (7, 3),                # chain into a spoke
+        (6, 8),                # 8 is dangling (no out-edges)
+    ]
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {u: 0 for u in nodes}
+    for u, _ in edges:
+        out[u] += 1
+    r = np.ones(n)
+    d = 0.85
+    for _ in range(15):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / out[u]
+        dangling = sum(r[idx[u]] for u in nodes if out[u] == 0)
+        r = (1 - d) + d * (contrib + dangling / n)
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {row["node"]: row["rank"] for row in pagerank(df).collect()}
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-9, (node, got[node], r[idx[node]])
+    assert abs(sum(got.values()) - n) < 1e-9 * n
+    assert got[1] == max(got.values())
