@@ -484,3 +484,59 @@ def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents_per_day"),
         F.when(denom != 0, (sy - slope * sx) / n).alias("intercept_cents"),
     ).orderBy("event_type")
+
+
+@graded(
+    "q_distinct_rollup_exact",
+    oracle="""
+    SELECT CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000 / 7) AS BIGINT) AS week_idx,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY 1
+    ORDER BY week_idx
+    """,
+)
+def q_distinct_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user rollup maintained from MERGEABLE per-day set
+    state: each day's state is its sorted distinct-user array (the
+    bitmap-index pattern with arrays standing in for roaring bitmaps);
+    the weekly rollup folds daily states with set union instead of
+    rescanning events — and the oracle recomputes count(DISTINCT) from
+    raw events, so the hash match proves fold(day states) == recompute,
+    the exact-cardinality sibling of q_hll_sketch_union's sketch fold
+    (same maintenance pattern, zero error, per-key-cardinality-bounded
+    state instead of fixed-size).
+
+    100 TB: daily state size is bounded by per-day distinct users, not
+    events (the first agg is map-side combinable on (day, user)); the
+    weekly fold shuffles state arrays once. When per-key cardinality
+    outgrows memory the documented swap is the HLL twin — this pair of
+    queries IS that trade, measured.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    daily_state = (
+        ev.select(day.alias("day_idx"), "user_id", "event_id")
+        .groupBy("day_idx")
+        .agg(
+            F.collect_set("user_id").alias("users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    folded = (
+        daily_state.select(
+            F.floor(F.col("day_idx") / 7).cast("bigint").alias("week_idx"),
+            "users",
+            "n_events",
+        )
+        .groupBy("week_idx")
+        .agg(
+            F.size(F.array_distinct(F.flatten(F.collect_list("users")))).cast(
+                "bigint"
+            ).alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    return folded.orderBy("week_idx")

@@ -339,3 +339,81 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, n_iter=10)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(50)
+
+
+@graded(
+    "q_skew_diagnose",
+    oracle="""
+    WITH freq AS (
+      SELECT CASE WHEN grouping(l_orderkey) = 0 THEN 'l_orderkey'
+                  WHEN grouping(l_partkey) = 0 THEN 'l_partkey'
+                  ELSE 'l_suppkey' END AS key_col,
+             count(*) AS freq
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_orderkey), (l_partkey), (l_suppkey))
+    )
+    SELECT key_col,
+           CAST(count(*) AS BIGINT)  AS n_keys,
+           CAST(sum(freq) AS BIGINT) AS n_rows,
+           CAST(max(freq) AS BIGINT) AS max_freq,
+           CAST(max(freq) AS DOUBLE) / sum(freq)  AS top_share,
+           quantile_cont(freq, 0.5)  AS p50_freq,
+           quantile_cont(freq, 0.99) AS p99_freq,
+           quantile_cont(freq, 0.99) / quantile_cont(freq, 0.5) AS skew_ratio
+    FROM freq
+    GROUP BY key_col
+    ORDER BY key_col
+    """,
+)
+def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: per candidate shuffle key of the fact
+    table, the key-frequency distribution stats that decide the
+    physical strategy — top-key share (broadcast the dim? salt the
+    key?), p99/p50 frequency ratio (AQE skew-split territory above
+    ~5), key cardinality (bucketing width). This is the measurement
+    step behind every salting/bucketing rule in SCALING.md, packaged
+    as an operator.
+
+    One-pass design: GROUPING SETS over the three key columns builds
+    all three frequency tables in a single scan + one Expand+combinable
+    agg (the q_profile_columns trick applied to key heat); the stats
+    agg then runs per key_col on the tiny freq relation. Exact
+    percentiles — Spark F.percentile == DuckDB quantile_cont
+    bit-for-bit (the q_percentiles/q_anomaly_mad parity).
+
+    100 TB: the Expand triples the scanned rows but they collapse in
+    the map-side partial agg (distinct keys, not rows, cross the
+    wire); the stats pass input is |keys| rows. Exact percentiles over
+    per-key freq lists are bounded by key cardinality per group —
+    the operator's own n_keys output tells you when to switch the
+    percentile leg to the histogram sketch (operators/histogram.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select("l_orderkey", "l_partkey", "l_suppkey").createOrReplaceTempView(
+        "skew_diag_lineitem"
+    )
+    freq = spark.sql(
+        """
+        SELECT CASE WHEN grouping(l_orderkey) = 0 THEN 'l_orderkey'
+                    WHEN grouping(l_partkey) = 0 THEN 'l_partkey'
+                    ELSE 'l_suppkey' END AS key_col,
+               count(*) AS freq
+        FROM skew_diag_lineitem
+        GROUP BY GROUPING SETS ((l_orderkey), (l_partkey), (l_suppkey))
+        """
+    )
+    p50 = F.percentile("freq", F.lit(0.5))
+    p99 = F.percentile("freq", F.lit(0.99))
+    return (
+        freq.groupBy("key_col")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("freq").alias("n_rows"),
+            F.max("freq").alias("max_freq"),
+            (F.max("freq").cast("double") / F.sum("freq")).alias("top_share"),
+            p50.alias("p50_freq"),
+            p99.alias("p99_freq"),
+            (p99 / p50).alias("skew_ratio"),
+        )
+        .orderBy("key_col")
+    )

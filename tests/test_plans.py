@@ -391,3 +391,17 @@ def test_decayed_sum_windows_share_partitioning(spark):
     assert "Join" not in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") <= 2, tree
+
+
+def test_skew_diagnose_single_scan(spark):
+    """All three key-frequency tables must come from ONE scan (GROUPING
+    SETS Expand), not three scans of the fact."""
+    plan = plan_of(spark, "q_skew_diagnose")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Expand" in plan
+
+
+def test_distinct_rollup_two_combinable_aggs(spark):
+    plan = plan_of(spark, "q_distinct_rollup_exact")
+    assert "Join" not in plan and "Window" not in plan

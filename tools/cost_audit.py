@@ -158,6 +158,10 @@ AUDITED = [
     # reduced relation — no join-back.
     "q_seasonal_decompose",
     "q_decayed_sum",
+    # skew diagnosis: ONE scan via GROUPING SETS (Expand collapses in
+    # the partial agg); distinct rollup folds per-day set state.
+    "q_skew_diagnose",
+    "q_distinct_rollup_exact",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
