@@ -1569,3 +1569,59 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms"),
         )
     )
+
+
+@graded("q_tokenizer_fertility")  # rows-only: depends on the trained merge table
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: train the BPE merges on ONE md5-gated
+    half of the corpus, encode the HELD-OUT half, and report per source
+    the fertility (BPE tokens per word — the cost of every downstream
+    training token). The
+    out-of-domain-tokenizer health check every multilingual/multi-source
+    pipeline runs before committing a vocab — train/apply splits
+    mirror q_ann_index_update's calibration-split lesson (in-sample
+    fertility is biased low).
+
+    Exact integer counts throughout; the two ratios are single double
+    divisions of BIGINTs (deterministic, though the query stays
+    rows-only because the merge table itself is engine-trained).
+
+    100 TB: training reads the word dict (operators/bpe.py vocab-cap
+    architecture); encoding is scan-local Arrow with per-batch
+    memoization; the report is one |sources|-row combinable agg."""
+    from noaa_etl_spark.operators.bpe import bpe_encode_udf, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = F.substring(
+        F.md5(F.concat(F.lit("tf:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    train_docs = docs.filter(gate < "8")
+    heldout = docs.filter(gate >= "8")
+
+    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    words = (
+        train_docs.select(F.explode(ws).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges = train_bpe(words, n_merges=24)
+    encode = bpe_encode_udf(merges)
+    enc = heldout.select("source", ws.alias("ws")).select(
+        "source",
+        F.size("ws").alias("n_words"),
+        encode(F.col("ws")).alias("bpe"),
+    )
+    return (
+        enc.select(
+            "source",
+            "n_words",
+            F.size("bpe").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("words"),
+            F.sum("n_tokens").alias("tokens"),
+            (F.sum("n_tokens").cast("double") / F.sum("n_words")).alias("fertility"),
+        )
+        .orderBy("source")
+    )
