@@ -1196,3 +1196,19 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[node] - r[idx[node]]) < 1e-9, (node, got[node], r[idx[node]])
     assert abs(sum(got.values()) - n) < 1e-9 * n
     assert got[1] == max(got.values())
+
+
+def test_graph_sized_shuffle_restores_conf(spark):
+    """The scoped shuffle-partition sizing must restore the previous
+    session value even when the loop raises."""
+    from noaa_etl_spark.operators.graph import _graph_sized_shuffle
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key, None)
+    try:
+        with _graph_sized_shuffle(spark, 10_000_000):
+            assert spark.conf.get(key) != before
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key, None) == before
