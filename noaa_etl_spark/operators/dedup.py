@@ -242,3 +242,65 @@ def simhash_near_dup(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_lsh_cross_candidates(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Cross-corpus near-dup pairs (id_a from A, id_b from B) via the
+    same MinHash banding as the self-join form — the incoming-batch-
+    vs-archive / train-vs-benchmark shape, where the pair space is
+    A×B rather than (N choose 2).
+
+    Identical scale posture to minhash_lsh_candidates: band keys are
+    computed scan-local per side, the band join moves ids only (grams
+    never ride the ×bands explode), exact Jaccard verifies the few
+    surviving candidates. Probabilistic capture (the LSH S-curve —
+    (1/bands)^(1/r) ≈ 0.59 threshold at 32/8), so consumers grade
+    recall, not completeness (tests/test_algorithms.py measures it vs
+    brute force)."""
+    rows_per_band = num_perm // bands
+    grams = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        sig = df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            grams.alias("grams"),
+            *_minhash_signature(grams, num_perm),
+        ).filter(F.size("grams") > 0)
+        band_keys = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    ).alias("key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select(f"id_{side}", F.explode(band_keys).alias("bk"))
+
+    pairs = (
+        banded(df_a, "a")
+        .join(banded(df_b, "b").withColumnRenamed("bk", "bk2"), F.col("bk") == F.col("bk2"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = df_a.select(F.col(id_col).alias("id_a"), grams.alias("grams_a")).filter(
+        F.size("grams_a") > 0
+    )
+    gb = df_b.select(F.col(id_col).alias("id_b"), grams.alias("grams_b")).filter(
+        F.size("grams_b") > 0
+    )
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("grams_a"), F.col("grams_b")).alias("jaccard_sim"))
+    )

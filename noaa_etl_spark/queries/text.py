@@ -1625,3 +1625,35 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@graded("q_cross_corpus_dedup")  # rows-only: LSH banding is probabilistic
+# capture (S-curve ~0.59 at 32/8) — recall vs brute force is measured in
+# tests/test_algorithms.py, not oracle-matched (a DuckDB oracle would be
+# the exact A×B cross join and legitimately disagree on band-missed pairs)
+def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-duplicate join: split documents into an
+    'archive' and an 'incoming batch' by md5 gate and find incoming
+    docs that near-duplicate an archive doc (exact shingle Jaccard
+    ≥ 0.6 on banding survivors) — the incremental form of near-dedup
+    (the content-hash q_incremental_dedup catches only EXACT replays)
+    and the shape of train-vs-benchmark contamination screening at
+    similarity, not substring, granularity.
+
+    operators/dedup.minhash_lsh_cross_candidates: band keys scan-local
+    per side, the band join moves (id, band-key) rows only, exact
+    verification touches surviving candidates — A×B is never
+    materialized. 100 TB: archive band keys are precomputed once and
+    bucketed; each batch joins its own keys against them.
+    """
+    from noaa_etl_spark.operators.dedup import minhash_lsh_cross_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = F.substring(
+        F.md5(F.concat(F.lit("xc:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    archive = docs.filter(gate < "c")    # ~75%
+    incoming = docs.filter(gate >= "c")  # ~25%
+    return minhash_lsh_cross_candidates(incoming, archive).filter(
+        F.col("jaccard_sim") >= 0.6
+    )

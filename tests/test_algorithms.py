@@ -1212,3 +1212,55 @@ def test_graph_sized_shuffle_restores_conf(spark):
     except RuntimeError:
         pass
     assert spark.conf.get(key, None) == before
+
+
+def test_cross_corpus_minhash_recall_vs_bruteforce(spark):
+    """minhash_lsh_cross_candidates vs the exact A×B Jaccard join at
+    sf0.001: precision is exact by construction (survivors carry exact
+    Jaccard), recall at tau=0.6 must clear the S-curve expectation
+    (capture ≥ 1-(1-s^4)^8 ≈ 0.93 at s=0.6; ≥0.8 asserted to absorb
+    fixture variance), and every reported pair crosses the corpora."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_spark.functions.text import ngrams, tokenize
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.operators.dedup import (
+        jaccard,
+        minhash_lsh_cross_candidates,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    gate = F.substring(
+        F.md5(F.concat(F.lit("xc:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    a = docs.filter(gate >= "c")
+    b = docs.filter(gate < "c")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_cross_candidates(a, b)
+        .filter(F.col("jaccard_sim") >= 0.6)
+        .collect()
+    }
+
+    grams = F.array_distinct(ngrams(tokenize(F.col("text")), 3))
+    ga = a.select(F.col("doc_id").alias("id_a"), grams.alias("grams_a")).filter(
+        F.size("grams_a") > 0
+    )
+    gb = b.select(F.col("doc_id").alias("id_b"), grams.alias("grams_b")).filter(
+        F.size("grams_b") > 0
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in ga.crossJoin(gb)
+        .select("id_a", "id_b", jaccard(F.col("grams_a"), F.col("grams_b")).alias("j"))
+        .filter(F.col("j") >= 0.6)
+        .collect()
+    }
+    assert got <= want, "precision must be exact (verified candidates only)"
+    if want:
+        assert len(got) / len(want) >= 0.8, (len(got), len(want))
+    a_ids = {r["doc_id"] for r in a.select("doc_id").collect()}
+    for ia, ib in got:
+        assert ia in a_ids and ib not in a_ids
