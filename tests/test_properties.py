@@ -207,3 +207,58 @@ def test_quantizer_matches_python_reference(spark, vecs):
         q = [math.floor(x * 127.0 / scale + 0.5) for x in f32]
         want[i] = (len(v), sum(q), sum(abs(x) for x in q))
     assert got == want
+
+
+words_strategy = st.lists(
+    st.tuples(
+        st.text(alphabet="abcde", min_size=1, max_size=8),
+        st.integers(1, 50),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(word_counts=words_strategy, n_merges=st.integers(0, 12))
+@settings(max_examples=200, deadline=None)
+def test_bpe_encode_is_lossless_and_merges_valid(word_counts, n_merges):
+    """Pure-Python BPE properties on generated dictionaries: (1) every
+    learned merge's concatenation decomposes back into its two parts,
+    (2) encoding ANY word (training or unseen) with the learned ranks
+    concatenates back to the original word — BPE is lossless by
+    construction, and a greedy-fold bug (e.g. overlapping-merge
+    mishandling, the 'aaa' class) breaks exactly this invariant."""
+    from noaa_etl_spark.operators.bpe import encode_word, train_bpe_local
+
+    # collapse duplicate words the way the corpus word-count agg would
+    wc: dict[str, int] = {}
+    for w, c in word_counts:
+        wc[w] = wc.get(w, 0) + c
+    merges = train_bpe_local(list(wc.items()), n_merges)
+    ranks = {(left, right): rank for rank, left, right, _ in merges}
+    for rank, left, right, cnt in merges:
+        assert left + right and cnt >= 1
+    for w in list(wc) + ["aaa", "ababab", "edcba"]:
+        assert "".join(encode_word(w, ranks)) == w
+
+
+@given(word_counts=words_strategy, seed=st.integers(0, 1000))
+@settings(max_examples=100, deadline=None)
+def test_bpe_training_is_input_order_invariant(word_counts, seed):
+    """Shuffling the word dictionary must not change the learned merge
+    sequence — the driver-local analog of the distributed trainer's
+    partitioning-independence (exact integer counts + total tie-break
+    ⇒ the argmax is order-free)."""
+    import random
+
+    from noaa_etl_spark.operators.bpe import train_bpe_local
+
+    wc: dict[str, int] = {}
+    for w, c in word_counts:
+        wc[w] = wc.get(w, 0) + c
+    items = list(wc.items())
+    base = train_bpe_local(list(items), 8)
+    rng = random.Random(seed)
+    shuffled = list(items)
+    rng.shuffle(shuffled)
+    assert train_bpe_local(shuffled, 8) == base
