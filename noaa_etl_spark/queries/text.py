@@ -1384,7 +1384,9 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BM25_TERMS = ("hash", "join", "scan", "vector")
-BM25_K1, BM25_B = 1.2, 0.75
+# k1=1.2, b=0.75 appear as inline literals in BOTH the Spark expression
+# and the oracle SQL — the float contract requires the literal text to
+# match, so there is deliberately no shared Python constant.
 
 
 def _tf_term(t: str):
