@@ -262,3 +262,42 @@ def test_bpe_training_is_input_order_invariant(word_counts, seed):
     shuffled = list(items)
     rng.shuffle(shuffled)
     assert train_bpe_local(shuffled, 8) == base
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find_property(spark, edges):
+    """Hypothesis twin of the seeded random-graph test: small generated
+    graphs (self-loops, parallel edges, arbitrary shapes) vs a
+    driver-side union-find — shrinking localizes any propagation bug
+    to a minimal edge set."""
+    from noaa_etl_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    want = {n: roots[find(n)] for n in parent}
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
