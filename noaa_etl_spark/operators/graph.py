@@ -107,8 +107,18 @@ def _cc_loop(raw: DataFrame, max_rounds: int) -> DataFrame | None:
     """The propagate+shortcut fixpoint loop; returns None on round-cap.
     Runs under the caller's graph-sized shuffle partitioning."""
     e = raw.distinct()
-    # symmetrize once; reused by every round's propagate join
+    # symmetrize once; reused by every round's propagate join.
+    # try/finally (ADVICE r7): an exception mid-round (executor failure,
+    # interrupt) must not leak the cached frame for the session lifetime
+    # — the dedup path calls this repeatedly in long sessions.
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    try:
+        return _cc_rounds(sym, max_rounds)
+    finally:
+        sym.unpersist()
+
+
+def _cc_rounds(sym: DataFrame, max_rounds: int) -> DataFrame | None:
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -146,9 +156,7 @@ def _cc_loop(raw: DataFrame, max_rounds: int) -> DataFrame | None:
         changed = jumped.filter(F.col("component") != F.col("old")).limit(1).count()
         labels = jumped.drop("old")
         if changed == 0:
-            sym.unpersist()
             return labels
-    sym.unpersist()
     return None
 
 
@@ -197,23 +205,37 @@ def pagerank(
 
 
 def _pagerank_loop(raw: DataFrame, damping: float, n_iter: int) -> DataFrame:
+    # try/finally (ADVICE r7): unpersist e/base on ALL exits, including
+    # mid-iteration exceptions — see _cc_loop.
     e = raw.distinct().persist()
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = nodes.count()
-    outdeg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-    # static per-node frame: degree (0 for dangling) — reused each round
-    base = (
-        nodes.join(outdeg, "node", "left")
-        .select("node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
-        .persist()
-    )
-    base.count()
+    try:
+        nodes = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        outdeg = e.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        # static per-node frame: degree (0 for dangling) — reused each round
+        base = (
+            nodes.join(outdeg, "node", "left")
+            .select("node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
+            .persist()
+        )
+        try:
+            return _pagerank_rounds(e, base, nodes.count(), damping, n_iter)
+        finally:
+            base.unpersist()
+    finally:
+        e.unpersist()
 
+
+def _pagerank_rounds(
+    e: DataFrame, base: DataFrame, n: int, damping: float, n_iter: int
+) -> DataFrame:
+    base.count()
     ranks = base.select("node", F.lit(1.0).alias("rank"))
     for _ in range(n_iter):
         with_deg = ranks.join(base, "node").select(
@@ -246,6 +268,4 @@ def _pagerank_loop(raw: DataFrame, damping: float, n_iter: int) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    e.unpersist()
-    base.unpersist()
     return ranks

@@ -918,11 +918,13 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY event_type, 2
     ),
     seasonal AS (
+      -- ((x % 7) + 7) % 7 mirrors Spark's pmod for negative day_idx
+      -- (pre-1970 ts): DuckDB % returns negative remainders (ADVICE r7)
       SELECT event_type,
-             CAST((day_idx + 4) % 7 AS INT) AS dow,
+             CAST(((day_idx + 4) % 7 + 7) % 7 AS INT) AS dow,
              day_idx, day_cents,
-             CAST(sum(day_cents) OVER (PARTITION BY event_type, (day_idx + 4) % 7) AS BIGINT) AS dow_sum,
-             CAST(count(*)      OVER (PARTITION BY event_type, (day_idx + 4) % 7) AS BIGINT) AS dow_n
+             CAST(sum(day_cents) OVER (PARTITION BY event_type, ((day_idx + 4) % 7 + 7) % 7) AS BIGINT) AS dow_sum,
+             CAST(count(*)      OVER (PARTITION BY event_type, ((day_idx + 4) % 7 + 7) % 7) AS BIGINT) AS dow_n
       FROM daily
     )
     SELECT event_type, day_idx, dow, day_cents,

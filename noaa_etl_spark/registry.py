@@ -101,56 +101,51 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   r7), and 8 r3-graded family/high-value reps so every family
 #   carries post-r5-fixture signal.
 GRADED_WINDOW: list[str] = [
-    # Round 7: CORRECTNESS_r06 went 50/50 and after r6 every registered
-    # query's LATEST driver grade is green, so this round's window is
-    # pure RE-confirmation by staleness (VERDICT r6 item 1): all 33
-    # queries whose last driver grade is round 1 or round 2 — both
-    # pre-date THREE fixture regenerations — plus the 8 queries whose
-    # semantics changed this round (asof NULL-key/ts hardening flows
-    # into the PIT pair; stats-merge/incremental-agg NULL-count+ANSI
-    # guards; linear-trend degenerate-group guard; perplexity 9-decimal
-    # grade), plus round-3-graded family/high-value fills. New round-7
-    # queries displace fills as they land (family any-of guard below).
-    # --- last graded ROUND 1 (15) ---
-    "q_agg_filtered", "q_conditional_case", "q_null_handling",
-    "q_distinct_rows", "q_join_cross", "q_join_range",
-    "q_window_running_total", "q_window_moving_avg", "q_record_tracking",
-    "q_window_range_numeric", "q_ntile_cume", "q_sliding_window",
-    "q_unpivot", "q_date_spine", "q_lang_stats",
-    # --- last graded ROUND 2 (18) ---
-    "q_agg_stats", "q_percentiles", "q_minmax_by", "q_rollup",
-    "q_join3_topk", "q_join5_region", "q_join_left", "q_bool_aggs",
-    "q_union_all_yearly", "q_window_rank", "q_window_first_last",
-    "q_sessionize", "q_tumbling_window", "q_quality_filter",
-    "q_jsonl_roundtrip", "q_regexp_extract", "q_variant_json",
-    "q_tpch_q7_volume",
-    # --- semantics/oracle changed this round (fresh signal) ---
-    "q_asof_join", "q_feature_store_pit", "q_stream_feature_pit",
-    "q_incremental_agg", "q_incremental_stats_merge",
-    "q_stream_stats_merge", "q_linear_trend", "q_perplexity_filter",
-    # --- new round-7 queries (every new query enters the window the
-    # round it lands): connected components (recursive-CTE oracle),
-    # BM25 ranking, token-budget selection ---
-    "q_connected_components", "q_bm25_rank", "q_token_budget_select",
-    "q_string_agg", "q_feature_hashing",
-    # --- round-3-graded fills (staleness order within family value;
-    # q_filter_predicates r5 keeps B, q_ghcn_daily_wide r5 keeps NOAA —
-    # the r6-graded q_try_cast_qc / q_ghcn_pipeline sit out; the new
-    # queries displaced q_knn_cosine (benched every round, I carried by
-    # q_semantic_dedup/q_perplexity_filter), q_interval_join (C carried
-    # by five other joins) and q_stream_dedup (J carried by the
-    # stats-merge/feature-PIT twins; q_string_agg/q_feature_hashing
-    # then displaced q_semantic_dedup (I carried by q_perplexity_filter
-    # + the new I entries) and q_manifest_sink_roundtrip (A carried by
-    # q_jsonl_roundtrip))) ---
-    "q_cogroup_merge",
-    "q_topk_global", "q_filter_predicates", "q_ghcn_daily_wide",
+    # Round 8: CORRECTNESS_r07 went 50/50 (third consecutive all-green
+    # window). Per VERDICT r7 items 1-2: FRONT-load the only 7 queries
+    # that have NEVER had driver signal (built late in round 7 after the
+    # r7 window was spent on VERDICT-priority re-confirms — four
+    # oracle-paired + plan-gated, three rows-only by design: pagerank
+    # has no DuckDB recursive-USING-KEY oracle, tokenizer fertility uses
+    # the engine-trained merge table, cross-corpus LSH capture is
+    # probabilistic), then ALL 38 queries whose last driver grade is
+    # round 3 — three fixture regenerations ago, the one failure source
+    # local sweeps can't simulate. The 5 remaining slots: family fills
+    # (B: q_filter_predicates, F: q_sort_offset, NOAA: q_ghcn_pipeline —
+    # the r3 cohort covers every other family) + the 2 highest-value
+    # r4-stale entries (q_dedup_exact is headline-benched;
+    # q_sessionize_bucketed is the events-encoding-sensitive twin).
+    # The r4 cohort (35 remaining) rotates in round 9.
+    # --- never driver-graded (7; built round 7) ---
+    "q_seasonal_decompose", "q_decayed_sum", "q_skew_diagnose",
+    "q_distinct_rollup_exact", "q_pagerank", "q_tokenizer_fertility",
+    "q_cross_corpus_dedup",
+    # --- last graded ROUND 3 (38) ---
+    "q_count_distinct", "q_cube", "q_join_semi", "q_join_anti",
+    "q_set_ops", "q_null_safe_join", "q_agg_first_last",
+    "q_window_lag_lead", "q_pivot_events", "q_dedup_hash", "q_wordcount",
+    "q_token_stats", "q_dedup_ngram_jaccard", "q_knn_cosine",
+    "q_semantic_dedup", "q_vector_stats", "q_fixed_width_scan",
+    "q_orc_roundtrip", "q_parquet_sink_partitioned",
+    "q_manifest_sink_roundtrip", "q_string_functions", "q_math_haversine",
+    "q_date_arithmetic", "q_map_functions", "q_hash_functions",
+    "q_grouping_sets", "q_union_distinct", "q_interval_join",
+    "q_scalar_udf_lastresort", "q_pandas_udf_scalar", "q_grouped_zscore",
+    "q_stream_dedup", "q_scd2_intervals", "q_salted_agg", "q_time_rollup",
+    "q_correlated_min", "q_tpch_q8_share", "q_tpch_q10_returns",
+    # --- family fills + top r4-stale (5) ---
+    "q_filter_predicates", "q_sort_offset", "q_ghcn_pipeline",
+    "q_dedup_exact", "q_sessionize_bucketed",
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:
 # engine-specific hashes/sketches/ANN, streaming state, custom source).
 # test_graded_window_spans_every_family pins window∩rows-only == this.
-ROWS_ONLY_WINDOW: set[str] = set()  # round 7: every entry oracle-paired
+ROWS_ONLY_WINDOW: set[str] = {
+    # Round 8: the three never-graded rows-only round-7 additions
+    # (reasons in the window comment above).
+    "q_pagerank", "q_tokenizer_fertility", "q_cross_corpus_dedup",
+}
 
 
 def load_all_queries() -> None:

@@ -38,6 +38,47 @@ def _write_events(path: str, unit: str) -> None:
     pq.write_table(table, path)
 
 
+def test_fixture_decayed_sum_dyadic_bound():
+    """Regen-robustness pin for q_decayed_sum's bit-exactness contract
+    (ADVICE r7): every partial sum of day_cents·2^d must stay within the
+    53-bit double mantissa, i.e. per event type
+    max(day_cents).bit_length() + (max_day − min_day) ≤ 52. The current
+    fixture sits around 19 + 29 bits; if the driver ever regenerates a
+    longer-span or higher-volume events table that violates the bound,
+    this fails LOUDLY in the local suite instead of as a driver
+    hash-miss (DuckDB's segment-tree window sum vs Spark's sequential
+    running sum would then differ in the last ulp).
+    """
+    import duckdb
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        path = os.path.join(sf_dir, "events.parquet")
+        if not os.path.exists(path):
+            continue
+        row = duckdb.sql(
+            f"""
+            WITH daily AS (
+              SELECT event_type,
+                     CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day_idx,
+                     sum(CAST(floor(value * 100) AS BIGINT)) AS day_cents
+              FROM read_parquet('{path}')
+              GROUP BY 1, 2
+            )
+            SELECT max(bit_length), max(span) FROM (
+              SELECT CAST(ceil(log2(max(abs(day_cents)) + 1)) AS INT) AS bit_length,
+                     max(day_idx) - min(day_idx) AS span
+              FROM daily GROUP BY event_type
+            )
+            """
+        ).fetchone()
+        bits, span = int(row[0]), int(row[1])
+        assert bits + span <= 52, (
+            f"{sf_dir}: day_cents bits={bits} + day span={span} > 52 — "
+            "q_decayed_sum's dyadic exactness no longer holds on this "
+            "fixture; switch its grade to a rounded/tolerance form"
+        )
+
+
 def test_events_ts_normalizes_identically_across_encodings(spark, tmp_dir):
     rows = {}
     for unit in ("ns", "us"):
