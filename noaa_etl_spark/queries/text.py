@@ -1399,10 +1399,10 @@ def _tf_term(t: str):
     return eq
 
 
-@graded(
-    "q_bm25_rank",
-    oracle="""
-    WITH toks AS (
+# The BM25 oracle CTE block (tokenize → per-doc tf/dl → one-row corpus
+# stats), shared verbatim by q_bm25_rank and q_rrf_fusion so both grades
+# run the IDENTICAL double expression.
+BM25_ORACLE_CTES = """toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z]+'),
                          w -> w <> '') AS ws
@@ -1425,11 +1425,9 @@ def _tf_term(t: str):
              CAST(sum(CASE WHEN tf_scan   > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan,
              CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
       FROM per_doc
-    )
-    SELECT doc_id,
-           dl,
-           tf_hash + tf_join + tf_scan + tf_vector AS tf_total,
-           round(
+    )"""
+
+BM25_ORACLE_SCORE = """round(
                ln(1 + (n - df_hash + 0.5) / (df_hash + 0.5))
                  * (CAST(tf_hash AS DOUBLE) * 2.2)
                  / (tf_hash + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))))
@@ -1442,30 +1440,16 @@ def _tf_term(t: str):
              + ln(1 + (n - df_vector + 0.5) / (df_vector + 0.5))
                  * (CAST(tf_vector AS DOUBLE) * 2.2)
                  / (tf_vector + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))))
-           , 9) AS score
-    FROM per_doc CROSS JOIN stats
-    WHERE tf_hash > 0 OR tf_join > 0 OR tf_scan > 0 OR tf_vector > 0
-    """,
-)
-def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 relevance scoring of every document against a fixed query
-    term set — the retrieval scorer between plain tf-idf (q_tfidf) and
-    the embedding ANN stack (q_doc_similarity): Robertson's idf
-    ln(1 + (N−df+0.5)/(df+0.5)) with k1=1.2, b=0.75 length
-    normalization (the Lucene/Okapi defaults).
+           , 9)"""
 
-    Scale design: per-term tf is SCAN-LOCAL array math
-    (size(filter(ws, x = t)) per query term — no explode, so corpus
-    tokens never enter a shuffle; query terms are columns, not rows).
-    The corpus statistics (N, Σdl, per-term df) are ONE map-side-
-    combinable agg producing a single row that rides a broadcast
-    cross-join back onto the per-doc frame — at 100 TB the data-
-    proportional cost is exactly two columnar scans of (doc_id, text)
-    and zero data shuffles. The idf/tf expression is one fixed double
-    chain over BIGINT inputs, summed in fixed term order, graded at 9
-    decimals (the ln() 1-ulp contract of q_perplexity_filter).
-    """
-    docs = load_table(spark, sf_dir, "documents")
+BM25_ORACLE_MATCHED = "tf_hash > 0 OR tf_join > 0 OR tf_scan > 0 OR tf_vector > 0"
+
+
+def bm25_matched(docs: DataFrame) -> DataFrame:
+    """Per-document BM25 frame (doc_id, dl, tf_total, score) for every
+    document matching ≥1 query term — the engine half of the
+    q_bm25_rank contract, factored out so q_rrf_fusion reuses the
+    identical expression (scale design in the q_bm25_rank docstring)."""
     ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
     per_doc = docs.select(
         "doc_id",
@@ -1505,8 +1489,43 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_doc.crossJoin(F.broadcast(stats))
         .filter(matched)
-        .select("doc_id", "dl", tf_total.alias("tf_total"), F.round(score, 9).alias("score"))
+        .select(
+            "doc_id", "dl", tf_total.alias("tf_total"), F.round(score, 9).alias("score")
+        )
     )
+
+
+@graded(
+    "q_bm25_rank",
+    oracle=f"""
+    WITH {BM25_ORACLE_CTES}
+    SELECT doc_id,
+           dl,
+           tf_hash + tf_join + tf_scan + tf_vector AS tf_total,
+           {BM25_ORACLE_SCORE} AS score
+    FROM per_doc CROSS JOIN stats
+    WHERE {BM25_ORACLE_MATCHED}
+    """,
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of every document against a fixed query
+    term set — the retrieval scorer between plain tf-idf (q_tfidf) and
+    the embedding ANN stack (q_doc_similarity): Robertson's idf
+    ln(1 + (N−df+0.5)/(df+0.5)) with k1=1.2, b=0.75 length
+    normalization (the Lucene/Okapi defaults).
+
+    Scale design: per-term tf is SCAN-LOCAL array math
+    (size(filter(ws, x = t)) per query term — no explode, so corpus
+    tokens never enter a shuffle; query terms are columns, not rows).
+    The corpus statistics (N, Σdl, per-term df) are ONE map-side-
+    combinable agg producing a single row that rides a broadcast
+    cross-join back onto the per-doc frame — at 100 TB the data-
+    proportional cost is exactly two columnar scans of (doc_id, text)
+    and zero data shuffles. The idf/tf expression is one fixed double
+    chain over BIGINT inputs, summed in fixed term order, graded at 9
+    decimals (the ln() 1-ulp contract of q_perplexity_filter).
+    """
+    return bm25_matched(load_table(spark, sf_dir, "documents"))
 
 
 @graded(
