@@ -14,7 +14,7 @@ for metrics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from noaa_etl_spark.io import load_table, ntz_lit
@@ -255,4 +255,122 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("min_class_size"),
         F.max("n").alias("max_class_size"),
         F.sum(F.when(F.col("n_sensitive") < 2, 1).otherwise(0)).alias("n_low_diversity"),
+    )
+
+
+@graded(
+    "q_ks_drift",
+    oracle="""
+    WITH ref AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS a
+      FROM documents WHERE source = 'src0' GROUP BY 1
+    ),
+    oth AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS b
+      FROM documents WHERE source <> 'src0' GROUP BY 1, 2
+    ),
+    srcs AS (SELECT DISTINCT source FROM oth),
+    refrep AS (SELECT s.source, r.v, r.a FROM srcs s CROSS JOIN ref r),
+    pooled AS (
+      SELECT coalesce(rr.source, o.source) AS source,
+             coalesce(rr.v, o.v) AS v,
+             coalesce(rr.a, CAST(0 AS BIGINT)) AS a,
+             coalesce(o.b, CAST(0 AS BIGINT)) AS b
+      FROM refrep rr FULL OUTER JOIN oth o
+        ON rr.source = o.source AND rr.v = o.v
+    ),
+    cums AS (
+      SELECT source,
+             CAST(sum(a) OVER (PARTITION BY source ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+             CAST(sum(b) OVER (PARTITION BY source ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb,
+             CAST(sum(a) OVER (PARTITION BY source) AS BIGINT) AS na,
+             CAST(sum(b) OVER (PARTITION BY source) AS BIGINT) AS nb
+      FROM pooled
+    ),
+    agg AS (
+      SELECT source,
+             CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+             max(na) AS na, max(nb) AS nb
+      FROM cums GROUP BY source
+    )
+    SELECT source, na, nb, d_num,
+           CAST(d_num AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks_stat,
+           CAST(d_num AS DOUBLE) / CAST(na * nb AS DOUBLE)
+             > CAST(1.358 AS DOUBLE)
+               * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE)) AS reject_95
+    FROM agg
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test of every source's
+    document-length distribution against the reference source src0 —
+    the distribution-shift gate a corpus-refresh pipeline runs before
+    mixing a new crawl batch into training data (the batch analogue of
+    the streaming ANN drift monitor).
+
+    EXACT-INTEGER rendering of D = sup_x |F1(x) − F2(x)|: at each
+    pooled distinct value, |F1 − F2| = |c1·n2 − c2·n1| / (n1·n2), so
+    the supremum is max over an all-BIGINT expression and the statistic
+    is ONE final IEEE division — no float CDFs, bit-equal cross-engine
+    (c·n products stay under 2^63 for samples to ~3·10^9 rows).
+    reject_95 compares against the asymptotic critical value
+    1.358·sqrt((n1+n2)/(n1·n2)) (Smirnov), computed by an identical
+    double expression on both engines.
+
+    Scale design: raw rows collapse to per-(source, value) counts in
+    one combinable agg; the CDF windows run per SOURCE over the
+    |sources|×|distinct lengths| reduced relation (never a global
+    single-partition window). A continuous-valued column would be
+    histogram-bucketed first (operators/histogram.py) — KS on bin
+    edges bounds D within one bin mass, same as the quantile theorem.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ref = (
+        docs.filter(F.col("source") == "src0")
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    )
+    oth = (
+        docs.filter(F.col("source") != "src0")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    )
+    srcs = oth.select("source").distinct()
+    refrep = F.broadcast(srcs).crossJoin(ref)
+    pooled = (
+        refrep.join(oth, ["source", "v"], "full_outer")
+        .select(
+            "source",
+            "v",
+            F.coalesce(F.col("a"), F.lit(0).cast("bigint")).alias("a"),
+            F.coalesce(F.col("b"), F.lit(0).cast("bigint")).alias("b"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cums = pooled.select(
+        "source",
+        F.sum("a").over(w_run).alias("ca"),
+        F.sum("b").over(w_run).alias("cb"),
+        F.sum("a").over(w_all).alias("na"),
+        F.sum("b").over(w_all).alias("nb"),
+    )
+    agg = cums.groupBy("source").agg(
+        F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).alias("d_num"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    ks = F.col("d_num").cast("double") / (F.col("na") * F.col("nb")).cast("double")
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double")
+        / (F.col("na") * F.col("nb")).cast("double")
+    )
+    return agg.select(
+        "source", "na", "nb", "d_num", ks.alias("ks_stat"), (ks > crit).alias("reject_95")
     )

@@ -323,3 +323,124 @@ def q_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_stats = cell_stats(assign_with_distance(calib, cents))
     new_assigned = assign_with_distance(arriving, cents)
     return drift_report(base_stats, new_assigned).orderBy("cell_id")
+
+
+def _rrf_oracle() -> str:
+    """Compose the RRF oracle from the BM25 CTE constants (deferred
+    import keeps module import order free of query-module coupling)."""
+    from noaa_etl_spark.queries.text import (
+        BM25_ORACLE_CTES,
+        BM25_ORACLE_MATCHED,
+        BM25_ORACLE_SCORE,
+    )
+
+    return f"""
+    WITH {BM25_ORACLE_CTES},
+    bm AS (
+      SELECT doc_id, {BM25_ORACLE_SCORE} AS score
+      FROM per_doc CROSS JOIN stats
+      WHERE {BM25_ORACLE_MATCHED}
+    ),
+    bm_top AS (
+      SELECT doc_id, bm25_rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS bm25_rank
+        FROM bm
+      ) WHERE bm25_rank <= 50
+    ),
+    cosd AS (
+      SELECT c.vec_id AS doc_id, round({_DUCK_COS}, 6) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id = 0
+    ),
+    cos_top AS (
+      SELECT doc_id, cos_rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS cos_rank
+        FROM cosd
+      ) WHERE cos_rank <= 50
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             b.bm25_rank, c.cos_rank,
+             coalesce(CAST(1.0 AS DOUBLE) / (60 + b.bm25_rank), CAST(0.0 AS DOUBLE))
+           + coalesce(CAST(1.0 AS DOUBLE) / (60 + c.cos_rank), CAST(0.0 AS DOUBLE)) AS rrf_score
+      FROM bm_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, bm25_rank, cos_rank, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS fused_rank
+    FROM fused
+    """
+
+
+@graded("q_rrf_fusion", oracle=_rrf_oracle())
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR'09): fuse a LEXICAL ranking (BM25 over the fixed
+    query-term set — q_bm25_rank's scorer, reused verbatim) with a
+    SEMANTIC ranking (cosine similarity to document 0's embedding —
+    vec_id aligns 1:1 with doc_id in the fixture) via
+
+        rrf(d) = Σ_lists 1 / (60 + rank_list(d))
+
+    over the top-50 of each list (k=60 is the paper's constant; absent
+    docs contribute 0 — the standard treatment). This is the
+    first-stage retrieval fusion every RAG / search stack runs where
+    BM25 and an embedding index disagree.
+
+    Exactness: each RRF term is ONE IEEE double division of integers
+    and the fusion is a fixed two-term sum — bit-identical cross-engine
+    (no accumulation-order sensitivity; ranks are integers with
+    deterministic (score DESC, doc_id) tie-breaks; BM25 score at the
+    9-decimal ln() contract, cosine at knn's 6-decimal contract).
+
+    Scale design: each ranker reduces to its top-50 via orderBy+limit —
+    TakeOrderedAndProject per-partition heaps, NO global sort shuffle —
+    and ranks are then assigned by a window over the 50-row frame (a
+    single-partition window over ≤50 rows, not over the corpus). The
+    fusion join touches ≤100 rows. At 100 TB: two corpus scans (BM25's
+    zero-shuffle scan + the broadcast-query cosine scan), two 50-row
+    heaps, and driver-scale fusion.
+    """
+    from noaa_etl_spark.queries.text import bm25_matched
+    from pyspark.sql import Window
+
+    K = 50
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    bm_top = (
+        bm25_matched(docs)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(K)
+    )
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_rank = bm_top.select(
+        "doc_id", F.row_number().over(w_bm).cast("int").alias("bm25_rank")
+    )
+
+    cos_top = (
+        knn_bruteforce(emb.filter(F.col("vec_id") == 0), emb, k=K)
+        .select(F.col("neighbor_id").alias("doc_id"), "cos_sim")
+    )
+    w_cos = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    cos_rank = cos_top.select(
+        "doc_id", F.row_number().over(w_cos).cast("int").alias("cos_rank")
+    )
+
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("cos_rank")), F.lit(0.0))
+    fused = (
+        bm_rank.join(cos_rank, "doc_id", "full_outer")
+        .select("doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf_score"))
+    )
+    w_f = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return fused.select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        "rrf_score",
+        F.row_number().over(w_f).cast("int").alias("fused_rank"),
+    )

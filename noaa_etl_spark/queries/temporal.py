@@ -1063,3 +1063,108 @@ def q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_cents",
         (F.col("a") * F.pow(F.lit(2.0), -F.col("d"))).alias("decayed_cents"),
     )
+
+
+@graded(
+    "q_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day_idx,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+      FROM events
+      GROUP BY event_type, 2
+    ),
+    scaled AS (
+      SELECT event_type, day_idx, day_cents,
+             CAST(count(*)       OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(day_cents) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      FROM daily
+    ),
+    pre AS (
+      SELECT event_type, day_idx, day_cents, tot,
+             CAST(sum(n * day_cents - tot) OVER (
+               PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS c
+      FROM scaled
+    ),
+    dd AS (
+      SELECT event_type, day_idx, day_cents, tot, c,
+             CAST(min(c) OVER (
+               PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS m
+      FROM pre
+    )
+    SELECT event_type, day_idx, day_cents,
+           CAST(c - least(CAST(0 AS BIGINT), m) AS BIGINT) AS cusum_scaled,
+           c - least(CAST(0 AS BIGINT), m) > 2 * tot AS is_alarm
+    FROM dd
+    """,
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection (Page 1954) on daily
+    revenue per event type: S_t = max(0, S_{t-1} + (x_t − μ)), alarm
+    when the accumulated positive drift exceeds a threshold — the
+    classic sequential detector behind metric-shift monitors.
+
+    Two exactness tricks make this window-expressible AND gradeable:
+
+    1. The reset-at-zero recursion is not a window function, but it
+       factors through the drawdown identity
+       S_t = C_t − min(0, min_{i≤t} C_i) with C the plain prefix sum
+       of deviations — two stacked ordered windows over ONE partition
+       key, no recursion (the interval_merge gaps-and-islands trick,
+       applied to CUSUM).
+    2. Deviations are scaled by n to stay INTEGER: y_t = n·x_t − Σx
+       (mean-centering without the division), so every prefix
+       sum/min/comparison is exact BIGINT arithmetic on both engines —
+       no float accumulation anywhere. The alarm threshold 2·Σx in
+       scaled units is drift > 2·n·μ, i.e. two mean-days of
+       accumulated excess.
+
+    Scale: one combinable daily rollup, then three window passes
+    sharing one (event_type) partitioning over the |types|×|days|
+    reduced relation — the seasonal-decompose cost model.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            day_idx.alias("day_idx"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    wp = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scaled = daily.select(
+        "event_type",
+        "day_idx",
+        "day_cents",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("day_cents").over(wp).alias("tot"),
+    )
+    pre = scaled.select(
+        "event_type",
+        "day_idx",
+        "day_cents",
+        "tot",
+        F.sum(F.col("n") * F.col("day_cents") - F.col("tot")).over(wo).alias("c"),
+    )
+    dd = pre.withColumn("m", F.min("c").over(wo))
+    cusum = F.col("c") - F.least(F.lit(0).cast("bigint"), F.col("m"))
+    return dd.select(
+        "event_type",
+        "day_idx",
+        "day_cents",
+        cusum.alias("cusum_scaled"),
+        (cusum > 2 * F.col("tot")).alias("is_alarm"),
+    )

@@ -1678,3 +1678,79 @@ def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_cross_candidates(incoming, archive).filter(
         F.col("jaccard_sim") >= 0.6
     )
+
+
+@graded(
+    "q_containment_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i + 1] || ' ' || t[i + 2])) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS g FROM toks),
+    sizes AS (SELECT doc_id, len(grams) AS n FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT contained_id, container_id, inter,
+           round(CAST(inter AS DOUBLE) / sa.n, 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = contained_id
+    WHERE CAST(inter AS DOUBLE) / sa.n >= 0.8
+    """,
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection by n-gram containment
+    C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ 0.8 — the Broder
+    containment coefficient. Jaccard misses the subset-duplication
+    case (a chunk pasted inside a much larger page scores low Jaccard
+    but containment ≈ 1); training-data pipelines drop the CONTAINED
+    doc and keep the container, so the ordered pair matters — both
+    directions are emitted and the small-in-big direction is the one
+    that fires.
+
+    Exactness: inter and |grams(A)| are integers from an exact
+    inverted-index join; containment is one IEEE division — bit-equal
+    cross-engine.
+
+    Scale design: same inverted-index blocking as
+    q_dedup_ngram_jaccard — candidate pairs come from a shared-shingle
+    equi-join (never a cross join), the gram-count agg combines
+    map-side, and set sizes ride two co-partitioned doc-grain joins.
+    Hot shingles (stopword runs) are the known fan-out: at corpus
+    scale drop the top-df gram tail first (the decontaminate
+    array_distinct-before-explode rule caps per-doc multiplicity
+    already), or route through MinHash-LSH and keep this exact form
+    for verify-on-candidates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    grams_df = docs.filter(F.size(toks) >= 3).select(
+        "doc_id", F.array_distinct(ngrams(toks, 3)).alias("grams")
+    )
+    exploded = grams_df.select("doc_id", F.explode("grams").alias("g"))
+    sizes = grams_df.select("doc_id", F.size("grams").alias("n"))
+    a = exploded.select(F.col("doc_id").alias("contained_id"), F.col("g").alias("ga"))
+    b = exploded.select(F.col("doc_id").alias("container_id"), F.col("g").alias("gb"))
+    pairs = (
+        a.join(b, (F.col("ga") == F.col("gb")) & (F.col("contained_id") != F.col("container_id")))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("contained_id"), F.col("n").alias("na"))
+    containment = F.col("inter").cast("double") / F.col("na")
+    return (
+        pairs.join(sa, "contained_id")
+        .filter(containment >= 0.8)
+        .select(
+            "contained_id",
+            "container_id",
+            "inter",
+            F.round(containment, 6).alias("containment"),
+        )
+    )

@@ -387,3 +387,61 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@graded(
+    "q_winsorize",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, event_type, value,
+               quantile_cont(value, 0.05)
+                   OVER (PARTITION BY event_type) AS lo,
+               quantile_cont(value, 0.95)
+                   OVER (PARTITION BY event_type) AS hi
+        FROM events
+    )
+    SELECT event_id, event_type, value,
+           round(lo, 6) AS lo,
+           round(hi, 6) AS hi,
+           least(greatest(value, lo), hi) AS w_value,
+           value < lo OR value > hi AS clipped
+    FROM s
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each event's value into its type's exact
+    [p05, p95] band — the robust-stats tail treatment feature pipelines
+    apply before fitting anything mean-squared (clipping, unlike
+    trimming, keeps the row count intact for downstream joins).
+
+    Plan shape: BOTH exact percentiles ride ONE unbounded window on the
+    same partition key (one exchange, no sort, no agg + join-back —
+    q_anomaly_mad's rule with two quantiles in a single pass). The
+    clamp is least/greatest over bit-identical doubles: Spark
+    F.percentile matches DuckDB quantile_cont bit-for-bit (same linear
+    interpolation — q_percentiles parity), so w_value needs no
+    rounding; lo/hi are rounded only as display columns.
+
+    100 TB: one shuffle on event_type; per-key exact percentiles
+    materialize a partition on one reducer — the documented bounded-
+    cardinality contract, with operators/histogram.py the sketch swap
+    when a key's row count outgrows a reducer.
+    """
+    w = Window.partitionBy("event_type")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    banded = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percentile("value", F.lit(0.05)).over(w).alias("lo"),
+        F.percentile("value", F.lit(0.95)).over(w).alias("hi"),
+    )
+    return banded.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("w_value"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias("clipped"),
+    )
