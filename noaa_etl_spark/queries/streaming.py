@@ -690,3 +690,79 @@ def q_stream_feature_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap_click.unpersist()
     snap_view.unpersist()
     return result
+
+
+from noaa_etl_spark.queries.temporal import DECAYED_SUM_ORACLE, decayed_from_daily
+
+
+@graded("q_stream_decayed_sum", oracle=DECAYED_SUM_ORACLE)
+def q_stream_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the exponentially-decayed revenue counter:
+    events drain as three micro-batches; each batch's foreachBatch
+    writes its own per-(type, day) PARTIAL daily rollup under
+    states/batch_id=N (batch_id-keyed overwrite ⇒ restart-idempotent).
+    The daily rollup is pure BIGINT addition, so folding the per-batch
+    partials reproduces the one-pass daily rollup EXACTLY, and the
+    shared decay-window finalization (decayed_from_daily) then yields
+    bit-identical doubles by the dyadic-weight argument — the twin
+    grades against the batch oracle verbatim, extending the
+    twin-equality contract (PII scrub → CMS grids → variance state →
+    as-of joins) to an exact-float EWMA rollup.
+
+    100 TB: per-trigger work is one map-side-combined agg over the
+    batch; the persisted state is the |types|×|days| daily table — the
+    continuously-maintained reduced relation the decay window reads,
+    never raw history.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_decay")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("bigint")
+        .alias("day_idx"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    gate = F.pmod(F.xxhash64(F.lit("sdecay"), F.col("cents")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = batch_df.groupBy("event_type", "day_idx").agg(
+            F.sum("cents").alias("day_cents")
+        )
+        record_foreach_batch_plan("stream_decay_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    daily = (
+        spark.read.parquet(states)
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("day_cents").alias("day_cents"))
+    )
+    return decayed_from_daily(daily)

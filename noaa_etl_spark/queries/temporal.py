@@ -988,9 +988,10 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_decayed_sum",
-    oracle="""
+# Shared by q_decayed_sum and its streaming twin (the per-batch daily
+# partial sums are mergeable integers, so fold == recompute and the twin
+# grades against the identical SQL).
+DECAYED_SUM_ORACLE = """
     WITH daily AS (
       SELECT event_type,
              CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day_idx,
@@ -1014,8 +1015,32 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, day_idx, day_cents,
            a * pow(2.0, -d) AS decayed_cents
     FROM acc
-    """,
-)
+    """
+
+
+def decayed_from_daily(daily: DataFrame) -> DataFrame:
+    """The decay-window finalization over a (event_type, day_idx,
+    day_cents) daily rollup — shared by the batch query and the
+    streaming twin (which folds per-batch partial rollups first)."""
+    wp = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    based = daily.withColumn("d", F.col("day_idx") - F.min("day_idx").over(wp))
+    acc = based.withColumn(
+        "a", F.sum(F.col("day_cents") * F.pow(F.lit(2.0), F.col("d"))).over(wo)
+    )
+    return acc.select(
+        "event_type",
+        "day_idx",
+        "day_cents",
+        (F.col("a") * F.pow(F.lit(2.0), -F.col("d"))).alias("decayed_cents"),
+    )
+
+
+@graded("q_decayed_sum", oracle=DECAYED_SUM_ORACLE)
 def q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-decayed running revenue (half-life = 1 day):
     R_t = Σ_{i≤t} v_i · 2^{−(t−dᵢ)} per event type — the decayed
@@ -1047,22 +1072,7 @@ def q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day_idx")
         .agg(F.sum("cents").alias("day_cents"))
     )
-    wp = Window.partitionBy("event_type")
-    wo = (
-        Window.partitionBy("event_type")
-        .orderBy("day_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    based = daily.withColumn("d", F.col("day_idx") - F.min("day_idx").over(wp))
-    acc = based.withColumn(
-        "a", F.sum(F.col("day_cents") * F.pow(F.lit(2.0), F.col("d"))).over(wo)
-    )
-    return acc.select(
-        "event_type",
-        "day_idx",
-        "day_cents",
-        (F.col("a") * F.pow(F.lit(2.0), -F.col("d"))).alias("decayed_cents"),
-    )
+    return decayed_from_daily(daily)
 
 
 @graded(

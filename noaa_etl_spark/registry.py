@@ -128,14 +128,25 @@ GRADED_WINDOW: list[str] = [
     "q_semantic_dedup", "q_vector_stats", "q_fixed_width_scan",
     "q_orc_roundtrip", "q_parquet_sink_partitioned",
     "q_manifest_sink_roundtrip", "q_string_functions", "q_math_haversine",
-    "q_date_arithmetic", "q_map_functions", "q_hash_functions",
-    "q_grouping_sets", "q_union_distinct", "q_interval_join",
+    "q_date_arithmetic",
+    "q_grouping_sets", "q_interval_join",
     "q_scalar_udf_lastresort", "q_pandas_udf_scalar", "q_grouped_zscore",
     "q_stream_dedup", "q_scd2_intervals", "q_salted_agg", "q_time_rollup",
-    "q_correlated_min", "q_tpch_q8_share", "q_tpch_q10_returns",
-    # --- family fills + top r4-stale (5) ---
+    "q_tpch_q8_share", "q_tpch_q10_returns",
+    # --- new round-8 queries (every new query enters the window the
+    # round it lands): RRF hybrid retrieval, containment dedup, CUSUM
+    # changepoint, KS drift, winsorize, and the decayed-sum streaming
+    # twin (shares the batch oracle — fold == recompute exactly).
+    # They displaced the two r4-stale fills (q_dedup_exact /
+    # q_sessionize_bucketed — headline-benched / equivalence-tested)
+    # and four family-redundant r3 entries (q_map_functions,
+    # q_hash_functions — H still carried by three entries;
+    # q_union_distinct — G carried by q_set_ops; q_correlated_min),
+    # all of which rotate with the r4 cohort in round 9. ---
+    "q_rrf_fusion", "q_containment_dedup", "q_changepoint_cusum",
+    "q_ks_drift", "q_winsorize", "q_stream_decayed_sum",
+    # --- family fills (3) ---
     "q_filter_predicates", "q_sort_offset", "q_ghcn_pipeline",
-    "q_dedup_exact", "q_sessionize_bucketed",
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:

@@ -49,6 +49,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_stats_merge": ["fb_stream_stats_state"],
     "q_stream_feature_pit": ["fb_stream_pit_enrich"],
     "q_stream_drift_monitor": ["fb_drift_data", "fb_drift_report"],
+    "q_stream_decayed_sum": ["fb_stream_decay_partial"],
 }
 
 

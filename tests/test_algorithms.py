@@ -1264,3 +1264,107 @@ def test_cross_corpus_minhash_recall_vs_bruteforce(spark):
     a_ids = {r["doc_id"] for r in a.select("doc_id").collect()}
     for ia, ib in got:
         assert ia in a_ids and ib not in a_ids
+
+
+# ---------------------------------------------------------------------------
+# Round-8 operators: CUSUM, KS drift, containment, RRF fusion
+
+from tests.conftest import SF_DIR
+
+
+def test_cusum_matches_reference_recursion(spark):
+    """The drawdown identity S_t = C_t - min(0, min C_i) must reproduce
+    the textbook recursion S_t = max(0, S_{t-1} + y_t) exactly — run the
+    Python loop on the same scaled integers and compare every row."""
+    from noaa_etl_spark.queries import QUERIES
+
+    rows = QUERIES["q_changepoint_cusum"](spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for et, group in by_type.items():
+        group.sort(key=lambda r: r["day_idx"])
+        n = len(group)
+        tot = sum(r["day_cents"] for r in group)
+        s = 0
+        for r in group:
+            s = max(0, s + (n * r["day_cents"] - tot))
+            assert r["cusum_scaled"] == s, (et, r["day_idx"])
+            assert r["is_alarm"] == (s > 2 * tot)
+
+
+def test_ks_drift_matches_numpy_reference(spark):
+    """d_num / (na*nb) must equal the directly-computed two-sample KS
+    statistic sup|F1 - F2| for every source."""
+    import numpy as np
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries import QUERIES
+
+    docs = load_table(spark, SF_DIR, "documents").select("source", "n_chars").collect()
+    ref = np.sort([r["n_chars"] for r in docs if r["source"] == "src0"])
+    got = {r["source"]: r for r in QUERIES["q_ks_drift"](spark, SF_DIR).collect()}
+    assert got
+    for src, row in got.items():
+        other = np.sort([r["n_chars"] for r in docs if r["source"] == src])
+        pooled = np.union1d(ref, other)
+        f1 = np.searchsorted(ref, pooled, side="right") / len(ref)
+        f2 = np.searchsorted(other, pooled, side="right") / len(other)
+        d = float(np.max(np.abs(f1 - f2)))
+        assert row["na"] == len(ref) and row["nb"] == len(other)
+        assert abs(row["ks_stat"] - d) < 1e-12, src
+
+
+def test_containment_detects_planted_subset(spark, tmp_dir):
+    """A doc pasted verbatim inside a larger doc must fire containment
+    ≈ 1.0 in the small→big direction while its Jaccard stays low — the
+    asymmetry that motivates the operator."""
+    import os
+
+    from noaa_etl_spark.queries import QUERIES
+
+    base = ["alpha beta gamma delta epsilon zeta eta theta"]
+    chunk = "iota kappa lambda mu nu xi omicron pi rho sigma"
+    big = base[0] + " " + chunk + " tau upsilon phi chi psi omega " + base[0]
+    rows = [
+        (0, chunk, "en", "s", len(chunk)),
+        (1, big, "en", "s", len(big)),
+        (2, "unrelated words entirely different content here now", "en", "s", 50),
+    ]
+    sf = os.path.join(tmp_dir, "contain_sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    out = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in QUERIES["q_containment_dedup"](spark, sf).collect()
+    }
+    assert out[(0, 1)] == 1.0          # chunk fully inside big
+    assert (1, 0) not in out           # big is NOT contained in chunk
+    assert (2, 1) not in out and (2, 0) not in out
+
+
+def test_rrf_fusion_rank_arithmetic(spark):
+    """Fused scores must equal 1/(60+r_bm25) + 1/(60+r_cos) with absent
+    ranks contributing 0, and the fused ordering must follow the score
+    with doc_id tie-breaks."""
+    from noaa_etl_spark.queries import QUERIES
+
+    rows = QUERIES["q_rrf_fusion"](spark, SF_DIR).collect()
+    assert rows
+    seen_both = False
+    for r in rows:
+        expect = 0.0
+        if r["bm25_rank"] is not None:
+            assert 1 <= r["bm25_rank"] <= 50
+            expect += 1.0 / (60 + r["bm25_rank"])
+        if r["cos_rank"] is not None:
+            assert 1 <= r["cos_rank"] <= 50
+            expect += 1.0 / (60 + r["cos_rank"])
+        seen_both = seen_both or (r["bm25_rank"] is not None and r["cos_rank"] is not None)
+        assert r["rrf_score"] == expect, r
+    ordered = sorted(rows, key=lambda r: (-r["rrf_score"], r["doc_id"]))
+    assert [r["fused_rank"] for r in ordered] == list(range(1, len(rows) + 1))

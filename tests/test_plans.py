@@ -405,3 +405,51 @@ def test_skew_diagnose_single_scan(spark):
 def test_distinct_rollup_two_combinable_aggs(spark):
     plan = plan_of(spark, "q_distinct_rollup_exact")
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_rrf_fusion_heaps_not_global_sorts(spark):
+    """Each ranker must reduce to its top-50 via per-partition heaps
+    (orderBy+limit) before any rank window runs; the fusion join
+    touches <=100 rows. A Window over the unreduced corpus would show
+    as an Exchange+Sort ahead of the limit."""
+    plan = plan_of(spark, "q_rrf_fusion")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_uses_inverted_index_join(spark):
+    """Candidate pairs must come from the shared-shingle equi-join
+    (explode + join on gram), never a cross join."""
+    plan = plan_of(spark, "q_containment_dedup")
+    assert "Generate" in plan, "gram explode missing"
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_single_fact_pass_shared_windows(spark):
+    """Fact scanned once into the daily rollup; the three window passes
+    share the event_type partitioning (no agg + join-back)."""
+    plan = plan_of(spark, "q_changepoint_cusum")
+    assert "Join" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") <= 2, tree
+
+
+def test_ks_drift_windows_run_per_source(spark):
+    """CDF windows run on the per-(source, value) reduced relation —
+    partitioned by source, never a global single-partition window —
+    and the only nested-loop join is the broadcast source replication."""
+    plan = plan_of(spark, "q_ks_drift")
+    assert "Window (" in plan
+    assert "CartesianProduct" not in plan
+    # source replication must be the broadcast side
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_winsorize_one_window_exchange(spark):
+    """Both percentiles ride one unbounded window on event_type: a
+    single exchange, no join-back."""
+    plan = plan_of(spark, "q_winsorize")
+    assert "Join" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree

@@ -350,3 +350,21 @@ def test_transform_with_state_gated(spark):
     q.awaitTermination()
     got = spark.table("mem_tws_sessions").collect()
     assert all(r["n_events"] >= 1 for r in got)
+
+
+def test_stream_decayed_sum_equals_batch(spark):
+    """Folding the per-micro-batch daily partials and applying the
+    shared decay window must reproduce the batch decayed sum
+    BIT-EXACTLY (the dyadic-weight argument makes the doubles
+    order-independent, so fold == recompute with zero tolerance)."""
+    from noaa_etl_spark.queries import QUERIES
+
+    batch = {
+        (r["event_type"], r["day_idx"]): (r["day_cents"], r["decayed_cents"])
+        for r in QUERIES["q_decayed_sum"](spark, SF_SMALL).collect()
+    }
+    streamed = {
+        (r["event_type"], r["day_idx"]): (r["day_cents"], r["decayed_cents"])
+        for r in QUERIES["q_stream_decayed_sum"](spark, SF_SMALL).collect()
+    }
+    assert batch == streamed and batch

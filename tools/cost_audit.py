@@ -162,6 +162,17 @@ AUDITED = [
     # the partial agg); distinct rollup folds per-day set state.
     "q_skew_diagnose",
     "q_distinct_rollup_exact",
+    # round 8: RRF fusion must keep its two per-partition heaps (a
+    # global sort or a rank window over the unreduced corpus is the
+    # regression); containment rides the inverted-index join (bytes
+    # bound the gram-candidate space like fuzzy_name_match); CUSUM and
+    # winsorize are one-fact-pass window shapes; KS runs its CDF
+    # windows per source over the value-count reduced relation.
+    "q_rrf_fusion",
+    "q_containment_dedup",
+    "q_changepoint_cusum",
+    "q_ks_drift",
+    "q_winsorize",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
