@@ -540,3 +540,193 @@ def q_distinct_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return folded.orderBy("week_idx")
+
+
+# Shared by q_cdc_apply and its streaming twin: the changelog fold is
+# per-key argmax over a UNIQUE total-order sequence, so any batching of
+# the log folds to the same final state and the twin grades against the
+# identical SQL.
+CDC_APPLY_ORACLE = """
+    WITH log AS (
+      SELECT o_orderkey AS seq, o_custkey AS key,
+             CASE WHEN substr(md5('cdc:' || CAST(o_orderkey AS VARCHAR)), 1, 1) < '2'
+                  THEN 'D' ELSE 'U' END AS op,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS new_bal_cents
+      FROM orders
+    ),
+    latest AS (
+      SELECT key,
+             arg_max(op, seq)            AS op,
+             arg_max(new_bal_cents, seq) AS new_bal_cents,
+             CAST(max(seq) AS BIGINT)    AS last_seq
+      FROM log GROUP BY key
+    )
+    SELECT c.c_custkey AS key,
+           CASE WHEN l.key IS NULL THEN CAST(floor(c.c_acctbal * 100) AS BIGINT)
+                ELSE l.new_bal_cents END AS bal_cents,
+           CASE WHEN l.key IS NULL THEN 'unchanged' ELSE 'updated' END AS status,
+           l.last_seq
+    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.key
+    WHERE l.key IS NULL OR l.op <> 'D'
+    """
+
+
+@graded("q_cdc_apply", oracle=CDC_APPLY_ORACLE)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: fold an ordered changelog (upserts +
+    deletes keyed by a unique sequence number) onto a base snapshot —
+    the Debezium/binlog-consumer semantic that merge_upsert (one update
+    set, no ordering, no deletes) does not cover. Last op per key wins;
+    a final D removes the key; untouched base rows pass through.
+
+    The changelog is synthesized deterministically from orders (seq =
+    o_orderkey — unique and totally ordered; ~12.5% deletes by md5
+    nibble), so both engines replay the identical log.
+
+    Exactness: the per-key fold is arg_max over the unique seq —
+    deterministic with no tie rule needed — and all payloads are
+    floor-cents BIGINTs.
+
+    Scale design: the fold is ONE map-side-combinable max_by aggregate
+    over the log (shuffles (key, op, cents, seq) rows — never the log
+    payload twice); the apply is one co-partitioned left join against
+    the base. No window, no per-op iteration: a month of binlog folds
+    in a single agg regardless of how many times a key churned.
+    100 TB: log >> base is the normal regime; the base side broadcasts
+    when small, and the fold's partial aggregation means hot keys
+    (celebrity rows updated millions of times) collapse map-side
+    before the exchange.
+    """
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    log = cdc_changelog(spark, sf_dir)
+    latest = log.groupBy("key").agg(
+        F.max_by("op", "seq").alias("op"),
+        F.max_by("new_bal_cents", "seq").alias("new_bal_cents"),
+        F.max("seq").alias("last_seq"),
+    )
+    joined = base.join(latest, base["c_custkey"] == latest["key"], "left")
+    return (
+        joined.filter(F.col("key").isNull() | (F.col("op") != "D"))
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.when(
+                F.col("key").isNull(),
+                F.floor(F.col("c_acctbal") * 100).cast("bigint"),
+            )
+            .otherwise(F.col("new_bal_cents"))
+            .alias("bal_cents"),
+            F.when(F.col("key").isNull(), F.lit("unchanged"))
+            .otherwise(F.lit("updated"))
+            .alias("status"),
+            "last_seq",
+        )
+    )
+
+
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic synthetic changelog both CDC queries replay:
+    (seq, key, op, new_bal_cents) derived from orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    nib = F.substring(
+        F.md5(F.concat(F.lit("cdc:"), F.col("o_orderkey").cast("string"))), 1, 1
+    )
+    return orders.select(
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_custkey").alias("key"),
+        F.when(nib < "2", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("new_bal_cents"),
+    )
+
+
+@graded(
+    "q_golden_record",
+    oracle="""
+    WITH replicas AS (
+      SELECT c_custkey, r.seq,
+             CASE WHEN substr(md5('gr_bal:' || CAST(c_custkey AS VARCHAR) || ':' || CAST(r.seq AS VARCHAR)), 1, 1) < '4'
+                  THEN NULL ELSE CAST(floor(c_acctbal * 100) AS BIGINT) + r.seq END AS bal_cents,
+             CASE WHEN substr(md5('gr_seg:' || CAST(c_custkey AS VARCHAR) || ':' || CAST(r.seq AS VARCHAR)), 1, 1) < '4'
+                  THEN NULL ELSE c_mktsegment END AS segment,
+             CASE WHEN substr(md5('gr_nam:' || CAST(c_custkey AS VARCHAR) || ':' || CAST(r.seq AS VARCHAR)), 1, 1) < '4'
+                  THEN NULL ELSE c_name END AS name
+      FROM customer CROSS JOIN (SELECT unnest([0, 1, 2]) AS seq) r
+    )
+    SELECT c_custkey AS key,
+           arg_max(bal_cents, CASE WHEN bal_cents IS NULL THEN -1 ELSE seq END) AS golden_bal_cents,
+           arg_max(segment,   CASE WHEN segment   IS NULL THEN -1 ELSE seq END) AS golden_segment,
+           arg_max(name,      CASE WHEN name      IS NULL THEN -1 ELSE seq END) AS golden_name,
+           CAST(count(bal_cents) AS BIGINT) AS n_bal_present,
+           CAST(count(DISTINCT segment) AS BIGINT) AS n_segment_variants
+    FROM replicas
+    GROUP BY c_custkey
+    """,
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship MERGE (MDM golden record): three degraded replicas
+    of each customer — fields independently NULLed by md5 gates and
+    balances drifted per replica, the multi-source-ingest reality —
+    are folded to one golden row by the per-ATTRIBUTE rule
+    'latest non-null wins'. This completes the dedup story:
+    q_dedup_survivor_policy picks one whole ROW per cluster; golden
+    record composes the best value per COLUMN across the cluster
+    (address from the CRM, balance from billing, name from signup).
+
+    Exactness: each pick is arg_max over the encoded key
+    (NULL → −1, else replica seq) — the same scalar-key encoding as
+    dedup_survivor_policy; a −1 tie can only occur between NULL values
+    so every tie is outcome-identical. Counts/variants are integers.
+
+    Scale design: ONE map-side-combinable aggregate over the replica
+    stream — no window, no per-attribute join: K attribute rules ride
+    the same groupBy as K max_by expressions, so a 50-column golden
+    record still costs one shuffle of (key, attrs). The replica
+    explode is scan-local.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment", "c_name"
+    )
+    replicas = cust.crossJoin(
+        F.broadcast(
+            cust.sparkSession.range(3).select(F.col("id").cast("int").alias("seq"))
+        )
+    )
+
+    def gate(tag: str):
+        return F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{tag}:"),
+                    F.col("c_custkey").cast("string"),
+                    F.lit(":"),
+                    F.col("seq").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+
+    degraded = replicas.select(
+        "c_custkey",
+        "seq",
+        F.when(gate("gr_bal") < "4", F.lit(None)).otherwise(
+            F.floor(F.col("c_acctbal") * 100).cast("bigint") + F.col("seq")
+        ).alias("bal_cents"),
+        F.when(gate("gr_seg") < "4", F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("segment"),
+        F.when(gate("gr_nam") < "4", F.lit(None)).otherwise(F.col("c_name")).alias(
+            "name"
+        ),
+    )
+
+    def pick(col: str):
+        key = F.when(F.col(col).isNull(), F.lit(-1)).otherwise(F.col("seq"))
+        return F.max_by(col, key)
+
+    return degraded.groupBy(F.col("c_custkey").alias("key")).agg(
+        pick("bal_cents").alias("golden_bal_cents"),
+        pick("segment").alias("golden_segment"),
+        pick("name").alias("golden_name"),
+        F.count("bal_cents").cast("bigint").alias("n_bal_present"),
+        F.countDistinct("segment").cast("bigint").alias("n_segment_variants"),
+    )

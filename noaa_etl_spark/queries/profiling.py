@@ -374,3 +374,71 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source", "na", "nb", "d_num", ks.alias("ks_stat"), (ks > crit).alias("reject_95")
     )
+
+
+@graded(
+    "q_dp_noisy_counts",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    u AS (
+      SELECT source, n_docs,
+             (CAST(CAST('0x' || substr(md5('dp:' || source), 1, 13) AS UBIGINT) AS DOUBLE) + 0.5)
+               / 4503599627370496.0 AS unif
+      FROM counts
+    )
+    SELECT source, n_docs,
+           round(n_docs + (CASE WHEN unif < 0.5 THEN 1.0 ELSE -1.0 END)
+                 * ln(1.0 - 2.0 * abs(unif - 0.5)) * (-1.0), 9) AS noisy_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM u
+    """,
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release mechanism: per-source document
+    counts with Laplace(1/ε) noise at ε=1, sensitivity 1 (one document
+    changes one count by one) — the counting-query mechanism of Dwork
+    et al.'s calibrated-noise result, rendered with the engine's
+    standard inverse-CDF sampling: x = −sgn(u−½)·b·ln(1−2|u−½|).
+
+    HONESTY NOTE: the uniform draw is md5-DERIVED (seeded by the group
+    key) so the release is reproducible and cross-engine gradeable —
+    that is release-pipeline determinism, NOT a DP guarantee (true DP
+    requires fresh secret randomness per release; swap the md5 uniform
+    for a CSPRNG draw in production and the mechanism/accounting here
+    are unchanged). The true n_docs column is kept for grading; the
+    published view drops it.
+
+    Exactness: the 52-bit md5 mantissa → (k+0.5)/2^52 uniform is exact
+    integer arithmetic; the noise expression is one fixed double chain
+    graded at 9 decimals (the ln() 1-ulp contract).
+
+    Scale: one map-side-combinable count per group + scan-local noise
+    on the |groups|-row result. Zero extra shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    unif = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("source"))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4503599627370496.0)
+    with_u = counts.withColumn("unif", unif)
+    noise = (
+        F.when(F.col("unif") < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(F.col("unif") - F.lit(0.5)))
+        * F.lit(-1.0)
+    )
+    return with_u.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") + noise, 9).alias("noisy_count"),
+        F.lit(1.0).alias("epsilon"),
+    )

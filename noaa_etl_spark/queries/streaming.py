@@ -766,3 +766,95 @@ def q_stream_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("day_cents").alias("day_cents"))
     )
     return decayed_from_daily(daily)
+
+
+from noaa_etl_spark.queries.etl import CDC_APPLY_ORACLE, cdc_changelog
+
+
+@graded("q_stream_cdc_apply", oracle=CDC_APPLY_ORACLE)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC consumer: the changelog drains as three
+    micro-batches (hash-split — deliberately NOT seq-ordered, to prove
+    the fold is batching-independent); each batch reduces to its
+    latest-per-key partial state (one combinable max_by agg) written
+    batch_id-keyed. Because seq is a unique total order, folding the
+    per-batch argmax partials reproduces the global argmax exactly —
+    so the final apply against the base snapshot grades against the
+    batch oracle verbatim (twin-equality extended to ordered-changelog
+    semantics: the op that wins is the same whichever batch carried it).
+
+    100 TB: per-trigger state is |keys-touched-this-batch| rows, the
+    persisted table is the continuously-maintained 'latest change per
+    key' view, and the final apply is the same co-partitioned join the
+    batch form runs — binlog consumers restart idempotently because
+    re-folding a replayed batch's partial cannot change an argmax.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_cdc")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    log = cdc_changelog(spark, sf_dir)
+    gate = F.pmod(F.xxhash64(F.lit("scdc"), F.col("seq")), F.lit(3))
+    for i in range(3):
+        log.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = batch_df.groupBy("key").agg(
+            F.max_by("op", "seq").alias("op"),
+            F.max_by("new_bal_cents", "seq").alias("new_bal_cents"),
+            F.max("seq").alias("last_seq"),
+        )
+        record_foreach_batch_plan("stream_cdc_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    latest = (
+        spark.read.parquet(states)
+        .groupBy("key")
+        .agg(
+            F.max_by("op", "last_seq").alias("op"),
+            F.max_by("new_bal_cents", "last_seq").alias("new_bal_cents"),
+            F.max("last_seq").alias("last_seq"),
+        )
+    )
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    joined = base.join(latest, base["c_custkey"] == latest["key"], "left")
+    return (
+        joined.filter(F.col("key").isNull() | (F.col("op") != "D"))
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.when(
+                F.col("key").isNull(),
+                F.floor(F.col("c_acctbal") * 100).cast("bigint"),
+            )
+            .otherwise(F.col("new_bal_cents"))
+            .alias("bal_cents"),
+            F.when(F.col("key").isNull(), F.lit("unchanged"))
+            .otherwise(F.lit("updated"))
+            .alias("status"),
+            "last_seq",
+        )
+    )

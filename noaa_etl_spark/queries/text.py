@@ -1754,3 +1754,86 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(containment, 6).alias("containment"),
         )
     )
+
+
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "  # fixed term order
+
+
+def _entropy_oracle() -> str:
+    cnt_cols = ",\n             ".join(
+        f"CAST(length(t) - length(replace(t, '{c}', '')) AS BIGINT) AS c{i}"
+        for i, c in enumerate(ENTROPY_ALPHABET)
+    )
+    n_expr = " + ".join(f"c{i}" for i in range(len(ENTROPY_ALPHABET)))
+    terms = "\n             + ".join(
+        f"CASE WHEN c{i} > 0 THEN -(CAST(c{i} AS DOUBLE) / n) * log2(CAST(c{i} AS DOUBLE) / n) ELSE CAST(0.0 AS DOUBLE) END"
+        for i in range(len(ENTROPY_ALPHABET))
+    )
+    return f"""
+    WITH cnts AS (
+      SELECT doc_id,
+             {cnt_cols}
+      FROM (SELECT doc_id, lower(text) AS t FROM documents)
+    ),
+    tot AS (
+      SELECT *, {n_expr} AS n FROM cnts
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_counted,
+           round({terms}, 9) AS entropy_bits,
+           round({terms}, 9) >= 3.0 AS keep
+    FROM tot WHERE n > 0
+    """
+
+
+@graded("q_entropy_filter", oracle=_entropy_oracle())
+def q_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy junk filter: per-document Shannon entropy (in
+    bits/char) over the a–z+space alphabet, keeping docs ≥ 3.0 bits —
+    the cheap randomness/degeneracy gate (keyboard mash, aaaa-runs,
+    base64 blobs and single-word spam all sit far below natural
+    language's ≈4 bits) that complements the repetition and Gopher
+    rules.
+
+    ZERO-SHUFFLE rendering: each character count is the scan-local
+    expression length(t) − length(replace(t, c, '')) — 27 codegen
+    expressions, NO explode and NO aggregation, so corpus text never
+    enters an exchange and the plan is a pure projection (the
+    q_quality_gate shape with arithmetic instead of thresholds). The
+    entropy sum runs over the FIXED alphabet order as one literal
+    expression chain, so both engines evaluate identical doubles in
+    identical order; graded at 9 decimals (the ln() 1-ulp contract)
+    with `keep` derived from the ROUNDED value (the perplexity
+    lesson).
+
+    100 TB: one columnar scan, no shuffle, embarrassingly parallel.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    cnts = docs.select(
+        "doc_id",
+        *[
+            (F.length(t) - F.length(F.replace(t, F.lit(c), F.lit(""))))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, c in enumerate(ENTROPY_ALPHABET)
+        ],
+    )
+    n = F.col("c0")
+    for i in range(1, len(ENTROPY_ALPHABET)):
+        n = n + F.col(f"c{i}")
+    tot = cnts.withColumn("n", n)
+
+    def term(i: int):
+        p = F.col(f"c{i}").cast("double") / F.col("n")
+        return F.when(F.col(f"c{i}") > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+
+    ent = term(0)
+    for i in range(1, len(ENTROPY_ALPHABET)):
+        ent = ent + term(i)
+    ent = F.round(ent, 9)
+    return tot.filter(F.col("n") > 0).select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_counted"),
+        ent.alias("entropy_bits"),
+        (ent >= 3.0).alias("keep"),
+    )

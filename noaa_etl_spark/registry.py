@@ -122,16 +122,16 @@ GRADED_WINDOW: list[str] = [
     "q_cross_corpus_dedup",
     # --- last graded ROUND 3 (38) ---
     "q_count_distinct", "q_cube", "q_join_semi", "q_join_anti",
-    "q_set_ops", "q_null_safe_join", "q_agg_first_last",
+    "q_set_ops", "q_null_safe_join",
     "q_window_lag_lead", "q_pivot_events", "q_dedup_hash", "q_wordcount",
-    "q_token_stats", "q_dedup_ngram_jaccard", "q_knn_cosine",
+    "q_dedup_ngram_jaccard", "q_knn_cosine",
     "q_semantic_dedup", "q_vector_stats", "q_fixed_width_scan",
     "q_orc_roundtrip", "q_parquet_sink_partitioned",
-    "q_manifest_sink_roundtrip", "q_string_functions", "q_math_haversine",
+    "q_manifest_sink_roundtrip", "q_math_haversine",
     "q_date_arithmetic",
     "q_grouping_sets", "q_interval_join",
     "q_scalar_udf_lastresort", "q_pandas_udf_scalar", "q_grouped_zscore",
-    "q_stream_dedup", "q_scd2_intervals", "q_salted_agg", "q_time_rollup",
+    "q_stream_dedup", "q_scd2_intervals",
     "q_tpch_q8_share", "q_tpch_q10_returns",
     # --- new round-8 queries (every new query enters the window the
     # round it lands): RRF hybrid retrieval, containment dedup, CUSUM
@@ -145,6 +145,16 @@ GRADED_WINDOW: list[str] = [
     # all of which rotate with the r4 cohort in round 9. ---
     "q_rrf_fusion", "q_containment_dedup", "q_changepoint_cusum",
     "q_ks_drift", "q_winsorize", "q_stream_decayed_sum",
+    # --- second round-8 batch: CDC changelog apply + its streaming
+    # twin (shared oracle — unique-seq argmax folds batching-
+    # independently), zero-shuffle char-entropy filter, seeded Laplace
+    # release mechanism, survivorship golden-record merge. These
+    # displaced five more family-redundant r3 entries
+    # (q_agg_first_last, q_string_functions, q_token_stats,
+    # q_salted_agg, q_time_rollup — D/H/I families still carried),
+    # which join the r9 rotation with the r4 cohort. ---
+    "q_cdc_apply", "q_stream_cdc_apply", "q_entropy_filter",
+    "q_dp_noisy_counts", "q_golden_record",
     # --- family fills (3) ---
     "q_filter_predicates", "q_sort_offset", "q_ghcn_pipeline",
 ]

@@ -50,6 +50,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_feature_pit": ["fb_stream_pit_enrich"],
     "q_stream_drift_monitor": ["fb_drift_data", "fb_drift_report"],
     "q_stream_decayed_sum": ["fb_stream_decay_partial"],
+    "q_stream_cdc_apply": ["fb_stream_cdc_partial"],
 }
 
 

@@ -1368,3 +1368,114 @@ def test_rrf_fusion_rank_arithmetic(spark):
         assert r["rrf_score"] == expect, r
     ordered = sorted(rows, key=lambda r: (-r["rrf_score"], r["doc_id"]))
     assert [r["fused_rank"] for r in ordered] == list(range(1, len(rows) + 1))
+
+
+def test_cdc_apply_matches_sequential_replay(spark):
+    """Folding by arg_max(seq) must equal literally replaying the log
+    in sequence order against a dict — the semantics CDC consumers
+    promise."""
+    from noaa_etl_spark.queries import QUERIES
+    from noaa_etl_spark.queries.etl import cdc_changelog
+    from noaa_etl_spark.io import load_table
+
+    import math
+
+    base = {
+        r["c_custkey"]: math.floor(r["c_acctbal"] * 100)
+        for r in load_table(spark, SF_DIR, "customer")
+        .select("c_custkey", "c_acctbal")
+        .collect()
+    }
+    log = sorted(
+        cdc_changelog(spark, SF_DIR).collect(), key=lambda r: r["seq"]
+    )
+    state = dict(base)
+    touched = {}
+    for r in log:
+        touched[r["key"]] = r["seq"]
+        if r["op"] == "D":
+            state.pop(r["key"], None)
+        else:
+            state[r["key"]] = r["new_bal_cents"]
+    got = {
+        r["key"]: (r["bal_cents"], r["status"], r["last_seq"])
+        for r in QUERIES["q_cdc_apply"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(state)
+    for k, bal in state.items():
+        status = "updated" if k in touched else "unchanged"
+        last = touched.get(k)
+        assert got[k] == (bal, status, last), k
+
+
+def test_stream_cdc_apply_equals_batch(spark):
+    """Hash-split (un-ordered) micro-batches must fold to the identical
+    final snapshot."""
+    from noaa_etl_spark.queries import QUERIES
+
+    b = {r["key"]: (r["bal_cents"], r["status"], r["last_seq"])
+         for r in QUERIES["q_cdc_apply"](spark, SF_SMALL).collect()}
+    s = {r["key"]: (r["bal_cents"], r["status"], r["last_seq"])
+         for r in QUERIES["q_stream_cdc_apply"](spark, SF_SMALL).collect()}
+    assert b == s and b
+
+
+def test_entropy_filter_matches_python_reference(spark):
+    """27-expression entropy must match a direct Python computation to
+    the 9-decimal grade on every doc."""
+    import math
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries import QUERIES
+    from noaa_etl_spark.queries.text import ENTROPY_ALPHABET
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    rows = QUERIES["q_entropy_filter"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:200]:
+        t = texts[r["doc_id"]].lower()
+        counts = [t.count(c) for c in ENTROPY_ALPHABET]
+        n = sum(counts)
+        ent = 0.0
+        for c in counts:
+            if c > 0:
+                p = c / n
+                ent += -p * math.log2(p)
+        assert r["n_counted"] == n
+        assert abs(r["entropy_bits"] - ent) < 1e-8, r["doc_id"]
+        assert r["keep"] == (r["entropy_bits"] >= 3.0)
+
+
+def test_golden_record_latest_nonnull_rule(spark):
+    """Per-attribute survivorship must pick the highest-seq NON-NULL
+    replica value (reference replay over the same md5 gates)."""
+    import hashlib
+    import math
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries import QUERIES
+
+    cust = {
+        r["c_custkey"]: r
+        for r in load_table(spark, SF_DIR, "customer").collect()
+    }
+
+    def gate(tag, key, seq):
+        return hashlib.md5(f"{tag}:{key}:{seq}".encode()).hexdigest()[0] < "4"
+
+    got = {r["key"]: r for r in QUERIES["q_golden_record"](spark, SF_DIR).collect()}
+    assert set(got) == set(cust)
+    for key, c in list(cust.items())[:300]:
+        row = got[key]
+        for tag, col, mk in (
+            ("gr_bal", "golden_bal_cents", lambda s: math.floor(c["c_acctbal"] * 100) + s),
+            ("gr_seg", "golden_segment", lambda s: c["c_mktsegment"]),
+            ("gr_nam", "golden_name", lambda s: c["c_name"]),
+        ):
+            vals = [None if gate(tag, key, s) else mk(s) for s in (0, 1, 2)]
+            nonnull = [(s, v) for s, v in zip((0, 1, 2), vals) if v is not None]
+            expect = nonnull[-1][1] if nonnull else None
+            assert row[col] == expect, (key, col)

@@ -453,3 +453,41 @@ def test_winsorize_one_window_exchange(spark):
     assert "Join" not in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
+
+
+def test_cdc_apply_single_fold_agg(spark):
+    """The changelog folds in ONE map-side-combinable max_by aggregate
+    — no window over the log, no per-op iteration; the apply is a
+    single join against the base."""
+    plan = plan_of(spark, "q_cdc_apply")
+    assert "Window" not in plan
+    # max_by is a typed-imperative aggregate → ObjectHashAggregate
+    assert plan.count("Aggregate") >= 2, "fold must have a partial agg"
+    assert "CartesianProduct" not in plan
+
+
+def test_entropy_filter_zero_exchange(spark):
+    """27 length-replace counts + the entropy chain are a pure
+    projection: no explode, no aggregation, no shuffle."""
+    plan = plan_of(spark, "q_entropy_filter")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 0, tree
+    assert "Generate" not in plan and "Join" not in plan
+
+
+def test_dp_noisy_counts_one_agg(spark):
+    """One combinable count per group; noise is scan-local arithmetic
+    on the |groups|-row result."""
+    plan = plan_of(spark, "q_dp_noisy_counts")
+    assert "Join" not in plan and "Window" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_golden_record_one_shuffle_all_attributes(spark):
+    """All attribute survivorship rules ride ONE groupBy (K max_by
+    expressions, not K joins); the replica expansion is a broadcast."""
+    plan = plan_of(spark, "q_golden_record")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 3-row seq frame

@@ -173,6 +173,14 @@ AUDITED = [
     "q_changepoint_cusum",
     "q_ks_drift",
     "q_winsorize",
+    # round-8 second batch: CDC folds in one combinable argmax (a
+    # window-over-log or per-op pass is the regression); the entropy
+    # filter must stay a ZERO-shuffle projection; DP counts one agg;
+    # golden record one groupBy carrying every attribute rule.
+    "q_cdc_apply",
+    "q_entropy_filter",
+    "q_dp_noisy_counts",
+    "q_golden_record",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
