@@ -1178,3 +1178,89 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum_scaled"),
         (cusum > 2 * F.col("tot")).alias("is_alarm"),
     )
+
+
+@graded(
+    "q_event_sequence",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             substr(event_type, 1, 1) AS ini
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id,
+             string_agg(ini, '' ORDER BY ts, event_id) AS seq,
+             CAST(count(*) AS BIGINT) AS seq_len
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id, seq, seq_len,
+           CAST((length(seq) - length(replace(seq, 'cp', ''))) / 2 AS BIGINT) AS n_click_purchase,
+           CAST((length(seq) - length(replace(seq, 'vvv', ''))) / 3 AS BIGINT) AS n_view_burst,
+           length(seq) - length(replace(seq, 'cp', '')) > 0 AS converted
+    FROM seqs
+    """,
+)
+def q_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-SEQUENCE pattern mining (the MATCH_RECOGNIZE-lite of
+    clickstream analysis): each user's history becomes a compact
+    initials string in strict (ts, event_id) order — click→'c',
+    purchase→'p', … (initials are unique across the five types) — and
+    behavioural patterns are counted as literal substring occurrences:
+    immediate click→purchase conversions ('cp') and view-burst runs
+    ('vvv'). Funnels (q_funnel) answer 'did stages happen in order
+    anywhere'; this answers 'did they happen ADJACENTLY and how
+    often'.
+
+    Exactness, deliberately regex-free: occurrence counting is the
+    length−replace identity (len(s) − len(replace(s, pat, ''))) / len(pat)
+    — replace() removes non-overlapping occurrences left-to-right
+    identically in both engines, so counts are exact integers with no
+    Java-vs-RE2 regex semantics in play (the PII-scrub lesson applied
+    in reverse: avoid the regex surface entirely). The sequence build
+    is an order-qualified aggregation: DuckDB string_agg(... ORDER BY)
+    vs Spark array_sort over (ts, event_id, ini) structs then
+    array_join — byte-identical because (ts, event_id) is a total
+    order.
+
+    Scale: ONE user-keyed exchange; per-user string length = that
+    user's event count (the sessionize bounded-cardinality contract —
+    a celebrity user routes through the bucketed path's day-split
+    before sequence assembly at 100 TB). Pattern counts are scan-local
+    post-agg expressions, so adding patterns is free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    seqs = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                lambda s: s["ini"],
+            ),
+            "",
+        ).alias("seq"),
+        F.count(F.lit(1)).cast("bigint").alias("seq_len"),
+    )
+
+    def n_pat(pat: str):
+        return (
+            (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))
+        ).cast("bigint")
+
+    return seqs.select(
+        "user_id",
+        "seq",
+        "seq_len",
+        n_pat("cp").alias("n_click_purchase"),
+        n_pat("vvv").alias("n_view_burst"),
+        (
+            F.length("seq") - F.length(F.replace(F.col("seq"), F.lit("cp"), F.lit("")))
+            > 0
+        ).alias("converted"),
+    )

@@ -125,7 +125,7 @@ GRADED_WINDOW: list[str] = [
     "q_set_ops", "q_null_safe_join",
     "q_window_lag_lead", "q_pivot_events", "q_dedup_hash", "q_wordcount",
     "q_dedup_ngram_jaccard", "q_knn_cosine",
-    "q_semantic_dedup", "q_vector_stats", "q_fixed_width_scan",
+    "q_semantic_dedup", "q_fixed_width_scan",
     "q_orc_roundtrip", "q_parquet_sink_partitioned",
     "q_manifest_sink_roundtrip", "q_math_haversine",
     "q_date_arithmetic",
@@ -155,6 +155,9 @@ GRADED_WINDOW: list[str] = [
     # which join the r9 rotation with the r4 cohort. ---
     "q_cdc_apply", "q_stream_cdc_apply", "q_entropy_filter",
     "q_dp_noisy_counts", "q_golden_record",
+    # q_event_sequence (MATCH_RECOGNIZE-lite substring pattern mining)
+    # displaced q_vector_stats (no family rep lost).
+    "q_event_sequence",
     # --- family fills (3) ---
     "q_filter_predicates", "q_sort_offset", "q_ghcn_pipeline",
 ]

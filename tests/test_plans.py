@@ -491,3 +491,12 @@ def test_golden_record_one_shuffle_all_attributes(spark):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 3-row seq frame
+
+
+def test_event_sequence_one_user_exchange(spark):
+    """Sequence assembly is one user-keyed aggregate; pattern counts
+    are scan-local post-agg expressions (no second pass, no window)."""
+    plan = plan_of(spark, "q_event_sequence")
+    assert "Window" not in plan and "Join" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
