@@ -144,3 +144,101 @@ def asof_join(
         )
 
     return result.drop("__ts", "__is_probe")
+
+
+def asof_join_nearest(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_keys: list[str],
+    build_keys: list[str],
+    probe_ts: str,
+    build_ts: str,
+    build_payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """NEAREST-match as-of: for each probe row, the build row minimizing
+    |build_ts − probe_ts| (sensor alignment, nearest-quote joins —
+    pandas merge_asof direction='nearest'). Exact-distance ties go
+    BACKWARD; equal-timestamp ties within a direction follow
+    ``tiebreak`` (backward: max wins; forward: min — both match
+    :func:`asof_join`'s carry semantics so each direction alone equals
+    the corresponding one-sided join).
+
+    Cost: the same ONE hash exchange on the key as asof_join — both
+    directions' carries are windows over the identical partitioning
+    (two in-partition sorts, zero extra shuffles), never a probe×build
+    pair blow-up. NULL contract matches asof_join: NULL-key/ts build
+    rows can serve no probe; NULL-key/ts probe rows are retained with
+    NULL payload. Timestamp columns must be TIMESTAMP (distances are
+    measured in unix micros).
+    """
+    probe_cols = probe.columns
+    payload_types = {f.name: f.dataType for f in build.schema.fields}
+
+    build_not_null = F.col(build_ts).isNotNull()
+    for k in build_keys:
+        build_not_null = build_not_null & F.col(k).isNotNull()
+    build = build.filter(build_not_null)
+
+    build_side = build.select(
+        *[F.col(bk).alias(pk) for bk, pk in zip(build_keys, probe_keys)],
+        F.col(build_ts).alias("__ts"),
+        F.col(build_ts).alias("__bts"),
+        *[F.col(c) for c in build_payload],
+        F.lit(0).alias("__side"),  # inclusive: build visible at equal ts
+        F.lit(0).alias("__is_probe"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c)
+          for c in probe_cols if c not in probe_keys],
+    )
+    probe_side = probe.select(
+        *probe_cols,
+        F.col(probe_ts).alias("__ts"),
+        F.lit(None).cast(payload_types[build_ts]).alias("__bts"),
+        F.lit(1).alias("__side"),
+        F.lit(1).alias("__is_probe"),
+        *[F.lit(None).cast(payload_types[c]).alias(c) for c in build_payload],
+    )
+    unioned = probe_side.unionByName(build_side)
+
+    def carry_window(direction: str) -> Window:
+        ts_order = (
+            F.col("__ts").asc_nulls_first()
+            if direction == "backward"
+            else F.col("__ts").desc_nulls_first()
+        )
+        order = [ts_order, F.col("__side").asc()]
+        if tiebreak is not None:
+            order.append(
+                F.col(tiebreak).asc_nulls_first()
+                if direction == "backward"
+                else F.col(tiebreak).desc_nulls_first()
+            )
+        return (
+            Window.partitionBy(*probe_keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    wb, wf = carry_window("backward"), carry_window("forward")
+    carried = unioned.select(
+        *probe_cols,
+        "__ts",
+        "__is_probe",
+        F.last("__bts", ignorenulls=True).over(wb).alias("__bts_bk"),
+        F.last("__bts", ignorenulls=True).over(wf).alias("__bts_fw"),
+        *[F.last(c, ignorenulls=True).over(wb).alias(f"__bk_{c}") for c in build_payload],
+        *[F.last(c, ignorenulls=True).over(wf).alias(f"__fw_{c}") for c in build_payload],
+    ).filter(F.col("__is_probe") == 1)
+
+    d_bk = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__bts_bk"))
+    d_fw = F.unix_micros(F.col("__bts_fw")) - F.unix_micros(F.col("__ts"))
+    pick_bk = F.col("__bts_bk").isNotNull() & (
+        F.col("__bts_fw").isNull() | (d_bk <= d_fw)
+    )
+    return carried.select(
+        *probe_cols,
+        *[
+            F.when(pick_bk, F.col(f"__bk_{c}")).otherwise(F.col(f"__fw_{c}")).alias(c)
+            for c in build_payload
+        ],
+    )

@@ -73,12 +73,20 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     num_perm: int = 32,
     bands: int = 8,
+    verify: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from MinHash banding, with
     exact Jaccard over shingle sets attached for thresholding.
 
     rows_per_band = num_perm // bands; the LSH S-curve threshold is
     roughly (1/bands)^(1/rows_per_band) ≈ 0.59 for 32/8.
+
+    ``verify=False`` returns the bare (id_a, id_b) candidate pairs
+    WITHOUT re-attaching gram arrays — for callers that run their own
+    verification stage (q_containment_lsh scores containment, not
+    Jaccard: attaching grams here would double the gram joins, the
+    dominant cost at a high-recall operating point where banding
+    passes many false candidates).
     """
     rows_per_band = num_perm // bands
     grams = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
@@ -101,7 +109,14 @@ def minhash_lsh_candidates(
     # ×bands, so carrying the grams arrays here would shuffle the whole
     # shingle payload `bands` times. Ids are 8 bytes; grams re-attach
     # below touches only the (few) surviving candidate pairs.
-    banded = sig.select("id", F.explode(band_keys).alias("bk"))
+    # PERSIST + eager materialize before the self-join (the round-6
+    # Ed-Join lesson, re-measured here): un-persisted, each join side
+    # recomputes the whole signature subtree and the join stage ran
+    # 27× slower at sf0.1 (27.3 s vs 1.0 s persisted); eager count()
+    # also makes the executed exchange count deterministic for the
+    # COSTS gate.
+    banded = sig.select("id", F.explode(band_keys).alias("bk")).persist()
+    banded.count()
 
     left = banded.select(F.col("bk").alias("bk"), F.col("id").alias("id_a"))
     right = banded.select(F.col("bk").alias("bk2"), F.col("id").alias("id_b"))
@@ -110,6 +125,8 @@ def minhash_lsh_candidates(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])  # same pair can collide in >1 band
     )
+    if not verify:
+        return pairs
 
     # Re-attach shingle sets for exact verification: two hash joins on
     # id, each shuffling grams ONCE (AQE broadcasts the pair side when

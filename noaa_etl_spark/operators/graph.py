@@ -61,6 +61,21 @@ def connected_components(
     non-converged rounds (2·log2(n) rounds suffice for any graph that
     fits storage, so hitting the cap means a bug, not a big input).
     """
+    labels, _ = connected_components_with_rounds(edges, src, dst, max_rounds)
+    return labels
+
+
+def connected_components_with_rounds(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int]:
+    """connected_components plus the number of propagate+shortcut
+    rounds it took to converge — returned PER CALL (never via module
+    state, so concurrent/nested calls can't clobber each other's
+    reading). tools/graph_bench.py grades the O(log diameter) claim
+    against this on pathological high-diameter graphs."""
     raw = (
         edges.select(F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
@@ -77,12 +92,12 @@ def connected_components(
     # fine for sizing), floored at executor parallelism; scoped set +
     # restore (the test_runtime_bloom_filter pattern).
     with _graph_sized_shuffle(edges.sparkSession, raw.count()):
-        labels = _cc_loop(raw, max_rounds)
+        labels, rounds = _cc_loop(raw, max_rounds)
     if labels is None:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
-    return labels
+    return labels, rounds
 
 
 @contextmanager
@@ -103,9 +118,10 @@ def _graph_sized_shuffle(spark, n_edges: int):
             spark.conf.set(part_key, prev_parts)
 
 
-def _cc_loop(raw: DataFrame, max_rounds: int) -> DataFrame | None:
-    """The propagate+shortcut fixpoint loop; returns None on round-cap.
-    Runs under the caller's graph-sized shuffle partitioning."""
+def _cc_loop(raw: DataFrame, max_rounds: int) -> tuple[DataFrame | None, int]:
+    """The propagate+shortcut fixpoint loop; returns (labels, rounds),
+    labels None on round-cap. Runs under the caller's graph-sized
+    shuffle partitioning."""
     e = raw.distinct()
     # symmetrize once; reused by every round's propagate join.
     # try/finally (ADVICE r7): an exception mid-round (executor failure,
@@ -118,14 +134,7 @@ def _cc_loop(raw: DataFrame, max_rounds: int) -> DataFrame | None:
         sym.unpersist()
 
 
-# Rounds the most recent connected_components call took to converge —
-# probe instrumentation for tools/graph_bench.py (the O(log diameter)
-# claim is graded against this on pathological high-diameter graphs).
-LAST_CC_ROUNDS: int = 0
-
-
-def _cc_rounds(sym: DataFrame, max_rounds: int) -> DataFrame | None:
-    global LAST_CC_ROUNDS
+def _cc_rounds(sym: DataFrame, max_rounds: int) -> tuple[DataFrame | None, int]:
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -134,7 +143,6 @@ def _cc_rounds(sym: DataFrame, max_rounds: int) -> DataFrame | None:
     )
 
     for rnd in range(max_rounds):
-        LAST_CC_ROUNDS = rnd + 1
         # propagate: min label over {self} ∪ neighbors. The self rows are
         # tagged so the pre-round label rides the SAME aggregate as the
         # min (max of the only tagged value) — change detection costs no
@@ -164,8 +172,8 @@ def _cc_rounds(sym: DataFrame, max_rounds: int) -> DataFrame | None:
         changed = jumped.filter(F.col("component") != F.col("old")).limit(1).count()
         labels = jumped.drop("old")
         if changed == 0:
-            return labels
-    return None
+            return labels, rnd + 1
+    return None, max_rounds
 
 
 def pagerank(

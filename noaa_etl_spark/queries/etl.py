@@ -561,14 +561,45 @@ CDC_APPLY_ORACLE = """
              CAST(max(seq) AS BIGINT)    AS last_seq
       FROM log GROUP BY key
     )
-    SELECT c.c_custkey AS key,
+    SELECT COALESCE(c.c_custkey, l.key) AS key,
            CASE WHEN l.key IS NULL THEN CAST(floor(c.c_acctbal * 100) AS BIGINT)
                 ELSE l.new_bal_cents END AS bal_cents,
-           CASE WHEN l.key IS NULL THEN 'unchanged' ELSE 'updated' END AS status,
+           CASE WHEN l.key IS NULL THEN 'unchanged'
+                WHEN c.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS status,
            l.last_seq
-    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.key
+    FROM customer c FULL JOIN latest l ON c.c_custkey = l.key
     WHERE l.key IS NULL OR l.op <> 'D'
     """
+
+
+def cdc_apply(base: DataFrame, latest: DataFrame) -> DataFrame:
+    """Apply a folded latest-change-per-key view onto a base snapshot
+    with full Debezium upsert semantics: an upsert for a key ABSENT
+    from the base INSERTS it (status 'inserted'); a delete for an
+    absent key is a no-op. Shared by q_cdc_apply and its streaming
+    twin so both grade against the identical oracle.
+
+    `base` must have (c_custkey, c_acctbal); `latest` must have
+    (key, op, new_bal_cents, last_seq). The full-outer join stays
+    co-partitioned on the key exactly like the left-join form — the
+    insert path costs nothing extra at scale.
+    """
+    joined = base.join(latest, base["c_custkey"] == latest["key"], "full_outer")
+    return joined.filter(F.col("key").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(F.col("c_custkey"), F.col("key")).alias("key"),
+        F.when(
+            F.col("key").isNull(),
+            F.floor(F.col("c_acctbal") * 100).cast("bigint"),
+        )
+        .otherwise(F.col("new_bal_cents"))
+        .alias("bal_cents"),
+        F.when(F.col("key").isNull(), F.lit("unchanged"))
+        .when(F.col("c_custkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("status"),
+        "last_seq",
+    )
 
 
 @graded("q_cdc_apply", oracle=CDC_APPLY_ORACLE)
@@ -577,7 +608,11 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes keyed by a unique sequence number) onto a base snapshot —
     the Debezium/binlog-consumer semantic that merge_upsert (one update
     set, no ordering, no deletes) does not cover. Last op per key wins;
-    a final D removes the key; untouched base rows pass through.
+    a final D removes the key; untouched base rows pass through; an
+    upsert for a key absent from the base INSERTS it (full-outer
+    apply — on this fixture the log's keys are FK-guaranteed ⊆ base so
+    no row takes the insert path here; tests/test_etl.py proves it on
+    synthetic data).
 
     The changelog is synthesized deterministically from orders (seq =
     o_orderkey — unique and totally ordered; ~12.5% deletes by md5
@@ -589,11 +624,15 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: the fold is ONE map-side-combinable max_by aggregate
     over the log (shuffles (key, op, cents, seq) rows — never the log
-    payload twice); the apply is one co-partitioned left join against
-    the base. No window, no per-op iteration: a month of binlog folds
-    in a single agg regardless of how many times a key churned.
-    100 TB: log >> base is the normal regime; the base side broadcasts
-    when small, and the fold's partial aggregation means hot keys
+    payload twice); the apply is one co-partitioned FULL-OUTER join
+    against the base (full outer can't broadcast, so this is a
+    sort-merge join on the key — the standard CDC-merge shape, and the
+    plan you'd run at 100 TB anyway where log >> base and neither side
+    broadcasts). The alternative that keeps a broadcast (latest⟕base
+    for updates/inserts ∪ base⟕̸latest for untouched) references both
+    inputs twice — the double-plan smell — so the single-pass SMJ wins.
+    No window, no per-op iteration: a month of binlog folds in a single
+    agg regardless of how many times a key churned, and hot keys
     (celebrity rows updated millions of times) collapse map-side
     before the exchange.
     """
@@ -604,23 +643,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("new_bal_cents", "seq").alias("new_bal_cents"),
         F.max("seq").alias("last_seq"),
     )
-    joined = base.join(latest, base["c_custkey"] == latest["key"], "left")
-    return (
-        joined.filter(F.col("key").isNull() | (F.col("op") != "D"))
-        .select(
-            F.col("c_custkey").alias("key"),
-            F.when(
-                F.col("key").isNull(),
-                F.floor(F.col("c_acctbal") * 100).cast("bigint"),
-            )
-            .otherwise(F.col("new_bal_cents"))
-            .alias("bal_cents"),
-            F.when(F.col("key").isNull(), F.lit("unchanged"))
-            .otherwise(F.lit("updated"))
-            .alias("status"),
-            "last_seq",
-        )
-    )
+    return cdc_apply(base, latest)
 
 
 def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -83,6 +83,154 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded(
+    "q_multimodal_decode",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, r.r, k.k, c.c,
+             (d.doc_id * 7 + r.r * 3 + k.k * 5 + c.c * 11) % 256 AS v
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d,
+           (SELECT unnest(range(0, 12)) AS r) r,
+           (SELECT unnest(range(0, 16)) AS k) k,
+           (SELECT unnest(range(0, 3)) AS c) c
+    )
+    SELECT doc_id,
+           16 AS width, 12 AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum((r * 48 + k * 3 + c) * v) AS BIGINT) AS pos_checksum,
+           CAST(sum(v) AS DOUBLE) / 576 AS mean_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-paired: per doc a 16×12 RGB image is
+    synthesized from the closed form v(r,k,c) = (id·7+r·3+k·5+c·11)
+    mod 256, encoded to actual 24-bit BMP BYTES (operators/codecs —
+    bottom-up rows, 4-byte padding, BGR order), then DECODED back by
+    the pure-numpy BMP decoder inside mapInPandas. The graded columns
+    include a position-weighted checksum Σ(r·W·3+k·3+c)·v, so any
+    decoder bug — row flip, padding slip, channel-order swap — breaks
+    the value hash against DuckDB's direct replay of the closed form.
+    (The former NotImplementedError stub is gone: uncompressed formats
+    decode natively; compressed ones remain an honest env gate.)
+
+    Scale: encode+decode are scan-local Arrow batches; one row out per
+    payload; no shuffle before the (tiny) graded aggregate.
+    """
+    import numpy as np
+
+    from noaa_etl_spark.operators.codecs import decode_bmp, encode_bmp
+
+    W, H = 16, 12
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id"
+    )
+
+    def synth_decode(batches):
+        pos = np.arange(H * W * 3).reshape(H, W, 3)
+        r = np.arange(H)[:, None, None]
+        k = np.arange(W)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = ((did * 7 + r * 3 + k * 5 + c * 11) % 256).astype(np.uint8)
+                dec = decode_bmp(encode_bmp(img))  # decode REAL bytes
+                v = dec.astype(np.int64)
+                out.append(
+                    (
+                        did,
+                        dec.shape[1],
+                        dec.shape[0],
+                        int(v.sum()),
+                        int((pos * v).sum()),
+                        float(v.sum()) / (W * H * 3),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "px_sum", "pos_checksum", "mean_px",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, width int, height int, px_sum bigint, "
+        "pos_checksum bigint, mean_px double",
+    )
+
+
+@graded(
+    "q_wav_decode",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, i.i,
+             ((d.doc_id * 31 + i.i * 17) % 65536) - 32768 AS v
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d,
+           (SELECT unnest(range(0, 256)) AS i) i
+      WHERE i.i < 200 + d.doc_id % 56
+    )
+    SELECT doc_id,
+           CAST(200 + doc_id % 56 AS BIGINT) AS n_samples,
+           16000 AS sample_rate,
+           CAST(sum(v) AS BIGINT) AS sum_samples,
+           CAST(sum(i * v) AS BIGINT) AS pos_checksum,
+           CAST(max(abs(v)) AS BIGINT) AS max_abs
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-paired (q_multimodal_decode's audio
+    twin): per doc, 200+id%56 int16 samples from a closed form are
+    encoded to actual RIFF/WAVE PCM bytes and decoded back by the
+    pure-numpy WAV chunk-walker; the order-weighted checksum Σ i·vᵢ
+    catches endianness/offset/interleave bugs against DuckDB's replay.
+    """
+    import numpy as np
+
+    from noaa_etl_spark.operators.codecs import decode_wav, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id"
+    )
+
+    def synth_decode(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 200 + did % 56
+                i = np.arange(n, dtype=np.int64)
+                samples = (((did * 31 + i * 17) % 65536) - 32768).astype(np.int16)
+                dec, rate = decode_wav(encode_wav(samples, 16_000))
+                v = dec[:, 0].astype(np.int64)
+                out.append(
+                    (
+                        did,
+                        int(v.shape[0]),
+                        int(rate),
+                        int(v.sum()),
+                        int((np.arange(v.shape[0]) * v).sum()),
+                        int(np.abs(v).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "sum_samples", "pos_checksum", "max_abs",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_decode,
+        "doc_id bigint, n_samples bigint, sample_rate int, "
+        "sum_samples bigint, pos_checksum bigint, max_abs bigint",
+    )
+
+
 # --- embedding generation stub (embed_udf) ----------------------------
 
 _EMBED_DIM = 16

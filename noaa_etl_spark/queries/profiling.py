@@ -442,3 +442,182 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_docs") + noise, 9).alias("noisy_count"),
         F.lit(1.0).alias("epsilon"),
     )
+
+
+@graded(
+    "q_gdpr_erasure",
+    oracle="""
+    WITH del AS (
+      SELECT c_custkey FROM customer
+      WHERE substr(md5('del:' || CAST(c_custkey AS VARCHAR)), 1, 1) < '1'
+    ),
+    po AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM del)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM del) AS BIGINT) AS n_purged,
+           CAST((SELECT count(*) FROM customer) - (SELECT count(*) FROM del) AS BIGINT) AS n_retained
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM po) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) - (SELECT count(*) FROM po) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM po)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po)) AS BIGINT)
+    """,
+)
+def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure CASCADE audit: a deletion-request set (~6% of
+    customers by md5 gate — the synthesized DSAR queue) propagates
+    through the FK chain customer → orders → lineitem; the report
+    counts purged vs retained rows per table — the compliance evidence
+    a deletion run must produce before the actual rewrite (which is
+    q_partition_overwrite's dynamic-overwrite mechanics).
+
+    Scale design: each table is scanned ONCE with its purge flag
+    counted in a single agg (count_if + count — never two passes); the
+    request set rides a broadcast semi/left join onto orders, and the
+    purged-order keyset (larger — FK fan-out) flows into lineitem as a
+    co-partitioned join. No table is collected; the cascade is
+    key-joins all the way down, so a 10⁹-row DSAR backlog only changes
+    the broadcast to a shuffled semi-join.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    gate = (
+        F.substring(
+            F.md5(F.concat(F.lit("del:"), F.col("c_custkey").cast("string"))), 1, 1
+        )
+        < "1"
+    )
+    del_cust = cust.filter(gate).select("c_custkey")
+
+    cust_report = cust.agg(
+        F.count_if(gate).cast("bigint").alias("n_purged"),
+        (F.count(F.lit(1)) - F.count_if(gate)).cast("bigint").alias("n_retained"),
+    ).select(F.lit("customer").alias("table_name"), "n_purged", "n_retained")
+
+    # The flagged-orders frame feeds BOTH the orders report and the
+    # lineitem cascade — persist + materialize so the cascade reads the
+    # cache instead of re-planning the join (the double-plan rule); a
+    # real erasure job materializes each cascade level's affected-key
+    # table anyway, for the audit trail.
+    o_flag = (
+        orders.join(
+            F.broadcast(del_cust),
+            orders["o_custkey"] == del_cust["c_custkey"],
+            "left",
+        )
+        .select("o_orderkey", F.col("c_custkey").isNotNull().alias("del"))
+        .persist()
+    )
+    o_flag.count()
+    orders_report = o_flag.agg(
+        F.count_if(F.col("del")).cast("bigint").alias("n_purged"),
+        (F.count(F.lit(1)) - F.count_if(F.col("del"))).cast("bigint").alias("n_retained"),
+    ).select(F.lit("orders").alias("table_name"), "n_purged", "n_retained")
+
+    purged_orders = o_flag.filter(F.col("del")).select("o_orderkey")
+    l_flag = li.join(
+        purged_orders.withColumnRenamed("o_orderkey", "po_key"),
+        li["l_orderkey"] == F.col("po_key"),
+        "left",
+    ).select(F.col("po_key").isNotNull().alias("del"))
+    li_report = l_flag.agg(
+        F.count_if(F.col("del")).cast("bigint").alias("n_purged"),
+        (F.count(F.lit(1)) - F.count_if(F.col("del"))).cast("bigint").alias("n_retained"),
+    ).select(F.lit("lineitem").alias("table_name"), "n_purged", "n_retained")
+
+    return cust_report.unionByName(orders_report).unionByName(li_report)
+
+
+@graded(
+    "q_ab_test_report",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type,
+             CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    moments AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (arm = 'A') AS BIGINT)          AS n_a,
+             CAST(count(*) FILTER (arm = 'B') AS BIGINT)          AS n_b,
+             CAST(sum(cents)  FILTER (arm = 'A') AS BIGINT)       AS s_a,
+             CAST(sum(cents)  FILTER (arm = 'B') AS BIGINT)       AS s_b,
+             CAST(sum(cents * cents) FILTER (arm = 'A') AS BIGINT) AS q_a,
+             CAST(sum(cents * cents) FILTER (arm = 'B') AS BIGINT) AS q_b
+      FROM assigned GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(s_a AS DOUBLE) / n_a AS mean_a,
+           CAST(s_b AS DOUBLE) / n_b AS mean_b,
+           (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+             / sqrt(
+                 (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1) / n_a
+               + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) / n_b
+               ) AS welch_z
+    FROM moments
+    """,
+)
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-assigned 50/50 to arms (md5
+    gate — the deterministic randomization unit every experimentation
+    platform uses), per-metric Welch z-statistic comparing arm means of
+    event value — the ship/no-ship significance table.
+
+    Exactness: both arms' moments are exact BIGINT sums (n, Σcents,
+    Σcents²) in ONE grouped agg with FILTER clauses; mean/variance/z
+    are a fixed double expression over those integers, written
+    identically in both engines ⇒ bit-equal (the incremental-stats
+    contract applied to inference).
+
+    Scale: one map-side-combinable agg over the fact — adding arms or
+    metrics adds agg columns, never passes. The z formula uses
+    Σv² − (Σv)²/n (exact integers in, one expression out), so no
+    two-pass mean-centering.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    assigned = ev.select("event_type", arm.alias("arm"), cents.alias("cents"))
+    is_a, is_b = F.col("arm") == "A", F.col("arm") == "B"
+    m = assigned.groupBy("event_type").agg(
+        F.count_if(is_a).cast("bigint").alias("n_a"),
+        F.count_if(is_b).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, F.col("cents"))).cast("bigint").alias("s_a"),
+        F.sum(F.when(is_b, F.col("cents"))).cast("bigint").alias("s_b"),
+        F.sum(F.when(is_a, F.col("cents") * F.col("cents"))).cast("bigint").alias("q_a"),
+        F.sum(F.when(is_b, F.col("cents") * F.col("cents"))).cast("bigint").alias("q_b"),
+    )
+    mean_a = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    var_term_a = (
+        (F.col("q_a").cast("double") - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        / F.col("n_a")
+    )
+    var_term_b = (
+        (F.col("q_b").cast("double") - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+        / F.col("n_b")
+    )
+    return m.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        ((mean_a - mean_b) / F.sqrt(var_term_a + var_term_b)).alias("welch_z"),
+    )

@@ -417,3 +417,111 @@ def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_col")
     )
+
+
+@graded(
+    "q_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*) AS t
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT)        AS n_edges,
+           CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST((SELECT t FROM tri) AS BIGINT)                 AS n_triangles,
+           CAST(3 AS DOUBLE) * (SELECT t FROM tri)
+             / (SELECT sum(d * (d - 1) / 2) FROM deg)          AS global_clustering
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient of the
+    part-co-purchase graph (parts bought together in one high-quantity
+    order; every within-order pair is an edge, so orders form cliques
+    and cross-order overlaps knit them together) — the graph-quality
+    metric behind community detection and link-spam screens.
+
+    Engine: the DEGREE-ORIENTED wedge algorithm — orient each
+    canonical (u < v) edge from its lower-degree endpoint (ties by
+    id), join oriented edges on their source to enumerate wedges, and
+    close each wedge against the canonical edge set. Orientation
+    bounds out-degree at O(√m), so wedge volume is O(m^1.5) worst-case
+    instead of Σd² — the standard distributed-triangle trade (oracle
+    replays the u<v<w triple join, which is exact but quadratic in hub
+    degree; the engine never enumerates an unoriented hub's wedges).
+
+    Exactness: counts are integers; the clustering coefficient is one
+    double division of exact integers.
+
+    Scale: three co-partitioned equi-joins over (node, node) rows; the
+    degree table is a combinable agg; no collect. Hub skew lands on
+    the wedge join's source key, where orientation has already capped
+    fan-out at √m.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()  # referenced 3× (degrees, wedge sides, closure)
+    )
+    pairs.count()
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionByName(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .persist()
+    )
+    deg.count()
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = pairs.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).persist()
+    oriented.count()
+    o1 = oriented.select("src", F.col("dst").alias("w1"))
+    o2 = oriented.select("src", F.col("dst").alias("w2"))
+    wedges = o1.join(o2, "src").filter(F.col("w1") < F.col("w2"))
+    closed = wedges.join(
+        pairs,
+        (F.col("w1") == F.col("u")) & (F.col("w2") == F.col("v")),
+        "left_semi",
+    )
+    n_tri = closed.count()
+    n_edges_row = pairs.count()
+    wedge_total = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("w")
+    ).collect()[0]["w"]
+    out = spark.createDataFrame(
+        [(int(n_edges_row), int(wedge_total), int(n_tri))],
+        "n_edges bigint, n_wedges bigint, n_triangles bigint",
+    )
+    return out.select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+        ).alias("global_clustering"),
+    )

@@ -60,6 +60,79 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded(
+    "q_mutual_knn",
+    oracle=f"""
+    WITH a AS (SELECT * FROM embeddings
+               WHERE substr(md5('mk:' || CAST(vec_id AS VARCHAR)), 1, 1) < '4'),
+    b AS (SELECT * FROM embeddings
+          WHERE substr(md5('mk:' || CAST(vec_id AS VARCHAR)), 1, 1) >= 'c'),
+    ab AS (
+      SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_DUCK_COS}, 6) AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+               ) AS rn
+        FROM a q JOIN b c ON TRUE
+      ) WHERE rn = 1
+    ),
+    ba AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+               ) AS rn
+        FROM b q JOIN a c ON TRUE
+      ) WHERE rn = 1
+    )
+    SELECT ab.query_id AS a_id, ab.neighbor_id AS b_id, ab.cos_sim
+    FROM ab JOIN ba ON ab.query_id = ba.neighbor_id
+                   AND ab.neighbor_id = ba.query_id
+    """,
+)
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best match (mutual 1-NN) between two embedding sets —
+    the cross-corpus ALIGNMENT operator (bitext mining, entity
+    alignment, near-dup pairing across crawls): an (a, b) pair survives
+    only if b is a's top cosine neighbor AND a is b's. Mutuality is the
+    classic precision filter — one-directional best matches include
+    every hub vector's fan-in; reciprocity keeps only stable pairs.
+
+    Both directions ride knn_bruteforce_blas (k=1): broadcast query
+    matrix, one BLAS matmul per corpus batch, per-batch top-k, rounded
+    output contract — so ties and float accumulation match the oracle's
+    quadratic replay exactly (the q_knn_cosine precedent). The two
+    directions' results join on the pair — ≤ |A| + |B| rows, trivially
+    co-partitioned.
+
+    Scale: this exact form collects one side per direction (bounded by
+    the same contract as q_knn_cosine's query set). At corpus scale run
+    ann_index (IVF) in each direction and keep the same mutuality join —
+    the reciprocity filter is index-agnostic.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    gate = F.substring(
+        F.md5(F.concat(F.lit("mk:"), F.col("vec_id").cast("string"))), 1, 1
+    )
+    a = emb.filter(gate < "4")
+    b = emb.filter(gate >= "c")
+    ab = knn_bruteforce_blas(a, b, k=1).select(
+        F.col("query_id").alias("a_id"),
+        F.col("neighbor_id").alias("b_id"),
+        "cos_sim",
+    )
+    ba = knn_bruteforce_blas(b, a, k=1).select(
+        F.col("query_id").alias("r_b_id"), F.col("neighbor_id").alias("r_a_id")
+    )
+    return ab.join(
+        ba,
+        (F.col("a_id") == F.col("r_a_id")) & (F.col("b_id") == F.col("r_b_id")),
+    ).select("a_id", "b_id", "cos_sim")
+
+
 @graded("q_knn_lsh")  # rows-only: approximate (banded SRP-LSH) result set
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate knn via signed-random-projection LSH. Recall vs the

@@ -768,6 +768,80 @@ def q_stream_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_from_daily(daily)
 
 
+from noaa_etl_spark.queries.temporal import FORECAST_HOLT_ORACLE, holt_from_daily
+
+
+@graded("q_stream_forecast_holt", oracle=FORECAST_HOLT_ORACLE)
+def q_stream_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Holt forecast: events drain as three
+    micro-batches; foreachBatch writes each batch's per-(type, day)
+    PARTIAL daily rollup batch_id-keyed (restart-idempotent overwrite).
+    The rollup is mergeable BIGINT addition, so the folded daily table
+    is byte-identical to the one-pass batch rollup, and the shared
+    sequential Holt fold (holt_from_daily) then produces bit-equal
+    level/trend/forecast — the twin grades against FORECAST_HOLT_ORACLE
+    verbatim (the recurrence itself is NOT mergeable, which is exactly
+    why the maintained state is the daily table, never the smoothed
+    value).
+
+    100 TB: per-trigger work is one combinable agg over the batch; the
+    persisted state is the |types|×|days| reduced relation the fold
+    reads at forecast time.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_holt")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("bigint")
+        .alias("day_idx"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    gate = F.pmod(F.xxhash64(F.lit("sholt"), F.col("cents")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = batch_df.groupBy("event_type", "day_idx").agg(
+            F.sum("cents").alias("day_cents")
+        )
+        record_foreach_batch_plan("stream_holt_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    daily = (
+        spark.read.parquet(states)
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("day_cents").alias("day_cents"))
+    )
+    return holt_from_daily(daily)
+
+
 from noaa_etl_spark.queries.etl import CDC_APPLY_ORACLE, cdc_changelog
 
 
@@ -840,21 +914,7 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_seq").alias("last_seq"),
         )
     )
+    from noaa_etl_spark.queries.etl import cdc_apply
+
     base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    joined = base.join(latest, base["c_custkey"] == latest["key"], "left")
-    return (
-        joined.filter(F.col("key").isNull() | (F.col("op") != "D"))
-        .select(
-            F.col("c_custkey").alias("key"),
-            F.when(
-                F.col("key").isNull(),
-                F.floor(F.col("c_acctbal") * 100).cast("bigint"),
-            )
-            .otherwise(F.col("new_bal_cents"))
-            .alias("bal_cents"),
-            F.when(F.col("key").isNull(), F.lit("unchanged"))
-            .otherwise(F.lit("updated"))
-            .alias("status"),
-            "last_seq",
-        )
-    )
+    return cdc_apply(base, latest)

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from noaa_etl_spark.io import load_table
 from noaa_etl_spark.operators.sessionize import sessionize, sessionize_bucketed
-from noaa_etl_spark.operators.asof import asof_join
+from noaa_etl_spark.operators.asof import asof_join, asof_join_nearest
 from noaa_etl_spark.registry import graded
 
 
@@ -229,6 +229,64 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No final orderBy: per-purchase output, order-insensitive compare.
     return joined.select(
         "event_id", "user_id", "ts", "value", "click_event_id", "click_ts"
+    )
+
+
+@graded(
+    "q_asof_nearest",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM e WHERE event_type = 'click'),
+    pairs AS (
+      SELECT p.event_id, c.event_id AS c_id, c.ts AS c_ts,
+             abs(epoch_us(p.ts) - epoch_us(c.ts)) AS d,
+             CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS dir,
+             CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END AS tb
+      FROM p JOIN c ON p.user_id = c.user_id
+      WHERE p.ts IS NOT NULL
+    ),
+    best AS (
+      SELECT event_id, c_id AS near_event_id, c_ts AS near_ts
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY d, dir, tb) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           b.near_event_id, b.near_ts
+    FROM p LEFT JOIN best b ON p.event_id = b.event_id
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-mode as-of join (pandas merge_asof direction='nearest'):
+    each purchase matched to the click by the same user closest in
+    time, either side. DuckDB's ASOF is one-directional, so the oracle
+    replays the deterministic tie contract (distance, then
+    backward-first, then the direction-appropriate event_id tiebreak)
+    as a row_number over the (d, dir, tb) order — the quadratic
+    pairs form is oracle-only; the engine runs the one-exchange
+    two-sort composition (operators/asof.asof_join_nearest).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("near_event_id"),
+        F.col("ts").alias("near_ts"),
+    )
+    joined = asof_join_nearest(
+        probe=purchases,
+        build=clicks,
+        probe_keys=["user_id"],
+        build_keys=["c_user_id"],
+        probe_ts="ts",
+        build_ts="near_ts",
+        build_payload=["near_event_id", "near_ts"],
+        tiebreak="near_event_id",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "value", "near_event_id", "near_ts"
     )
 
 
@@ -988,6 +1046,116 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by q_forecast_holt and its streaming twin: the daily rollup is
+# mergeable BIGINT addition, so per-batch partials fold to the identical
+# daily table and the sequential Holt fold over it is bit-equal — the
+# twin grades against this SQL verbatim.
+FORECAST_HOLT_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day_idx,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+      FROM events
+      GROUP BY event_type, 2
+    ),
+    series AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             list(CAST(day_cents AS DOUBLE) ORDER BY day_idx) AS ys
+      FROM daily GROUP BY event_type
+    ),
+    folded AS (
+      -- accumulator is a 2-list [level, trend], NOT a struct: DuckDB
+      -- 1.0's struct-building lambda aliases acc.<f> to the RESULT
+      -- struct's already-computed field of the same name, corrupting
+      -- the recurrence (probed round 9); list indexing has no aliasing
+      SELECT event_type, n_days,
+             list_reduce(
+               list_transform(ys, v -> [v, CAST(0.0 AS DOUBLE)]),
+               (acc, x) -> [
+                 CAST(0.5 AS DOUBLE) * x[1]
+                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.5 AS DOUBLE) * (CAST(0.5 AS DOUBLE) * x[1]
+                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]) - acc[1])
+                   + CAST(0.5 AS DOUBLE) * acc[2]
+               ]
+             ) AS st
+      FROM series
+    )
+    SELECT event_type, n_days,
+           st[1] AS level, st[2] AS trend,
+           st[1] + 3 * st[2] AS forecast_3d
+    FROM folded
+    """
+
+
+def holt_from_daily(daily: DataFrame) -> DataFrame:
+    """Holt finalization over a (event_type, day_idx, day_cents) daily
+    table — shared by q_forecast_holt and its streaming twin."""
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day_idx", "day_cents"))),
+            lambda s: s["day_cents"].cast("double"),
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+
+    def step(acc, v):
+        new_l = F.lit(0.5) * v + F.lit(0.5) * (acc["l"] + acc["b"])
+        return F.struct(
+            new_l.alias("l"),
+            (F.lit(0.5) * (new_l - acc["l"]) + F.lit(0.5) * acc["b"]).alias("b"),
+        )
+
+    acc0 = F.struct(F.element_at("ys", 1).alias("l"), F.lit(0.0).alias("b"))
+    rest = F.slice(F.col("ys"), F.lit(2), F.greatest(F.size("ys") - 1, F.lit(0)))
+    st = F.aggregate(rest, acc0, step)
+    folded = series.select("event_type", "n_days", st.alias("st"))
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        (F.col("st.l") + F.lit(3) * F.col("st.b")).alias("forecast_3d"),
+    )
+
+
+@graded("q_forecast_holt", oracle=FORECAST_HOLT_ORACLE)
+def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear exponential smoothing (double ETS) over per-type
+    daily revenue: level lₜ = α·yₜ + (1−α)(lₜ₋₁+bₜ₋₁), trend
+    bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁ with α = β = ½, initialized
+    l₀ = y₀, b₀ = 0 — the capacity-planning forecast step downstream of
+    q_seasonal_decompose, emitting the 3-day-ahead projection l + 3b.
+
+    Exactness: a smoothing recurrence is inherently SEQUENTIAL, so the
+    graded contract is the FOLD itself — both engines run the
+    textually identical left fold over the identical ordered doubles
+    (Spark F.aggregate over the day-sorted array, DuckDB list_reduce
+    over list(... ORDER BY day_idx)); α = ½ means every multiply is an
+    exact halving, and the adds associate identically ⇒ bit-equal
+    level/trend/forecast, no tolerance (the trimmed-mean
+    accumulation-order lesson applied to a recurrence).
+
+    Scale: the fact collapses to the |types|×|days| daily rollup
+    (map-side combinable); each type's series rides ONE agg row — the
+    decayed-sum bounded-cardinality contract (|days| per type, not
+    event volume). A per-day-unbounded series would stream through
+    applyInPandasWithState instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            day_idx.alias("day_idx"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    return holt_from_daily(daily)
+
+
 # Shared by q_decayed_sum and its streaming twin (the per-batch daily
 # partial sums are mergeable integers, so fold == recompute and the twin
 # grades against the identical SQL).
@@ -1180,19 +1348,35 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Per-user sequence-length hard cap: the initials string covers at most
+# this many events (the user's FIRST cap events by (ts, event_id)).
+# Far above any fixture user (max ≈ 10³ events at sf0.1), so grading is
+# cap-invariant; at 100 TB it bounds the celebrity-user reducer row at
+# a 100 KB string instead of an unbounded one. The oracle applies the
+# identical rank filter, so both engines agree on any fixture.
+EVENT_SEQ_CAP = 100_000
+
+
 @graded(
     "q_event_sequence",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
              substr(event_type, 1, 1) AS ini
       FROM events
     ),
+    ranked AS (
+      SELECT user_id, ini,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS total
+      FROM e
+    ),
     seqs AS (
       SELECT user_id,
-             string_agg(ini, '' ORDER BY ts, event_id) AS seq,
-             CAST(count(*) AS BIGINT) AS seq_len
-      FROM e GROUP BY user_id
+             string_agg(ini, '' ORDER BY rn) AS seq,
+             CAST(max(total) AS BIGINT) AS seq_len
+      FROM ranked WHERE rn <= {EVENT_SEQ_CAP} GROUP BY user_id
     )
     SELECT user_id, seq, seq_len,
            CAST((length(seq) - length(replace(seq, 'cp', ''))) / 2 AS BIGINT) AS n_click_purchase,
@@ -1223,12 +1407,18 @@ def q_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_join — byte-identical because (ts, event_id) is a total
     order.
 
-    Scale: ONE user-keyed exchange; per-user string length = that
-    user's event count (the sessionize bounded-cardinality contract —
-    a celebrity user routes through the bucketed path's day-split
-    before sequence assembly at 100 TB). Pattern counts are scan-local
-    post-agg expressions, so adding patterns is free.
+    Scale: ONE user-keyed exchange. The celebrity-user hazard (one hot
+    user's whole history in a single agg buffer row) is closed by a
+    HARD length cap: a row_number window over the same user_id
+    partitioning the agg needs anyway (no extra exchange; the window
+    sort is spill-capable, unlike an agg buffer) keeps each user's
+    first EVENT_SEQ_CAP events, so the assembled string is bounded at
+    cap bytes while seq_len still reports the TRUE event count from
+    the window's count(*). Pattern counts are scan-local post-agg
+    expressions over the capped window, so adding patterns is free.
     """
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "user_id",
@@ -1236,15 +1426,22 @@ def q_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.substring("event_type", 1, 1).alias("ini"),
     )
-    seqs = e.groupBy("user_id").agg(
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.select(
+        "user_id",
+        "ini",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("total"),
+    ).filter(F.col("rn") <= EVENT_SEQ_CAP)
+    seqs = ranked.groupBy("user_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                F.array_sort(F.collect_list(F.struct("rn", "ini"))),
                 lambda s: s["ini"],
             ),
             "",
         ).alias("seq"),
-        F.count(F.lit(1)).cast("bigint").alias("seq_len"),
+        F.max("total").cast("bigint").alias("seq_len"),
     )
 
     def n_pat(pat: str):
@@ -1263,4 +1460,62 @@ def q_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("seq") - F.length(F.replace(F.col("seq"), F.lit("cp"), F.lit("")))
             > 0
         ).alias("converted"),
+    )
+
+
+@graded(
+    "q_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS curr_type,
+             CAST(count(*) AS BIGINT) AS n_trans
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, curr_type
+    )
+    SELECT prev_type, curr_type, n_trans,
+           CAST(n_trans AS DOUBLE)
+             / sum(n_trans) OVER (PARTITION BY prev_type) AS p
+    FROM trans
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — P(next = j | current = i) with counts, the clickstream
+    model behind next-action prediction and anomalous-flow detection
+    (q_event_sequence counts fixed literal patterns; this models ALL
+    transitions).
+
+    Exactness: transition counts are integers from a lag window over
+    the total (ts, event_id) order + one combinable agg; each
+    probability is ONE division of a BIGINT by a window-sum of BIGINTs
+    (both engines identical expression ⇒ bit-equal).
+
+    Scale: one user-keyed exchange for the lag (pairs are formed
+    scan-local within the sorted partition — never a self-join), one
+    agg over |types|² keys, and the row-normalization window runs on
+    the ≤ |types|² reduced relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = ordered.groupBy("prev_type", F.col("event_type").alias("curr_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "curr_type",
+        "n_trans",
+        (F.col("n_trans").cast("double") / F.sum("n_trans").over(wrow)).alias("p"),
     )

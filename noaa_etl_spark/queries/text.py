@@ -1680,9 +1680,51 @@ def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-shingle cap for containment candidate generation: a gram occurring
+# in more than DF_CAP docs is boilerplate (templated headers, stopword
+# runs) and generates O(df²) candidate rows if joined — the round-6
+# fuzzy-match degeneration. Grams are DISTINCT per doc, so df ≤ n_docs;
+# the cap bounds candidate rows at Σ min(df, CAP)² ≤ n_grams·CAP².
+# Soundness: a pair is missed only if EVERY shared gram is hot — i.e.
+# the overlap is pure boilerplate, which is exactly the overlap a
+# containment dedup should not fire on. The oracle applies the
+# identical cap, so grading agrees on any regenerated fixture
+# (current fixture max df = 7: the cap is a no-op here, tested).
+CONTAINMENT_DF_CAP = 64
+
+
+def containment_verify(grams_df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact containment C(A→B) = |grams(A)∩grams(B)| / |grams(A)| for
+    candidate (contained_id, container_id) pairs — the verify stage
+    shared by the inverted-index form (q_containment_dedup) and the
+    LSH-blocked form (q_containment_lsh). `grams_df` = (doc_id, grams
+    DISTINCT array). Two co-partitioned id joins move each gram array
+    once per surviving candidate; inter/size are exact integers and
+    containment one IEEE division — bit-equal cross-engine."""
+    ga = grams_df.select(
+        F.col("doc_id").alias("contained_id"), F.col("grams").alias("ga_grams")
+    )
+    gb = grams_df.select(
+        F.col("doc_id").alias("container_id"), F.col("grams").alias("gb_grams")
+    )
+    inter = F.size(F.array_intersect("ga_grams", "gb_grams")).cast("bigint")
+    containment = inter.cast("double") / F.size("ga_grams")
+    return (
+        pairs.join(ga, "contained_id")
+        .join(gb, "container_id")
+        .filter(containment >= 0.8)
+        .select(
+            "contained_id",
+            "container_id",
+            inter.alias("inter"),
+            F.round(containment, 6).alias("containment"),
+        )
+    )
+
+
 @graded(
     "q_containment_dedup",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id,
              list_distinct(list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i + 1] || ' ' || t[i + 2])) AS grams
@@ -1690,18 +1732,22 @@ def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(t) >= 3
     ),
     exploded AS (SELECT doc_id, unnest(grams) AS g FROM toks),
-    sizes AS (SELECT doc_id, len(grams) AS n FROM toks),
-    pairs AS (
-      SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
-             CAST(count(*) AS BIGINT) AS inter
-      FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id <> b.doc_id
-      GROUP BY 1, 2
+    capped AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM exploded
+      ) WHERE df <= {CONTAINMENT_DF_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS contained_id, b.doc_id AS container_id
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id <> b.doc_id
     )
-    SELECT contained_id, container_id, inter,
-           round(CAST(inter AS DOUBLE) / sa.n, 6) AS containment
-    FROM pairs
-    JOIN sizes sa ON sa.doc_id = contained_id
-    WHERE CAST(inter AS DOUBLE) / sa.n >= 0.8
+    SELECT contained_id, container_id,
+           CAST(len(list_intersect(ta.grams, tb.grams)) AS BIGINT) AS inter,
+           round(CAST(len(list_intersect(ta.grams, tb.grams)) AS DOUBLE) / len(ta.grams), 6) AS containment
+    FROM cand
+    JOIN toks ta ON ta.doc_id = contained_id
+    JOIN toks tb ON tb.doc_id = container_id
+    WHERE CAST(len(list_intersect(ta.grams, tb.grams)) AS DOUBLE) / len(ta.grams) >= 0.8
     """,
 )
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1714,19 +1760,21 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions are emitted and the small-in-big direction is the one
     that fires.
 
-    Exactness: inter and |grams(A)| are integers from an exact
-    inverted-index join; containment is one IEEE division — bit-equal
-    cross-engine.
+    Two stages, both exact given the candidate rule: (1) candidates
+    from an inverted-index self-join restricted to grams with
+    df ≤ CONTAINMENT_DF_CAP — the df comes from a count window over
+    the gram partitioning the join needs anyway (never an agg +
+    join-back double-plan), so hot boilerplate shingles cannot
+    generate O(df²) join rows on a templated corpus; (2) exact
+    array_intersect verification on surviving pairs
+    (containment_verify). The oracle replays the identical cap, so
+    both engines agree by construction on any fixture.
 
-    Scale design: same inverted-index blocking as
-    q_dedup_ngram_jaccard — candidate pairs come from a shared-shingle
-    equi-join (never a cross join), the gram-count agg combines
-    map-side, and set sizes ride two co-partitioned doc-grain joins.
-    Hot shingles (stopword runs) are the known fan-out: at corpus
-    scale drop the top-df gram tail first (the decontaminate
-    array_distinct-before-explode rule caps per-doc multiplicity
-    already), or route through MinHash-LSH and keep this exact form
-    for verify-on-candidates.
+    Scale design: candidate rows are bounded at Σ min(df,cap)² and
+    each gram array crosses the wire once per surviving candidate.
+    At corpus scale route candidates through MinHash-LSH instead
+    (q_containment_lsh composes exactly that) and keep this form for
+    verify-on-candidates.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
@@ -1734,26 +1782,69 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(ngrams(toks, 3)).alias("grams")
     )
     exploded = grams_df.select("doc_id", F.explode("grams").alias("g"))
-    sizes = grams_df.select("doc_id", F.size("grams").alias("n"))
-    a = exploded.select(F.col("doc_id").alias("contained_id"), F.col("g").alias("ga"))
-    b = exploded.select(F.col("doc_id").alias("container_id"), F.col("g").alias("gb"))
-    pairs = (
-        a.join(b, (F.col("ga") == F.col("gb")) & (F.col("contained_id") != F.col("container_id")))
-        .groupBy("contained_id", "container_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    from pyspark.sql import Window
+
+    capped = (
+        exploded.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+        .filter(F.col("df") <= CONTAINMENT_DF_CAP)
+        .drop("df")
     )
-    sa = sizes.select(F.col("doc_id").alias("contained_id"), F.col("n").alias("na"))
-    containment = F.col("inter").cast("double") / F.col("na")
-    return (
-        pairs.join(sa, "contained_id")
-        .filter(containment >= 0.8)
-        .select(
-            "contained_id",
-            "container_id",
-            "inter",
-            F.round(containment, 6).alias("containment"),
+    a = capped.select(F.col("doc_id").alias("contained_id"), F.col("g").alias("ga"))
+    b = capped.select(F.col("doc_id").alias("container_id"), F.col("g").alias("gb"))
+    cand = (
+        a.join(
+            b,
+            (F.col("ga") == F.col("gb"))
+            & (F.col("contained_id") != F.col("container_id")),
+        )
+        .select("contained_id", "container_id")
+        .dropDuplicates(["contained_id", "container_id"])
+    )
+    return containment_verify(grams_df, cand)
+
+
+@graded("q_containment_lsh")  # rows-only: LSH banding is probabilistic
+# capture — equality to the exact form on planted subset-duplicates is
+# asserted in tests/test_algorithms.py, not oracle-matched (a SQL oracle
+# would be the exact join and legitimately disagree on band-missed pairs)
+def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-after-LSH: the composition SCALING.md's containment
+    note describes, made literal — MinHash banding generates candidate
+    pairs, containment_verify (the exact stage shared with
+    q_containment_dedup) scores them. Banding runs at a HIGH-RECALL
+    operating point (32 perms / 16 bands → rows_per_band 2, S-curve
+    midpoint ≈ (1/16)^(1/2) ≈ 0.25 Jaccard) because subset duplication
+    deflates Jaccard: A ⊂ B with containment c and |B| = k·|A| has
+    Jaccard c/(1−c+k), so a chunk pasted into a 3× page sits near 0.25.
+
+    Scale design: band keys are scan-local, the band join moves
+    (id, band-key) rows only, and verification touches surviving
+    candidates — the O(df²) inverted-index risk is gone entirely; this
+    is the 100 TB form, with the df-capped exact form kept for
+    fixture-scale grading.
+    """
+    from noaa_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    grams_df = docs.filter(F.size(toks) >= 3).select(
+        "doc_id", F.array_distinct(ngrams(toks, 3)).alias("grams")
+    )
+    cand = minhash_lsh_candidates(
+        docs, "text", "doc_id", shingle_n=3, num_perm=32, bands=16, verify=False
+    )
+    # Containment is asymmetric: score both orientations of each
+    # unordered candidate pair.
+    both = cand.select(
+        F.col("id_a").alias("contained_id"), F.col("id_b").alias("container_id")
+    ).unionByName(
+        cand.select(
+            F.col("id_b").alias("contained_id"), F.col("id_a").alias("container_id")
         )
     )
+    return containment_verify(grams_df, both)
 
 
 ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "  # fixed term order
@@ -1837,3 +1928,84 @@ def q_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.alias("entropy_bits"),
         (ent >= 3.0).alias("keep"),
     )
+
+
+@graded(
+    "q_cooccurrence_pmi",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM uni),
+    bg AS (
+      SELECT unnest(list_transform(t[1:len(t)-1], (x, i) -> x || ' ' || t[i + 1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    bc AS (SELECT g, CAST(count(*) AS BIGINT) AS c_xy FROM bg GROUP BY g HAVING count(*) >= 5),
+    scored AS (
+      SELECT string_split(b.g, ' ')[1] AS x, string_split(b.g, ' ')[2] AS y,
+             b.c_xy, ux.c AS c_x, uy.c AS c_y,
+             round(ln(CAST(b.c_xy AS DOUBLE) * n.n_tokens / (CAST(ux.c AS DOUBLE) * uy.c)), 6) AS pmi
+      FROM bc b, n
+      JOIN uc ux ON ux.w = string_split(b.g, ' ')[1]
+      JOIN uc uy ON uy.w = string_split(b.g, ' ')[2]
+    )
+    SELECT * FROM scored
+    ORDER BY pmi DESC, x, y
+    LIMIT 50
+    """,
+)
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent token pairs by pointwise
+    mutual information PMI(x,y) = ln(c_xy·N / (c_x·c_y)), min support
+    c_xy ≥ 5 — the corpus-statistics step behind phrase detection
+    (word2vec-style phrase merging) and tokenizer-vocab curation.
+
+    Exactness: all counts are exact integers from combiner aggs; PMI is
+    one ln over an integer-built ratio, graded ROUNDED to 6 decimals
+    (the perplexity 1-ulp-ln lesson) with the rank ordering taken on
+    the rounded value + (x, y) tiebreak so both engines rank
+    identically.
+
+    Scale: adjacent-bigram enumeration is linear in corpus tokens
+    (never the all-pairs quadratic); unigram/bigram counts combine
+    map-side; the two marginal attachments are joins on the token key
+    (broadcast at fixture vocab, co-partitioned at web vocab); N is a
+    bounded driver scalar (one row). Top-50 reduces via per-partition
+    heaps (TakeOrderedAndProject).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    uni = docs.select(F.explode(toks).alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c")).persist()
+    n_tokens = uc.agg(F.sum("c")).collect()[0][0]  # bounded: one scalar
+    bg = docs.filter(F.size(toks) >= 2).select(
+        F.explode(ngrams(toks, 2)).alias("g")
+    )
+    bc = (
+        bg.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    parts = F.split(F.col("g"), " ")
+    scored = (
+        bc.select(parts[0].alias("x"), parts[1].alias("y"), "c_xy")
+        .join(uc.select(F.col("w").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uc.select(F.col("w").alias("y"), F.col("c").alias("c_y")), "y")
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.lit(int(n_tokens))
+                    / (F.col("c_x").cast("double") * F.col("c_y"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "x", "y").limit(50)

@@ -445,3 +445,271 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("w_value"),
         ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias("clipped"),
     )
+
+
+# Sketch accuracy for the approx winsorize/MAD scale forms: GK rank
+# error ≤ 1/WINSOR_ACC of the partition size.
+WINSOR_ACC = 10_000
+
+
+def _rank_envelope_bools(eps: float, lo_q: float, hi_q: float):
+    """Tie-robust THEOREM booleans pinning sketch cutpoints at correct
+    ranks (shared by q_winsorize_approx / q_anomaly_mad_approx):
+    if cut has rank within ±eps·n of q·n then
+      #{v <  cut} ≤ ⌈(q+eps)n⌉+4   (strictly-below can't exceed rank)
+      #{v <= cut} ≥ ⌊(q−eps)n⌋−4   (at least rank-many values ≤ cut)
+    Both hold under arbitrary ties (a huge tie mass at the cutpoint
+    shrinks the strict count and grows the inclusive one — never the
+    reverse), so a regenerated fixture cannot flip them. The ±4
+    absorbs engine rounding conventions at rank boundaries."""
+    n = F.col("n")
+    return [
+        (F.col("n_lt_lo") <= F.ceil(n * (lo_q + eps)) + 4).alias("lo_tail_upper_ok"),
+        (F.col("n_le_lo") >= F.floor(n * (lo_q - eps)) - 4).alias("lo_tail_lower_ok"),
+        (F.col("n_gt_hi") <= F.ceil(n * (1.0 - hi_q + eps)) + 4).alias("hi_tail_upper_ok"),
+        (F.col("n_ge_hi") >= F.floor(n * (1.0 - hi_q - eps)) - 4).alias("hi_tail_lower_ok"),
+    ]
+
+
+@graded(
+    "q_winsorize_approx",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS lo_tail_upper_ok, TRUE AS lo_tail_lower_ok,
+           TRUE AS hi_tail_upper_ok, TRUE AS hi_tail_lower_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of q_winsorize: per-type [p05, p95] cutpoints
+    from percentile_approx — a mergeable Greenwald-Khanna sketch that
+    combines map-side, so no event_type ever materializes its rows on
+    one reducer (the exact form's documented single-reducer hot spot) —
+    broadcast back onto the fact for a scan-local clamp.
+
+    Grading (the q_cms_frequencies property pattern): the oracle can't
+    reproduce an engine-specific sketch, so the graded columns are
+    per-type rank-envelope BOOLEANS that are theorems given GK's
+    rank-error bound (see _rank_envelope_bools — tie-robust, so
+    regen-proof), plus the exact row count. The clamp itself is
+    definitional (least/greatest) once the cutpoints are right.
+
+    Plan shape: cutpoints persist + eagerly materialize before the
+    probe plan is built — otherwise the probe side re-derives the
+    sketch subtree (the round-6 double-plan lesson); the probe join is
+    a broadcast of ≤ |event types| rows; NO Window anywhere
+    (plan-gated). 100 TB: sketch agg shuffles bytes ∝ types × sketch
+    size, clamp is scan-local, tail counts combine map-side.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    eps = 1.0 / WINSOR_ACC
+    cuts = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", F.array(F.lit(0.05), F.lit(0.95)), F.lit(WINSOR_ACC)
+            ).alias("c")
+        )
+        .select("event_type", F.col("c")[0].alias("lo"), F.col("c")[1].alias("hi"))
+        .persist()
+    )
+    cuts.count()  # materialize: probe must join the cache, not re-sketch
+    clamped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "value",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("w_value"),
+    )
+    tails = clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_lt_lo"),
+        F.sum((F.col("value") <= F.col("lo")).cast("long")).alias("n_le_lo"),
+        F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_gt_hi"),
+        F.sum((F.col("value") >= F.col("hi")).cast("long")).alias("n_ge_hi"),
+    )
+    return tails.select("event_type", "n", *_rank_envelope_bools(eps, 0.05, 0.95))
+
+
+@graded(
+    "q_anomaly_mad_approx",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS lo_tail_upper_ok, TRUE AS lo_tail_lower_ok,
+           TRUE AS hi_tail_upper_ok, TRUE AS hi_tail_lower_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of q_anomaly_mad: per-type approximate median,
+    then approximate median of |value − med| (the MAD), each a
+    mergeable percentile_approx sketch broadcast back scan-local —
+    two fact passes instead of the exact form's two stacked unbounded
+    windows (its single-reducer hot spot at low type cardinality).
+
+    Graded like q_winsorize_approx: the med's rank envelope is pinned
+    by the same four tie-robust booleans, here applied with
+    lo_q = hi_q = 0.5 so the lo/hi columns BOTH check the median cut
+    (the MAD sketch's correctness then follows from the same GK bound
+    applied to the derived |value − med| column — its envelope is
+    checked in tests/test_algorithms.py against the exact form, which
+    a SQL oracle over a sketch-dependent derived column cannot
+    express). Outlier flagging (|v − med| > 5·MAD) is definitional
+    once both cutpoints sit at their ranks.
+
+    Plan shape: both sketch frames persist + materialize; probe joins
+    broadcast; NO Window (plan-gated).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    eps = 1.0 / WINSOR_ACC
+    med = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", F.lit(0.5), F.lit(WINSOR_ACC)).alias("med")
+        )
+        .persist()
+    )
+    med.count()
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = (
+        dev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("adev", F.lit(0.5), F.lit(WINSOR_ACC)).alias("mad")
+        )
+        .persist()
+    )
+    mad.count()  # the outlier probe (dev ⨝ mad) is the production path;
+    # grading pins the med cut below, MAD envelope is test-asserted.
+    tails = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("value") < F.col("med")).cast("long")).alias("n_lt_lo"),
+        F.sum((F.col("value") <= F.col("med")).cast("long")).alias("n_le_lo"),
+        F.sum((F.col("value") > F.col("med")).cast("long")).alias("n_gt_hi"),
+        F.sum((F.col("value") >= F.col("med")).cast("long")).alias("n_ge_hi"),
+    )
+    return tails.select("event_type", "n", *_rank_envelope_bools(eps, 0.5, 0.5))
+
+
+def mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production outlier path of the approx-MAD twin (shared by
+    tests): rows with |value − med_approx| > 5·mad_approx, computed
+    entirely scan-local after two broadcast joins."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", F.lit(0.5), F.lit(WINSOR_ACC)).alias("med"))
+        .persist()
+    )
+    med.count()
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        dev.select("event_type", F.abs(F.col("value") - F.col("med")).alias("adev"))
+        .groupBy("event_type")
+        .agg(F.percentile_approx("adev", F.lit(0.5), F.lit(WINSOR_ACC)).alias("mad"))
+        .persist()
+    )
+    mad.count()
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 5 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
+
+
+@graded(
+    "q_pareto_frontier",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    dom AS (
+      SELECT p_partkey, price_cents, size,
+             max(size) OVER (ORDER BY price_cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper,
+             max(size) OVER (PARTITION BY price_cents) AS best_same_price
+      FROM p
+    )
+    SELECT p_partkey, price_cents, size
+    FROM dom
+    WHERE (best_cheaper IS NULL OR best_cheaper < size)
+      AND best_same_price <= size
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts — minimize price, maximize
+    size: a part survives iff no other part is ≤ price AND ≥ size with
+    at least one strict. The multi-objective shortlist operator behind
+    'cheapest-per-capability' views.
+
+    Dominance in 2-D reduces to two window maxima: dominated iff some
+    STRICTLY cheaper part has size ≥ mine (range window over integer
+    cents), or some equal-price part has size > mine. Exact integer
+    comparisons — tie twins (equal price AND size) both survive, per
+    the strict-dominance definition; the oracle replays the identical
+    windows.
+
+    Scale design — frontier-of-frontiers, NOT one global sort: a
+    global RANGE window serializes onto a single reducer, so phase 1
+    prunes within price BUCKETS (parallel windows per bucket; any
+    globally undominated point is locally undominated, and dominance
+    transitivity guarantees every dominated point is killed by some
+    SURVIVOR), and phase 2 runs the exact windows over the survivors —
+    typically O(frontier + buckets) rows, orders of magnitude smaller.
+    """
+    import sys
+
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    # phase 1: local prune within price buckets (parallel)
+    bucket = (F.col("price_cents") / F.lit(10_000)).cast("bigint")
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wsame_b = Window.partitionBy("bucket", "price_cents")
+    local = (
+        p.withColumn("bucket", bucket)
+        .select(
+            "p_partkey",
+            "price_cents",
+            "size",
+            "bucket",
+            F.max("size").over(wb).alias("best_cheaper"),
+            F.max("size").over(wsame_b).alias("best_same_price"),
+        )
+        .filter(
+            (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("size")))
+            & (F.col("best_same_price") <= F.col("size"))
+        )
+        .select("p_partkey", "price_cents", "size")
+    )
+    # phase 2: exact global windows over the (small) survivor set
+    wg = Window.orderBy("price_cents").rangeBetween(Window.unboundedPreceding, -1)
+    wsame = Window.partitionBy("price_cents")
+    return (
+        local.select(
+            "p_partkey",
+            "price_cents",
+            "size",
+            F.max("size").over(wg).alias("best_cheaper"),
+            F.max("size").over(wsame).alias("best_same_price"),
+        )
+        .filter(
+            (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("size")))
+            & (F.col("best_same_price") <= F.col("size"))
+        )
+        .select("p_partkey", "price_cents", "size")
+    )

@@ -101,75 +101,75 @@ def graded(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Query
 #   r7), and 8 r3-graded family/high-value reps so every family
 #   carries post-r5-fixture signal.
 GRADED_WINDOW: list[str] = [
-    # Round 8: CORRECTNESS_r07 went 50/50 (third consecutive all-green
-    # window). Per VERDICT r7 items 1-2: FRONT-load the only 7 queries
-    # that have NEVER had driver signal (built late in round 7 after the
-    # r7 window was spent on VERDICT-priority re-confirms — four
-    # oracle-paired + plan-gated, three rows-only by design: pagerank
-    # has no DuckDB recursive-USING-KEY oracle, tokenizer fertility uses
-    # the engine-trained merge table, cross-corpus LSH capture is
-    # probabilistic), then ALL 38 queries whose last driver grade is
-    # round 3 — three fixture regenerations ago, the one failure source
-    # local sweeps can't simulate. The 5 remaining slots: family fills
-    # (B: q_filter_predicates, F: q_sort_offset, NOAA: q_ghcn_pipeline —
-    # the r3 cohort covers every other family) + the 2 highest-value
-    # r4-stale entries (q_dedup_exact is headline-benched;
-    # q_sessionize_bucketed is the events-encoding-sensitive twin).
-    # The r4 cohort (35 remaining) rotates in round 9.
-    # --- never driver-graded (7; built round 7) ---
-    "q_seasonal_decompose", "q_decayed_sum", "q_skew_diagnose",
-    "q_distinct_rollup_exact", "q_pagerank", "q_tokenizer_fertility",
-    "q_cross_corpus_dedup",
-    # --- last graded ROUND 3 (38) ---
-    "q_count_distinct", "q_cube", "q_join_semi", "q_join_anti",
-    "q_set_ops", "q_null_safe_join",
-    "q_window_lag_lead", "q_pivot_events", "q_dedup_hash", "q_wordcount",
-    "q_dedup_ngram_jaccard", "q_knn_cosine",
-    "q_semantic_dedup", "q_fixed_width_scan",
-    "q_orc_roundtrip", "q_parquet_sink_partitioned",
-    "q_manifest_sink_roundtrip", "q_math_haversine",
-    "q_date_arithmetic",
-    "q_grouping_sets", "q_interval_join",
-    "q_scalar_udf_lastresort", "q_pandas_udf_scalar", "q_grouped_zscore",
-    "q_stream_dedup", "q_scd2_intervals",
-    "q_tpch_q8_share", "q_tpch_q10_returns",
-    # --- new round-8 queries (every new query enters the window the
-    # round it lands): RRF hybrid retrieval, containment dedup, CUSUM
-    # changepoint, KS drift, winsorize, and the decayed-sum streaming
-    # twin (shares the batch oracle — fold == recompute exactly).
-    # They displaced the two r4-stale fills (q_dedup_exact /
-    # q_sessionize_bucketed — headline-benched / equivalence-tested)
-    # and four family-redundant r3 entries (q_map_functions,
-    # q_hash_functions — H still carried by three entries;
-    # q_union_distinct — G carried by q_set_ops; q_correlated_min),
-    # all of which rotate with the r4 cohort in round 9. ---
-    "q_rrf_fusion", "q_containment_dedup", "q_changepoint_cusum",
-    "q_ks_drift", "q_winsorize", "q_stream_decayed_sum",
-    # --- second round-8 batch: CDC changelog apply + its streaming
-    # twin (shared oracle — unique-seq argmax folds batching-
-    # independently), zero-shuffle char-entropy filter, seeded Laplace
-    # release mechanism, survivorship golden-record merge. These
-    # displaced five more family-redundant r3 entries
-    # (q_agg_first_last, q_string_functions, q_token_stats,
-    # q_salted_agg, q_time_rollup — D/H/I families still carried),
-    # which join the r9 rotation with the r4 cohort. ---
-    "q_cdc_apply", "q_stream_cdc_apply", "q_entropy_filter",
-    "q_dp_noisy_counts", "q_golden_record",
-    # q_event_sequence (MATCH_RECOGNIZE-lite substring pattern mining)
-    # displaced q_vector_stats (no family rep lost).
-    "q_event_sequence",
-    # --- family fills (3) ---
+    # Round 9: CORRECTNESS_r08 went 50/50 (fourth consecutive all-green
+    # window) and after r8 every registered query's LATEST driver signal
+    # is green. Per VERDICT r8 item 1, this window is the complete stale
+    # cohort: ALL 47 queries whose last driver grade is round 3 (10) or
+    # round 4 (37) — three-plus fixture regenerations old, the one
+    # failure source local sweeps can't simulate (the r4 encoding
+    # incident). All 47 are oracle-paired, so ROWS_ONLY_WINDOW is empty
+    # this round. Family coverage: the stale cohort itself carries
+    # A (csv_roundtrip), H (string/map_functions), I (dedup_exact et
+    # al.), J (three stream twins), K (udaf/mapinpandas), tpch (six),
+    # etl (sql_surface-adjacent)... plus C/D/E/G via genuine stale
+    # family members newly added to the any-of rep sets
+    # (q_lateral_join→C, q_time_rollup+q_salted_agg→D,
+    # q_sessionize_bucketed→E, q_union_distinct→G). The 3 remaining
+    # slots fill the families with no stale member: B
+    # (q_filter_predicates), F (q_sort_offset), NOAA (q_ghcn_pipeline) —
+    # freshly green in r8, pure family insurance — and etl
+    # (q_merge_upsert, its oldest-signal rep, last graded r5). That
+    # makes 51, so ONE stale entry defers to r10: q_tpch_q14_promo —
+    # the simplest stale TPC-H shape (single lineitem×part join, no
+    # events.ts sensitivity), with five sibling stale TPC-H entries
+    # still in-window carrying the family.
+    # Round-9 NEW queries are registered, tested, and vanilla-sim'd but
+    # enter the window in r10 (the r7→r8 precedent: VERDICT priority
+    # consumed every slot): q_winsorize_approx + q_anomaly_mad_approx
+    # (sketch scale twins, property-graded), q_containment_lsh
+    # (rows-only — LSH-blocked containment), q_multimodal_decode +
+    # q_wav_decode (pure-numpy codec round-trips, oracle-paired),
+    # q_asof_nearest, q_mutual_knn, q_forecast_holt +
+    # q_stream_forecast_holt (shared oracle), q_gdpr_erasure,
+    # q_triangle_count, q_pareto_frontier, q_ab_test_report,
+    # q_cooccurrence_pmi, q_markov_transitions, q_xml_roundtrip.
+    # Also RE-GRADE in r10 (semantics/plan changed this round):
+    # q_cdc_apply + q_stream_cdc_apply (full-outer insert semantics),
+    # q_containment_dedup (df-capped candidates), q_event_sequence
+    # (celebrity cap). r10 window = those 16 new + 4 re-grades
+    # (q_containment_lsh in ROWS_ONLY_WINDOW) + q_tpch_q14_promo +
+    # oldest-signal rotation (r5-graded cohort) + rows-only periodic
+    # slots.
+    # --- last graded ROUND 3 (10) ---
+    "q_agg_first_last", "q_correlated_min", "q_hash_functions",
+    "q_map_functions", "q_salted_agg", "q_string_functions",
+    "q_time_rollup", "q_token_stats", "q_union_distinct",
+    "q_vector_stats",
+    # --- last graded ROUND 4 (37) ---
+    "q_centroid_by_label", "q_chunk_documents", "q_csv_roundtrip",
+    "q_decontaminate", "q_dedup_exact", "q_double_exists",
+    "q_frame_sample", "q_group_sample", "q_heavy_hitters",
+    "q_heavy_hitters_mg", "q_in_subquery_agg", "q_lateral_join",
+    "q_mapinpandas_vowels", "q_multimodal_meta", "q_ngrams",
+    "q_pii_scrub", "q_quality_bins", "q_quantize_int8",
+    "q_repetition_quality", "q_scalar_subquery", "q_sequence_pack",
+    "q_sessionize_bucketed", "q_source_mix", "q_sql_surface",
+    "q_stopword_filter", "q_stratified_sample", "q_stream_interval_join",
+    "q_stream_sliding", "q_stream_tumbling", "q_text_norm",
+    "q_tpch_q13_custdist", "q_tpch_q19_disjunctive",
+    "q_tpch_q20_nested_in", "q_tpch_q22_idle_balance",
+    "q_tpch_q4_priority", "q_udaf_trimmed_mean",
+    # --- family fills (4) ---
     "q_filter_predicates", "q_sort_offset", "q_ghcn_pipeline",
+    "q_merge_upsert",
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:
 # engine-specific hashes/sketches/ANN, streaming state, custom source).
 # test_graded_window_spans_every_family pins window∩rows-only == this.
-ROWS_ONLY_WINDOW: set[str] = {
-    # Round 8: the three never-graded rows-only round-7 additions
-    # (reasons in the window comment above).
-    "q_pagerank", "q_tokenizer_fertility", "q_cross_corpus_dedup",
-}
+ROWS_ONLY_WINDOW: set[str] = set()  # round 9: all 47 stale + 3 fills
+# are oracle-paired; rows-only queries keep periodic signal via the
+# r10+ rotation (VERDICT r8 item 9).
 
 
 def load_all_queries() -> None:

@@ -51,6 +51,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_drift_monitor": ["fb_drift_data", "fb_drift_report"],
     "q_stream_decayed_sum": ["fb_stream_decay_partial"],
     "q_stream_cdc_apply": ["fb_stream_cdc_partial"],
+    "q_stream_forecast_holt": ["fb_stream_holt_partial"],
 }
 
 

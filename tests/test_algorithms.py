@@ -1347,6 +1347,82 @@ def test_containment_detects_planted_subset(spark, tmp_dir):
     assert (2, 1) not in out and (2, 0) not in out
 
 
+def test_containment_df_cap_ignores_boilerplate_overlap(spark, tmp_dir):
+    """On a templated corpus (80 docs sharing one boilerplate sentence
+    that dominates their grams), the df-cap must (a) keep candidate
+    generation bounded — no O(N²) pair explosion from hot shingles —
+    and (b) not fire on pure-boilerplate overlap, while a planted
+    subset pair with unique content is still found."""
+    import os
+
+    from noaa_etl_spark.queries import QUERIES
+
+    boiler = " ".join(f"tpl{i}" for i in range(30))  # 28 hot grams, df=80
+    rows = []
+    for d in range(78):
+        rows.append((d, f"{boiler} unique{d}a unique{d}b", "en", "s", 100))
+    chunk = "planted alpha beta gamma delta epsilon zeta planted2"
+    rows.append((100, chunk, "en", "s", len(chunk)))
+    rows.append((101, chunk + " extra tail words here", "en", "s", 80))
+    sf = os.path.join(tmp_dir, "contain_cap_sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    out = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in QUERIES["q_containment_dedup"](spark, sf).collect()
+    }
+    # The planted subset pair fires through its (df=2) unique grams.
+    assert out[(100, 101)] == 1.0
+    # No templated pair fires: their only overlap is hot boilerplate.
+    assert all(k == (100, 101) for k in out), sorted(out)[:5]
+
+
+def test_containment_lsh_equals_exact_on_planted_subsets(spark, tmp_dir):
+    """The LSH-blocked composition must agree with the exact df-capped
+    form on planted subset-duplicates (deterministic MinHash seeds make
+    capture on this fixed corpus reproducible, not flaky)."""
+    import os
+
+    from noaa_etl_spark.queries import QUERIES
+
+    rng_words = [f"w{i}" for i in range(400)]
+    rows = []
+    for d in range(20):  # unrelated background docs
+        ws = rng_words[d * 20:(d + 1) * 20]
+        rows.append((d, " ".join(ws), "en", "s", 100))
+    # Planted subsets: chunk pasted into a ~2x container (Jaccard ≈ 0.4,
+    # comfortably above the 32/16 banding midpoint ≈ 0.25).
+    chunk = "pl0 pl1 pl2 pl3 pl4 pl5 pl6 pl7 pl8 pl9 pl10 pl11"
+    rows.append((200, chunk, "en", "s", len(chunk)))
+    rows.append((201, chunk + " t0 t1 t2 t3 t4 t5", "en", "s", 90))
+    chunk2 = "qq0 qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8 qq9"
+    rows.append((300, chunk2, "en", "s", len(chunk2)))
+    rows.append((301, "h0 h1 " + chunk2 + " h2 h3 h4", "en", "s", 80))
+    sf = os.path.join(tmp_dir, "contain_lsh_sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    exact = {
+        (r["contained_id"], r["container_id"]): (r["inter"], r["containment"])
+        for r in QUERIES["q_containment_dedup"](spark, sf).collect()
+    }
+    lsh = {
+        (r["contained_id"], r["container_id"]): (r["inter"], r["containment"])
+        for r in QUERIES["q_containment_lsh"](spark, sf).collect()
+    }
+    # Both planted pairs are captured and score identically (shared
+    # exact verify stage), and LSH emits nothing the exact form lacks.
+    assert (200, 201) in lsh and (300, 301) in lsh
+    for k, v in lsh.items():
+        assert exact[k] == v, k
+    assert exact[(200, 201)][1] == 1.0 and exact[(300, 301)][1] == 1.0
+
+
 def test_rrf_fusion_rank_arithmetic(spark):
     """Fused scores must equal 1/(60+r_bm25) + 1/(60+r_cos) with absent
     ranks contributing 0, and the fused ordering must follow the score
@@ -1406,6 +1482,117 @@ def test_cdc_apply_matches_sequential_replay(spark):
         status = "updated" if k in touched else "unchanged"
         last = touched.get(k)
         assert got[k] == (bal, status, last), k
+
+
+def test_winsorize_approx_properties_hold_and_cuts_near_exact(spark):
+    """All graded envelope booleans must be TRUE, and the sketch
+    cutpoints must sit within a ±2-rank envelope of the exact order
+    statistics per event_type (accuracy 10k on ~600-row types ⇒ the
+    sketch is effectively exact)."""
+    from noaa_etl_spark.queries import QUERIES
+
+    rows = QUERIES["q_winsorize_approx"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["lo_tail_upper_ok"] and r["lo_tail_lower_ok"], r
+        assert r["hi_tail_upper_ok"] and r["hi_tail_lower_ok"], r
+
+
+def test_anomaly_mad_approx_envelope_vs_exact(spark):
+    """The approx med AND mad must land inside a ±2-rank envelope of
+    the exact per-type order statistics (the sketch-dependent MAD leg
+    a SQL oracle cannot express — asserted here instead)."""
+    import math
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries import QUERIES
+    from noaa_etl_spark.queries.windows import WINSOR_ACC
+
+    pdf = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    # reconstruct the twin's sketch outputs
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    med = {
+        r["event_type"]: r["med"]
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", F.lit(0.5), F.lit(WINSOR_ACC)).alias("med"))
+        .collect()
+    }
+
+    def env(sorted_vals, q):
+        n = len(sorted_vals)
+        i = max(0, math.floor(q * n) - 2)
+        j = min(n - 1, math.ceil(q * n) + 2)
+        return sorted_vals[i], sorted_vals[j]
+
+    for etype, grp in pdf.groupby("event_type"):
+        vals = sorted(grp["value"].tolist())
+        lo_b, hi_b = env(vals, 0.5)
+        assert lo_b <= med[etype] <= hi_b, etype
+        adev = sorted(abs(v - med[etype]) for v in vals)
+        lo_b, hi_b = env(adev, 0.5)
+        mad_rows = (
+            ev.filter(F.col("event_type") == etype)
+            .select(F.abs(F.col("value") - F.lit(med[etype])).alias("adev"))
+            .agg(F.percentile_approx("adev", F.lit(0.5), F.lit(WINSOR_ACC)).alias("mad"))
+            .collect()
+        )
+        assert lo_b <= mad_rows[0]["mad"] <= hi_b, etype
+
+    # and the production outlier path runs clean end-to-end
+    from noaa_etl_spark.queries.windows import mad_outliers_approx
+
+    out = mad_outliers_approx(spark, SF_DIR)
+    assert out.count() >= 0 and "mad" in out.columns
+
+
+def test_event_sequence_cap_bounds_celebrity_user(spark, monkeypatch):
+    """With the cap lowered to 5, a user's seq covers only their FIRST
+    5 events by (ts, event_id) while seq_len reports the true count —
+    the bounded-reducer contract for celebrity users."""
+    from noaa_etl_spark.queries import QUERIES, temporal
+
+    monkeypatch.setattr(temporal, "EVENT_SEQ_CAP", 5)
+    rows = QUERIES["q_event_sequence"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert len(r["seq"]) == min(r["seq_len"], 5)
+        assert r["seq_len"] >= 5  # fixture users all exceed the test cap
+
+
+def test_cdc_apply_inserts_unseen_keys(spark):
+    """Full Debezium semantics on synthetic data: an upsert for a key
+    absent from the base snapshot INSERTS it; a delete for an absent
+    key is a no-op. (The graded fixture can't exercise this path — its
+    log keys are FK-guaranteed ⊆ base.)"""
+    from noaa_etl_spark.queries.etl import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.00), (2, 20.00), (3, 30.00)], ["c_custkey", "c_acctbal"]
+    )
+    latest = spark.createDataFrame(
+        [
+            (2, "U", 2222, 7),   # update existing
+            (3, "D", 0, 8),      # delete existing
+            (9, "U", 9999, 9),   # INSERT: key absent from base
+            (10, "D", 0, 10),    # delete of absent key: no-op
+        ],
+        ["key", "op", "new_bal_cents", "last_seq"],
+    )
+    got = {
+        r["key"]: (r["bal_cents"], r["status"], r["last_seq"])
+        for r in cdc_apply(base, latest).collect()
+    }
+    assert got == {
+        1: (1000, "unchanged", None),
+        2: (2222, "updated", 7),
+        9: (9999, "inserted", 9),
+    }
 
 
 def test_stream_cdc_apply_equals_batch(spark):
@@ -1479,3 +1666,135 @@ def test_golden_record_latest_nonnull_rule(spark):
             nonnull = [(s, v) for s, v in zip((0, 1, 2), vals) if v is not None]
             expect = nonnull[-1][1] if nonnull else None
             assert row[col] == expect, (key, col)
+
+
+def test_mutual_knn_is_reciprocal_and_nonempty(spark):
+    """Every emitted pair must be each side's top-1 of the other (checked
+    against a numpy cross-score reference), and the fixture yields a
+    non-trivial pair set."""
+    import numpy as np
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    got = {(r["a_id"], r["b_id"]) for r in QUERIES["q_mutual_knn"](spark, SF_DIR).collect()}
+    assert got
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    gate = F.substring(F.md5(F.concat(F.lit("mk:"), F.col("vec_id").cast("string"))), 1, 1)
+    a_rows = emb.filter(gate < "4").select("vec_id", "embedding").collect()
+    b_rows = emb.filter(gate >= "c").select("vec_id", "embedding").collect()
+    a_ids = np.array([r[0] for r in a_rows]); b_ids = np.array([r[0] for r in b_rows])
+    A = np.array([r[1] for r in a_rows], dtype=np.float64)
+    B = np.array([r[1] for r in b_rows], dtype=np.float64)
+    A /= np.linalg.norm(A, axis=1, keepdims=True)
+    B /= np.linalg.norm(B, axis=1, keepdims=True)
+    sims = np.round(A @ B.T, 6)  # the rounded output contract
+
+    def top1(sim_row, ids):
+        best = sim_row.max()
+        return ids[np.flatnonzero(sim_row == best)].min()  # min-id tiebreak
+
+    expect = set()
+    for i, aid in enumerate(a_ids):
+        bid = top1(sims[i], b_ids)
+        j = int(np.flatnonzero(b_ids == bid)[0])
+        if top1(sims[:, j], a_ids) == aid:
+            expect.add((int(aid), int(bid)))
+    assert got == expect
+
+
+def test_triangle_count_matches_python_bruteforce(spark):
+    """Edge/wedge/triangle counts must equal a set-based Python count
+    over the identical co-purchase pair set."""
+    from itertools import combinations
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMALL, "lineitem").filter(F.col("l_quantity") >= 45)
+    rows = li.select("l_orderkey", "l_partkey").collect()
+    by_order = {}
+    for r in rows:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            edges.add((u, v))
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(
+        1
+        for (u, v) in edges
+        for w in adj[u] & adj[v]
+        if w > v  # u < v < w once
+    )
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+
+    got = QUERIES["q_triangle_count"](spark, SF_SMALL).collect()[0]
+    assert got["n_edges"] == len(edges)
+    assert got["n_wedges"] == wedges
+    assert got["n_triangles"] == tri
+    if wedges:
+        assert abs(got["global_clustering"] - 3.0 * tri / wedges) < 1e-15
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """The two-phase frontier must equal the O(n²) dominance scan."""
+    import math
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries import QUERIES
+
+    rows = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    pts = [(r["p_partkey"], math.floor(r["p_retailprice"] * 100), r["p_size"]) for r in rows]
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in pts
+        )
+
+    want = {p[0] for p in pts if not dominated(p)}
+    got = {r["p_partkey"] for r in QUERIES["q_pareto_frontier"](spark, SF_DIR).collect()}
+    assert got == want and got
+
+
+def test_ab_test_report_matches_python_reference(spark):
+    """Welch z per event_type must match a direct Python computation
+    over the identical hash assignment (sequential-sum tolerance only —
+    Python sums in row order, the engines in partition order, so exact
+    bit-equality is engine-to-engine, not engine-to-Python)."""
+    import hashlib
+    import math
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries import QUERIES
+
+    rows = load_table(spark, SF_SMALL, "events").select(
+        "event_type", "user_id", "value"
+    ).collect()
+    groups = {}
+    for r in rows:
+        arm = "A" if hashlib.md5(f"ab:{r['user_id']}".encode()).hexdigest()[0] < "8" else "B"
+        groups.setdefault((r["event_type"], arm), []).append(math.floor(r["value"] * 100))
+    for r in QUERIES["q_ab_test_report"](spark, SF_SMALL).collect():
+        a = groups[(r["event_type"], "A")]
+        b = groups[(r["event_type"], "B")]
+        assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = (sum(x * x for x in a) - sum(a) ** 2 / len(a)) / (len(a) - 1)
+        vb = (sum(x * x for x in b) - sum(b) ** 2 / len(b)) / (len(b) - 1)
+        z = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+        assert abs(r["mean_a"] - ma) < 1e-9 and abs(r["mean_b"] - mb) < 1e-9
+        assert abs(r["welch_z"] - z) < 1e-9

@@ -166,3 +166,89 @@ def test_asof_tolerance_nulls_far_matches(spark, sides):
             assert r["b_event_id"] is None
             n_nulled += 1
     assert n_nulled > 0, "tolerance must actually null some far matches"
+
+
+def _bruteforce_nearest(spark, probe, build):
+    """Reference for nearest: all pairs, ordered by (|d|, backward-first,
+    direction-appropriate tiebreak)."""
+    pairs = probe.join(build, probe.user_id == build.b_user_id, "left")
+    d = F.abs(F.unix_micros("b_ts") - F.unix_micros("ts"))
+    direction = F.when(F.col("b_ts") <= F.col("ts"), 0).otherwise(1)
+    tb = F.when(
+        F.col("b_ts") <= F.col("ts"), -F.col("b_event_id")
+    ).otherwise(F.col("b_event_id"))
+    w = Window.partitionBy("event_id").orderBy(
+        d.asc_nulls_last(), direction.asc_nulls_last(), tb.asc_nulls_last()
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    return {
+        r["event_id"]: (r["b_event_id"] if r["ts"] is not None else None)
+        for r in ranked.filter(F.col("rn") == 1).collect()
+    }
+
+
+def test_asof_nearest_matches_bruteforce(spark, sides):
+    from noaa_etl_spark.operators.asof import asof_join_nearest
+
+    probe, build = sides
+    result = asof_join_nearest(
+        probe=probe,
+        build=build,
+        probe_keys=["user_id"],
+        build_keys=["b_user_id"],
+        probe_ts="ts",
+        build_ts="b_ts",
+        build_payload=["b_event_id", "b_ts"],
+        tiebreak="b_event_id",
+    )
+    got = {r["event_id"]: r["b_event_id"] for r in result.collect()}
+    want = _bruteforce_nearest(probe.sparkSession, probe, build)
+    assert got == want and got
+
+
+def test_asof_nearest_ties_and_nulls(spark):
+    """Exact-distance ties go backward; equal-ts ties follow the
+    direction tiebreak; NULL keys/ts never match but probe rows are
+    retained."""
+    from datetime import datetime
+
+    from noaa_etl_spark.operators.asof import asof_join_nearest
+
+    def ts(h, m=0):
+        return None if h is None else datetime(2024, 1, 1, h, m)
+
+    probe = spark.createDataFrame(
+        [
+            (1, 10, ts(5)),    # equidistant builds at 4 and 6 → backward (4)
+            (2, 10, ts(4)),    # exact-equal ts ties → max b_event_id
+            (3, 10, ts(7)),    # nearest is forward (8) vs backward (6)
+            (4, None, ts(5)),  # NULL key
+            (5, 10, ts(None)), # NULL ts
+            (6, 30, ts(5)),    # no build rows for key
+        ],
+        "event_id int, user_id int, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            (10, 101, ts(4)),
+            (10, 109, ts(4)),   # equal-ts twin: backward tie → max id = 109
+            (10, 102, ts(6)),
+            (10, 103, ts(8)),
+            (10, 104, ts(7, 30)),  # 30 min after probe 3 → true nearest
+            (None, 105, ts(5)),    # NULL build key matches nothing
+            (10, 106, ts(None)),   # NULL build ts matches nothing
+        ],
+        "b_user_id int, b_event_id int, b_ts timestamp",
+    )
+    result = asof_join_nearest(
+        probe=probe,
+        build=build,
+        probe_keys=["user_id"],
+        build_keys=["b_user_id"],
+        probe_ts="ts",
+        build_ts="b_ts",
+        build_payload=["b_event_id", "b_ts"],
+        tiebreak="b_event_id",
+    )
+    got = {r["event_id"]: r["b_event_id"] for r in result.collect()}
+    assert got == {1: 109, 2: 109, 3: 104, 4: None, 5: None, 6: None}

@@ -56,7 +56,14 @@ def test_no_new_shuffles_vs_committed_costs(spark, name):
     broadcast (sum shrinks), so a sum increase is a genuinely new node."""
     df = QUERIES[name](spark, SF_DIR)
     exchanges, broadcast, reused = executed_exchange_counts(df)
-    committed = COSTS[name]
+    # Compare at the SAME SF the test executes (the byte gate's rule):
+    # AQE's shuffle->broadcast conversion KEEPS the feeding exchange in
+    # the executed plan, so a plan whose small-SF run converts a join
+    # can have a LARGER shuffle+broadcast sum at sf0.01 than the sf0.1
+    # audit — a cross-SF artifact, not a regression (first hit by the
+    # round-9 df-capped containment rewrite). Fall back to the sf0.1
+    # section only if the test-SF audit is missing.
+    committed = COSTS_TEST_SF.get(name, COSTS[name])
     assert exchanges <= committed["exchanges"], (
         f"{name}: {exchanges} exchanges vs committed {committed['exchanges']} — "
         f"a shuffle was added; if intended, regenerate COSTS.json "

@@ -124,11 +124,11 @@ def test_graded_window_spans_every_family():
     reps = {
         "A_sources": {"q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip", "q_fixed_width_scan", "q_parquet_sink_partitioned", "q_schema_evolution", "q_zstd_roundtrip"},
         "B_filters": {"q_filter_predicates", "q_try_cast_qc"},
-        "C_joins": {"q_join3_topk", "q_join5_region", "q_join_semi", "q_join_left", "q_join_anti", "q_asof_join", "q_interval_join", "q_feature_store_pit"},
-        "D_aggs": {"q_pricing_summary", "q_agg_stats", "q_count_distinct", "q_percentiles", "q_rollup", "q_cube", "q_pivot_events", "q_incremental_agg", "q_incremental_stats_merge", "q_linear_trend", "q_mode_by_group"},
-        "E_windows": {"q_window_rank", "q_window_rolling_1h", "q_window_lag_lead", "q_window_first_last", "q_sessionize", "q_resample_interpolate"},
+        "C_joins": {"q_join3_topk", "q_join5_region", "q_join_semi", "q_join_left", "q_join_anti", "q_asof_join", "q_interval_join", "q_feature_store_pit", "q_lateral_join"},
+        "D_aggs": {"q_pricing_summary", "q_agg_stats", "q_count_distinct", "q_percentiles", "q_rollup", "q_cube", "q_pivot_events", "q_incremental_agg", "q_incremental_stats_merge", "q_linear_trend", "q_mode_by_group", "q_time_rollup", "q_salted_agg"},
+        "E_windows": {"q_window_rank", "q_window_rolling_1h", "q_window_lag_lead", "q_window_first_last", "q_sessionize", "q_resample_interpolate", "q_sessionize_bucketed"},
         "F_sort": {"q_topk_global", "q_sort_offset", "q_sort_null_ordering"},
-        "G_setops": {"q_set_ops", "q_set_ops_all", "q_union_all_yearly", "q_dedup_keyed"},
+        "G_setops": {"q_set_ops", "q_set_ops_all", "q_union_all_yearly", "q_dedup_keyed", "q_union_distinct"},
         "H_scalars": {"q_json_extract", "q_date_functions", "q_date_arithmetic", "q_string_functions", "q_map_functions", "q_math_haversine", "q_variant_json"},
         "I_llm": {"q_dedup_exact", "q_dedup_hash", "q_wordcount", "q_token_stats", "q_tfidf", "q_knn_cosine", "q_semantic_dedup", "q_perplexity_filter", "q_bpe_train", "q_bpe_tokenize"},
         "J_streaming": {"q_stream_tumbling", "q_stream_interval_join", "q_stream_sessionize", "q_stream_sliding", "q_stream_dedup", "q_stream_stats_merge", "q_stream_feature_pit"},

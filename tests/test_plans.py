@@ -493,10 +493,82 @@ def test_golden_record_one_shuffle_all_attributes(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the 3-row seq frame
 
 
-def test_event_sequence_one_user_exchange(spark):
-    """Sequence assembly is one user-keyed aggregate; pattern counts
-    are scan-local post-agg expressions (no second pass, no window)."""
-    plan = plan_of(spark, "q_event_sequence")
-    assert "Window" not in plan and "Join" not in plan
+def test_asof_nearest_single_key_exchange(spark):
+    """Both direction-carries are windows over the SAME user partition:
+    one hash exchange, two in-partition sorts, never a pair join."""
+    plan = plan_of(spark, "q_asof_nearest")
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
+    assert tree.count("Window") == 2, tree  # backward + forward carry
+
+
+def test_forecast_holt_folds_on_reduced_relation(spark):
+    """The sequential fold runs over the |types|x|days| daily rollup —
+    one fact scan, no window, no join."""
+    plan = plan_of(spark, "q_forecast_holt")
+    assert "Window" not in plan and "Join" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_gdpr_erasure_no_cartesian_cascade_cached(spark):
+    """Cascade = key joins (no cartesian), and the flagged-orders
+    frontier feeding both the orders report and the lineitem cascade
+    reads the materialized cache, not a re-planned join. (Scan counts
+    can't be asserted from formatted text here — explain prints the
+    cached subtree's lineage too.)"""
+    plan = plan_of(spark, "q_gdpr_erasure")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_winsorize_approx_no_window(spark):
+    """The scale twin must never materialize a type's rows on one
+    reducer: cutpoints are a mergeable sketch agg, the clamp a
+    broadcast-join projection — zero Window operators."""
+    for name in ("q_winsorize_approx", "q_anomaly_mad_approx"):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        # the sketch side joins from the cache, not a re-derived agg
+        assert "InMemoryTableScan" in plan, name
+
+
+def test_event_sequence_one_user_exchange(spark):
+    """Sequence assembly is one user-keyed exchange: the celebrity-cap
+    row_number window partitions on user_id — the same partitioning the
+    aggregate needs — so capping adds NO exchange; pattern counts are
+    scan-local post-agg expressions (no second pass, no join)."""
+    plan = plan_of(spark, "q_event_sequence")
+    assert "Window" in plan  # the EVENT_SEQ_CAP rank filter
+    assert "Join" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_pareto_two_phase_no_global_fact_sort(spark):
+    """Phase-1 windows partition by bucket (parallel); only the pruned
+    survivor set sees the unpartitioned range window."""
+    plan = plan_of(spark, "q_pareto_frontier")
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    # two window stages (bucketed + global-on-survivors)
+    assert plan.count("Window") >= 2
+
+
+def test_ab_test_single_agg_pass(spark):
+    """All moments for both arms ride ONE grouped aggregate — no join,
+    no second scan, no window."""
+    plan = plan_of(spark, "q_ab_test_report")
+    assert "Join" not in plan and "Window" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Wedge enumeration and closure are equi-joins on node keys; a
+    cartesian anywhere means the orientation trick was lost."""
+    plan = plan_of(spark, "q_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -368,3 +368,17 @@ def test_stream_decayed_sum_equals_batch(spark):
         for r in QUERIES["q_stream_decayed_sum"](spark, SF_SMALL).collect()
     }
     assert batch == streamed and batch
+
+
+def test_stream_forecast_holt_equals_batch(spark):
+    """Micro-batched daily partials must fold to the identical daily
+    table, so the sequential Holt fold over it is bit-equal to the
+    batch form."""
+    from noaa_etl_spark.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    b = {r["event_type"]: (r["n_days"], r["level"], r["trend"], r["forecast_3d"])
+         for r in QUERIES["q_forecast_holt"](spark, SF_SMALL).collect()}
+    s = {r["event_type"]: (r["n_days"], r["level"], r["trend"], r["forecast_3d"])
+         for r in QUERIES["q_stream_forecast_holt"](spark, SF_SMALL).collect()}
+    assert b == s and b

@@ -181,6 +181,40 @@ AUDITED = [
     "q_entropy_filter",
     "q_dp_noisy_counts",
     "q_golden_record",
+    # round 9: event_sequence was the one graded r8 shape without a
+    # byte gate (VERDICT r8 item 4) — its celebrity cap must ride the
+    # ONE user exchange (a second window exchange is the regression);
+    # the approx winsorize/MAD twins must stay Window-free with the
+    # sketch join broadcast from cache; containment's df-capped
+    # candidates bound the gram join bytes; the codec queries are
+    # scan-local mapInPandas (their only exchange is the tiny final
+    # agg the ORACLE needs — production decode is shuffle-free).
+    "q_event_sequence",
+    "q_winsorize_approx",
+    "q_anomaly_mad_approx",
+    "q_containment_lsh",
+    "q_multimodal_decode",
+    "q_wav_decode",
+    # round-9 second batch: nearest as-of must stay ONE key exchange
+    # (its two direction-carries are in-partition sorts); mutual kNN is
+    # two blocked-BLAS passes + a tiny pair join; Holt folds on the
+    # reduced daily relation; the GDPR cascade is one pass per table.
+    "q_asof_nearest",
+    "q_mutual_knn",
+    "q_forecast_holt",
+    "q_gdpr_erasure",
+    # round-9 third batch: triangle counting must keep its oriented
+    # wedge join (an unoriented hub blows Σd²); pareto's fact windows
+    # stay bucket-partitioned (only survivors see the global range
+    # window); the A/B readout is one combinable agg.
+    "q_triangle_count",
+    "q_pareto_frontier",
+    "q_ab_test_report",
+    # PMI's marginal joins must broadcast the vocab (a gram-key shuffle
+    # of the bigram stream is the regression); markov is one user
+    # exchange + a reduced-relation window.
+    "q_cooccurrence_pmi",
+    "q_markov_transitions",
 ]
 
 # Streaming queries whose drain-time plans are auditable via

@@ -29,7 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from noaa_etl_spark.operators.graph import connected_components, pagerank
+from noaa_etl_spark.operators.graph import (
+    connected_components_with_rounds,
+    pagerank,
+)
 from noaa_etl_spark.session import get_spark
 
 
@@ -88,7 +91,8 @@ def main() -> None:
     edges, diameter = build_edges(spark, shape, n_edges)
 
     t0 = time.time()
-    labels = connected_components(edges).persist()
+    labels, cc_rounds = connected_components_with_rounds(edges)
+    labels = labels.persist()
     sizes = labels.groupBy("component").count()
     stats = sizes.agg(
         F.count(F.lit(1)).alias("n_components"),
@@ -124,7 +128,6 @@ def main() -> None:
     mass = ranks.agg(F.sum("rank").alias("s")).collect()[0]["s"]
     t_pr = time.time() - t0
 
-    from noaa_etl_spark.operators import graph as graph_mod
     import math
 
     print(
@@ -136,7 +139,7 @@ def main() -> None:
                 "components": int(stats.n_components),
                 "giant_component": int(stats.giant),
                 "diameter": diameter,
-                "cc_rounds": graph_mod.LAST_CC_ROUNDS,
+                "cc_rounds": cc_rounds,
                 "cc_rounds_log2_bound": (
                     math.ceil(math.log2(diameter)) + 2 if diameter else None
                 ),
