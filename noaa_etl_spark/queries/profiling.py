@@ -534,9 +534,11 @@ def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust_report.unionByName(orders_report).unionByName(li_report)
 
 
-@graded(
-    "q_ab_test_report",
-    oracle="""
+# Shared by q_ab_test_report and its streaming twin: the per-arm
+# moments (n, Σcents, Σcents²) are mergeable BIGINTs, so per-batch
+# partials fold to the identical moment table and the twin grades
+# against this SQL verbatim.
+AB_TEST_ORACLE = """
     WITH assigned AS (
       SELECT event_type,
              CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
@@ -563,25 +565,12 @@ def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
                + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) / n_b
                ) AS welch_z
     FROM moments
-    """,
-)
-def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A/B experiment readout: users hash-assigned 50/50 to arms (md5
-    gate — the deterministic randomization unit every experimentation
-    platform uses), per-metric Welch z-statistic comparing arm means of
-    event value — the ship/no-ship significance table.
-
-    Exactness: both arms' moments are exact BIGINT sums (n, Σcents,
-    Σcents²) in ONE grouped agg with FILTER clauses; mean/variance/z
-    are a fixed double expression over those integers, written
-    identically in both engines ⇒ bit-equal (the incremental-stats
-    contract applied to inference).
-
-    Scale: one map-side-combinable agg over the fact — adding arms or
-    metrics adds agg columns, never passes. The z formula uses
-    Σv² − (Σv)²/n (exact integers in, one expression out), so no
-    two-pass mean-centering.
     """
+
+
+def ab_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic arm assignment + integer metric both A/B
+    queries consume: (event_type, arm, cents)."""
     ev = load_table(spark, sf_dir, "events")
     arm = F.when(
         F.substring(
@@ -591,16 +580,12 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("A"),
     ).otherwise(F.lit("B"))
     cents = F.floor(F.col("value") * 100).cast("bigint")
-    assigned = ev.select("event_type", arm.alias("arm"), cents.alias("cents"))
-    is_a, is_b = F.col("arm") == "A", F.col("arm") == "B"
-    m = assigned.groupBy("event_type").agg(
-        F.count_if(is_a).cast("bigint").alias("n_a"),
-        F.count_if(is_b).cast("bigint").alias("n_b"),
-        F.sum(F.when(is_a, F.col("cents"))).cast("bigint").alias("s_a"),
-        F.sum(F.when(is_b, F.col("cents"))).cast("bigint").alias("s_b"),
-        F.sum(F.when(is_a, F.col("cents") * F.col("cents"))).cast("bigint").alias("q_a"),
-        F.sum(F.when(is_b, F.col("cents") * F.col("cents"))).cast("bigint").alias("q_b"),
-    )
+    return ev.select("event_type", arm.alias("arm"), cents.alias("cents"))
+
+
+def ab_report_from_moments(m: DataFrame) -> DataFrame:
+    """Welch-z finalization over a per-type moment table
+    (n_a, n_b, s_a, s_b, q_a, q_b) — shared by batch and stream."""
     mean_a = F.col("s_a").cast("double") / F.col("n_a")
     mean_b = F.col("s_b").cast("double") / F.col("n_b")
     var_term_a = (
@@ -621,3 +606,37 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_b.alias("mean_b"),
         ((mean_a - mean_b) / F.sqrt(var_term_a + var_term_b)).alias("welch_z"),
     )
+
+
+def ab_moments(assigned: DataFrame) -> DataFrame:
+    """One combinable agg carrying both arms' exact integer moments."""
+    is_a, is_b = F.col("arm") == "A", F.col("arm") == "B"
+    return assigned.groupBy("event_type").agg(
+        F.count_if(is_a).cast("bigint").alias("n_a"),
+        F.count_if(is_b).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, F.col("cents"))).cast("bigint").alias("s_a"),
+        F.sum(F.when(is_b, F.col("cents"))).cast("bigint").alias("s_b"),
+        F.sum(F.when(is_a, F.col("cents") * F.col("cents"))).cast("bigint").alias("q_a"),
+        F.sum(F.when(is_b, F.col("cents") * F.col("cents"))).cast("bigint").alias("q_b"),
+    )
+
+
+@graded("q_ab_test_report", oracle=AB_TEST_ORACLE)
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-assigned 50/50 to arms (md5
+    gate — the deterministic randomization unit every experimentation
+    platform uses), per-metric Welch z-statistic comparing arm means of
+    event value — the ship/no-ship significance table.
+
+    Exactness: both arms' moments are exact BIGINT sums (n, Σcents,
+    Σcents²) in ONE grouped agg with FILTER clauses; mean/variance/z
+    are a fixed double expression over those integers, written
+    identically in both engines ⇒ bit-equal (the incremental-stats
+    contract applied to inference).
+
+    Scale: one map-side-combinable agg over the fact — adding arms or
+    metrics adds agg columns, never passes. The z formula uses
+    Σv² − (Σv)²/n (exact integers in, one expression out), so no
+    two-pass mean-centering.
+    """
+    return ab_report_from_moments(ab_moments(ab_assigned(spark, sf_dir)))

@@ -591,3 +591,98 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@graded(
+    "q_spatial_radius_join",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 120 AS DOUBLE) - 60.0 + 0.5  AS lat,
+             CAST(c_custkey % 300 AS DOUBLE) - 150.0 + 0.5 AS lon
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey,
+             CAST((s_suppkey * 7) % 120 AS DOUBLE) - 60.0 + 0.5   AS slat,
+             CAST((s_suppkey * 13) % 300 AS DOUBLE) - 150.0 + 0.5 AS slon
+      FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           round(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(slat - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(slat))
+               * pow(sin(radians(slon - lon) / 2), 2)
+           )), 6) AS dist_km
+    FROM cust JOIN supp ON TRUE
+    WHERE 2 * 6371.0 * asin(sqrt(
+            pow(sin(radians(slat - lat) / 2), 2)
+            + cos(radians(lat)) * cos(radians(slat))
+              * pow(sin(radians(slon - lon) / 2), 2)
+          )) <= 200.0
+    """,
+)
+def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join: every (customer, supplier) site pair within
+    200 km great-circle distance — the geo primitive behind
+    store-catchment and nearest-facility analytics. Coordinates are
+    synthesized from keys (the q_math_haversine convention), bounded to
+    |lat| ≤ 59.5 by construction.
+
+    Scale design — GRID-CELL BLOCKING, never the cross join the oracle
+    replays: sites key into 2°-lat × 4°-lon cells; each probe explodes
+    its 3×3 cell neighborhood and equi-joins on the cell key. The
+    neighborhood is SOUND for R = 200 km at |lat| ≤ 60: Δlat ≤
+    R/111 km° = 1.8° ≤ one 2° cell, Δlon ≤ R/(111·cos 60°) = 3.6° ≤
+    one 4° cell. Exact haversine verification touches candidates only.
+
+    Exactness: both engines evaluate the term-for-term identical
+    haversine; membership compares the UNROUNDED bit-equal double, the
+    emitted distance rounds to 6dp.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 120).cast("double") - 60.0 + 0.5).alias("lat"),
+        ((F.col("c_custkey") % 300).cast("double") - 150.0 + 0.5).alias("lon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 7) % 120).cast("double") - 60.0 + 0.5).alias("slat"),
+        (((F.col("s_suppkey") * 13) % 300).cast("double") - 150.0 + 0.5).alias("slon"),
+    )
+    s_cells = supp.select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        F.floor((F.col("slat") + 60.0) / 2).cast("int").alias("cell_lat"),
+        F.floor((F.col("slon") + 150.0) / 4).cast("int").alias("cell_lon"),
+    )
+    offsets = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    probes = (
+        cust.select(
+            "c_custkey",
+            "lat",
+            "lon",
+            F.floor((F.col("lat") + 60.0) / 2).cast("int").alias("p_lat"),
+            F.floor((F.col("lon") + 150.0) / 4).cast("int").alias("p_lon"),
+        )
+        .withColumn("dy", F.explode(offsets))
+        .withColumn("dx", F.explode(offsets))
+        .select(
+            "c_custkey",
+            "lat",
+            "lon",
+            (F.col("p_lat") + F.col("dy")).alias("cell_lat"),
+            (F.col("p_lon") + F.col("dx")).alias("cell_lon"),
+        )
+    )
+    cand = probes.join(s_cells, ["cell_lat", "cell_lon"])
+    hav = F.pow(F.sin(F.radians(F.col("slat") - F.col("lat")) / 2), 2) + F.cos(
+        F.radians(F.col("lat"))
+    ) * F.cos(F.radians(F.col("slat"))) * F.pow(
+        F.sin(F.radians(F.col("slon") - F.col("lon")) / 2), 2
+    )
+    dist = 2 * 6371.0 * F.asin(F.sqrt(hav))
+    return cand.filter(dist <= 200.0).select(
+        "c_custkey", "s_suppkey", F.round(dist, 6).alias("dist_km")
+    )

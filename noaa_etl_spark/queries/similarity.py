@@ -517,3 +517,137 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rrf_score",
         F.row_number().over(w_f).cast("int").alias("fused_rank"),
     )
+
+
+def _rbo_oracle() -> str:
+    """RBO oracle over the same two rankers as RRF, truncated depth 20,
+    persistence p = 1/2 (dyadic weights ⇒ exact powers)."""
+    from noaa_etl_spark.queries.text import (
+        BM25_ORACLE_CTES,
+        BM25_ORACLE_MATCHED,
+        BM25_ORACLE_SCORE,
+    )
+
+    return f"""
+    WITH {BM25_ORACLE_CTES},
+    bm AS (
+      SELECT doc_id, {BM25_ORACLE_SCORE} AS score
+      FROM per_doc CROSS JOIN stats
+      WHERE {BM25_ORACLE_MATCHED}
+    ),
+    bm_top AS (
+      SELECT doc_id, bm25_rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS bm25_rank
+        FROM bm
+      ) WHERE bm25_rank <= 20
+    ),
+    cosd AS (
+      SELECT c.vec_id AS doc_id, round({_DUCK_COS}, 6) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id = 0
+    ),
+    cos_top AS (
+      SELECT doc_id, cos_rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS cos_rank
+        FROM cosd
+      ) WHERE cos_rank <= 20
+    ),
+    common AS (
+      SELECT b.doc_id, greatest(b.bm25_rank, c.cos_rank) AS m
+      FROM bm_top b JOIN cos_top c ON b.doc_id = c.doc_id
+    ),
+    depths AS (SELECT CAST(unnest(range(1, 21)) AS INT) AS d),
+    xd AS (
+      SELECT d, CAST(count(m) AS BIGINT) AS x
+      FROM depths LEFT JOIN common ON m <= d GROUP BY d
+    )
+    SELECT CAST(20 AS INT) AS depth,
+           CAST(0.5 AS DOUBLE) AS p,
+           sum(CAST(0.5 AS DOUBLE) * pow(CAST(0.5 AS DOUBLE), d - 1) * x / d
+               ORDER BY d) AS rbo,
+           CAST(max(CASE WHEN d = 20 THEN x END) AS BIGINT) AS overlap_at_k
+    FROM xd
+    """
+
+
+@graded("q_rbo_rank_similarity", oracle=_rbo_oracle())
+def q_rbo_rank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al., TOIS'10) between the lexical
+    (BM25) and semantic (cosine) rankings at depth 20, persistence
+    p = ½ — the ranking-agreement metric a retrieval stack monitors to
+    detect index drift (RRF asks 'how do I combine them'; RBO asks
+    'how much do they still agree').
+
+    RBO@k = Σ_{{d=1..k}} (1−p)·p^(d−1)·|A₁..d ∩ B₁..d|/d. A common doc
+    with ranks (rₐ, r_b) enters the overlap at depth max(rₐ, r_b), so
+    X_d = #{{m ≤ d}} — computed by a 20-row depth spine left-joined to
+    the ≤20-row common set (never a per-depth rescan).
+
+    Exactness: p = ½ makes every p^(d−1) an exact dyadic; X_d integers;
+    the 20 terms are summed in ASCENDING d order in both engines
+    (Spark: fold over the d-sorted array — the trimmed-mean
+    accumulation-order contract; DuckDB: sum(... ORDER BY d)) ⇒
+    bit-equal.
+
+    Scale: both rankers reduce via per-partition heaps to 20 rows; all
+    RBO arithmetic happens on ≤ 40 rows.
+    """
+    from pyspark.sql import Window
+
+    from noaa_etl_spark.queries.text import bm25_matched
+
+    K = 20
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    bm_top = (
+        bm25_matched(docs)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(K)
+    )
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_rank = bm_top.select(
+        "doc_id", F.row_number().over(w_bm).cast("int").alias("bm25_rank")
+    )
+    cos_top = knn_bruteforce(emb.filter(F.col("vec_id") == 0), emb, k=K).select(
+        F.col("neighbor_id").alias("doc_id"), "cos_sim"
+    )
+    w_cos = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    cos_rank = cos_top.select(
+        "doc_id", F.row_number().over(w_cos).cast("int").alias("cos_rank")
+    )
+    common = bm_rank.join(cos_rank, "doc_id").select(
+        F.greatest("bm25_rank", "cos_rank").alias("m")
+    )
+    depths = spark.range(1, K + 1).select(F.col("id").cast("int").alias("d"))
+    xd = (
+        depths.join(common, common["m"] <= depths["d"], "left")
+        .groupBy("d")
+        .agg(F.count("m").cast("bigint").alias("x"))
+    )
+    term = (
+        F.lit(0.5)
+        * F.pow(F.lit(0.5), F.col("d") - 1)
+        * F.col("x")
+        / F.col("d")
+    )
+    folded = xd.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", term.alias("t")))),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("rbo"),
+        F.max(F.when(F.col("d") == K, F.col("x"))).cast("bigint").alias("overlap_at_k"),
+    )
+    return folded.select(
+        F.lit(K).cast("int").alias("depth"),
+        F.lit(0.5).alias("p"),
+        "rbo",
+        "overlap_at_k",
+    )

@@ -918,3 +918,76 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     return cdc_apply(base, latest)
+
+
+from noaa_etl_spark.queries.profiling import (
+    AB_TEST_ORACLE,
+    ab_assigned,
+    ab_report_from_moments,
+)
+
+
+@graded("q_stream_ab_test", oracle=AB_TEST_ORACLE)
+def q_stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the A/B readout — the always-on experiment
+    dashboard: events drain as three micro-batches; foreachBatch writes
+    each batch's per-(type, arm-moment) PARTIAL (n, Σcents, Σcents²)
+    batch_id-keyed (restart-idempotent overwrite). The moments are
+    mergeable BIGINTs, so summing the partials reproduces the one-pass
+    moment table exactly and the shared Welch-z finalization is
+    bit-equal — the twin grades against AB_TEST_ORACLE verbatim
+    (twin-equality extended to inference statistics: significance can
+    be monitored continuously without ever re-reading history).
+
+    100 TB: per-trigger work is one combinable agg over the batch; the
+    persisted state is |types| rows of six integers.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.queries.profiling import ab_moments
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_ab")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    assigned = ab_assigned(spark, sf_dir)
+    gate = F.pmod(F.xxhash64(F.lit("sab"), F.col("cents")), F.lit(3))
+    for i in range(3):
+        assigned.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = ab_moments(batch_df)
+        record_foreach_batch_plan("stream_ab_moments", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(assigned.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum(c).cast("bigint").alias(c)
+                for c in ("n_a", "n_b", "s_a", "s_b", "q_a", "q_b")
+            ]
+        )
+    )
+    return ab_report_from_moments(folded)

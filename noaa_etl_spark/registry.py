@@ -132,11 +132,13 @@ GRADED_WINDOW: list[str] = [
     # q_asof_nearest, q_mutual_knn, q_forecast_holt +
     # q_stream_forecast_holt (shared oracle), q_gdpr_erasure,
     # q_triangle_count, q_pareto_frontier, q_ab_test_report,
-    # q_cooccurrence_pmi, q_markov_transitions, q_xml_roundtrip.
+    # q_cooccurrence_pmi, q_markov_transitions, q_xml_roundtrip,
+    # q_spatial_radius_join, q_stream_ab_test (shared AB oracle),
+    # q_rbo_rank_similarity (ranking-agreement metric).
     # Also RE-GRADE in r10 (semantics/plan changed this round):
     # q_cdc_apply + q_stream_cdc_apply (full-outer insert semantics),
     # q_containment_dedup (df-capped candidates), q_event_sequence
-    # (celebrity cap). r10 window = those 16 new + 4 re-grades
+    # (celebrity cap). r10 window = those 19 new + 4 re-grades
     # (q_containment_lsh in ROWS_ONLY_WINDOW) + q_tpch_q14_promo +
     # oldest-signal rotation (r5-graded cohort) + rows-only periodic
     # slots.

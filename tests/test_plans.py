@@ -572,3 +572,12 @@ def test_triangle_count_no_cartesian(spark):
     plan = plan_of(spark, "q_triangle_count")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_radius_join_is_cell_blocked(spark):
+    """The radius join must be an equi-join on grid cells with exact
+    verification on candidates — never a cross join."""
+    plan = plan_of(spark, "q_spatial_radius_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

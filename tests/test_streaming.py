@@ -382,3 +382,17 @@ def test_stream_forecast_holt_equals_batch(spark):
     s = {r["event_type"]: (r["n_days"], r["level"], r["trend"], r["forecast_3d"])
          for r in QUERIES["q_stream_forecast_holt"](spark, SF_SMALL).collect()}
     assert b == s and b
+
+
+def test_stream_ab_test_equals_batch(spark):
+    """Per-batch moment partials are mergeable BIGINTs, so the folded
+    report is bit-equal to the one-pass batch report."""
+    from noaa_etl_spark.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    cols = ("n_a", "n_b", "mean_a", "mean_b", "welch_z")
+    b = {r["event_type"]: tuple(r[c] for c in cols)
+         for r in QUERIES["q_ab_test_report"](spark, SF_SMALL).collect()}
+    s = {r["event_type"]: tuple(r[c] for c in cols)
+         for r in QUERIES["q_stream_ab_test"](spark, SF_SMALL).collect()}
+    assert b == s and b

@@ -212,9 +212,13 @@ AUDITED = [
     "q_ab_test_report",
     # PMI's marginal joins must broadcast the vocab (a gram-key shuffle
     # of the bigram stream is the regression); markov is one user
-    # exchange + a reduced-relation window.
+    # exchange + a reduced-relation window; the spatial radius join
+    # must stay a cell equi-join (a nested-loop over raw coordinates is
+    # the regression).
     "q_cooccurrence_pmi",
     "q_markov_transitions",
+    "q_spatial_radius_join",
+    "q_rbo_rank_similarity",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
