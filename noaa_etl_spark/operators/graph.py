@@ -176,6 +176,74 @@ def _cc_rounds(sym: DataFrame, max_rounds: int) -> tuple[DataFrame | None, int]:
     return None, max_rounds
 
 
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source unweighted shortest-path (BFS hop distance) over an
+    undirected edge list → (node BIGINT, hops INT), hops = distance to
+    the NEAREST seed, nodes beyond ``max_hops`` absent.
+
+    Frontier iteration, one co-partitioned join + one anti-join per
+    hop: dist starts as {seed → 0}; hop h expands the PREVIOUS
+    frontier only (never the full dist table) along symmetrized edges,
+    and an anti-join against settled nodes keeps first-arrival (=
+    minimal) distances — textbook level-synchronous BFS. Rounds are
+    bounded by ``max_hops`` (the bounded-reach contract: "within N
+    hops" queries — degrees-of-separation, blast-radius, fraud-ring
+    neighborhoods — are the distributed-BFS shape worth running; an
+    unbounded all-pairs reach is connected_components' job). Early-exit
+    when a frontier drains.
+
+    Per round only (node, hop) pairs shuffle — the CC cost model; hub
+    fan-out is join-side skew AQE splits. Lineage cut per round
+    (localCheckpoint), shuffles sized to the graph, symmetric edge
+    table persisted across rounds (the round-9 minhash lesson:
+    un-persisted multi-use subtrees replan per round).
+    """
+    raw = (
+        edges.select(F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    )
+    seed_nodes = (
+        seeds.select(F.col(node).cast("bigint").alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
+    with _graph_sized_shuffle(edges.sparkSession, raw.count()):
+        e = raw.distinct()
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).persist()
+        try:
+            dist = seed_nodes.select(
+                "node", F.lit(0).cast("int").alias("hops")
+            ).localCheckpoint(eager=True)
+            frontier = dist
+            for h in range(1, max_hops + 1):
+                nxt = (
+                    sym.join(frontier, sym["u"] == frontier["node"])
+                    .select(sym["v"].alias("node"))
+                    .distinct()
+                )
+                new = (
+                    nxt.join(dist, "node", "left_anti")
+                    .select("node", F.lit(h).cast("int").alias("hops"))
+                    .localCheckpoint(eager=True)
+                )
+                if new.limit(1).count() == 0:
+                    break
+                dist = dist.unionByName(new).localCheckpoint(eager=True)
+                frontier = new
+            return dist
+        finally:
+            sym.unpersist()
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

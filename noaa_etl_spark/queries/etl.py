@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from noaa_etl_spark.io import load_table
@@ -752,4 +752,109 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("name").alias("golden_name"),
         F.count("bal_cents").cast("bigint").alias("n_bal_present"),
         F.countDistinct("segment").cast("bigint").alias("n_segment_variants"),
+    )
+
+
+@graded(
+    "q_proration_largest_remainder",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    ord AS (
+      SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+      FROM orders
+    ),
+    weighted AS (
+      SELECT l_orderkey, l_linenumber, w, total_cents,
+             CAST(sum(w) OVER (PARTITION BY l_orderkey) AS BIGINT) AS big_w
+      FROM li JOIN ord ON l_orderkey = o_orderkey
+    ),
+    shares AS (
+      SELECT l_orderkey, l_linenumber, w, total_cents,
+             (total_cents * w) // big_w AS base,
+             (total_cents * w) % big_w AS rem
+      FROM weighted
+    ),
+    ranked AS (
+      SELECT l_orderkey, l_linenumber, w, total_cents, base,
+             CAST(row_number() OVER (PARTITION BY l_orderkey
+                                     ORDER BY rem DESC, l_linenumber) AS BIGINT) AS rk,
+             CAST(sum(base) OVER (PARTITION BY l_orderkey) AS BIGINT) AS sum_base
+      FROM shares
+    ),
+    final AS (
+      SELECT l_orderkey, l_linenumber, w,
+             CAST(base + CASE WHEN rk <= total_cents - sum_base
+                              THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+      FROM ranked
+    )
+    SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber, w AS weight, alloc_cents
+    FROM final
+    """,
+)
+def q_proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial proration: split each order's total (in cents) across
+    its lineitems proportional to quantity using the LARGEST-REMAINDER
+    (Hamilton) method — the allocation every billing/revenue-recognition
+    pipeline needs, where per-line amounts must be whole cents AND sum
+    exactly back to the order total (no penny leakage).
+
+    Exact integers end-to-end: base_i = (total·wᵢ) // W, and the
+    leftover total − Σ base (which is < n lines) goes one cent each to
+    the lines with the largest integer remainder (total·wᵢ) % W,
+    ties broken by line number. Both engines evaluate the identical
+    BIGINT expressions ⇒ no float apportionment drift; products stay
+    under 2^63 for totals to ~10^14 cents × quantity 10^4.
+
+    Scale: one co-partitioned join on the order key (both sides are
+    order-grain facts — never broadcast), then ALL windows (ΣW,
+    remainder rank, Σbase) share the l_orderkey partitioning ⇒ exactly
+    one exchange per side; per-order group size is lineitems-per-order
+    (bounded ~7 in TPC-H), so no reducer hot spot.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    j = li.join(ord_, "l_orderkey")
+    w_ord = Window.partitionBy("l_orderkey")
+    big_w = F.sum("w").over(w_ord).cast("bigint")
+    num = F.col("total_cents") * F.col("w")
+    shares = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "w",
+        "total_cents",
+        F.floor(num / big_w).cast("bigint").alias("base"),
+        (num % big_w).cast("bigint").alias("rem"),
+    )
+    w_rank = Window.partitionBy("l_orderkey").orderBy(F.desc("rem"), F.asc("l_linenumber"))
+    ranked = shares.select(
+        "l_orderkey",
+        "l_linenumber",
+        "w",
+        "total_cents",
+        "base",
+        F.row_number().over(w_rank).cast("bigint").alias("rk"),
+        F.sum("base").over(w_ord).cast("bigint").alias("sum_base"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("w").alias("weight"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("total_cents") - F.col("sum_base"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_cents"),
     )

@@ -640,3 +640,223 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass mean-centering.
     """
     return ab_report_from_moments(ab_moments(ab_assigned(spark, sf_dir)))
+
+
+PSI_DRIFT_ORACLE = """
+    WITH binned AS (
+      SELECT source, least(n_chars // 100, 9) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    ref AS (SELECT bin, c AS a FROM binned WHERE source = 'src0'),
+    oth AS (SELECT source, bin, c AS b FROM binned WHERE source <> 'src0'),
+    srcs AS (SELECT DISTINCT source FROM oth),
+    spine AS (
+      SELECT s.source, CAST(unnest(range(0, 10)) AS BIGINT) AS bin FROM srcs s
+    ),
+    pooled AS (
+      SELECT sp.source, sp.bin,
+             coalesce(r.a, CAST(0 AS BIGINT)) AS a,
+             coalesce(o.b, CAST(0 AS BIGINT)) AS b
+      FROM spine sp
+      LEFT JOIN ref r ON sp.bin = r.bin
+      LEFT JOIN oth o ON sp.source = o.source AND sp.bin = o.bin
+    ),
+    tot AS (
+      SELECT source, bin, a, b,
+             CAST(sum(a) OVER (PARTITION BY source) AS BIGINT) AS na,
+             CAST(sum(b) OVER (PARTITION BY source) AS BIGINT) AS nb
+      FROM pooled
+    ),
+    terms AS (
+      SELECT source, bin, a, b, na, nb,
+             (CAST(a + 1 AS DOUBLE) / (na + 10) - CAST(b + 1 AS DOUBLE) / (nb + 10))
+               * ln((CAST(a + 1 AS DOUBLE) / (na + 10))
+                    / (CAST(b + 1 AS DOUBLE) / (nb + 10))) AS term
+      FROM tot
+    )
+    SELECT source,
+           CAST(max(na) AS BIGINT) AS n_ref,
+           CAST(max(nb) AS BIGINT) AS n_cur,
+           round(sum(term ORDER BY bin), 6) AS psi,
+           round(sum(term ORDER BY bin), 6) > CAST(0.2 AS DOUBLE) AS drifted
+    FROM terms GROUP BY source
+"""
+
+
+@graded("q_psi_drift", oracle=PSI_DRIFT_ORACLE)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of every source's document-length
+    distribution against reference source src0 — the industry-standard
+    binned drift score (credit-risk monitoring heritage) that
+    complements q_ks_drift's exact sup-norm test: PSI weights ALL bins,
+    KS only the worst point. PSI > 0.2 = the conventional
+    'significant shift' action threshold.
+
+    Semantics: 10 fixed width-100 bins (clamped at 900+) — data-
+    independent edges, so regenerated corpora land in the same grid;
+    Laplace-smoothed proportions p_i = (a_i+1)/(n_a+10) make every
+    ln defined without dropping empty bins (deterministic, unlike
+    epsilon-replacement conventions). PSI = Σ (p_i − q_i)·ln(p_i/q_i).
+
+    Exactness: counts are exact BIGINTs on a broadcast bin spine; each
+    term is one fixed double expression; the 10 terms fold in BIN
+    ORDER on both engines (Spark: array_sort + aggregate — the RBO
+    contract; DuckDB: sum(... ORDER BY bin)); psi is graded at 6dp and
+    `drifted` derives from the ROUNDED value (the perplexity lesson —
+    no 1-ulp ln flip can cross the flag).
+
+    Scale: raw rows collapse to |sources|×10 counts in one combinable
+    agg; everything after runs on that reduced relation.
+    """
+    return psi_report_from_binned(psi_binned(load_table(spark, sf_dir, "documents")))
+
+
+def psi_binned(docs: DataFrame) -> DataFrame:
+    """Per-(source, length-bin) exact counts — the mergeable PSI state
+    (additive BIGINTs: per-micro-batch partial grids fold by sum to the
+    one-pass global grid, the CMS-additivity contract — which is what
+    lets q_stream_psi_drift share PSI_DRIFT_ORACLE verbatim)."""
+    return docs.groupBy(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+
+def psi_report_from_binned(binned: DataFrame) -> DataFrame:
+    """Spine-filled, Laplace-smoothed PSI finalization over a (source,
+    bin, c) count grid — shared verbatim by the batch query and the
+    streaming twin's folded state."""
+    ref = binned.filter(F.col("source") == "src0").select("bin", F.col("c").alias("a"))
+    oth = binned.filter(F.col("source") != "src0").select(
+        "source", "bin", F.col("c").alias("b")
+    )
+    srcs = oth.select("source").distinct()
+    bins = F.broadcast(
+        srcs.crossJoin(
+            oth.sparkSession.range(0, 10).select(F.col("id").cast("bigint").alias("bin"))
+        )
+    )
+    pooled = (
+        bins.join(F.broadcast(ref), "bin", "left")
+        .join(oth, ["source", "bin"], "left")
+        .select(
+            "source",
+            "bin",
+            F.coalesce(F.col("a"), F.lit(0).cast("bigint")).alias("a"),
+            F.coalesce(F.col("b"), F.lit(0).cast("bigint")).alias("b"),
+        )
+    )
+    w_src = Window.partitionBy("source")
+    tot = pooled.select(
+        "source",
+        "bin",
+        "a",
+        "b",
+        F.sum("a").over(w_src).cast("bigint").alias("na"),
+        F.sum("b").over(w_src).cast("bigint").alias("nb"),
+    )
+    p = (F.col("a") + 1).cast("double") / (F.col("na") + 10)
+    q = (F.col("b") + 1).cast("double") / (F.col("nb") + 10)
+    term = (p - q) * F.log(p / q)
+    folded = (
+        tot.select("source", "bin", "na", "nb", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.max("na").cast("bigint").alias("n_ref"),
+            F.max("nb").cast("bigint").alias("n_cur"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bin", F.col("term").alias("t")))),
+                    lambda s: s["t"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("raw_psi"),
+        )
+    )
+    psi = F.round(F.col("raw_psi"), 6)
+    return folded.select(
+        "source",
+        "n_ref",
+        "n_cur",
+        psi.alias("psi"),
+        (psi > 0.2).alias("drifted"),
+    )
+
+
+@graded(
+    "q_benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS observed
+      FROM digits GROUP BY d
+    ),
+    spine AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS d),
+    filled AS (
+      SELECT s.d, coalesce(c.observed, CAST(0 AS BIGINT)) AS observed
+      FROM spine s LEFT JOIN counts c ON s.d = c.d
+    ),
+    tot AS (
+      SELECT d, observed, CAST(sum(observed) OVER () AS BIGINT) AS n
+      FROM filled
+    )
+    SELECT d AS first_digit, observed,
+           round(CAST(observed AS DOUBLE) / n, 6)        AS observed_p,
+           round(log10(1.0 + 1.0 / d), 6)                AS benford_p,
+           round(pow(CAST(observed AS DOUBLE) - n * log10(1.0 + 1.0 / d), 2)
+                 / (n * log10(1.0 + 1.0 / d)), 6)        AS chi2_term
+    FROM tot
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic-accounting / data-fabrication screen: natural multi-scale
+    amounts follow P(d) = log10(1 + 1/d); a synthetic or truncated
+    column shows up as fat chi-square contributions.
+
+    Exactness: the first significant digit comes from the DECIMAL
+    STRING of the integer cents (substr of CAST(BIGINT AS STRING)) —
+    never floor(v / 10^floor(log10 v)), whose double log10 is
+    off-by-one-digit exactly at powers of ten. Counts are exact
+    BIGINTs on a 9-row digit spine; each p / chi² term is one fixed
+    double expression per row (no cross-row accumulation), graded 6dp.
+
+    Scale: one combinable agg to 9 counts; the total-n window runs on
+    the 9-row spine.
+    """
+    ords = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = ords.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    spine = ords.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    filled = (
+        F.broadcast(spine)
+        .join(counts, "d", "left")
+        .select("d", F.coalesce(F.col("observed"), F.lit(0).cast("bigint")).alias("observed"))
+    )
+    w_all = Window.partitionBy()
+    tot = filled.select(
+        "d", "observed", F.sum("observed").over(w_all).cast("bigint").alias("n")
+    )
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    obs_d = F.col("observed").cast("double")
+    return tot.select(
+        F.col("d").alias("first_digit"),
+        "observed",
+        F.round(obs_d / F.col("n"), 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(
+            F.pow(obs_d - F.col("n") * benford, 2) / (F.col("n") * benford), 6
+        ).alias("chi2_term"),
+    )

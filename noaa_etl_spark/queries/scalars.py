@@ -640,6 +640,17 @@ def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     haversine; membership compares the UNROUNDED bit-equal double, the
     emitted distance rounds to 6dp.
     """
+    cand, dist = _spatial_candidates(spark, sf_dir)
+    return cand.filter(dist <= 200.0).select(
+        "c_custkey", "s_suppkey", F.round(dist, 6).alias("dist_km")
+    )
+
+
+def _spatial_candidates(spark: SparkSession, sf_dir: str):
+    """Grid-cell-blocked (customer, supplier) candidate pairs + the
+    exact haversine distance Column — shared by the radius join and the
+    nearest-site query (identical soundness argument, see
+    q_spatial_radius_join)."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         ((F.col("c_custkey") % 120).cast("double") - 60.0 + 0.5).alias("lat"),
@@ -683,6 +694,69 @@ def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sin(F.radians(F.col("slon") - F.col("lon")) / 2), 2
     )
     dist = 2 * 6371.0 * F.asin(F.sqrt(hav))
-    return cand.filter(dist <= 200.0).select(
-        "c_custkey", "s_suppkey", F.round(dist, 6).alias("dist_km")
+    return cand, dist
+
+
+@graded(
+    "q_spatial_nearest",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 120 AS DOUBLE) - 60.0 + 0.5  AS lat,
+             CAST(c_custkey % 300 AS DOUBLE) - 150.0 + 0.5 AS lon
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey,
+             CAST((s_suppkey * 7) % 120 AS DOUBLE) - 60.0 + 0.5   AS slat,
+             CAST((s_suppkey * 13) % 300 AS DOUBLE) - 150.0 + 0.5 AS slon
+      FROM supplier
+    ),
+    within AS (
+      SELECT c_custkey, s_suppkey,
+             2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(slat - lat) / 2), 2)
+               + cos(radians(lat)) * cos(radians(slat))
+                 * pow(sin(radians(slon - lon) / 2), 2)
+             )) AS dist
+      FROM cust JOIN supp ON TRUE
+    ),
+    ranked AS (
+      SELECT c_custkey, s_suppkey, dist,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY dist, s_suppkey) AS rn
+      FROM within WHERE dist <= 200.0
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, round(dist, 6) AS dist_km
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility query: each customer's closest supplier within
+    200 km (customers with none in range are absent) — the assignment
+    step of territory planning / fulfillment routing.
+
+    Argmin WITHOUT a window sort: min(struct(dist, s_suppkey)) over the
+    cell-blocked candidates is one combinable agg per customer — struct
+    ordering gives (smallest distance, then smallest key) and both
+    engines compare the SAME bit-equal haversine double, so the
+    tie-break is deterministic cross-engine (the oracle replays it as
+    a row_number argmin over the exhaustive cross join).
+
+    Scale: candidates come from the shared 3×3 grid-cell equi-join
+    (sound for 200 km at |lat| ≤ 60 — q_spatial_radius_join); the
+    argmin agg combines map-side, so per-customer state is one struct
+    regardless of cell occupancy.
+    """
+    cand, dist = _spatial_candidates(spark, sf_dir)
+    best = (
+        cand.filter(dist <= 200.0)
+        .select("c_custkey", dist.alias("dist"), "s_suppkey")
+        .groupBy("c_custkey")
+        .agg(F.min(F.struct("dist", "s_suppkey")).alias("b"))
+    )
+    return best.select(
+        "c_custkey",
+        F.col("b.s_suppkey").alias("nearest_suppkey"),
+        F.round(F.col("b.dist"), 6).alias("dist_km"),
     )

@@ -525,3 +525,172 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
         ).alias("global_clustering"),
     )
+
+
+@graded(
+    "q_shortest_path_bfs",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    ),
+    seeds AS (
+      SELECT DISTINCT u AS node
+      FROM pairs JOIN part ON p_partkey = u
+      WHERE p_type LIKE 'PROMO%'
+    ),
+    walk(node, d) AS (
+      SELECT node, 0 AS d FROM seeds
+      UNION
+      SELECT p.v, w.d + 1 FROM walk w JOIN pairs p ON p.u = w.node
+      WHERE w.d < 6
+    )
+    SELECT node AS part_key, CAST(min(d) AS INT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def q_shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source shortest path: each part's hop distance (≤ 6) to
+    the nearest PROMO-type part through the high-quantity co-purchase
+    graph — the blast-radius / degrees-of-separation query behind
+    fraud-ring scoring and promo-influence analysis. Nodes further
+    than 6 hops (or unreachable) are absent.
+
+    Engine: operators/graph.py level-synchronous frontier BFS — per
+    hop ONE co-partitioned (node, hop) join along persisted symmetric
+    edges + an anti-join that keeps first arrivals, so rounds are
+    bounded by the hop cap (bounded-reach contract; unbounded
+    reachability is connected_components' job). The oracle is a DuckDB
+    recursive CTE whose UNION-dedup working table is bounded by
+    |nodes| × 7 (node, depth) pairs — exact min-hop semantics.
+
+    100 TB: per-round shuffle is 12-byte rows; hub fan-out is AQE-split
+    join skew; the candidate graph build is the triangle-count
+    co-partitioned self-join, never a cross join.
+    """
+    from noaa_etl_spark.operators.graph import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    promo = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").like("PROMO%")
+    ).select(F.col("p_partkey").alias("node"))
+    nodes = pairs.select(F.col("u").alias("node")).unionByName(
+        pairs.select(F.col("v").alias("node"))
+    )
+    seeds = nodes.join(F.broadcast(promo), "node", "left_semi")
+    dist = bfs_distances(pairs, seeds, src="u", dst="v", max_hops=6)
+    return dist.select(F.col("node").alias("part_key"), "hops")
+
+
+@graded(
+    "q_market_basket_lift",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS pair_n
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM basket GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM basket
+    )
+    SELECT brand_a, brand_b, pair_n,
+           ma.n AS n_a, mb.n AS n_b, n_orders,
+           round(CAST(pair_n AS DOUBLE) / n_orders, 6)              AS support,
+           round(CAST(pair_n AS DOUBLE) / ma.n, 6)                  AS conf_a_b,
+           round(CAST(pair_n AS DOUBLE) / mb.n, 6)                  AS conf_b_a,
+           round(CAST(pair_n AS DOUBLE) * n_orders / (ma.n * mb.n), 6) AS lift
+    FROM pairs
+    JOIN marg ma ON brand_a = ma.p_brand
+    JOIN marg mb ON brand_b = mb.p_brand
+    CROSS JOIN tot
+    WHERE pair_n >= 5
+    """,
+)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the brand level: for every
+    co-purchased brand pair, support / both-direction confidence /
+    lift — the classic recommender-bootstrap report (Agrawal-Srikant
+    heritage) and the batch complement of q_cooccurrence_pmi's
+    event-bigram collocations (PMI scores sequences; lift scores
+    unordered baskets).
+
+    Exactness: pair and marginal counts are exact BIGINTs; each
+    support/confidence/lift is ONE fixed double expression per row
+    from those integers (rounded 6dp) — no accumulation order.
+
+    Scale: the pair enumeration is a co-partitioned self-join on the
+    ORDER key with per-group fan-out bounded by |brands| ≤ 25 (the
+    triangle-count cost model — never an item×item cross join); the
+    basket frame is persisted + materialized because FOUR subtrees
+    read it (two join sides, marginals, order count — the SCALING.md
+    double-plan rule); marginals and the one-row total broadcast onto
+    the pair relation; pair_n ≥ 5 prunes the long random tail at the
+    report edge only.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    brands = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    basket = (
+        li.join(F.broadcast(brands), "l_partkey")
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .persist()
+    )
+    basket.count()
+    a = basket.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = basket.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
+        .filter(F.col("pair_n") >= 5)
+    )
+    marg = basket.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = basket.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    ma = marg.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b"))
+    pair_d = F.col("pair_n").cast("double")
+    return (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            "n_orders",
+            F.round(pair_d / F.col("n_orders"), 6).alias("support"),
+            F.round(pair_d / F.col("n_a"), 6).alias("conf_a_b"),
+            F.round(pair_d / F.col("n_b"), 6).alias("conf_b_a"),
+            F.round(
+                pair_d * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )

@@ -991,3 +991,69 @@ def q_stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ab_report_from_moments(folded)
+
+
+from noaa_etl_spark.queries.profiling import PSI_DRIFT_ORACLE  # noqa: E402
+
+
+@graded("q_stream_psi_drift", oracle=PSI_DRIFT_ORACLE)
+def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the PSI drift report — the always-on data-
+    quality monitor: documents drain as three micro-batches;
+    foreachBatch writes each batch's per-(source, length-bin) PARTIAL
+    count grid batch_id-keyed (restart-idempotent overwrite). Bin
+    counts are additive BIGINTs, so summing the partials reproduces
+    the one-pass grid exactly and the shared spine/Laplace/fold
+    finalization is bit-equal — the twin grades against
+    PSI_DRIFT_ORACLE verbatim (twin-equality extended to distribution-
+    drift scores: PSI can be monitored continuously without re-reading
+    the corpus).
+
+    100 TB: per-trigger work is one combinable agg over the batch; the
+    persisted state is |sources|×10 rows of one integer each.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries.profiling import psi_binned, psi_report_from_binned
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_psi")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    gate = F.pmod(F.xxhash64(F.lit("spsi"), F.col("doc_id")), F.lit(3))
+    for i in range(3):
+        docs.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = psi_binned(batch_df)
+        record_foreach_batch_plan("stream_psi_binned", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("source", "bin")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return psi_report_from_binned(folded)

@@ -1519,3 +1519,426 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trans",
         (F.col("n_trans").cast("double") / F.sum("n_trans").over(wrow)).alias("p"),
     )
+
+
+@graded(
+    "q_attribution_multitouch",
+    oracle="""
+    WITH conv_u AS (
+      SELECT user_id, event_id AS conv_id,
+             epoch_us(ts) AS conv_us,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, event_type AS channel,
+             epoch_us(ts) AS touch_us
+      FROM events
+      WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+    ),
+    pairs AS (
+      SELECT c.conv_id, c.cents, t.channel, t.touch_us, t.touch_id
+      FROM conv_u c JOIN touch t
+        ON c.user_id = t.user_id
+       AND t.touch_us < c.conv_us
+       AND c.conv_us - t.touch_us <= 604800000000
+    ),
+    ranked AS (
+      SELECT conv_id, cents, channel,
+             CAST(row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY touch_us, touch_id) AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+      FROM pairs
+    ),
+    credited AS (
+      SELECT channel,
+             rk = 1 AS is_first,
+             rk = n AS is_last,
+             cents,
+             cents // n + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END AS alloc
+      FROM ranked
+    ),
+    attributed AS (
+      SELECT channel,
+             CAST(count(*) AS BIGINT)                              AS n_touches,
+             CAST(count(*) FILTER (is_first) AS BIGINT)            AS first_touch_convs,
+             CAST(count(*) FILTER (is_last) AS BIGINT)             AS last_touch_convs,
+             CAST(sum(cents) FILTER (is_first) AS BIGINT)          AS first_touch_cents,
+             CAST(sum(cents) FILTER (is_last) AS BIGINT)           AS last_touch_cents,
+             CAST(sum(alloc) AS BIGINT)                            AS linear_cents
+      FROM credited GROUP BY channel
+    ),
+    orphan AS (
+      SELECT '(none)' AS channel,
+             CAST(0 AS BIGINT) AS n_touches,
+             CAST(count(*) AS BIGINT) AS first_touch_convs,
+             CAST(count(*) AS BIGINT) AS last_touch_convs,
+             CAST(sum(cents) AS BIGINT) AS first_touch_cents,
+             CAST(sum(cents) AS BIGINT) AS last_touch_cents,
+             CAST(sum(cents) AS BIGINT) AS linear_cents
+      FROM conv_u c
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.conv_id = c.conv_id)
+      HAVING count(*) > 0
+    )
+    SELECT * FROM attributed UNION ALL SELECT * FROM orphan
+    """,
+)
+def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: every purchase credits the
+    click/view touches in its 7-day lookback under THREE models at
+    once — first-touch, last-touch, and linear revenue split — the
+    channel-ROI report every growth team runs. Conversions with no
+    in-window touch land in the '(none)' channel (unattributed).
+
+    EXACT-INTEGER linear split (largest-remainder): a conversion of
+    `cents` over n touches allocates cents // n to each, +1 cent to
+    the first cents % n touches in time order — Σ allocations == cents
+    per conversion by construction, so channel sums are exact BIGINTs
+    (no 1/n doubles, no accumulation-order sensitivity).
+
+    Scale design: the lookback join is WEEK-BUCKET BLOCKED — each
+    conversion explodes to its 2 candidate 7-day buckets and
+    equi-joins touches on (user_id, week_bucket) (a touch ≤7 days
+    back is in the conversion's bucket or the previous one; each pair
+    arises from exactly one bucket key, so no dedup pass). The join is
+    LEFT with the range predicate in the join condition, so
+    unattributed conversions ride the SAME pass as NULL-channel rows
+    (kept via rank-1-of-empty on the conv_id window — never a second
+    anti-join branch that would double-plan the join subtree, the
+    SCALING.md smell). Ranking runs per-conversion on the candidate
+    pairs (bounded by per-user activity × 7 days — the sessionize
+    cardinality contract), never a global window; the channel report
+    is one combinable agg.
+    """
+    WEEK_US = 604_800_000_000
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    us = F.unix_micros(F.col("ts"))
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        us.alias("conv_us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        us.alias("touch_us"),
+        F.floor(us / WEEK_US).cast("bigint").alias("wb"),
+    )
+    conv_k = conv.withColumn("dw", F.explode(F.array(F.lit(0), F.lit(1)))).select(
+        "user_id",
+        "conv_id",
+        "conv_us",
+        "cents",
+        (F.floor(F.col("conv_us") / WEEK_US).cast("bigint") - F.col("dw")).alias("wb"),
+    )
+    pairs = conv_k.join(
+        touch,
+        (conv_k["user_id"] == touch["user_id"])
+        & (conv_k["wb"] == touch["wb"])
+        & (touch["touch_us"] < conv_k["conv_us"])
+        & (conv_k["conv_us"] - touch["touch_us"] <= WEEK_US),
+        "left",
+    ).select(
+        "conv_id", "conv_us", "cents", "channel", "touch_us", "touch_id"
+    )
+    w_rank = Window.partitionBy("conv_id").orderBy(
+        F.asc_nulls_last("touch_us"), F.asc_nulls_last("touch_id")
+    )
+    w_conv = Window.partitionBy("conv_id")
+    ranked = pairs.select(
+        "conv_id",
+        "cents",
+        "channel",
+        F.col("touch_id").isNotNull().alias("is_touch"),
+        F.row_number().over(w_rank).cast("bigint").alias("rk"),
+        F.count("touch_id").over(w_conv).cast("bigint").alias("n"),
+    ).filter(
+        F.col("is_touch") | ((F.col("n") == 0) & (F.col("rk") == 1))
+    )
+    credited = ranked.select(
+        F.coalesce(F.col("channel"), F.lit("(none)")).alias("channel"),
+        "is_touch",
+        (F.col("rk") == 1).alias("is_first"),
+        ((F.col("rk") == F.col("n")) | (F.col("n") == 0)).alias("is_last"),
+        "cents",
+        F.when(F.col("n") == 0, F.col("cents"))
+        .otherwise(
+            F.floor(F.col("cents") / F.col("n")).cast("bigint")
+            + F.when(F.col("rk") <= F.col("cents") % F.col("n"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count_if(F.col("is_touch")).cast("bigint").alias("n_touches"),
+        F.count_if(F.col("is_first")).cast("bigint").alias("first_touch_convs"),
+        F.count_if(F.col("is_last")).cast("bigint").alias("last_touch_convs"),
+        F.sum(F.when(F.col("is_first"), F.col("cents"))).cast("bigint").alias("first_touch_cents"),
+        F.sum(F.when(F.col("is_last"), F.col("cents"))).cast("bigint").alias("last_touch_cents"),
+        F.sum("alloc").cast("bigint").alias("linear_cents"),
+    )
+
+
+@graded(
+    "q_peak_concurrency",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    assigned AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             min(epoch_us(ts)) AS s_us,
+             max(epoch_us(ts)) AS e_us
+      FROM assigned GROUP BY user_id, session_id
+    ),
+    bounds AS (
+      SELECT s_us AS us, CAST(1 AS BIGINT) AS s, CAST(0 AS BIGINT) AS e FROM sessions
+      UNION ALL
+      SELECT e_us AS us, CAST(0 AS BIGINT) AS s, CAST(1 AS BIGINT) AS e FROM sessions
+    ),
+    per_ts AS (
+      SELECT us, sum(s) AS s, sum(e) AS e FROM bounds GROUP BY us
+    ),
+    swept AS (
+      SELECT us, s,
+             CAST(sum(s - e) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING) + e
+                  AS BIGINT) AS peak_at
+      FROM per_ts
+    )
+    SELECT CAST(max(peak_at) AS BIGINT) AS peak_concurrency,
+           CAST(min(us) FILTER (peak_at = (SELECT max(peak_at) FROM swept))
+                AS BIGINT) AS at_us,
+           CAST(sum(s) AS BIGINT) AS n_sessions
+    FROM swept
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak platform concurrency: the maximum number of simultaneously
+    open user sessions (30-min-gap sessionization, sessions open on the
+    closed interval [start, end]) plus the first instant it occurs —
+    the capacity-planning number behind autoscaling targets.
+
+    Sweep-line as ALGEBRA, not a sort of raw rows: sessions emit
+    (+1 at start, −1 at end) deltas; at one timestamp starts count
+    before ends (touching sessions overlap), so concurrency just after
+    ts is run(s−e) and the within-ts peak is run(s−e) + e. Peak and
+    its first instant come from ONE max over the swept relation
+    (max-struct trick: max((peak, −us)) — no second pass, no subquery
+    double-plan; the oracle's FILTER subquery replays it).
+
+    Exactness: all BIGINT micros and counts end-to-end.
+
+    Scale: deltas collapse to per-distinct-timestamp (s, e) counts in
+    one combinable agg; the running sum is a GLOBAL-ordered window but
+    over the reduced |distinct boundary ts| relation (the KS/markov
+    reduced-relation contract) — a year of boundaries is ~10^7 rows,
+    windowable on one task; sharding by coarse time range with
+    per-shard offsets is the documented next gear if boundaries
+    themselves explode.
+    """
+    from noaa_etl_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sess = (
+        sessionize(ev, tiebreak_col="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros(F.col("ts"))).alias("s_us"),
+            F.max(F.unix_micros(F.col("ts"))).alias("e_us"),
+        )
+    )
+    bounds = sess.select(
+        F.col("s_us").alias("us"), F.lit(1).cast("bigint").alias("s"), F.lit(0).cast("bigint").alias("e")
+    ).unionByName(
+        sess.select(
+            F.col("e_us").alias("us"), F.lit(0).cast("bigint").alias("s"), F.lit(1).cast("bigint").alias("e")
+        )
+    )
+    per_ts = bounds.groupBy("us").agg(F.sum("s").alias("s"), F.sum("e").alias("e"))
+    w_run = Window.orderBy("us").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = per_ts.select(
+        "us",
+        "s",
+        (F.sum(F.col("s") - F.col("e")).over(w_run) + F.col("e"))
+        .cast("bigint")
+        .alias("peak_at"),
+    )
+    best = swept.agg(
+        F.max(F.struct(F.col("peak_at"), (-F.col("us")).alias("neg_us"))).alias("b"),
+        F.sum("s").cast("bigint").alias("n_sessions"),
+    )
+    return best.select(
+        F.col("b.peak_at").cast("bigint").alias("peak_concurrency"),
+        (-F.col("b.neg_us")).cast("bigint").alias("at_us"),
+        "n_sessions",
+    )
+
+
+@graded(
+    "q_acf_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(min(day) AS BIGINT) AS dmin, CAST(max(day) AS BIGINT) AS dmax,
+             CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS q
+      FROM daily
+    ),
+    lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+    ab AS (
+      SELECT l.lag,
+             CAST(sum(CASE WHEN d.day - st.dmin >= l.lag THEN d.y ELSE 0 END)
+                  AS BIGINT) AS a_k,
+             CAST(sum(CASE WHEN d.day - st.dmin <= st.dmax - st.dmin - l.lag
+                           THEN d.y ELSE 0 END) AS BIGINT) AS b_k
+      FROM lags l CROSS JOIN stats st CROSS JOIN daily d
+      GROUP BY 1
+    ),
+    cross_k AS (
+      SELECT l.lag, CAST(sum(d.y * p.y) AS BIGINT) AS c_k
+      FROM lags l
+      CROSS JOIN daily d
+      JOIN daily p ON p.day = d.day - l.lag
+      GROUP BY 1
+    ),
+    final AS (
+      SELECT l.lag, coalesce(c.c_k, CAST(0 AS BIGINT)) AS c_k, ab.a_k, ab.b_k,
+             st.dmax - st.dmin + 1 AS n, st.s, st.q
+      FROM lags l
+      JOIN ab ON ab.lag = l.lag
+      LEFT JOIN cross_k c ON c.lag = l.lag
+      CROSS JOIN stats st
+    )
+    SELECT CAST(lag AS INT) AS lag, c_k, a_k, b_k,
+           CAST(n AS BIGINT) AS n_days,
+           round((c_k - (CAST(s AS DOUBLE) / n) * (a_k + b_k)
+                  + (n - lag) * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                 / (q - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+                 6) AS acf
+    FROM final
+    """,
+)
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily order-count series at lags
+    1-7 — the seasonality detector that tells you WHICH period to hand
+    q_seasonal_decompose (a weekly cycle shows as an ACF spike at lag
+    7) and whether q_forecast_holt needs a seasonal term at all.
+
+    EXACT-ALGEBRAIC form (the linear-trend contract): on the zero-
+    filled calendar grid [dmin, dmax], r_k = Σ(y_t−m)(y_{t−k}−m) /
+    Σ(y_t−m)² expands to (C_k − m(A_k+B_k) + (n−k)m²) / (Q − nm²)
+    where C_k = Σ y_t·y_{t−k}, A_k/B_k are head/tail-trimmed sums, and
+    S, Q = Σy, Σy² — ALL exact BIGINTs that never materialize the zero
+    days (zeros vanish from every sum, so only observed days compute).
+    m = S/n is the single double, and both engines evaluate the one
+    identical final expression ⇒ bit-equal, graded 6dp with the exact
+    integer anchors (C_k, A_k, B_k) alongside.
+
+    Scale: raw orders collapse to |days| rows in one combinable agg
+    (the KS/markov reduced-relation contract); the lag-7 cross join
+    and the shifted self-join run on that persisted ~10⁴-row relation
+    (4 readers — the double-plan rule), with the 7-row lag spine and
+    1-row stats broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .persist()
+    )
+    daily.count()
+    stats = daily.agg(
+        F.min("day").cast("bigint").alias("dmin"),
+        F.max("day").cast("bigint").alias("dmax"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("q"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
+    ab = (
+        daily.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(lags))
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                F.when(F.col("day") - F.col("dmin") >= F.col("lag"), F.col("y")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("a_k"),
+            F.sum(
+                F.when(
+                    F.col("day") - F.col("dmin")
+                    <= F.col("dmax") - F.col("dmin") - F.col("lag"),
+                    F.col("y"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("b_k"),
+        )
+    )
+    prev = daily.select(F.col("day").alias("day_prev"), F.col("y").alias("y_prev"))
+    cross_k = (
+        daily.crossJoin(F.broadcast(lags))
+        .withColumn("day_prev", F.col("day") - F.col("lag"))
+        .join(F.broadcast(prev), "day_prev")
+        .groupBy("lag")
+        .agg(F.sum(F.col("y") * F.col("y_prev")).cast("bigint").alias("c_k"))
+    )
+    final = (
+        lags.join(F.broadcast(ab), "lag")
+        .join(F.broadcast(cross_k), "lag", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "lag",
+            F.coalesce(F.col("c_k"), F.lit(0).cast("bigint")).alias("c_k"),
+            "a_k",
+            "b_k",
+            (F.col("dmax") - F.col("dmin") + 1).alias("n"),
+            "s",
+            "q",
+        )
+    )
+    m = F.col("s").cast("double") / F.col("n")
+    return final.select(
+        F.col("lag").cast("int").alias("lag"),
+        "c_k",
+        "a_k",
+        "b_k",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(
+            (
+                F.col("c_k")
+                - m * (F.col("a_k") + F.col("b_k"))
+                + (F.col("n") - F.col("lag")) * m * m
+            )
+            / (F.col("q") - F.col("n") * m * m),
+            6,
+        ).alias("acf"),
+    )

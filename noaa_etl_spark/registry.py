@@ -134,11 +134,16 @@ GRADED_WINDOW: list[str] = [
     # q_triangle_count, q_pareto_frontier, q_ab_test_report,
     # q_cooccurrence_pmi, q_markov_transitions, q_xml_roundtrip,
     # q_spatial_radius_join, q_stream_ab_test (shared AB oracle),
-    # q_rbo_rank_similarity (ranking-agreement metric).
+    # q_rbo_rank_similarity (ranking-agreement metric),
+    # q_attribution_multitouch (largest-remainder revenue split),
+    # q_peak_concurrency, q_proration_largest_remainder, q_psi_drift,
+    # q_benford_audit, q_spatial_nearest, q_shortest_path_bfs,
+    # q_market_basket_lift, q_acf_daily, q_stream_psi_drift (shared
+    # PSI oracle).
     # Also RE-GRADE in r10 (semantics/plan changed this round):
     # q_cdc_apply + q_stream_cdc_apply (full-outer insert semantics),
     # q_containment_dedup (df-capped candidates), q_event_sequence
-    # (celebrity cap). r10 window = those 19 new + 4 re-grades
+    # (celebrity cap). r10 window = those 29 new + 4 re-grades
     # (q_containment_lsh in ROWS_ONLY_WINDOW) + q_tpch_q14_promo +
     # oldest-signal rotation (r5-graded cohort) + rows-only periodic
     # slots.

@@ -1798,3 +1798,39 @@ def test_ab_test_report_matches_python_reference(spark):
         z = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
         assert abs(r["mean_a"] - ma) < 1e-9 and abs(r["mean_b"] - mb) < 1e-9
         assert abs(r["welch_z"] - z) < 1e-9
+
+
+def test_bfs_distances_path_graph(spark):
+    """Hop distances on a 12-node path seeded at one end: node i is
+    exactly i hops away, nodes beyond the cap absent; a disconnected
+    node never appears; a NULL endpoint is dropped not propagated."""
+    from noaa_etl_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)] + [(100, 101), (None, 5)],
+        "src bigint, dst bigint",
+    )
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_distances(edges, seeds, max_hops=6).collect()
+    }
+    assert got == {i: i for i in range(7)}  # 0..6, beyond-cap absent
+
+
+def test_bfs_distances_multi_source_min(spark):
+    """Two seeds: every node takes the distance to its NEAREST seed
+    (first-arrival anti-join = min), and early exit on a drained
+    frontier terminates before the cap."""
+    from noaa_etl_spark.operators.graph import bfs_distances
+
+    # path 0-1-2-3-4 with seeds {0, 4}: middle node 2 is 2 hops either way
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(0,), (4,)], "node bigint")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_distances(edges, seeds, max_hops=50).collect()
+    }
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}

@@ -581,3 +581,87 @@ def test_spatial_radius_join_is_cell_blocked(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_attribution_single_pass_bucket_join(spark):
+    """The lookback join must be a (user, week-bucket) equi-join with
+    orphans riding the same pass — one join, no anti-join branch that
+    would double-plan the pair subtree."""
+    plan = plan_of(spark, "q_attribution_multitouch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Join") == 1, tree
+
+
+def test_peak_concurrency_windows_reduced_relation(spark):
+    """Raw events collapse to per-boundary-ts counts before the global
+    sweep window; no join anywhere."""
+    plan = plan_of(spark, "q_peak_concurrency")
+    assert "Join" not in plan
+    assert "Window (" in plan
+
+
+def test_proration_windows_share_order_partitioning(spark):
+    """All three windows (weight sum, remainder rank, base sum) must
+    reuse the join's l_orderkey partitioning — no extra exchanges."""
+    plan = plan_of(spark, "q_proration_largest_remainder")
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 3, tree
+
+
+def test_psi_binned_before_windows(spark):
+    """PSI runs on the |sources| x 10 binned relation: the only agg over
+    raw documents is the combinable bin count."""
+    plan = plan_of(spark, "q_psi_drift")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_benford_single_combinable_agg(spark):
+    """First-digit counts are one map-side-combinable agg; the spine
+    join and total window run on 9 rows."""
+    plan = plan_of(spark, "q_benford_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 3, tree
+
+
+def test_spatial_nearest_is_agg_argmin(spark):
+    """Nearest site = min(struct) agg over cell-blocked candidates —
+    no per-customer rank window, no cross join."""
+    plan = plan_of(spark, "q_spatial_nearest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_shortest_path_bfs_no_cross_join(spark):
+    """The co-purchase graph build is the triangle co-partitioned
+    self-join and BFS rounds are (node, hop) equi-joins — never a
+    cartesian, and the promo seed filter is a broadcast semi-join."""
+    plan = plan_of(spark, "q_shortest_path_bfs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_market_basket_no_item_cross_join(spark):
+    """Pairs come from the order-key self-join (per-group fan-out ≤
+    |brands|); marginals and the one-row total broadcast — the only
+    nested-loop join allowed is the bounded 1-row total cross."""
+    plan = plan_of(spark, "q_market_basket_lift")
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+    assert "SortMergeJoin" not in tree or "l_orderkey" in tree
+
+
+def test_acf_runs_on_reduced_daily_relation(spark):
+    """Raw orders collapse to |days| rows in ONE combinable agg; the
+    lag spine / stats / shifted-self joins all broadcast over that
+    reduced relation (no sort-merge anywhere)."""
+    plan = plan_of(spark, "q_acf_daily")
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan

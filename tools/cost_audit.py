@@ -219,6 +219,25 @@ AUDITED = [
     "q_markov_transitions",
     "q_spatial_radius_join",
     "q_rbo_rank_similarity",
+    # round-9 fourth batch: attribution must stay ONE left bucket-join
+    # (a second anti-join orphan branch double-plans the pairs);
+    # proration's three windows share the l_orderkey partitioning;
+    # peak concurrency / PSI / Benford run their windows on reduced
+    # relations; nearest-site is an agg argmin (a rank window or raw
+    # cross join is the regression).
+    "q_attribution_multitouch",
+    "q_peak_concurrency",
+    "q_proration_largest_remainder",
+    "q_psi_drift",
+    "q_benford_audit",
+    "q_spatial_nearest",
+    # round-9 fifth batch: market-basket pairs must stay the bounded
+    # order-key self-join (brand marginals broadcast); ACF's lag joins
+    # run broadcast over the persisted |days| relation. Shortest-path
+    # BFS is iterative (round count data-dependent) — excluded like
+    # connected_components/pagerank; its plan test pins the shape.
+    "q_market_basket_lift",
+    "q_acf_daily",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
