@@ -858,3 +858,103 @@ def q_proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("alloc_cents"),
     )
+
+
+@graded(
+    "q_entity_resolution",
+    oracle="""
+    WITH RECURSIVE n AS (
+      SELECT p_name AS name, min(p_partkey) AS mk,
+             CAST(count(*) AS BIGINT) AS np
+      FROM part GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.name AS u, b.name AS v
+      FROM n a JOIN n b ON a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    reach AS (
+      SELECT name AS node, name AS lab FROM n
+      UNION
+      SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    labels AS (SELECT node, min(lab) AS rep FROM reach GROUP BY node)
+    SELECT l.rep AS cluster_rep,
+           CAST(count(*) AS BIGINT)  AS n_members,
+           CAST(sum(n.np) AS BIGINT) AS n_parts,
+           min(n.mk)                 AS min_partkey
+    FROM labels l JOIN n ON n.name = l.node
+    GROUP BY l.rep
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution over the part-name catalog — the
+    full MDM flow as ONE graded composition of this engine's building
+    blocks: (1) candidate BLOCKING + verify via the lossless positional
+    q-gram fuzzy join (edit distance ≤ 1), (2) transitive CLUSTERING
+    via hash-min connected components over the match edges (fuzzy
+    matches chain: A~B, B~C ⇒ one entity {A,B,C} even when A!~C),
+    (3) GOLDEN-RECORD survivorship per cluster (lexicographically
+    first name as the canonical label; earliest partkey; member/part
+    rollups). Singleton names (no match) survive as their own
+    entities, so output = one row per resolved entity.
+
+    EXACT despite blocking: the q-gram count filter is a necessary
+    condition for edit distance ≤ d, so the verified match set — and
+    therefore the clustering — reproduces the brute-force cross join
+    bit-for-bit (q_fuzzy_name_match's contract); the oracle IS the
+    cross join + a recursive-CTE reachability closure (the
+    q_connected_components oracle pattern). Cluster labels are
+    engine-independent by construction: CC's internal min-NODE-ID
+    label is relabeled to the min NAME on the reduced cluster
+    relation, so the grade never sees internal ids.
+
+    100 TB: blocking is the Ed-Join prefix form (never |N|² pairs);
+    CC is O(log diameter) pointer jumping moving 16-byte rows; the
+    survivorship pass is one combinable agg; name→id joins are
+    equi-joins on the deduped name relation.
+    """
+    from noaa_etl_spark.operators.fuzzy import fuzzy_self_join
+    from noaa_etl_spark.operators.graph import _graph_sized_shuffle, connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    # The name rollup, fuzzy join, and CC loop all EAGERLY materialize
+    # frames (persist, Ed-Join prefix persist, per-round
+    # localCheckpoint) — materialized frames bake in the session's
+    # shuffle partitioning and set every reader's map-side task count
+    # (the graph-loop lesson: AQE coalescing never reaches them), so
+    # the WHOLE blocking+clustering stretch runs under catalog-sized
+    # shuffles; the sizing count is a cheap count-star scan.
+    with _graph_sized_shuffle(spark, part.count()):
+        n = (
+            part.groupBy(F.col("p_name").alias("name"))
+            .agg(
+                F.min("p_partkey").alias("mk"),
+                F.count(F.lit(1)).cast("bigint").alias("np"),
+            )
+            .persist()  # read by the fuzzy join, two id lookups, the rollup
+        )
+        n.count()
+        pairs = fuzzy_self_join(n.select("name"), "name", max_dist=1)
+        ida = n.select(F.col("name").alias("name_a"), F.col("mk").alias("src"))
+        idb = n.select(F.col("name").alias("name_b"), F.col("mk").alias("dst"))
+        edges = (
+            pairs.join(ida, "name_a").join(idb, "name_b").select("src", "dst")
+        ).persist()
+        edges.count()
+        labels = connected_components(edges)
+    resolved = n.join(
+        labels, n["mk"] == labels["node"], "left"
+    ).select(
+        "name",
+        "mk",
+        "np",
+        F.coalesce(F.col("component"), F.col("mk")).alias("component"),
+    )
+    return resolved.groupBy("component").agg(
+        F.min("name").alias("cluster_rep"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("np").cast("bigint").alias("n_parts"),
+        F.min("mk").alias("min_partkey"),
+    ).drop("component").select("cluster_rep", "n_members", "n_parts", "min_partkey")

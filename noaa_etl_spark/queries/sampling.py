@@ -572,3 +572,43 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
     ).withColumn("kept", F.col("cum_tokens") <= F.lit(2000))
+
+
+@graded(
+    "q_curriculum_order",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+             AS position
+    FROM documents
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: every document's 0-based global
+    position under an easy→hard ordering (short documents first,
+    doc_id tiebreak) — the deterministic sample-order construction
+    curriculum-learning pipelines materialize before sharding (position
+    div shard_size = shard, position mod = offset; shuffle_shard is the
+    uniform-order sibling).
+
+    The oracle is the textbook global row_number — which is exactly the
+    plan this engine must NOT run at 100 TB (a global window = every
+    row through one reducer). The engine computes IDENTICAL positions
+    with operators/order_index.global_sort_index: range-repartition on
+    the sort keys, one mapInPandas local-index pass, and a
+    driver-collected per-partition offset map (bounded by the partition
+    count — the RDD.zipWithIndex adjudication) applied as a literal
+    projection. Total order (n_chars, doc_id unique) ⇒ positions are
+    partition-boundary-independent, so the sampled range bounds cannot
+    change the grade.
+
+    Exactness: positions are a BIGINT permutation by construction.
+    """
+    from noaa_etl_spark.operators.order_index import global_sort_index
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return global_sort_index(
+        docs, [("n_chars", True), ("doc_id", True)], out_col="position"
+    )

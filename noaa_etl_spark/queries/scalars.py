@@ -760,3 +760,116 @@ def q_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.s_suppkey").alias("nearest_suppkey"),
         F.round(F.col("b.dist"), 6).alias("dist_km"),
     )
+
+
+@graded(
+    "q_geo_cluster",
+    oracle="""
+    WITH RECURSIVE sites AS (
+      SELECT c_custkey,
+             CAST(floor((CAST(c_custkey % 120 AS DOUBLE) - 60.0 + 0.5 + 60.0) / 2)
+                  AS BIGINT) AS cell_lat,
+             CAST(floor((CAST(c_custkey % 300 AS DOUBLE) - 150.0 + 0.5 + 150.0) / 4)
+                  AS BIGINT) AS cell_lon
+      FROM customer
+    ),
+    cells AS (
+      SELECT cell_lat, cell_lon,
+             cell_lat * 1000 + cell_lon AS cid,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM sites GROUP BY 1, 2
+    ),
+    dense AS (SELECT * FROM cells WHERE n_points >= 3),
+    adj AS (
+      SELECT a.cid AS u, b.cid AS v
+      FROM dense a JOIN dense b
+        ON a.cid < b.cid
+       AND abs(a.cell_lat - b.cell_lat) <= 1
+       AND abs(a.cell_lon - b.cell_lon) <= 1
+    ),
+    edges AS (SELECT u, v FROM adj UNION SELECT v AS u, u AS v FROM adj),
+    reach AS (
+      SELECT cid AS node, cid AS lab FROM dense
+      UNION
+      SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    labels AS (SELECT node, min(lab) AS rep FROM reach GROUP BY node)
+    SELECT l.rep // 1000 AS rep_cell_lat,
+           l.rep % 1000  AS rep_cell_lon,
+           CAST(count(*) AS BIGINT)        AS n_cells,
+           CAST(sum(d.n_points) AS BIGINT) AS n_points
+    FROM labels l JOIN dense d ON d.cid = l.node
+    GROUP BY l.rep
+    """,
+)
+def q_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density spatial clustering (DBSCAN-lite) of customer sites:
+    bucket points into the shared 2°×4° grid, keep DENSE cells
+    (≥ 3 points), and merge 8-neighborhood-adjacent dense cells into
+    clusters via connected components — the scalable two-level density
+    clustering every geo stack runs (cell-grid density first, exact
+    point-level DBSCAN only inside clusters if ever needed). One output
+    row per cluster: representative cell (min cell id — replayed
+    identically by both engines, so the grade never sees CC's internal
+    labels), cell count, point count.
+
+    Scale: point→cell is scan-local; per-cell counts are one combinable
+    agg over the BOUNDED cell universe (60×75 here — grid size is a
+    resolution choice, not a data volume); adjacency is a self-join of
+    the dense-cell relation with a ±1 band predicate over that bounded
+    universe; CC is O(log diameter) pointer jumping on cell ids. The
+    raw-point relation is touched exactly ONCE.
+
+    Exactness: integer cell arithmetic end-to-end; cluster membership
+    is exact CC; no doubles anywhere.
+    """
+    from noaa_etl_spark.operators.graph import connected_components
+
+    cust = load_table(spark, sf_dir, "customer")
+    sites = cust.select(
+        F.floor(((F.col("c_custkey") % 120).cast("double") - 60.0 + 0.5 + 60.0) / 2)
+        .cast("bigint")
+        .alias("cell_lat"),
+        F.floor(((F.col("c_custkey") % 300).cast("double") - 150.0 + 0.5 + 150.0) / 4)
+        .cast("bigint")
+        .alias("cell_lon"),
+    )
+    cells = (
+        sites.groupBy("cell_lat", "cell_lon")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .withColumn("cid", F.col("cell_lat") * 1000 + F.col("cell_lon"))
+    )
+    dense = cells.filter(F.col("n_points") >= 3).localCheckpoint(eager=True)
+    a = dense.select(
+        F.col("cid").alias("u"),
+        F.col("cell_lat").alias("alat"),
+        F.col("cell_lon").alias("alon"),
+    )
+    b = dense.select(
+        F.col("cid").alias("v"),
+        F.col("cell_lat").alias("blat"),
+        F.col("cell_lon").alias("blon"),
+    )
+    adj = a.crossJoin(F.broadcast(b)).filter(
+        (F.col("u") < F.col("v"))
+        & (F.abs(F.col("alat") - F.col("blat")) <= 1)
+        & (F.abs(F.col("alon") - F.col("blon")) <= 1)
+    ).select("u", "v")
+    labels = connected_components(adj, src="u", dst="v")
+    # labels ≤ |dense cells| — bounded by the grid universe, always
+    # broadcastable (checkpoint scans carry no stats, so left alone the
+    # planner falls back to a sort-merge join here).
+    lab = dense.join(F.broadcast(labels), dense["cid"] == labels["node"], "left").select(
+        "cid",
+        "n_points",
+        F.coalesce(F.col("component"), F.col("cid")).alias("rep"),
+    )
+    return lab.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n_points").cast("bigint").alias("n_points"),
+    ).select(
+        F.expr("rep div 1000").alias("rep_cell_lat"),
+        F.pmod(F.col("rep"), F.lit(1000)).cast("bigint").alias("rep_cell_lon"),
+        "n_cells",
+        "n_points",
+    )

@@ -694,3 +694,122 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@graded(
+    "q_jaccard_neighbors",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    ),
+    nbrs AS (
+      SELECT u AS node, v AS nbr FROM pairs
+      UNION ALL
+      SELECT v AS node, u AS nbr FROM pairs
+    ),
+    common AS (
+      SELECT n1.nbr AS a, n2.nbr AS b, CAST(count(*) AS BIGINT) AS common_neighbors
+      FROM nbrs n1 JOIN nbrs n2
+        ON n1.node = n2.node AND n1.nbr < n2.nbr
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM nbrs GROUP BY node
+    )
+    SELECT c.a AS u, c.b AS v, c.common_neighbors,
+           da.d AS deg_u, db.d AS deg_v,
+           CAST(c.common_neighbors AS DOUBLE)
+             / (da.d + db.d - c.common_neighbors) AS jaccard
+    FROM common c
+    JOIN deg da ON da.node = c.a
+    JOIN deg db ON db.node = c.b
+    WHERE c.common_neighbors >= 2
+    """,
+)
+def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction on the part-co-purchase
+    graph: for every node pair sharing ≥ 2 common neighbors — whether
+    or not they are themselves connected — emit
+    |N(u)∩N(v)| / |N(u)∪N(v)| (union via inclusion-exclusion:
+    dᵤ + dᵥ − common). The classic "customers who bought these also
+    bought..." candidate generator and the simplest structural
+    link-prediction score (Liben-Nowell & Kleinberg '03).
+
+    Exactness: common counts and degrees are exact BIGINTs from
+    combinable aggs; jaccard is ONE division of exact integers —
+    correctly-rounded ⇒ bit-equal, no rounding.
+
+    Scale: wedges (a—w—b) are enumerated from each common neighbor w
+    via the co-partitioned self-join on w and counted by a combinable
+    (a,b) agg — Σ d(w)·(d(w)−1)/2 candidate rows, the inherent
+    common-neighbor volume (unlike triangle counting there is no
+    orientation trick: every wedge IS output evidence, not a closure
+    probe). A hot hub w inflates that bound quadratically — the
+    containment-dedup df-cap (cap per-node neighbor lists at the
+    join's own partitioning, documented Σmin(d,cap)² bound) is the
+    next gear when the graph carries celebrity nodes; the ≥2-common
+    output filter keeps the result relation sparse either way. Degree
+    lookups are two broadcast-size joins on the reduced pair relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # localCheckpoint, not persist: the edge set is read by FOUR
+    # branches (nbrs union sides, deg, and through them common) — a
+    # cached frame EMBEDS its build plan under every InMemoryTableScan,
+    # so audits double-count the build exchanges per reader;
+    # checkpointing truncates lineage to a scan (and re-reads survive
+    # executor loss, unlike MEMORY_ONLY cache).
+    pairs = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbrs = pairs.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        pairs.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    n1 = nbrs.select("node", F.col("nbr").alias("a"))
+    n2 = nbrs.select("node", F.col("nbr").alias("b"))
+    # shuffle_hash hint: the wedge self-join is big×big at scale (both
+    # sides are the full neighbor relation), so pin the 100 TB-honest
+    # strategy instead of letting AQE flip it to broadcast at fixture
+    # sizes — the flip KEEPS the feeding exchanges and proved
+    # session-order-dependent, flapping the COSTS gate.
+    common = (
+        n1.hint("shuffle_hash").join(n2, "node")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= 2)
+    )
+    # deg is read TWICE (u-side and v-side lookups) — checkpoint the
+    # tiny degree table so the duplicated agg subtree doesn't re-plan
+    # per branch (exchange-reuse across duplicated subtrees proved
+    # run-order-dependent under AQE, flapping the COSTS gate ±2).
+    deg = (
+        nbrs.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("deg_u"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("deg_v"))
+    return (
+        common.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "common_neighbors",
+            "deg_u",
+            "deg_v",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+    )

@@ -1057,3 +1057,81 @@ def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
     return psi_report_from_binned(folded)
+
+
+from noaa_etl_spark.queries.temporal import (
+    HOLT_WINTERS_ORACLE,
+    holt_winters_from_daily,
+)
+
+
+@graded("q_stream_holt_winters", oracle=HOLT_WINTERS_ORACLE)
+def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the seasonal Holt-Winters forecast: events
+    drain as three micro-batches; foreachBatch writes each batch's
+    per-(type, day) PARTIAL daily rollup batch_id-keyed
+    (restart-idempotent overwrite). The rollup is mergeable BIGINT
+    addition, so the folded daily table equals the one-pass batch
+    rollup exactly, and the shared finalization
+    (holt_winters_from_daily — spine densification + sequential fold)
+    yields bit-equal level/trend/seasonal state — the twin grades
+    against HOLT_WINTERS_ORACLE verbatim. Like plain Holt, the
+    RECURRENCE is not mergeable; the maintained state is the daily
+    table, never the smoothed values (re-smoothing |days| rows per
+    forecast is the honest cost — it is the reduced relation).
+
+    100 TB: per-trigger work is one combinable agg over the batch; the
+    persisted state is the |types|×|days| reduced relation.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_hw")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("bigint")
+        .alias("day_idx"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    gate = F.pmod(F.xxhash64(F.lit("shw"), F.col("cents")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = batch_df.groupBy("event_type", "day_idx").agg(
+            F.sum("cents").alias("day_cents")
+        )
+        record_foreach_batch_plan("stream_hw_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    daily = (
+        spark.read.parquet(states)
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("day_cents").alias("day_cents"))
+    )
+    return holt_winters_from_daily(daily)

@@ -1942,3 +1942,464 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     )
+
+
+# Shared by q_holt_winters_seasonal and a potential streaming twin: the
+# daily rollup is mergeable BIGINT addition, so per-batch partials fold
+# to the identical daily table and the sequential fold is bit-equal.
+HOLT_WINTERS_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day_idx,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+      FROM events
+      GROUP BY event_type, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(day_idx) AS mn, max(day_idx) AS mx
+      FROM daily GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type, CAST(unnest(range(mn, mx + 1)) AS BIGINT) AS day_idx
+      FROM bounds
+    ),
+    dense AS (
+      SELECT s.event_type, s.day_idx,
+             coalesce(d.day_cents, CAST(0 AS BIGINT)) AS day_cents
+      FROM spine s LEFT JOIN daily d USING (event_type, day_idx)
+    ),
+    series AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             list(CAST(day_cents AS DOUBLE) ORDER BY day_idx) AS ys
+      FROM dense GROUP BY event_type
+    ),
+    folded AS (
+      -- 9-list accumulator [l, b, s1..s7]: list_reduce seeds from the
+      -- FIRST transformed element, so each y maps to [y, 0, 0*7] and
+      -- the seed state is l=y1, b=0, s=zeros (the Holt-fold pattern;
+      -- lists, never structs — the DuckDB struct-lambda aliasing probe)
+      SELECT event_type, n_days,
+             list_reduce(
+               list_transform(ys, v -> [v,
+                 CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                 CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                 CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+               (acc, x) -> [
+                 CAST(0.5 AS DOUBLE) * (x[1] - acc[3])
+                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.5 AS DOUBLE)
+                   * (CAST(0.5 AS DOUBLE) * (x[1] - acc[3])
+                      + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]) - acc[1])
+                   + CAST(0.5 AS DOUBLE) * acc[2],
+                 acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+                 CAST(0.5 AS DOUBLE)
+                   * (x[1] - (CAST(0.5 AS DOUBLE) * (x[1] - acc[3])
+                              + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])))
+                   + CAST(0.5 AS DOUBLE) * acc[3]
+               ]
+             ) AS st
+      FROM series
+    )
+    SELECT event_type, n_days,
+           st[1] AS level, st[2] AS trend, st[3] AS s_next,
+           st[1] + 3 * st[2] + st[5] AS forecast_3d
+    FROM folded
+    """
+
+
+@graded("q_holt_winters_seasonal", oracle=HOLT_WINTERS_ORACLE)
+def q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) over per-type
+    daily revenue with weekly seasonality (m = 7), α = β = γ = ½ — the
+    seasonal upgrade of q_forecast_holt that q_acf_daily's lag-7 spike
+    motivates: level lₜ = α(yₜ−s_{t−m}) + (1−α)(lₜ₋₁+bₜ₋₁), trend as
+    Holt, seasonal sₜ = γ(yₜ−lₜ) + (1−γ)s_{t−m}; 3-day-ahead forecast
+    l + 3b + s_{t+3−m}.
+
+    The series runs on a DENSE day spine (missing days = 0 revenue) so
+    the mod-7 seasonal rotation stays positionally aligned — built
+    WITHOUT a join-back: one groupBy collects (day, cents) into a map
+    and `transform(sequence(mn, mx), d -> coalesce(m[d], 0))` densifies
+    in expression-land (the oracle replays via a range spine + left
+    join; the VALUES are identical, only the plan differs).
+
+    Exactness: the graded contract is the FOLD itself (the Holt
+    lesson) — both engines run the textually identical left fold over
+    identical day-ordered doubles, seeded l=y₁, b=0, s=0⃗; the seasonal
+    state rotates through a 7-slot list (head = the slot the CURRENT
+    step consumes) ⇒ bit-equal level/trend/seasonal/forecast, no
+    tolerance. DuckDB's accumulator is a 9-list (struct lambdas alias —
+    the round-9 probe); Spark's is a struct holding an array.
+
+    100 TB: the fact collapses to the |types|×|days| combinable daily
+    rollup; each type's fold rides ONE agg row over a bounded-|days|
+    array (the forecast_holt cardinality contract).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            day_idx.alias("day_idx"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    return holt_winters_from_daily(daily)
+
+
+def holt_winters_from_daily(daily: DataFrame) -> DataFrame:
+    """Holt-Winters finalization over a (event_type, day_idx, day_cents)
+    daily table — spine-densified in expression-land, then one
+    sequential fold per type."""
+    series = daily.groupBy("event_type").agg(
+        F.min("day_idx").alias("mn"),
+        F.max("day_idx").alias("mx"),
+        F.map_from_entries(
+            F.collect_list(F.struct("day_idx", F.col("day_cents").cast("double")))
+        ).alias("m"),
+    )
+    dense = series.select(
+        "event_type",
+        (F.col("mx") - F.col("mn") + 1).cast("bigint").alias("n_days"),
+        F.transform(
+            F.sequence("mn", "mx"),
+            lambda d: F.coalesce(F.element_at("m", d), F.lit(0.0)),
+        ).alias("ys"),
+    )
+
+    def step(acc, y):
+        s1 = F.element_at(acc["s"], 1)
+        new_l = F.lit(0.5) * (y - s1) + F.lit(0.5) * (acc["l"] + acc["b"])
+        new_b = F.lit(0.5) * (new_l - acc["l"]) + F.lit(0.5) * acc["b"]
+        new_s = F.lit(0.5) * (y - new_l) + F.lit(0.5) * s1
+        return F.struct(
+            new_l.alias("l"),
+            new_b.alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, 6), F.array(new_s)
+            ).alias("s"),
+        )
+
+    acc0 = F.struct(
+        F.element_at("ys", 1).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), 7).alias("s"),
+    )
+    rest = F.slice(F.col("ys"), F.lit(2), F.greatest(F.size("ys") - 1, F.lit(0)))
+    st = F.aggregate(rest, acc0, step)
+    folded = dense.select("event_type", "n_days", st.alias("st"))
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        F.element_at("st.s", 1).alias("s_next"),
+        (
+            F.col("st.l") + F.lit(3) * F.col("st.b") + F.element_at("st.s", 3)
+        ).alias("forecast_3d"),
+    )
+
+
+@graded(
+    "q_bollinger_bands",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day_idx,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+      FROM events
+      GROUP BY event_type, 2
+    ),
+    winded AS (
+      SELECT event_type, day_idx, day_cents,
+             CAST(count(*) OVER w AS BIGINT)                          AS n_win,
+             CAST(sum(day_cents) OVER w AS BIGINT)                    AS s_win,
+             CAST(sum(day_cents * day_cents) OVER w AS BIGINT)        AS s2_win
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day_idx, day_cents, n_win,
+           CAST(s_win AS DOUBLE) / n_win AS mean_7d,
+           CAST(s_win AS DOUBLE) / n_win
+             - 2 * sqrt(CAST(n_win * s2_win - s_win * s_win AS DOUBLE)
+                        / (n_win * n_win)) AS lower_band,
+           CAST(s_win AS DOUBLE) / n_win
+             + 2 * sqrt(CAST(n_win * s2_win - s_win * s_win AS DOUBLE)
+                        / (n_win * n_win)) AS upper_band,
+           day_cents < CAST(s_win AS DOUBLE) / n_win
+             - 2 * sqrt(CAST(n_win * s2_win - s_win * s_win AS DOUBLE)
+                        / (n_win * n_win))
+           OR day_cents > CAST(s_win AS DOUBLE) / n_win
+             + 2 * sqrt(CAST(n_win * s2_win - s_win * s_win AS DOUBLE)
+                        / (n_win * n_win)) AS breakout
+    FROM winded
+    """,
+)
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on per-type daily revenue: trailing-7-day mean
+    ± 2σ plus a breakout flag — the volatility envelope
+    anomaly-dashboards draw (q_anomaly_mad's MAD score is the robust
+    sibling; this is the classic parametric one).
+
+    Exactness (the exact-integer rolling-variance form): the 7-row
+    frame accumulates Σx and Σx² as BIGINTs, variance =
+    (nΣx² − (Σx)²)/n² with an exact integer numerator (day-cents ≤
+    2^31 ⇒ squares ≤ 2^62/7 within BIGINT at fixture scales; at 100 TB
+    the numerator moves to DOUBLE and the grade would go tolerance).
+    mean/band/flag are then fixed expressions over exact integers —
+    division and sqrt are IEEE correctly-rounded ⇒ bit-equal doubles
+    and a safe derived boolean, no rounding needed (unlike ln-based
+    grades).
+
+    100 TB: raw rows collapse to the combinable |types|×|days| daily
+    rollup; the rolling frame is a per-type ordered window over that
+    reduced relation (the decayed-sum contract), never over raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            day_idx.alias("day_idx"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    winded = daily.select(
+        "event_type",
+        "day_idx",
+        "day_cents",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
+        F.sum("day_cents").over(w).cast("bigint").alias("s_win"),
+        F.sum(F.col("day_cents") * F.col("day_cents")).over(w).cast("bigint").alias("s2_win"),
+    )
+    mean = F.col("s_win").cast("double") / F.col("n_win")
+    sd = F.sqrt(
+        (F.col("n_win") * F.col("s2_win") - F.col("s_win") * F.col("s_win")).cast("double")
+        / (F.col("n_win") * F.col("n_win"))
+    )
+    lower = mean - 2 * sd
+    upper = mean + 2 * sd
+    return winded.select(
+        "event_type",
+        "day_idx",
+        "day_cents",
+        "n_win",
+        mean.alias("mean_7d"),
+        lower.alias("lower_band"),
+        upper.alias("upper_band"),
+        ((F.col("day_cents") < lower) | (F.col("day_cents") > upper)).alias("breakout"),
+    )
+
+
+@graded(
+    "q_running_balance_floor",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN -CAST(floor(value * 100) AS BIGINT)
+                  ELSE  CAST(floor(value * 100) AS BIGINT) END AS delta
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             list(delta ORDER BY us, event_id) AS ds
+      FROM e GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id, n_events,
+             list_reduce(
+               list_prepend(
+                 [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                 list_transform(ds, d -> [d, CAST(0 AS BIGINT), CAST(0 AS BIGINT)])
+               ),
+               (acc, x) -> [
+                 greatest(CAST(0 AS BIGINT), acc[1] + x[1]),
+                 acc[2] + CASE WHEN acc[1] + x[1] < 0 THEN 1 ELSE 0 END,
+                 greatest(acc[3], greatest(CAST(0 AS BIGINT), acc[1] + x[1]))
+               ]
+             ) AS st
+      FROM per_user
+    )
+    SELECT user_id, n_events,
+           st[1] AS final_balance_cents,
+           CAST(st[2] AS BIGINT) AS n_clamps,
+           st[3] AS max_balance_cents
+    FROM folded
+    """,
+)
+def q_running_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance per user wallet: clicks/views EARN their
+    cents, purchases SPEND theirs, and the balance floors at zero (a
+    spend never overdraws) — the prototypical NON-LINEAR running
+    aggregate: max(0, bal + δ) is not a prefix sum, not window-
+    expressible, and the clamp makes every later value depend on the
+    full ordered history. Emits final balance, clamp count (spends that
+    hit the floor), and high-water mark.
+
+    Implementation is a per-key sequential FOLD over the (ts, event_id)
+    ordered delta array — the Holt/RBO contract applied to integers:
+    both engines run the identical left fold (Spark F.aggregate with a
+    struct accumulator; DuckDB list_reduce with a 3-list BIGINT
+    accumulator seeded by a prepended zero-state, since list_reduce
+    takes its seed from the first element). All-BIGINT state ⇒ exact,
+    no tolerance anywhere.
+
+    100 TB: one combinable collect per user (bounded per-user
+    cardinality — the sessionize contract); an unbounded per-key
+    history would stream through applyInPandasWithState instead. No
+    window, no join; the single exchange is the per-user groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", -cents).otherwise(cents).alias(
+            "delta"
+        ),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("us", "event_id", "delta"))),
+            lambda s: s["delta"],
+        ).alias("ds"),
+    )
+
+    zero = F.lit(0).cast("bigint")
+
+    def step(acc, d):
+        nb_raw = acc["bal"] + d
+        nb = F.greatest(zero, nb_raw)
+        return F.struct(
+            nb.alias("bal"),
+            (acc["nc"] + F.when(nb_raw < 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")).alias("nc"),
+            F.greatest(acc["mx"], nb).alias("mx"),
+        )
+
+    acc0 = F.struct(zero.alias("bal"), zero.alias("nc"), zero.alias("mx"))
+    st = F.aggregate(F.col("ds"), acc0, step)
+    folded = per_user.select("user_id", "n_events", st.alias("st"))
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.col("st.bal").alias("final_balance_cents"),
+        F.col("st.nc").alias("n_clamps"),
+        F.col("st.mx").alias("max_balance_cents"),
+    )
+
+
+@graded(
+    "q_user_ltv",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS week_idx,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS cents
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    withc AS (
+      SELECT user_id, week_idx, cents,
+             min(week_idx) OVER (PARTITION BY user_id) AS cohort_week
+      FROM e
+    ),
+    grid AS (
+      SELECT cohort_week, week_idx - cohort_week AS weeks_since,
+             CAST(sum(cents) AS BIGINT) AS week_cents
+      FROM withc GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+      FROM (SELECT DISTINCT user_id, cohort_week FROM withc)
+      GROUP BY cohort_week
+    ),
+    cum AS (
+      SELECT cohort_week, weeks_since, week_cents,
+             CAST(sum(week_cents) OVER (PARTITION BY cohort_week
+                                        ORDER BY weeks_since
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cents
+      FROM grid
+    )
+    SELECT c.cohort_week, c.weeks_since, s.n_users, c.week_cents, c.cum_cents,
+           CAST(c.cum_cents AS DOUBLE) / s.n_users AS ltv_cents
+    FROM cum c JOIN sizes s USING (cohort_week)
+    """,
+)
+def q_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: users bucketed by first-active
+    week, cumulative purchase revenue per cohort through each
+    weeks-since offset, divided by cohort size — the LTV curve
+    (payback-period / CAC-ceiling input) that q_cohort_retention's
+    count matrix prices out. Zero-revenue active weeks keep their rows
+    (the curve flat-lines, it doesn't skip).
+
+    One fact pass — literally: cohort week rides the user-partition
+    window (the retention trick), reduces to the per-(cohort, week,
+    user) partial, and that partial is CHECKPOINTED — its two readers
+    (revenue grid; cohort sizes = users at weeks_since 0, which every
+    user has by the min-definition) would otherwise each re-plan the
+    fact scan + window (the double-plan smell; plan-gated at exactly
+    one Window over the fact). The cumulative sum is a window over the
+    reduced |cohorts|×|weeks| grid; sizes broadcast back.
+
+    Exactness: cents/counts are exact BIGINTs end-to-end; ltv is ONE
+    correctly-rounded division ⇒ bit-equal doubles, no rounding.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    week = F.floor(F.unix_micros("ts") / F.lit(604_800_000_000.0)).cast("bigint")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 100).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    e = ev.select("user_id", week.alias("week_idx"), cents.alias("cents"))
+    w_user = Window.partitionBy("user_id")
+    withc = e.withColumn("cohort_week", F.min("week_idx").over(w_user))
+    per_u = (
+        withc.groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("weeks_since"),
+            "user_id",
+        )
+        .agg(F.sum("cents").cast("bigint").alias("u_cents"))
+        .localCheckpoint(eager=True)
+    )
+    grid = per_u.groupBy("cohort_week", "weeks_since").agg(
+        F.sum("u_cents").cast("bigint").alias("week_cents")
+    )
+    sizes = (
+        per_u.filter(F.col("weeks_since") == 0)
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn(
+        "cum_cents", F.sum("week_cents").over(w_cum).cast("bigint")
+    )
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "weeks_since",
+        "n_users",
+        "week_cents",
+        "cum_cents",
+        (F.col("cum_cents").cast("double") / F.col("n_users")).alias("ltv_cents"),
+    )

@@ -2009,3 +2009,223 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "x", "y").limit(50)
+
+
+def _ndcg_oracle() -> str:
+    stacked = "\n      UNION ALL\n".join(
+        f"      SELECT '{t}' AS term, doc_id, tf_{t} AS tf, dl"
+        f" FROM per_doc WHERE tf_{t} > 0"
+        for t in BM25_TERMS
+    )
+    fold = "round(sum(CAST(rel AS DOUBLE) / log2(rn + CAST(1.0 AS DOUBLE)) ORDER BY rn), 9)"
+    return f"""
+    WITH {BM25_ORACLE_CTES},
+    stacked AS (
+{stacked}
+    ),
+    scored AS (
+      SELECT term, doc_id, tf, least(tf, 3) AS rel,
+             tf * 1000000 // dl AS score_i
+      FROM stacked
+    ),
+    actual AS (
+      SELECT term, rel,
+             CAST(row_number() OVER (PARTITION BY term
+                                     ORDER BY score_i DESC, doc_id) AS INT) AS rn
+      FROM scored QUALIFY rn <= 10
+    ),
+    ideal AS (
+      SELECT term, rel,
+             CAST(row_number() OVER (PARTITION BY term
+                                     ORDER BY rel DESC, doc_id) AS INT) AS rn
+      FROM scored QUALIFY rn <= 10
+    ),
+    d AS (SELECT term, {fold} AS dcg  FROM actual GROUP BY term),
+    i AS (SELECT term, {fold} AS idcg FROM ideal  GROUP BY term),
+    nm AS (SELECT term, CAST(count(*) AS BIGINT) AS n_matched FROM scored GROUP BY term)
+    SELECT nm.term, nm.n_matched, d.dcg, i.idcg,
+           round(d.dcg / i.idcg, 9) AS ndcg
+    FROM nm JOIN d USING (term) JOIN i USING (term)
+    """
+
+
+@graded("q_ndcg_eval", oracle=_ndcg_oracle())
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 ranking-quality evaluation: for each query term, score
+    the LENGTH-NORMALIZED ranker (integer tf-density: tf·10⁶ div dl)
+    against graded relevance labels rel = min(tf, 3) — the offline
+    eval loop every retrieval stack runs before shipping a ranker
+    change (RBO asks "do two rankers agree"; NDCG asks "how good is
+    this ranker against labels"). DCG@10 = Σ relᵢ/log₂(i+1) over the
+    ranker's top 10; IDCG from the label-ideal ordering; NDCG = ratio.
+
+    Exactness: ranker scores and labels are INTEGERS (floor-div
+    density — both engines' div/// truncate identically on positives;
+    ties broken by doc_id), so both top-10 sets are deterministic.
+    log₂ is ln-based ⇒ the 1-ulp window applies: DCG/IDCG fold in
+    ASCENDING rank order on both engines (Spark d-sorted array fold,
+    DuckDB sum ORDER BY rn) and grade at 9 decimals; ndcg derives from
+    the ROUNDED pair (the perplexity lesson).
+
+    100 TB: ONE corpus scan produces the stacked (term, doc, tf)
+    matched frame (terms are columns via array HOFs — the BM25
+    contract, no explode); each ranking reduces via the two-phase
+    per-partition heap prune (grouped_topk_twophase: map-side ≤k per
+    term per partition, window only over survivors — never a
+    corpus-wide rank window); all NDCG math runs on ≤ |terms|×10 rows.
+    """
+    from noaa_etl_spark.operators.topk import grouped_topk_twophase
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(ws, _tf_term(t))).cast("bigint").alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stack_expr = "stack({n}, {args}) as (term, tf)".format(
+        n=len(BM25_TERMS),
+        args=", ".join(f"'{t}', tf_{t}" for t in BM25_TERMS),
+    )
+    scored = (
+        per_doc.select("doc_id", "dl", F.expr(stack_expr))
+        .filter(F.col("tf") > 0)
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            F.least(F.col("tf"), F.lit(3).cast("bigint")).alias("rel"),
+            F.expr("tf * 1000000 div dl").alias("score_i"),
+        )
+    )
+
+    def fold_dcg(topk: DataFrame, out: str) -> DataFrame:
+        term_val = F.col("rel").cast("double") / F.log2(F.col("rn") + F.lit(1.0))
+        return topk.groupBy("term").agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("rn", term_val.alias("v")))
+                        ),
+                        lambda s: s["v"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                9,
+            ).alias(out)
+        )
+
+    actual = grouped_topk_twophase(
+        scored, ["term"], [("score_i", False), ("doc_id", True)], 10, rank_col="rn"
+    ).select("term", "rel", F.col("rn").cast("int").alias("rn"))
+    ideal = grouped_topk_twophase(
+        scored, ["term"], [("rel", False), ("doc_id", True)], 10, rank_col="rn"
+    ).select("term", "rel", F.col("rn").cast("int").alias("rn"))
+
+    d = fold_dcg(actual, "dcg")
+    i = fold_dcg(ideal, "idcg")
+    nm = scored.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+    return (
+        nm.join(F.broadcast(d), "term")
+        .join(F.broadcast(i), "term")
+        .select(
+            "term",
+            "n_matched",
+            "dcg",
+            "idcg",
+            F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg"),
+        )
+    )
+
+
+@graded(
+    "q_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(t[1:len(t)-2],
+               (x, i) -> md5(x || ' ' || t[i+1] || ' ' || t[i+2])))) AS h
+      FROM toks WHERE len(t) >= 3
+    ),
+    per_doc AS (
+      SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_grams
+      FROM grams GROUP BY 1, 2
+    ),
+    firsts AS (SELECT h, min(doc_id) AS first_doc FROM grams GROUP BY h),
+    novel AS (
+      SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+      FROM firsts GROUP BY 1
+    )
+    SELECT p.source,
+           CAST(count(*) AS BIGINT)                            AS n_docs,
+           CAST(sum(p.n_grams) AS BIGINT)                      AS n_grams,
+           CAST(sum(coalesce(n.n_novel, 0)) AS BIGINT)         AS n_novel,
+           CAST(sum(coalesce(n.n_novel, 0)) AS DOUBLE)
+             / CAST(sum(p.n_grams) AS BIGINT)                  AS novelty
+    FROM per_doc p LEFT JOIN novel n USING (doc_id)
+    GROUP BY p.source
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus NOVELTY: the fraction of each document's
+    distinct word 3-grams that appear for the FIRST time in the corpus
+    (arrival order = doc_id), aggregated per source — the curation
+    metric that separates sources still contributing new content from
+    ones re-serving what the corpus already has (de-dup tells you
+    exact copies; novelty tells you marginal information).
+
+    First-occurrence attribution is min(doc_id) per gram; a doc's
+    novel-gram count is then #{grams whose first_doc == doc_id} — NO
+    gram-side join back to documents: the firsts relation groups
+    straight to (doc_id, n_novel) and meets the scan-local per-doc
+    totals in ONE co-partitioned doc-grain join (the repetition-filter
+    shape). Grams travel as md5 DIGESTS, not strings — the shuffle key
+    is 32 fixed bytes regardless of token length (both engines hash
+    identically, so the grade is unaffected; a collision would merge
+    the same two grams in both).
+
+    Exactness: all counts exact BIGINTs; novelty is one division.
+
+    100 TB: array_distinct BEFORE explode (no duplicate grams ride the
+    wire); the gram min-agg is combinable map-side; per-doc totals
+    never shuffle at gram grain (computed as size() in the scan); the
+    final rollup is |sources| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", tokenize(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 3)
+    hashed = toks.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(ngrams(F.col("t"), 3), lambda g: F.md5(g.cast("binary")))
+        ).alias("hs"),
+    )
+    per_doc = hashed.select(
+        "doc_id", "source", F.size("hs").cast("bigint").alias("n_grams")
+    )
+    grams = hashed.select("doc_id", F.explode("hs").alias("h"))
+    firsts = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    joined = per_doc.join(novel, "doc_id", "left").select(
+        "source",
+        "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias("n_novel"),
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("n_grams"),
+        F.sum("n_novel").cast("bigint").alias("n_novel"),
+        (F.sum("n_novel").cast("double") / F.sum("n_grams")).alias("novelty"),
+    )

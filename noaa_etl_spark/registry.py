@@ -139,11 +139,22 @@ GRADED_WINDOW: list[str] = [
     # q_peak_concurrency, q_proration_largest_remainder, q_psi_drift,
     # q_benford_audit, q_spatial_nearest, q_shortest_path_bfs,
     # q_market_basket_lift, q_acf_daily, q_stream_psi_drift (shared
-    # PSI oracle).
+    # PSI oracle), q_holt_winters_seasonal (bit-equal seasonal fold),
+    # q_bollinger_bands (exact-integer rolling variance),
+    # q_running_balance_floor (clamped non-linear running fold),
+    # q_ndcg_eval (ranking-quality metric, two-phase heap prune),
+    # q_jaccard_neighbors (common-neighbor link prediction),
+    # q_ngram_novelty (per-source first-occurrence rate),
+    # q_stream_holt_winters (shared HW oracle — twin #12),
+    # q_curriculum_order (global sort index — the no-global-window
+    # zipWithIndex), q_entity_resolution (blocking→CC→golden-record
+    # composition, oracle = cross join + recursive closure),
+    # q_geo_cluster (grid-density DBSCAN-lite: dense cells + CC over
+    # the 8-neighborhood), q_user_ltv (cohort LTV triangle).
     # Also RE-GRADE in r10 (semantics/plan changed this round):
     # q_cdc_apply + q_stream_cdc_apply (full-outer insert semantics),
     # q_containment_dedup (df-capped candidates), q_event_sequence
-    # (celebrity cap). r10 window = those 29 new + 4 re-grades
+    # (celebrity cap). r10 window = those 40 new + 4 re-grades
     # (q_containment_lsh in ROWS_ONLY_WINDOW) + q_tpch_q14_promo +
     # oldest-signal rotation (r5-graded cohort) + rows-only periodic
     # slots.

@@ -1834,3 +1834,373 @@ def test_bfs_distances_multi_source_min(spark):
         for r in bfs_distances(edges, seeds, max_hops=50).collect()
     }
     assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+# --- Holt-Winters seasonal fold ---------------------------------------
+
+
+def test_holt_winters_matches_python_reference(spark):
+    """The Spark fold must equal a plain-Python implementation of the
+    identical recurrence over the identical dense series (alpha = beta =
+    gamma = 1/2, m = 7, seed l=y1/b=0/s=zeros) — bit-exact."""
+    from noaa_etl_spark.queries.temporal import q_holt_winters_seasonal
+
+    out = {
+        r["event_type"]: r
+        for r in q_holt_winters_seasonal(spark, SF_SMALL).collect()
+    }
+    daily = (
+        load_table(spark, SF_SMALL, "events")
+        .select(
+            "event_type",
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("c"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in daily:
+        by_type.setdefault(r["event_type"], {})[r["d"]] = float(r["c"])
+    assert out, "fixture must produce at least one series"
+    for et, days in by_type.items():
+        mn, mx = min(days), max(days)
+        ys = [days.get(d, 0.0) for d in range(mn, mx + 1)]
+        l, b, s = ys[0], 0.0, [0.0] * 7
+        for y in ys[1:]:
+            nl = 0.5 * (y - s[0]) + 0.5 * (l + b)
+            nb = 0.5 * (nl - l) + 0.5 * b
+            ns = 0.5 * (y - nl) + 0.5 * s[0]
+            l, b, s = nl, nb, s[1:] + [ns]
+        row = out[et]
+        assert row["n_days"] == len(ys)
+        assert row["level"] == l and row["trend"] == b
+        assert row["s_next"] == s[0]
+        assert row["forecast_3d"] == l + 3 * b + s[2]
+
+
+# --- clamped running balance ------------------------------------------
+
+
+def test_running_balance_floor_matches_python_fold(spark):
+    """Per-user clamped fold == a plain-Python replay over the same
+    (ts, event_id)-ordered deltas; clamp count and high-water exact."""
+    from noaa_etl_spark.queries.temporal import q_running_balance_floor
+
+    got = {
+        r["user_id"]: r for r in q_running_balance_floor(spark, SF_SMALL).collect()
+    }
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    hist: dict = {}
+    for r in ev:
+        d = -r["cents"] if r["event_type"] == "purchase" else r["cents"]
+        hist.setdefault(r["user_id"], []).append((r["us"], r["event_id"], d))
+    assert len(got) == len(hist)
+    clamped_somewhere = False
+    for uid, rows in hist.items():
+        bal = nc = mx = 0
+        for _, _, d in sorted(rows):
+            raw = bal + d
+            if raw < 0:
+                nc += 1
+            bal = max(0, raw)
+            mx = max(mx, bal)
+        row = got[uid]
+        assert (row["final_balance_cents"], row["n_clamps"], row["max_balance_cents"]) == (bal, nc, mx)
+        assert row["n_events"] == len(rows)
+        clamped_somewhere = clamped_somewhere or nc > 0
+    assert clamped_somewhere, "fixture should exercise the clamp branch"
+
+
+# --- NDCG ---------------------------------------------------------------
+
+
+def test_ndcg_perfect_ranker_scores_one(spark):
+    """When the ranker order equals the ideal order, NDCG == 1 exactly
+    (dcg and idcg are the same rounded fold)."""
+    from noaa_etl_spark.queries.text import q_ndcg_eval
+
+    rows = q_ndcg_eval(spark, SF_SMALL).collect()
+    assert rows, "every BM25 term occurs in the fixture corpus"
+    for r in rows:
+        assert 0.0 < r["ndcg"] <= 1.0
+        assert r["idcg"] >= r["dcg"] > 0.0
+        assert r["n_matched"] > 0
+
+
+# --- neighborhood Jaccard ----------------------------------------------
+
+
+def test_jaccard_neighbors_matches_bruteforce(spark):
+    """Engine output == a Python brute force over the same edge set."""
+    from noaa_etl_spark.queries.scale import q_jaccard_neighbors
+
+    li = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    orders: dict = {}
+    for r in li:
+        orders.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                edges.add((u, v))
+    nbr: dict = {}
+    for u, v in edges:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    expect = {}
+    nodes = sorted(nbr)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            common = len(nbr[a] & nbr[b])
+            if common >= 2:
+                expect[(a, b)] = (
+                    common,
+                    len(nbr[a]),
+                    len(nbr[b]),
+                    common / (len(nbr[a]) + len(nbr[b]) - common),
+                )
+    got = {
+        (r["u"], r["v"]): (
+            r["common_neighbors"],
+            r["deg_u"],
+            r["deg_v"],
+            r["jaccard"],
+        )
+        for r in q_jaccard_neighbors(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+    assert expect, "fixture graph must contain >=1 common-neighbor pair"
+
+
+# --- n-gram novelty ------------------------------------------------------
+
+
+def test_ngram_novelty_duplicate_contributes_zero(spark):
+    """A later exact duplicate adds grams but zero novel grams: on a
+    synthetic frame [fresh doc, exact copy], the copy's source shows
+    novelty 0 while the original's shows 1."""
+    from noaa_etl_spark.queries import text as text_q
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "first", 30),
+            (2, "alpha beta gamma delta epsilon", "en", "copy", 30),
+            (3, "zeta eta theta iota kappa", "en", "first", 25),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    import noaa_etl_spark.io as io_mod
+
+    orig = io_mod.load_table
+    try:
+        io_mod.load_table = lambda _s, _d, _t: docs
+        text_q.load_table = io_mod.load_table
+        out = {r["source"]: r for r in text_q.q_ngram_novelty(spark, "ignored").collect()}
+    finally:
+        io_mod.load_table = orig
+        text_q.load_table = orig
+    assert out["first"]["novelty"] == 1.0
+    assert out["copy"]["novelty"] == 0.0
+    assert out["copy"]["n_grams"] == 3 and out["copy"]["n_novel"] == 0
+
+
+# --- global sort index ---------------------------------------------------
+
+
+def test_global_sort_index_matches_window_rank(spark):
+    """Positions from the two-pass range scheme == row_number()-1 under
+    the same total order, on a skewed synthetic frame (one hot key value
+    spanning many range partitions' worth of rows)."""
+    from pyspark.sql import Window
+
+    from noaa_etl_spark.operators.order_index import global_sort_index
+
+    df = spark.range(0, 10000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 7, F.lit(42)).otherwise(F.col("id") % 97).alias("k"),
+    )
+    got = {
+        r["id"]: r["position"]
+        for r in global_sort_index(df, [("k", True), ("id", True)]).collect()
+    }
+    w = Window.orderBy("k", "id")
+    want = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", (F.row_number().over(w) - 1).cast("bigint").alias("p")
+        ).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(10000))
+
+
+def test_global_sort_index_empty_frame(spark):
+    from noaa_etl_spark.operators.order_index import global_sort_index
+
+    df = spark.range(0).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    assert global_sort_index(df, [("k", True), ("id", True)]).count() == 0
+
+
+# --- entity resolution ----------------------------------------------------
+
+
+def test_entity_resolution_transitive_chaining(spark):
+    """A~B and B~C at distance 1 (A and C at distance 2) must resolve to
+    ONE entity labeled by the lexicographically first name; unrelated
+    names stay singletons."""
+    from noaa_etl_spark.queries import etl as etl_q
+
+    part = spark.createDataFrame(
+        [
+            (1, "steel bolt", "B1", "t", 1, 1.0),
+            (2, "steel bolts", "B1", "t", 1, 1.0),   # dist 1 from "steel bolt"
+            (3, "steel boltss", "B1", "t", 1, 1.0),  # dist 1 from "steel bolts", 2 from "steel bolt"
+            (4, "copper pipe", "B2", "t", 1, 1.0),
+            (5, "steel bolt", "B9", "t", 1, 1.0),    # duplicate name rides the same node
+        ],
+        "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    import noaa_etl_spark.io as io_mod
+
+    orig = io_mod.load_table
+    try:
+        io_mod.load_table = lambda _s, _d, _t: part
+        etl_q.load_table = io_mod.load_table
+        out = {r["cluster_rep"]: r for r in etl_q.q_entity_resolution(spark, "x").collect()}
+    finally:
+        io_mod.load_table = orig
+        etl_q.load_table = orig
+    assert set(out) == {"copper pipe", "steel bolt"}
+    chain = out["steel bolt"]
+    assert chain["n_members"] == 3 and chain["n_parts"] == 4
+    assert chain["min_partkey"] == 1
+    single = out["copper pipe"]
+    assert single["n_members"] == 1 and single["n_parts"] == 1
+
+
+# --- grid-density geo clustering -----------------------------------------
+
+
+def test_geo_cluster_separated_blobs(spark):
+    """Two dense blobs separated by >1 empty cell resolve to two
+    clusters; sparse cells (< 3 points) never appear."""
+    from noaa_etl_spark.queries import scalars as scalars_q
+
+    # custkey % 120 drives lat, % 300 drives lon — the joint residue
+    # lattice (period 600) realizes only some (lat_cell, lon_cell)
+    # combos, so derive REACHABLE cells: k and k+600·j share a cell.
+    cell_of = {}
+    for k in range(600):
+        cell_of.setdefault(((k % 120) // 2, (k % 300) // 4), k)
+    cells = sorted(cell_of)
+
+    def cheb(a, b):
+        return max(abs(a[0] - b[0]), abs(a[1] - b[1]))
+
+    c1, c2 = next(
+        (a, b) for a in cells for b in cells if a < b and cheb(a, b) == 1
+    )
+    c3 = next(c for c in cells if cheb(c, c1) > 2 and cheb(c, c2) > 2)
+    c4 = next(
+        c for c in cells if all(cheb(c, o) > 2 for o in (c1, c2, c3))
+    )
+    ks = (
+        [cell_of[c1] + 600 * j for j in range(3)]    # blob A cell 1 (dense)
+        + [cell_of[c2] + 600 * j for j in range(3)]  # blob A cell 2 (adjacent)
+        + [cell_of[c3] + 600 * j for j in range(4)]  # blob B (far away)
+        + [cell_of[c4] + 600 * j for j in range(2)]  # sparse cell (dropped)
+    )
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", 0, 0.0, "S") for k in ks],
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    import noaa_etl_spark.io as io_mod
+
+    orig = io_mod.load_table
+    try:
+        io_mod.load_table = lambda _s, _d, _t: cust
+        scalars_q.load_table = io_mod.load_table
+        rows = {
+            (r["rep_cell_lat"], r["rep_cell_lon"]): r
+            for r in scalars_q.q_geo_cluster(spark, "x").collect()
+        }
+    finally:
+        io_mod.load_table = orig
+        scalars_q.load_table = orig
+    rep_a = min(c1, c2)
+    assert set(rows) == {rep_a, c3}
+    assert rows[rep_a]["n_cells"] == 2 and rows[rep_a]["n_points"] == 6
+    assert rows[c3]["n_cells"] == 1 and rows[c3]["n_points"] == 4
+
+
+# --- cohort LTV ----------------------------------------------------------
+
+
+def test_user_ltv_cumulative_invariants(spark):
+    """Per cohort: weeks_since 0 exists, cum_cents is nondecreasing in
+    weeks_since, ltv = cum/n exactly, and cohort sizes match the
+    retention query's week-0 counts."""
+    from noaa_etl_spark.queries.temporal import q_cohort_retention, q_user_ltv
+
+    rows = q_user_ltv(spark, SF_SMALL).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+        assert r["ltv_cents"] == r["cum_cents"] / r["n_users"]
+    ret0 = {
+        r["cohort_week"]: r["n_users"]
+        for r in q_cohort_retention(spark, SF_SMALL).collect()
+        if r["weeks_since"] == 0
+    }
+    for cw, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["weeks_since"])
+        assert rs[0]["weeks_since"] == 0
+        assert all(a["cum_cents"] <= b["cum_cents"] for a, b in zip(rs, rs[1:]))
+        assert all(r["n_users"] == rs[0]["n_users"] for r in rs)
+        assert ret0[cw] == rs[0]["n_users"]
+
+
+def test_holt_winters_zero_fills_day_gaps(spark):
+    """A missing day is a 0-revenue step in the dense series (n_days
+    counts it; the fold consumes it) — and the map lookup behind the
+    spine returns NULL (not an ANSI error) for absent keys, so a
+    gappier regenerated fixture cannot throw."""
+    from noaa_etl_spark.queries.temporal import holt_winters_from_daily
+
+    df = spark.createDataFrame(
+        [("a", 0, 100), ("a", 2, 300)],
+        "event_type string, day_idx bigint, day_cents bigint",
+    )
+    row = holt_winters_from_daily(df).collect()[0]
+    # python replay over ys = [100, 0, 300]
+    l, b, s = 100.0, 0.0, [0.0] * 7
+    for y in (0.0, 300.0):
+        nl = 0.5 * (y - s[0]) + 0.5 * (l + b)
+        nb = 0.5 * (nl - l) + 0.5 * b
+        ns = 0.5 * (y - nl) + 0.5 * s[0]
+        l, b, s = nl, nb, s[1:] + [ns]
+    assert row["n_days"] == 3
+    assert (row["level"], row["trend"], row["s_next"]) == (l, b, s[0])
+    assert row["forecast_3d"] == l + 3 * b + s[2]

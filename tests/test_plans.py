@@ -665,3 +665,89 @@ def test_acf_runs_on_reduced_daily_relation(spark):
     plan = plan_of(spark, "q_acf_daily")
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_holt_winters_fold_no_window_no_join(spark):
+    """The dense day spine is built in expression-land (map lookup over
+    sequence()) — no join-back, no window; just the two combinable aggs
+    (daily rollup, per-type fold)."""
+    plan = plan_of(spark, "q_holt_winters_seasonal")
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_bollinger_windows_reduced_daily_relation(spark):
+    """Raw events collapse to the |types|x|days| daily rollup before the
+    rolling frame; no joins anywhere."""
+    plan = plan_of(spark, "q_bollinger_bands")
+    assert "Join" not in plan
+    assert plan.count("Window (") == 1  # tree node; details repeat the name
+
+
+def test_running_balance_single_groupby_fold(spark):
+    """The clamped fold is one per-user collect + F.aggregate: a single
+    exchange (the user groupBy), no window, no join."""
+    plan = plan_of(spark, "q_running_balance_floor")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial+final agg pair
+
+
+def test_ndcg_rankings_prune_before_window(spark):
+    """Both rankings reduce via the two-phase per-partition heap prune
+    (mapInPandas) before any window rank; the term-report joins are
+    broadcast over <=|terms| rows."""
+    plan = plan_of(spark, "q_ndcg_eval")
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_neighbors_broadcasts_degrees(spark):
+    """Degree lookups broadcast onto the reduced common-neighbor pair
+    relation; the wedge self-join is a co-partitioned equi-join, never
+    a cartesian."""
+    plan = plan_of(spark, "q_jaccard_neighbors")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_ngram_novelty_no_gram_join_back(spark):
+    """Per-doc totals come from size() in the scan (never a gram-grain
+    join back); the only join is doc-grain per_doc<->novel."""
+    plan = plan_of(spark, "q_ngram_novelty")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_order_no_global_window(spark):
+    """Global positions come from the range-partitioned two-pass scheme
+    (mapInPandas + literal offset map) — NEVER a global row_number
+    window (one reducer for the whole corpus) and never a join."""
+    plan = plan_of(spark, "q_curriculum_order")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_user_ltv_one_fact_pass(spark):
+    """Cohort assignment is a window on the user partitioning (never an
+    agg + join-back re-scan); the cumulative window runs over the
+    reduced cohort grid; sizes broadcast."""
+    plan = plan_of(spark, "q_user_ltv")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the cohort-min window runs ONCE inside the checkpointed per-user
+    # partial; the visible plan keeps only the grid-level cumulative
+    # window (a second Window here = the duplicated fact pass came back)
+    assert plan.count("Window (") == 1
+
+
+def test_geo_cluster_bounded_adjacency_join(spark):
+    """Dense-cell adjacency is a broadcast band-join over the BOUNDED
+    cell universe (never a point-level join); the raw-point relation is
+    touched once (the cell-count agg)."""
+    plan = plan_of(spark, "q_geo_cluster")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

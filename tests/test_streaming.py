@@ -396,3 +396,18 @@ def test_stream_ab_test_equals_batch(spark):
     s = {r["event_type"]: tuple(r[c] for c in cols)
          for r in QUERIES["q_stream_ab_test"](spark, SF_SMALL).collect()}
     assert b == s and b
+
+
+def test_stream_holt_winters_equals_batch(spark):
+    """Micro-batched daily partials fold to the identical daily table,
+    so the shared spine-densified seasonal fold is bit-equal to the
+    batch Holt-Winters."""
+    from noaa_etl_spark.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    cols = ("n_days", "level", "trend", "s_next", "forecast_3d")
+    b = {r["event_type"]: tuple(r[c] for c in cols)
+         for r in QUERIES["q_holt_winters_seasonal"](spark, SF_SMALL).collect()}
+    s = {r["event_type"]: tuple(r[c] for c in cols)
+         for r in QUERIES["q_stream_holt_winters"](spark, SF_SMALL).collect()}
+    assert b == s and b

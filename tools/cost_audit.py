@@ -238,6 +238,27 @@ AUDITED = [
     # connected_components/pagerank; its plan test pins the shape.
     "q_market_basket_lift",
     "q_acf_daily",
+    # round-9 sixth batch: the Holt-Winters / balance folds are agg-only
+    # (a gained window or join is the regression); bollinger windows the
+    # reduced daily relation; NDCG prunes via map-side heaps before its
+    # survivor windows; jaccard wedges stay co-partitioned with
+    # broadcast degree lookups; novelty's only join is doc-grain.
+    "q_holt_winters_seasonal",
+    "q_bollinger_bands",
+    "q_running_balance_floor",
+    "q_ndcg_eval",
+    "q_jaccard_neighbors",
+    "q_ngram_novelty",
+    # curriculum order: exactly ONE exchange (the range repartition) —
+    # a gained exchange or window means the global row_number crept in.
+    "q_curriculum_order",
+    # q_entity_resolution / q_geo_cluster are excluded: their CC stage
+    # is iterative (round count data-dependent, like
+    # connected_components/pagerank); component behaviors are
+    # COSTS-gated via q_fuzzy_name_match and plan-tested.
+    # user LTV: one fact window inside the checkpointed partial; a
+    # second Window or an SMJ is the double-plan regression.
+    "q_user_ltv",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
