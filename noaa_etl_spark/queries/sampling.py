@@ -612,3 +612,48 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_sort_index(
         docs, [("n_chars", True), ("doc_id", True)], out_col="position"
     )
+
+
+@graded(
+    "q_balanced_class_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, source, rk FROM ranked WHERE rk <= 50
+    """,
+)
+def q_balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced class subsample: EXACTLY min(50, |class|) documents per
+    language, selected by md5 rank — the class-rebalancing step for
+    eval sets and contrastive training (stratified_sample rebalances by
+    RATE; this guarantees equal COUNTS). Deterministic: the kept set is
+    a pure function of doc_id, so reruns, engines, and cluster sizes
+    agree; the md5 order makes it an unbiased draw without RNG state.
+
+    Scale: exact-k-per-class needs a rank, and the class count is TINY
+    (languages), so a naive per-class window is the celebrity shape —
+    routed through grouped_topk_twophase instead: every input
+    partition pre-prunes to ≤ k rows per class map-side (one
+    mapInPandas pass), the exact rank window then runs over
+    ≤ partitions×classes×k survivors. The md5 tiebreak (then doc_id)
+    is a total order, so the two-phase result is identical to the
+    oracle's global window.
+    """
+    from noaa_etl_spark.operators.topk import grouped_topk_twophase
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")).cast("binary")).alias("_h"),
+    )
+    picked = grouped_topk_twophase(
+        docs, ["lang"], [("_h", True), ("doc_id", True)], 50, rank_col="rk"
+    )
+    return picked.select("doc_id", "lang", "source", F.col("rk").cast("bigint").alias("rk"))

@@ -651,3 +651,32 @@ def q_rbo_rank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rbo",
         "overlap_at_k",
     )
+
+
+@graded("q_pq_encode")  # rows-only: codebooks are sample/seed-specific
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode of the embedding corpus (m=8
+    subspaces × k=256 centroids, 8-bit codes: 64-dim float → 8 codes,
+    32× memory
+    compression with ADC-searchable distances) — the index-build step
+    that makes billion-vector ANN fit in RAM; operators/pq.py.
+
+    Rows-only grade (codebooks depend on the training sample + seed,
+    like the IVF cells); the CONTRACTS are tested instead: codes in
+    range, deterministic re-encode, reconstruction MSE beats the
+    1-centroid baseline per subspace by construction, and ADC top-10
+    recall vs exact brute force (tests/test_algorithms.py).
+
+    100 TB: train on a ≤50k driver sample (the IVF adjudication),
+    broadcast the (8×16×8) codebook, encode via ONE scan-local
+    vectorized mapInPandas pass — no shuffle anywhere; the encoded
+    table is 32× smaller than its source before it ever moves.
+    """
+    from noaa_etl_spark.operators.pq import pq_encode, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb)
+    enc = pq_encode(emb, books)
+    return enc.select(
+        "vec_id", "codes", F.round(F.col("recon_mse"), 9).alias("recon_mse")
+    )

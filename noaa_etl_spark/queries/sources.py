@@ -596,3 +596,88 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@graded(
+    "q_csv_malformed_recovery",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'short'
+                  WHEN o_orderkey % 11 = 0 THEN 'badnum'
+                  ELSE 'clean' END AS kind
+      FROM orders
+    )
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_total
+    FROM tagged WHERE kind = 'clean'
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '(corrupt)' AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(NULL AS BIGINT)     AS cents_total
+    FROM tagged WHERE kind <> 'clean'
+    """,
+)
+def q_csv_malformed_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance for text sources: ingest a CSV feed
+    with deterministic corruption (orderkey % 13 → truncated line,
+    % 11 → non-numeric amount) in PERMISSIVE mode with a
+    columnNameOfCorruptRecord column — the production posture for
+    third-party feeds (FAILFAST aborts the job on one bad row;
+    DROPMALFORMED silently loses data; PERMISSIVE quarantines). Clean
+    rows aggregate per status; corrupt rows land in ONE quarantine
+    bucket whose raw lines remain available for replay (counted here).
+
+    PERMISSIVE semantics (probed, with a trap): unparsable tokens set
+    the corrupt column, and parseable fields of a corrupt row are
+    still populated. BUT token-count mismatches (short/long rows) are
+    only detected when the parser materializes every schema column —
+    under CSV COLUMN PRUNING (spark.sql.csv.parser.columnPruning,
+    default on) a query that reads a subset of columns never counts
+    tokens, so short rows silently null-fill WITHOUT the marker (a
+    full-column show() marks them; this pruned aggregate does not).
+    Production recovery therefore quarantines on marker OR
+    required-field nullness — the belt-and-suspenders rule used here.
+
+    Scale: the write is one narrow projection; the read is a plain
+    schema'd csv scan (splittable, no inference pass since the schema
+    is declared); the report is one combinable agg. The oracle replays
+    the corruption RULE relationally — no file I/O on the DuckDB side.
+    """
+    path = _tmp("csv_malformed", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    line = F.when(
+        F.col("o_orderkey") % 13 == 0,
+        F.concat_ws(",", F.col("o_orderkey"), F.col("o_orderstatus")),
+    ).when(
+        F.col("o_orderkey") % 11 == 0,
+        F.concat_ws(
+            ",", F.col("o_orderkey"), F.col("o_orderstatus"), F.lit("N/A")
+        ),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice"),
+        )
+    )
+    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, _corrupt STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    bad = F.col("_corrupt").isNotNull() | F.col("o_totalprice").isNull()
+    status = F.when(bad, F.lit("(corrupt)")).otherwise(F.col("o_orderstatus"))
+    cents = F.when(~bad, F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+    return back.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(cents).cast("bigint").alias("cents_total"),
+    )

@@ -2229,3 +2229,77 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_novel").cast("bigint").alias("n_novel"),
         (F.sum("n_novel").cast("double") / F.sum("n_grams")).alias("novelty"),
     )
+
+
+@graded(
+    "q_keyword_extraction",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY doc_id, w
+    ),
+    idf AS (
+      SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY word
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.word, tf.tf, idf.df,
+             round(tf.tf * ln(CAST(n_docs AS DOUBLE) / idf.df), 6) AS tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY tf.doc_id ORDER BY tf.tf DESC, idf.df, tf.word
+             ) AS INT) AS rk
+      FROM tf JOIN idf USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 terms per doc under
+    the tf-idf family ordering — the tagging/indexing step downstream
+    of q_tfidf's corpus-wide table.
+
+    Ranking key is the INTEGER surrogate (tf DESC, df ASC, word): the
+    same ordering tf·ln(N/df) induces when tf dominates, but exact
+    integers end-to-end — ranking on the ln-valued score itself would
+    let a 1-ulp cross-engine ln() difference flip two near-equal
+    keywords at the top-k boundary (the perplexity lesson applied to
+    ORDER, where rounding can't save you). The tfidf score is still
+    emitted, 6dp, for display.
+
+    Scale: tf/df are combinable aggs; idf joins back on the word key
+    (broadcast at fixture vocab, shuffle-on-word at corpus scale); the
+    rank window partitions by doc_id — HIGH-cardinality partitions,
+    the scale-friendly window shape (contrast: the per-class sampler
+    routes through the two-phase prune precisely because classes are
+    few).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    idf = tf.groupBy("word").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("word")
+    )
+    scored = (
+        tf.join(idf, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    return scored.withColumn("rk", F.row_number().over(w).cast("int")).filter(
+        F.col("rk") <= 3
+    )

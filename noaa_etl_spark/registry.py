@@ -150,11 +150,17 @@ GRADED_WINDOW: list[str] = [
     # zipWithIndex), q_entity_resolution (blocking→CC→golden-record
     # composition, oracle = cross join + recursive closure),
     # q_geo_cluster (grid-density DBSCAN-lite: dense cells + CC over
-    # the 8-neighborhood), q_user_ltv (cohort LTV triangle).
+    # the 8-neighborhood), q_user_ltv (cohort LTV triangle),
+    # q_balanced_class_sample (exact-k per class via two-phase prune),
+    # q_keyword_extraction (per-doc top-3, integer-surrogate order),
+    # q_csv_malformed_recovery (PERMISSIVE quarantine; the CSV
+    # column-pruning trap), q_pq_encode (rows-only: product
+    # quantization — 8-bit codebooks, ADC recall-tested; completes the
+    # ANN toolkit).
     # Also RE-GRADE in r10 (semantics/plan changed this round):
     # q_cdc_apply + q_stream_cdc_apply (full-outer insert semantics),
     # q_containment_dedup (df-capped candidates), q_event_sequence
-    # (celebrity cap). r10 window = those 40 new + 4 re-grades
+    # (celebrity cap). r10 window = those 43 new + 4 re-grades
     # (q_containment_lsh in ROWS_ONLY_WINDOW) + q_tpch_q14_promo +
     # oldest-signal rotation (r5-graded cohort) + rows-only periodic
     # slots.

@@ -2204,3 +2204,99 @@ def test_holt_winters_zero_fills_day_gaps(spark):
     assert row["n_days"] == 3
     assert (row["level"], row["trend"], row["s_next"]) == (l, b, s[0])
     assert row["forecast_3d"] == l + 3 * b + s[2]
+
+
+# --- PERMISSIVE csv pruning trap ------------------------------------------
+
+
+def test_csv_corrupt_marker_lost_under_pruning(spark):
+    """Pin the trap q_csv_malformed_recovery defends against: a SHORT
+    row gets the corrupt marker when all columns are read, but NOT in
+    a column-pruned read — so quarantine logic must also check
+    required-field nullness."""
+    import os
+
+    p = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".tmp", "csv_prune_probe")
+    spark.createDataFrame([("1,A,10.5",), ("13,C",)], "value string") \
+        .coalesce(1).write.mode("overwrite").text(p)
+    reader = (
+        spark.read.schema("k BIGINT, s STRING, v DOUBLE, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+    )
+    full = reader.csv(p).collect()          # all columns -> marker set
+    assert sum(r["_corrupt"] is not None for r in full) == 1
+    pruned = reader.csv(p).select("s", "_corrupt").collect()
+    assert all(r["_corrupt"] is None for r in pruned), (
+        "pruned reads now mark short rows — the belt-and-suspenders "
+        "nullness check in q_csv_malformed_recovery can be simplified"
+    )
+
+
+def test_balanced_class_sample_exact_k(spark):
+    """Exactly min(50, |class|) rows per language, ranks 1..k."""
+    from noaa_etl_spark.queries.sampling import q_balanced_class_sample
+
+    rows = q_balanced_class_sample(spark, SF_SMALL).collect()
+    sizes = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rk"])
+    assert set(by_lang) == set(sizes)
+    for lang, rks in by_lang.items():
+        k = min(50, sizes[lang])
+        assert sorted(rks) == list(range(1, k + 1))
+
+
+# --- product quantization -------------------------------------------------
+
+
+def test_pq_encode_contracts(spark):
+    """Codes in range, deterministic re-encode, reconstruction beats the
+    1-centroid (global mean) baseline, ADC top-10 overlaps exact
+    brute-force top-10."""
+    import numpy as np
+
+    from noaa_etl_spark.operators.pq import (
+        pq_adc_scores,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    books = train_pq_codebooks(emb)
+    m, k, sub = books.shape
+    rows = pq_encode(emb, books).collect()
+    rows2 = pq_encode(emb, books).collect()
+    assert sorted((r["vec_id"], tuple(r["codes"])) for r in rows) == sorted(
+        (r["vec_id"], tuple(r["codes"])) for r in rows2
+    )
+    assert all(0 <= c < k for r in rows for c in r["codes"])
+    assert all(len(r["codes"]) == m for r in rows)
+
+    raw = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    mat = np.array([raw[r["vec_id"]] for r in rows])
+    # 1-centroid baseline: quantize every vector to the global mean
+    base_mse = ((mat - mat.mean(0)) ** 2).sum(1).mean() / mat.shape[1]
+    mean_mse = float(np.mean([r["recon_mse"] for r in rows]))
+    assert mean_mse < base_mse, (mean_mse, base_mse)
+
+    # ADC recall@10 vs exact L2 for 5 held-in queries
+    ids = [r["vec_id"] for r in rows]
+    codes = np.array([r["codes"] for r in rows])
+    hits = 0
+    for qid in ids[:5]:
+        q = raw[qid]
+        exact = sorted(ids, key=lambda i: ((raw[i] - q) ** 2).sum())[1:11]
+        adc = pq_adc_scores(q, codes, books)
+        approx = [ids[j] for j in np.argsort(adc, kind="stable")][:12]
+        hits += len(set(exact) & set(approx))
+    assert hits / 50 >= 0.4, f"ADC recall@10 too low: {hits/50}"  # measured 0.70-0.72 both SFs

@@ -751,3 +751,20 @@ def test_geo_cluster_bounded_adjacency_join(spark):
     plan = plan_of(spark, "q_geo_cluster")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_balanced_sample_prunes_before_window(spark):
+    """Exact-k per class must route through the map-side heap prune —
+    a bare per-class window (few classes = few reducers) is the
+    celebrity regression."""
+    plan = plan_of(spark, "q_balanced_class_sample")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_keyword_extraction_high_cardinality_window(spark):
+    """The rank window partitions by doc_id (high cardinality — fine);
+    the idf join must never be a cartesian."""
+    plan = plan_of(spark, "q_keyword_extraction")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(doc_id" in plan

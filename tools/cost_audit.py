@@ -259,6 +259,17 @@ AUDITED = [
     # user LTV: one fact window inside the checkpointed partial; a
     # second Window or an SMJ is the double-plan regression.
     "q_user_ltv",
+    # round-9 sixth batch: balanced sampling must keep the map-side
+    # prune (a per-class global window is the regression); keyword
+    # extraction's idf join may broadcast or shuffle but never
+    # cartesian; malformed recovery is a write + schema'd scan + one
+    # combinable agg.
+    "q_balanced_class_sample",
+    "q_keyword_extraction",
+    "q_csv_malformed_recovery",
+    # PQ encode is scan-local (codebooks broadcast via closure): any
+    # exchange is a regression.
+    "q_pq_encode",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
