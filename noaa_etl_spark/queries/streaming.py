@@ -1135,3 +1135,89 @@ def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("day_cents").alias("day_cents"))
     )
     return holt_winters_from_daily(daily)
+
+
+from noaa_etl_spark.queries.temporal import USER_LTV_ORACLE, ltv_from_user_weeks
+
+
+@graded("q_stream_user_ltv", oracle=USER_LTV_ORACLE)
+def q_stream_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the cohort-LTV triangle: events drain as three
+    micro-batches; foreachBatch writes each batch's per-(user, week)
+    cents rollup batch_id-keyed (restart-idempotent overwrite). The
+    state is mergeable BIGINT addition — and, unlike earlier twins,
+    the DERIVED KEY itself comes from the folded state: a user's
+    cohort week is the MIN week across ALL batches, unknowable inside
+    any single micro-batch (a per-batch cohort assignment would
+    misplace users whose first activity arrives in a later batch).
+    Folding first, then running the shared finalization
+    (ltv_from_user_weeks) over the folded table, reproduces the batch
+    result exactly — the twin grades against USER_LTV_ORACLE verbatim,
+    extending twin-equality to cohort analytics with state-derived
+    keys.
+
+    100 TB: per-trigger work is one combinable agg over the batch; the
+    persisted state is the |users|×|weeks| activity rollup (the
+    continuously-maintained reduced relation).
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_ltv")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / F.lit(604_800_000_000.0))
+            .cast("bigint")
+            .alias("week_idx"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100).cast("bigint"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("cents"),
+        )
+    )
+    gate = F.pmod(F.xxhash64(F.lit("sltv"), F.col("cents"), F.col("week_idx")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = batch_df.groupBy("user_id", "week_idx").agg(
+            F.sum("cents").alias("cents")
+        )
+        record_foreach_batch_plan("stream_ltv_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("user_id", "week_idx")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    return ltv_from_user_weeks(folded)

@@ -2302,9 +2302,11 @@ def q_running_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_user_ltv",
-    oracle="""
+# Shared by q_user_ltv and its streaming twin: the (user, week) cents
+# rollup is mergeable BIGINT addition AND the cohort key derives from
+# the folded state (min week across all batches), so fold-then-finalize
+# == one-pass batch and the twin grades against this SQL verbatim.
+USER_LTV_ORACLE = """
     WITH e AS (
       SELECT user_id,
              CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS week_idx,
@@ -2339,8 +2341,10 @@ def q_running_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.cohort_week, c.weeks_since, s.n_users, c.week_cents, c.cum_cents,
            CAST(c.cum_cents AS DOUBLE) / s.n_users AS ltv_cents
     FROM cum c JOIN sizes s USING (cohort_week)
-    """,
-)
+    """
+
+
+@graded("q_user_ltv", oracle=USER_LTV_ORACLE)
 def q_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value triangle: users bucketed by first-active
     week, cumulative purchase revenue per cohort through each
@@ -2368,6 +2372,16 @@ def q_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("bigint"),
     ).otherwise(F.lit(0).cast("bigint"))
     e = ev.select("user_id", week.alias("week_idx"), cents.alias("cents"))
+    return ltv_from_user_weeks(e)
+
+
+def ltv_from_user_weeks(e: DataFrame) -> DataFrame:
+    """LTV finalization over a (user_id, week_idx, cents) activity
+    relation — grain-insensitive (event-grain or pre-summed (user,
+    week) partials give identical results: the per_u agg re-groups by
+    user either way and min/sum associate), which is what lets the
+    streaming twin fold per-batch rollups and share USER_LTV_ORACLE
+    verbatim."""
     w_user = Window.partitionBy("user_id")
     withc = e.withColumn("cohort_week", F.min("week_idx").over(w_user))
     per_u = (

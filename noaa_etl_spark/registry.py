@@ -156,11 +156,13 @@ GRADED_WINDOW: list[str] = [
     # q_csv_malformed_recovery (PERMISSIVE quarantine; the CSV
     # column-pruning trap), q_pq_encode (rows-only: product
     # quantization — 8-bit codebooks, ADC recall-tested; completes the
-    # ANN toolkit).
+    # ANN toolkit), q_stream_user_ltv (twin #13 — the first twin whose
+    # derived KEY comes from the folded state: cohort = min week
+    # across all batches; shares USER_LTV_ORACLE verbatim).
     # Also RE-GRADE in r10 (semantics/plan changed this round):
     # q_cdc_apply + q_stream_cdc_apply (full-outer insert semantics),
     # q_containment_dedup (df-capped candidates), q_event_sequence
-    # (celebrity cap). r10 window = those 43 new + 4 re-grades
+    # (celebrity cap). r10 window = those 44 new + 4 re-grades
     # (q_containment_lsh in ROWS_ONLY_WINDOW) + q_tpch_q14_promo +
     # oldest-signal rotation (r5-graded cohort) + rows-only periodic
     # slots.

@@ -53,6 +53,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_cdc_apply": ["fb_stream_cdc_partial"],
     "q_stream_forecast_holt": ["fb_stream_holt_partial"],
     "q_stream_holt_winters": ["fb_stream_hw_partial"],
+    "q_stream_user_ltv": ["fb_stream_ltv_partial"],
     "q_stream_ab_test": ["fb_stream_ab_moments"],
     "q_stream_psi_drift": ["fb_stream_psi_binned"],
 }

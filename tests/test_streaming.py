@@ -411,3 +411,18 @@ def test_stream_holt_winters_equals_batch(spark):
     s = {r["event_type"]: tuple(r[c] for c in cols)
          for r in QUERIES["q_stream_holt_winters"](spark, SF_SMALL).collect()}
     assert b == s and b
+
+
+def test_stream_user_ltv_equals_batch(spark):
+    """Per-batch (user, week) cents partials fold to the identical
+    activity rollup, and the cohort key derives from the FOLDED state's
+    min — so the shared finalization is bit-equal to the batch LTV."""
+    from noaa_etl_spark.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    cols = ("n_users", "week_cents", "cum_cents", "ltv_cents")
+    b = {(r["cohort_week"], r["weeks_since"]): tuple(r[c] for c in cols)
+         for r in QUERIES["q_user_ltv"](spark, SF_SMALL).collect()}
+    s = {(r["cohort_week"], r["weeks_since"]): tuple(r[c] for c in cols)
+         for r in QUERIES["q_stream_user_ltv"](spark, SF_SMALL).collect()}
+    assert b == s and b
