@@ -4,7 +4,10 @@ Spark has no native ASOF JOIN (DuckDB does — that's the oracle). The
 scalable composition (SURVEY.md §2.C as_of): union probe and build rows
 tagged by side, sort within each key partition by (ts, side), and carry
 the latest build payload forward with ``last(..., ignorenulls=True)``
-over a growing frame; finally keep only probe rows.
+over a growing frame; finally keep only probe rows. The payload is
+carried as ONE struct per row (not one last() per column), so the
+emitted columns always come from the same build row even when some
+payload fields are NULL.
 
 Variants:
 
@@ -28,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -52,6 +56,12 @@ def asof_join(
     ``tiebreak`` orders equal-timestamp build rows (nearest-sorted last
     one wins). ``tolerance_seconds`` requires ``build_ts`` (or an alias
     of it) in ``build_payload`` to measure the match distance.
+
+    The payload travels as ONE struct, carried by a single
+    last(ignorenulls) per probe row — so the emitted columns always
+    come from the SAME build row (merge_asof semantics). Carrying each
+    column independently would silently back-fill a NULL field of the
+    nearest build row from an older row, mixing rows in the output.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -77,10 +87,17 @@ def asof_join(
     # rows at the identical ts are not yet visible).
     build_side_tag, probe_side_tag = (0, 1) if not strict else (1, 0)
 
+    # The whole payload rides in ONE struct: a build row's struct is
+    # non-NULL even when every payload field is NULL, so one
+    # last(__pl, ignorenulls=True) carries the entire nearest row —
+    # never a column-mixed composite of several build rows.
+    pl_type = StructType(
+        [StructField(c, payload_types[c]) for c in build_payload]
+    )
     build_side = build.select(
         *[F.col(bk).alias(pk) for bk, pk in zip(build_keys, probe_keys)],
         F.col(build_ts).alias("__ts"),
-        *[F.col(c) for c in build_payload],
+        F.struct(*[F.col(c) for c in build_payload]).alias("__pl"),
         F.lit(build_side_tag).alias("__side"),
         F.lit(0).alias("__is_probe"),
         *[F.lit(None).cast(probe.schema[c].dataType).alias(c)
@@ -89,9 +106,9 @@ def asof_join(
     probe_side = probe.select(
         *probe_cols,
         F.col(probe_ts).alias("__ts"),
+        F.lit(None).cast(pl_type).alias("__pl"),
         F.lit(probe_side_tag).alias("__side"),
         F.lit(1).alias("__is_probe"),
-        *[F.lit(None).cast(payload_types[c]).alias(c) for c in build_payload],
     )
 
     unioned = probe_side.unionByName(build_side)
@@ -109,11 +126,14 @@ def asof_join(
     if tiebreak is not None:
         # Nearest-sorted-last wins under last(): ascending puts the max
         # tiebreak nearest for backward; flip for forward so the min
-        # tiebreak wins there (deterministic either way).
+        # tiebreak wins there (deterministic either way). The tiebreak
+        # lives inside the payload struct (NULL struct → NULL field on
+        # probe rows, which __side already separates at equal ts).
+        tb = F.col("__pl").getField(tiebreak)
         order.append(
-            F.col(tiebreak).asc_nulls_first()
+            tb.asc_nulls_first()
             if direction == "backward"
-            else F.col(tiebreak).desc_nulls_first()
+            else tb.desc_nulls_first()
         )
     w = (
         Window.partitionBy(*probe_keys)
@@ -125,7 +145,7 @@ def asof_join(
         *probe_cols,
         "__ts",
         "__is_probe",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in build_payload],
+        F.last("__pl", ignorenulls=True).over(w).alias("__pl"),
     )
     result = carried.filter(F.col("__is_probe") == 1)
 
@@ -133,17 +153,18 @@ def asof_join(
         if build_ts not in build_payload:
             raise ValueError("tolerance requires build_ts in build_payload")
         dist = F.abs(
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col(build_ts))
+            F.unix_micros(F.col("__ts"))
+            - F.unix_micros(F.col("__pl").getField(build_ts))
         ) / 1_000_000.0
         within = dist <= F.lit(float(tolerance_seconds))
-        result = result.select(
-            *probe_cols,
-            "__ts",
-            "__is_probe",
-            *[F.when(within, F.col(c)).otherwise(F.lit(None)).alias(c) for c in build_payload],
+        result = result.withColumn(
+            "__pl", F.when(within, F.col("__pl"))
         )
 
-    return result.drop("__ts", "__is_probe")
+    return result.select(
+        *probe_cols,
+        *[F.col("__pl").getField(c).alias(c) for c in build_payload],
+    )
 
 
 def asof_join_nearest(
@@ -180,11 +201,23 @@ def asof_join_nearest(
         build_not_null = build_not_null & F.col(k).isNotNull()
     build = build.filter(build_not_null)
 
+    # One struct per build row: __bts (the build timestamp, non-NULL
+    # after the filter above — so the struct marks "a build row was
+    # seen" even when every payload field is NULL) + the payload. A
+    # single last(__pl, ignorenulls=True) per direction then carries
+    # the whole nearest row together — never a column-mixed composite
+    # where a NULL payload field back-fills from an older build row.
+    pl_type = StructType(
+        [StructField("__bts", payload_types[build_ts])]
+        + [StructField(c, payload_types[c]) for c in build_payload]
+    )
     build_side = build.select(
         *[F.col(bk).alias(pk) for bk, pk in zip(build_keys, probe_keys)],
         F.col(build_ts).alias("__ts"),
-        F.col(build_ts).alias("__bts"),
-        *[F.col(c) for c in build_payload],
+        F.struct(
+            F.col(build_ts).alias("__bts"),
+            *[F.col(c) for c in build_payload],
+        ).alias("__pl"),
         F.lit(0).alias("__side"),  # inclusive: build visible at equal ts
         F.lit(0).alias("__is_probe"),
         *[F.lit(None).cast(probe.schema[c].dataType).alias(c)
@@ -193,10 +226,9 @@ def asof_join_nearest(
     probe_side = probe.select(
         *probe_cols,
         F.col(probe_ts).alias("__ts"),
-        F.lit(None).cast(payload_types[build_ts]).alias("__bts"),
+        F.lit(None).cast(pl_type).alias("__pl"),
         F.lit(1).alias("__side"),
         F.lit(1).alias("__is_probe"),
-        *[F.lit(None).cast(payload_types[c]).alias(c) for c in build_payload],
     )
     unioned = probe_side.unionByName(build_side)
 
@@ -208,10 +240,11 @@ def asof_join_nearest(
         )
         order = [ts_order, F.col("__side").asc()]
         if tiebreak is not None:
+            tb = F.col("__pl").getField(tiebreak)
             order.append(
-                F.col(tiebreak).asc_nulls_first()
+                tb.asc_nulls_first()
                 if direction == "backward"
-                else F.col(tiebreak).desc_nulls_first()
+                else tb.desc_nulls_first()
             )
         return (
             Window.partitionBy(*probe_keys)
@@ -224,21 +257,21 @@ def asof_join_nearest(
         *probe_cols,
         "__ts",
         "__is_probe",
-        F.last("__bts", ignorenulls=True).over(wb).alias("__bts_bk"),
-        F.last("__bts", ignorenulls=True).over(wf).alias("__bts_fw"),
-        *[F.last(c, ignorenulls=True).over(wb).alias(f"__bk_{c}") for c in build_payload],
-        *[F.last(c, ignorenulls=True).over(wf).alias(f"__fw_{c}") for c in build_payload],
+        F.last("__pl", ignorenulls=True).over(wb).alias("__pl_bk"),
+        F.last("__pl", ignorenulls=True).over(wf).alias("__pl_fw"),
     ).filter(F.col("__is_probe") == 1)
 
-    d_bk = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__bts_bk"))
-    d_fw = F.unix_micros(F.col("__bts_fw")) - F.unix_micros(F.col("__ts"))
-    pick_bk = F.col("__bts_bk").isNotNull() & (
-        F.col("__bts_fw").isNull() | (d_bk <= d_fw)
-    )
+    bts_bk = F.col("__pl_bk").getField("__bts")
+    bts_fw = F.col("__pl_fw").getField("__bts")
+    d_bk = F.unix_micros(F.col("__ts")) - F.unix_micros(bts_bk)
+    d_fw = F.unix_micros(bts_fw) - F.unix_micros(F.col("__ts"))
+    pick_bk = bts_bk.isNotNull() & (bts_fw.isNull() | (d_bk <= d_fw))
     return carried.select(
         *probe_cols,
         *[
-            F.when(pick_bk, F.col(f"__bk_{c}")).otherwise(F.col(f"__fw_{c}")).alias(c)
+            F.when(pick_bk, F.col("__pl_bk").getField(c))
+            .otherwise(F.col("__pl_fw").getField(c))
+            .alias(c)
             for c in build_payload
         ],
     )

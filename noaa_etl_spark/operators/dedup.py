@@ -109,14 +109,16 @@ def minhash_lsh_candidates(
     # ×bands, so carrying the grams arrays here would shuffle the whole
     # shingle payload `bands` times. Ids are 8 bytes; grams re-attach
     # below touches only the (few) surviving candidate pairs.
-    # PERSIST + eager materialize before the self-join (the round-6
-    # Ed-Join lesson, re-measured here): un-persisted, each join side
+    # Eagerly materialize before the self-join (the round-6 Ed-Join
+    # lesson, re-measured here): un-materialized, each join side
     # recomputes the whole signature subtree and the join stage ran
-    # 27× slower at sf0.1 (27.3 s vs 1.0 s persisted); eager count()
-    # also makes the executed exchange count deterministic for the
-    # COSTS gate.
-    banded = sig.select("id", F.explode(band_keys).alias("bk")).persist()
-    banded.count()
+    # 27× slower at sf0.1 (27.3 s vs 1.0 s). localCheckpoint, not
+    # persist: checkpoint blocks are reclaimed when the frame becomes
+    # unreachable (persist leaked one cached frame per call for the
+    # session), it keeps the build plan out of readers' exchange
+    # accounting, and eager materialization makes the executed
+    # exchange count deterministic for the COSTS gate.
+    banded = sig.select("id", F.explode(band_keys).alias("bk")).localCheckpoint()
 
     left = banded.select(F.col("bk").alias("bk"), F.col("id").alias("id_a"))
     right = banded.select(F.col("bk").alias("bk2"), F.col("id").alias("id_b"))

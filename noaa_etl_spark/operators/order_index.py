@@ -37,10 +37,16 @@ def global_sort_index(
     sort_spec: list[tuple[str, bool]],
     out_col: str = "position",
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Add ``out_col`` = the row's 0-based rank under ``sort_spec``
     ([(col, ascending), ...] — must be a total order), computed without
     a global single-reducer sort. Returns df's columns + ``out_col``.
+
+    ``materialize=False`` skips the localCheckpoint so the FULL lazy
+    plan (range exchange + mapInPandas, no Window/Join) stays visible —
+    for plan tests only: the counts pass and the returned frame then
+    each recompute the range shuffle + sort.
     """
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -64,11 +70,16 @@ def global_sort_index(
             n_seen += len(pdf)
             yield pdf
 
-    indexed = tagged.mapInPandas(assign, out_schema).persist()
+    indexed = tagged.mapInPandas(assign, out_schema)
+    if materialize:
+        indexed = indexed.localCheckpoint()
     # Per-partition counts: bounded by the partition count (a few
     # thousand longs at any scale) — the one adjudicated collect, same
-    # as RDD.zipWithIndex's count job. persist() above keeps the range
-    # shuffle + sort from running twice (the Ed-Join lesson).
+    # as RDD.zipWithIndex's count job. localCheckpoint above keeps the
+    # range shuffle + sort from running twice (the Ed-Join lesson)
+    # without leaking a cached frame per call (persist has no
+    # unpersist point here — the counts collect AND the returned frame
+    # both read it) and without persist's plan-accounting pollution.
     counts = {
         r["_pid"]: r["n"]
         for r in indexed.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -802,12 +802,13 @@ def q_proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame
     pipeline needs, where per-line amounts must be whole cents AND sum
     exactly back to the order total (no penny leakage).
 
-    Exact integers end-to-end: base_i = (total·wᵢ) // W, and the
-    leftover total − Σ base (which is < n lines) goes one cent each to
-    the lines with the largest integer remainder (total·wᵢ) % W,
-    ties broken by line number. Both engines evaluate the identical
-    BIGINT expressions ⇒ no float apportionment drift; products stay
-    under 2^63 for totals to ~10^14 cents × quantity 10^4.
+    Exact integers end-to-end: base_i = (total·wᵢ) div W (true BIGINT
+    division — `div`, never F.floor(x / y), whose DOUBLE intermediate
+    is exact only below 2^53), and the leftover total − Σ base (which
+    is < n lines) goes one cent each to the lines with the largest
+    integer remainder (total·wᵢ) % W, ties broken by line number.
+    Both engines evaluate the identical BIGINT expressions ⇒ exact up
+    to products of 2^63: totals to ~10^14 cents × quantity 10^4.
 
     Scale: one co-partitioned join on the order key (both sides are
     order-grain facts — never broadcast), then ALL windows (ΣW,
@@ -833,8 +834,15 @@ def q_proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame
         "l_linenumber",
         "w",
         "total_cents",
-        F.floor(num / big_w).cast("bigint").alias("base"),
-        (num % big_w).cast("bigint").alias("rem"),
+        num.alias("num"),
+        big_w.alias("big_w"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "w",
+        "total_cents",
+        F.expr("num div big_w").cast("bigint").alias("base"),
+        (F.col("num") % F.col("big_w")).cast("bigint").alias("rem"),
     )
     w_rank = Window.partitionBy("l_orderkey").orderBy(F.desc("rem"), F.asc("l_linenumber"))
     ranked = shares.select(

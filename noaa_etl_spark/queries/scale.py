@@ -640,9 +640,11 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pair enumeration is a co-partitioned self-join on the
     ORDER key with per-group fan-out bounded by |brands| ≤ 25 (the
     triangle-count cost model — never an item×item cross join); the
-    basket frame is persisted + materialized because FOUR subtrees
-    read it (two join sides, marginals, order count — the SCALING.md
-    double-plan rule); marginals and the one-row total broadcast onto
+    basket frame is localCheckpointed because FOUR subtrees read it
+    (two join sides, marginals, order count — the SCALING.md
+    double-plan rule; checkpoint, not persist, so the build plan stays
+    out of each reader's exchange accounting); marginals and the
+    one-row total broadcast onto
     the pair relation; pair_n ≥ 5 prunes the long random tail at the
     report edge only.
     """
@@ -654,13 +656,16 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(brands), "l_partkey")
         .select("l_orderkey", "p_brand")
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    basket.count()
     a = basket.select("l_orderkey", F.col("p_brand").alias("brand_a"))
     b = basket.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    # The pair enumeration is basket×basket on the ORDER key — big×big
+    # BY DESIGN at 100 TB, so pin shuffle_hash (the AQE-flap rule): the
+    # checkpointed scan carries no stats, and neither a fixture-scale
+    # broadcast flip nor a sort-merge sort is the honest plan.
     pairs = (
-        a.join(b, "l_orderkey")
+        a.join(b.hint("shuffle_hash"), "l_orderkey")
         .filter(F.col("brand_a") < F.col("brand_b"))
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))

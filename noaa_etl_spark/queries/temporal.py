@@ -1666,7 +1666,7 @@ def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.when(F.col("n") == 0, F.col("cents"))
         .otherwise(
-            F.floor(F.col("cents") / F.col("n")).cast("bigint")
+            F.expr("cents div n").cast("bigint")
             + F.when(F.col("rk") <= F.col("cents") % F.col("n"), 1).otherwise(0)
         )
         .cast("bigint")
@@ -1857,9 +1857,10 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: raw orders collapse to |days| rows in one combinable agg
     (the KS/markov reduced-relation contract); the lag-7 cross join
-    and the shifted self-join run on that persisted ~10⁴-row relation
-    (4 readers — the double-plan rule), with the 7-row lag spine and
-    1-row stats broadcast.
+    and the shifted self-join run on that localCheckpointed ~10⁴-row
+    relation (4 readers — the double-plan rule; checkpoint, not
+    persist, so the build plan stays out of each reader's exchange
+    accounting), with the 7-row lag spine and 1-row stats broadcast.
     """
     orders = load_table(spark, sf_dir, "orders")
     daily = (
@@ -1872,9 +1873,8 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
-        .persist()
+        .localCheckpoint()
     )
-    daily.count()
     stats = daily.agg(
         F.min("day").cast("bigint").alias("dmin"),
         F.max("day").cast("bigint").alias("dmax"),

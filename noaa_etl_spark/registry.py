@@ -159,43 +159,72 @@ GRADED_WINDOW: list[str] = [
     # ANN toolkit), q_stream_user_ltv (twin #13 — the first twin whose
     # derived KEY comes from the folded state: cohort = min week
     # across all batches; shares USER_LTV_ORACLE verbatim).
-    # Also RE-GRADE in r10 (semantics/plan changed this round):
-    # q_cdc_apply + q_stream_cdc_apply (full-outer insert semantics),
-    # q_containment_dedup (df-capped candidates), q_event_sequence
-    # (celebrity cap). r10 window = those 44 new + 4 re-grades
-    # (q_containment_lsh in ROWS_ONLY_WINDOW) + q_tpch_q14_promo +
-    # oldest-signal rotation (r5-graded cohort) + rows-only periodic
-    # slots.
-    # --- last graded ROUND 3 (10) ---
-    "q_agg_first_last", "q_correlated_min", "q_hash_functions",
-    "q_map_functions", "q_salted_agg", "q_string_functions",
-    "q_time_rollup", "q_token_stats", "q_union_distinct",
-    "q_vector_stats",
-    # --- last graded ROUND 4 (37) ---
-    "q_centroid_by_label", "q_chunk_documents", "q_csv_roundtrip",
-    "q_decontaminate", "q_dedup_exact", "q_double_exists",
-    "q_frame_sample", "q_group_sample", "q_heavy_hitters",
-    "q_heavy_hitters_mg", "q_in_subquery_agg", "q_lateral_join",
-    "q_mapinpandas_vowels", "q_multimodal_meta", "q_ngrams",
-    "q_pii_scrub", "q_quality_bins", "q_quantize_int8",
-    "q_repetition_quality", "q_scalar_subquery", "q_sequence_pack",
-    "q_sessionize_bucketed", "q_source_mix", "q_sql_surface",
-    "q_stopword_filter", "q_stratified_sample", "q_stream_interval_join",
-    "q_stream_sliding", "q_stream_tumbling", "q_text_norm",
-    "q_tpch_q13_custdist", "q_tpch_q19_disjunctive",
-    "q_tpch_q20_nested_in", "q_tpch_q22_idle_balance",
-    "q_tpch_q4_priority", "q_udaf_trimmed_mean",
-    # --- family fills (4) ---
-    "q_filter_predicates", "q_sort_offset", "q_ghcn_pipeline",
-    "q_merge_upsert",
+    # Round 10: CORRECTNESS_r09 went 50/50 (fifth consecutive all-green
+    # window — the complete r3/r4-stale cohort re-confirmed), so the
+    # stale-cohort debt is paid and this window grades the 45 round-9
+    # additions that have NEVER had driver signal (VERDICT r9 item 1),
+    # the 4 queries whose semantics changed in round 9 (CDC pair gained
+    # full-outer insert semantics, containment gained the df cap,
+    # event_sequence gained the celebrity cap), and q_tpch_q14_promo —
+    # the single remaining r4-stale signal, deferred from r9. That is
+    # exactly 50 after two swaps: the window must carry every §2 family
+    # and the new cohort has NO genuine G-setops or noaa member, so
+    # q_union_distinct (G) and q_ghcn_pipeline (noaa) fill those slots
+    # and the two stream twins whose batch counterparts are in-window
+    # with VERBATIM-shared oracles (q_stream_forecast_holt,
+    # q_stream_holt_winters) defer to r11 — four other stream twins
+    # remain in-window to exercise the foreachBatch/checkpoint machinery
+    # under the vanilla driver. Family coverage otherwise rides the new
+    # cohort itself: A (q_xml_roundtrip, q_csv_malformed_recovery),
+    # B (q_balanced_class_sample — §2.B sample family), C
+    # (q_asof_nearest, q_spatial_radius_join), D (q_ab_test_report,
+    # q_benford_audit, q_acf_daily, q_peak_concurrency), E
+    # (q_winsorize_approx, q_pareto_frontier, q_bollinger_bands,
+    # q_event_sequence), F (q_curriculum_order — global sort index),
+    # H (q_spatial_nearest — haversine math scalars), I (the analytics/
+    # dedup/sampling batch), J (four stream twins + q_stream_cdc_apply),
+    # K (q_multimodal_decode/q_wav_decode — mapInPandas codecs), tpch
+    # (q14), etl (q_cdc_apply, q_proration, q_entity_resolution);
+    # the any-of rep sets in test_graded_window_spans_every_family are
+    # extended with these genuine members.
+    # --- round-9 additions, first session (15 of 16) ---
+    "q_winsorize_approx", "q_anomaly_mad_approx", "q_containment_lsh",
+    "q_multimodal_decode", "q_wav_decode", "q_asof_nearest",
+    "q_mutual_knn", "q_forecast_holt",
+    "q_gdpr_erasure", "q_triangle_count", "q_pareto_frontier",
+    "q_ab_test_report", "q_cooccurrence_pmi", "q_markov_transitions",
+    "q_xml_roundtrip",
+    # --- round-9 additions, second session (28 of 29) ---
+    "q_spatial_radius_join", "q_stream_ab_test", "q_rbo_rank_similarity",
+    "q_attribution_multitouch", "q_peak_concurrency",
+    "q_proration_largest_remainder", "q_psi_drift", "q_benford_audit",
+    "q_spatial_nearest", "q_shortest_path_bfs", "q_market_basket_lift",
+    "q_acf_daily", "q_stream_psi_drift", "q_holt_winters_seasonal",
+    "q_bollinger_bands", "q_running_balance_floor", "q_ndcg_eval",
+    "q_jaccard_neighbors", "q_ngram_novelty",
+    "q_curriculum_order", "q_entity_resolution", "q_geo_cluster",
+    "q_user_ltv", "q_balanced_class_sample", "q_keyword_extraction",
+    "q_csv_malformed_recovery", "q_pq_encode", "q_stream_user_ltv",
+    # --- semantics-changed re-grades (4) ---
+    "q_cdc_apply", "q_stream_cdc_apply", "q_containment_dedup",
+    "q_event_sequence",
+    # --- the last r4-stale signal (1) ---
+    "q_tpch_q14_promo",
+    # --- family fills (2): G and noaa have no new-cohort member ---
+    "q_union_distinct", "q_ghcn_pipeline",
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:
 # engine-specific hashes/sketches/ANN, streaming state, custom source).
 # test_graded_window_spans_every_family pins window∩rows-only == this.
-ROWS_ONLY_WINDOW: set[str] = set()  # round 9: all 47 stale + 3 fills
-# are oracle-paired; rows-only queries keep periodic signal via the
-# r10+ rotation (VERDICT r8 item 9).
+ROWS_ONLY_WINDOW: set[str] = {
+    # round 10: the two never-signaled rows-only round-9 additions.
+    # q_containment_lsh — LSH-blocked containment candidates (capture is
+    # probabilistic by design; == exact on planted subsets in tests).
+    # q_pq_encode — product quantization codes (codebooks are
+    # sample-trained, engine-specific; ADC recall gated in tests).
+    "q_containment_lsh", "q_pq_encode",
+}
 
 
 def load_all_queries() -> None:

@@ -252,3 +252,53 @@ def test_asof_nearest_ties_and_nulls(spark):
     )
     got = {r["event_id"]: r["b_event_id"] for r in result.collect()}
     assert got == {1: 109, 2: 109, 3: 104, 4: None, 5: None, 6: None}
+
+
+def test_asof_null_payload_field_does_not_backfill(spark):
+    """The matched build row must travel WHOLE: when the nearest build
+    row has a NULL in one payload column, that column must come out
+    NULL — never silently back-filled from an older build row
+    (the payload is carried as one struct, not per-column lasts)."""
+    from datetime import datetime
+
+    from noaa_etl_spark.operators.asof import asof_join_nearest
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    probe = spark.createDataFrame(
+        [(1, 10, ts(5))], "event_id int, user_id int, ts timestamp"
+    )
+    build = spark.createDataFrame(
+        [
+            (10, 101, "old-label", ts(1)),   # far, fully populated
+            (10, 102, None, ts(4)),          # nearest — label is NULL
+        ],
+        "b_user_id int, b_event_id int, b_label string, b_ts timestamp",
+    )
+    # backward join: nearest row (102) wins; its NULL label must stay NULL
+    backward = asof_join(
+        probe=probe,
+        build=build,
+        probe_keys=["user_id"],
+        build_keys=["b_user_id"],
+        probe_ts="ts",
+        build_ts="b_ts",
+        build_payload=["b_event_id", "b_label", "b_ts"],
+        tiebreak="b_event_id",
+    ).collect()[0]
+    assert backward["b_event_id"] == 102
+    assert backward["b_label"] is None, "NULL payload field back-filled from an older build row"
+    # nearest join: same contract through the two-direction pick
+    nearest = asof_join_nearest(
+        probe=probe,
+        build=build,
+        probe_keys=["user_id"],
+        build_keys=["b_user_id"],
+        probe_ts="ts",
+        build_ts="b_ts",
+        build_payload=["b_event_id", "b_label", "b_ts"],
+        tiebreak="b_event_id",
+    ).collect()[0]
+    assert nearest["b_event_id"] == 102
+    assert nearest["b_label"] is None

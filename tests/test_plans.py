@@ -724,11 +724,30 @@ def test_ngram_novelty_no_gram_join_back(spark):
 def test_curriculum_order_no_global_window(spark):
     """Global positions come from the range-partitioned two-pass scheme
     (mapInPandas + literal offset map) — NEVER a global row_number
-    window (one reducer for the whole corpus) and never a join."""
-    plan = plan_of(spark, "q_curriculum_order")
+    window (one reducer for the whole corpus) and never a join. The
+    production path localCheckpoints the indexed frame (its plan
+    truncates to a checkpoint scan), so the structural assertions run
+    on the materialize=False variant, which keeps the full lazy plan
+    visible and computes identical positions."""
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.operators.order_index import global_sort_index
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    full = global_sort_index(
+        docs, [("n_chars", True), ("doc_id", True)], out_col="position",
+        materialize=False,
+    )
+    plan = formatted_plan(full)
     assert "Window" not in plan
     assert "Join" not in plan
     assert "MapInPandas" in plan
+    # and the production (checkpointed) query stays Window/Join-free too
+    prod = plan_of(spark, "q_curriculum_order")
+    assert "Window" not in prod
+    assert "Join" not in prod
 
 
 def test_user_ltv_one_fact_pass(spark):

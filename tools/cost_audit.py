@@ -252,10 +252,16 @@ AUDITED = [
     # curriculum order: exactly ONE exchange (the range repartition) —
     # a gained exchange or window means the global row_number crept in.
     "q_curriculum_order",
-    # q_entity_resolution / q_geo_cluster are excluded: their CC stage
-    # is iterative (round count data-dependent, like
-    # connected_components/pagerank); component behaviors are
-    # COSTS-gated via q_fuzzy_name_match and plan-tested.
+    # entity resolution / geo cluster: both end in a CC stage whose
+    # round count is data-dependent (like connected_components /
+    # pagerank), so tests/test_costs.py grants them an explicit
+    # ITERATIVE_ALLOWANCE (~2 extra CC rounds) on top of the committed
+    # measurement instead of the exact ≤ gate — the committed numbers
+    # stay honest measurements of today's fixture, and a regression
+    # bigger than the iteration jitter (an extra fact scan, a lost
+    # broadcast) still fails.
+    "q_entity_resolution",
+    "q_geo_cluster",
     # user LTV: one fact window inside the checkpointed partial; a
     # second Window or an SMJ is the double-plan regression.
     "q_user_ltv",
