@@ -793,3 +793,83 @@ def cluster_report(
             F.round(F.col("top_label_n") / F.col("n_vecs"), 4),
         )
     )
+
+
+def best_match_against(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ref_id_out: str = "bench_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-CORPUS-row best cosine match against a SMALL reference set —
+    the scan-local dual of knn_bruteforce_blas (which broadcasts the
+    query side and ranks per QUERY). The reference (a benchmark /
+    blocklist / canonical set, bounded by contract like the IVF sample)
+    is collected once and broadcast; each corpus Arrow batch computes
+    one BLAS matmul and a row-wise argmax — ZERO exchanges, so the
+    operator composes into scan pipelines at any corpus size.
+
+    Tie contract matches the knn family: best = max cosine ROUNDED to
+    ``round_digits`` (making BLAS-vs-sequential accumulation invisible),
+    ties to the smallest reference id. Norms floored at 1e-12 (the
+    all-cancelling zero-vector lesson).
+
+    Output: corpus columns (id_col) + ``ref_id_out`` + ``cos_sim``.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    r_rows = reference.select(id_col, vec_col).collect()
+    if not r_rows:
+        raise ValueError("reference set is empty")
+    r_ids = np.array([r[0] for r in r_rows], dtype=np.int64)
+    r_mat = np.array([r[1] for r in r_rows], dtype=np.float64)
+    r_unit = r_mat / np.maximum(
+        np.linalg.norm(r_mat, axis=1, keepdims=True), 1e-12
+    )
+    bc = spark.sparkContext.broadcast((r_ids, r_unit))
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(ref_id_out, LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        ids, ru = bc.value
+        big = np.iinfo(np.int64).max
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_unit = c_mat / np.maximum(
+                np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = np.round(c_unit @ ru.T, round_digits)  # (batch, nref)
+            best = sims.max(axis=1)
+            # ties on the rounded value -> smallest reference id
+            tied = np.where(sims == best[:, None], ids[None, :], big)
+            best_id = tied.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: c_ids,
+                    ref_id_out: best_id,
+                    "cos_sim": best,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)

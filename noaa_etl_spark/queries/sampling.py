@@ -657,3 +657,42 @@ def q_balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["lang"], [("_h", True), ("doc_id", True)], 50, rank_col="rk"
     )
     return picked.select("doc_id", "lang", "source", F.col("rk").cast("bigint").alias("rk"))
+
+
+@graded(
+    "q_systematic_sample",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+                 AS position
+      FROM documents
+    )
+    SELECT doc_id, source, position
+    FROM ordered WHERE position % 16 = 0
+    """,
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every-k-th) sampling under a global total order —
+    the stratified-by-position design survey pipelines use when the
+    order encodes difficulty/time (here the curriculum order: n_chars
+    then doc_id), guaranteeing one sample per length stratum of k docs.
+
+    The oracle ranks with the global row_number window this engine
+    refuses at scale; the engine composes
+    operators/order_index.global_sort_index (range repartition +
+    mapInPandas local index + driver offset map — the q_curriculum_order
+    machinery, REUSED) with a scan-local position % 16 filter, proving
+    the order-index operator serves downstream consumers, not just its
+    own grade. Exact-integer positions ⇒ identical survivor sets."""
+    from noaa_etl_spark.operators.order_index import global_sort_index
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    idx = global_sort_index(
+        docs, [("n_chars", True), ("doc_id", True)], out_col="position"
+    )
+    return idx.filter(F.col("position") % 16 == 0).select(
+        "doc_id", "source", "position"
+    )

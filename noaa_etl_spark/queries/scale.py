@@ -818,3 +818,97 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# Shared by the batch query and its streaming twin (twin #14): both
+# reduce to the identical one-row summary, so the twin grades against
+# this oracle verbatim — KMV min-k merge is exact by theorem (the
+# global k smallest distinct hashes are contained in the union of any
+# cover's per-part k smallest), extending the twin-equality contract
+# from linear sketch grids (CMS) and moment states (stats merge) to
+# ORDER-STATISTIC sketches.
+KMV_K = 64
+KMV_ORACLE = """
+WITH d AS (SELECT DISTINCT o_custkey FROM orders),
+v AS (
+  SELECT DISTINCT
+         CAST(CAST('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 12)
+              AS UBIGINT) AS BIGINT) AS v
+  FROM d
+),
+mink AS (SELECT v FROM v ORDER BY v LIMIT 64)
+SELECT CAST(64 AS BIGINT) AS k,
+       (SELECT max(v) FROM mink) AS kth_v,
+       CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+           / (SELECT max(v) FROM mink) AS est_distinct,
+       (SELECT CAST(count(*) AS BIGINT) FROM d) AS exact_distinct
+"""
+
+
+def kmv_hash(col):
+    """48-bit uniform hash for KMV: the first 12 hex digits of
+    md5('kmv:' || key) as a BIGINT in [0, 2^48) — the same
+    hash-to-integer derivation both engines evaluate identically
+    (q_weighted_sample's u, kept integer here so the order statistic
+    is EXACT; the single division happens once, in the estimate)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def kmv_summarize(spark: SparkSession, distinct_keys: DataFrame, key: str) -> DataFrame:
+    """One-row KMV summary from a DISTINCT-key frame: hash keys to
+    48-bit integers, keep the k smallest DISTINCT hash values (the KMV
+    sketch), and estimate the cardinality as (k−1)/u_(k) with
+    u_(k) = v_k / 2^48 — the classic bottom-k estimator (Bar-Yossef
+    et al.). The order statistic stays INTEGER end-to-end; the single
+    division happens once in the estimate, so the emitted double is
+    bit-equal cross-engine.
+
+    Scale: min-k is TakeOrderedAndProject (per-partition heaps, k rows
+    to the driver-side merge — no global sort); the hash-distinct runs
+    on the already-reduced key relation."""
+    vs = distinct_keys.select(kmv_hash(F.col(key)).alias("v")).dropDuplicates(["v"])
+    mink = vs.orderBy("v").limit(KMV_K)
+    kth = mink.agg(F.max("v").cast("bigint").alias("kth_v"))
+    exact = distinct_keys.agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    return kth.crossJoin(F.broadcast(exact)).select(
+        F.lit(KMV_K).cast("bigint").alias("k"),
+        "kth_v",
+        (
+            F.lit(float(KMV_K - 1)) * F.lit(float(2**48))
+            / F.col("kth_v").cast("double")
+        ).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+@graded("q_kmv_distinct", oracle=KMV_ORACLE)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch as a
+    DataFrame composition — the ORDER-STATISTIC member of the mergeable
+    sketch family (HLL = register-max, CMS = counter-grid, stats-merge
+    = moment state, distinct-rollup = set state). The sketch is just
+    the k smallest distinct 48-bit key hashes; merging sketches is a
+    min-k of their union, EXACTLY equal to the sketch of the union (a
+    theorem, not an approximation — the global k smallest are
+    contained in every cover's per-part k smallest), which is what the
+    streaming twin grades and tests/test_heavy_hitters.py pins.
+
+    Unlike HLL the estimate is engine-reproducible: both engines
+    derive the identical md5-based hash, so kth_v is an EXACT BIGINT
+    and the (k−1)/u_(k) estimate one bit-equal division — an
+    oracle-paired approximate-distinct, where q_approx_aggs' HLL leg
+    is rows-only by necessity.
+
+    Plan: one fact scan → distinct custkeys (ONE exchange, map-side
+    combined); the two one-row legs (kth order statistic, exact count)
+    read the localCheckpointed reduced relation, never the fact.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select("o_custkey").distinct().localCheckpoint()
+    return kmv_summarize(spark, d, "o_custkey")

@@ -680,3 +680,53 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "vec_id", "codes", F.round(F.col("recon_mse"), 9).alias("recon_mse")
     )
+
+
+@graded(
+    "q_semantic_decontaminate",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE substr(md5('sdc:' || CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+    ),
+    scored AS (
+      SELECT q.vec_id, c.vec_id AS bench_id,
+             round({_DUCK_COS}, 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+             ) AS rn
+      FROM embeddings q JOIN b c ON true
+    )
+    SELECT vec_id, bench_id, cos_sim
+    FROM scored WHERE rn = 1 AND cos_sim >= 0.95
+    """,
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of
+    q_decontaminate's exact 3-gram overlap: flag every corpus vector
+    whose best cosine match against the benchmark set clears 0.95
+    (paraphrased or verbatim eval leakage that n-gram matching misses).
+    The benchmark here is an md5-gated 5% of the corpus itself — the
+    planted-leak construction: the query must recover exactly the
+    planted rows and flag nothing else (precision AND recall on the
+    plant; pinned in tests).
+
+    Engine plan is operators/similarity.best_match_against: the
+    benchmark (small by contract — eval sets are thousands of rows)
+    broadcasts; each corpus Arrow batch takes ONE BLAS matmul and a
+    row-wise argmax — ZERO exchanges, the scan-local dual of the
+    per-query knn ranker. The oracle runs the |corpus|×|bench| cross
+    join the engine must avoid. Rounded-cosine tie contract matches
+    the knn family (6dp, smallest bench id)."""
+    from noaa_etl_spark.operators.similarity import best_match_against
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("sdc:"), F.col("vec_id").cast("string"))), 1, 1
+        )
+        == "0"
+    )
+    best = best_match_against(emb, bench, ref_id_out="bench_id")
+    return best.filter(F.col("cos_sim") >= 0.95)

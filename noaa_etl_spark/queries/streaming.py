@@ -1221,3 +1221,99 @@ def q_stream_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("cents"))
     )
     return ltv_from_user_weeks(folded)
+
+
+from noaa_etl_spark.queries.scale import KMV_K, KMV_ORACLE, kmv_hash
+
+
+@graded("q_stream_kmv_distinct", oracle=KMV_ORACLE)
+def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #14 — the ORDER-STATISTIC sketch: orders arrive
+    as three micro-batches; each batch writes (a) its own KMV sketch
+    (the k smallest distinct 48-bit key hashes seen in the batch) and
+    (b) its distinct-key partial, both batch_id-keyed overwrites
+    (restart-idempotent, the CMS/stats-merge pattern). The final read
+    merges the per-batch sketches by min-k-of-union — EXACTLY the
+    sketch of the union (the global k smallest distinct hashes are
+    contained in every batch's k smallest: a theorem, not a bound) —
+    so this twin shares the batch query's oracle verbatim, extending
+    twin equality from linear grids (CMS), moment states (stats
+    merge), and folded-state keys (user LTV) to order statistics.
+
+    100 TB: per-trigger state is k rows (the sketch) + the batch's
+    distinct keys; the maintained sketch table answers distinct-count
+    dashboards over any batch range without rescanning history, at
+    k·|batches| rows total."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    from noaa_etl_spark.io import load_table
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_kmv")
+    src = os.path.join(root, "src")
+    sketches = os.path.join(root, "sketches")
+    keys_dir = os.path.join(root, "keys")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, sketches, keys_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    gate = F.pmod(F.xxhash64(F.lit("kmv"), F.col("o_orderkey")), F.lit(3))
+    for i in range(3):
+        orders.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        mink = (
+            batch_df.select(kmv_hash(F.col("o_custkey")).alias("v"))
+            .dropDuplicates(["v"])
+            .orderBy("v")
+            .limit(KMV_K)
+        )
+        record_foreach_batch_plan("stream_kmv_sketch", mink)
+        mink.write.mode("overwrite").parquet(f"{sketches}/batch_id={batch_id}")
+        dk = batch_df.select("o_custkey").distinct()
+        record_foreach_batch_plan("stream_kmv_keys", dk)
+        dk.write.mode("overwrite").parquet(f"{keys_dir}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    # merge = min-k of the union of per-batch min-k sets (exact)
+    merged = (
+        spark.read.parquet(sketches)
+        .select("v")
+        .dropDuplicates(["v"])
+        .orderBy("v")
+        .limit(KMV_K)
+    )
+    kth = merged.agg(F.max("v").cast("bigint").alias("kth_v"))
+    exact = (
+        spark.read.parquet(keys_dir)
+        .select("o_custkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    )
+    return kth.crossJoin(F.broadcast(exact)).select(
+        F.lit(KMV_K).cast("bigint").alias("k"),
+        "kth_v",
+        (
+            F.lit(float(KMV_K - 1)) * F.lit(float(2**48))
+            / F.col("kth_v").cast("double")
+        ).alias("est_distinct"),
+        "exact_distinct",
+    )

@@ -56,6 +56,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_user_ltv": ["fb_stream_ltv_partial"],
     "q_stream_ab_test": ["fb_stream_ab_moments"],
     "q_stream_psi_drift": ["fb_stream_psi_binned"],
+    "q_stream_kmv_distinct": ["fb_stream_kmv_sketch", "fb_stream_kmv_keys"],
 }
 
 

@@ -2300,3 +2300,34 @@ def test_pq_encode_contracts(spark):
         approx = [ids[j] for j in np.argsort(adc, kind="stable")][:12]
         hits += len(set(exact) & set(approx))
     assert hits / 50 >= 0.4, f"ADC recall@10 too low: {hits/50}"  # measured 0.70-0.72 both SFs
+
+
+def test_semantic_decontaminate_recovers_planted_leak_exactly(spark):
+    """The benchmark is an md5-gated subset of the corpus itself: the
+    flagged set must be EXACTLY the planted rows (recall: every plant
+    self-matches at cos 1.0; precision: nothing else clears 0.95 on
+    this fixture — max cross cosine ~0.49, probed)."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    flagged = {
+        r["vec_id"]: (r["bench_id"], r["cos_sim"])
+        for r in QUERIES["q_semantic_decontaminate"](spark, SF_DIR).collect()
+    }
+    emb = load_table(spark, SF_DIR, "embeddings")
+    planted = {
+        r["vec_id"]
+        for r in emb.filter(
+            F.substring(
+                F.md5(F.concat(F.lit("sdc:"), F.col("vec_id").cast("string"))), 1, 1
+            )
+            == "0"
+        ).collect()
+    }
+    assert set(flagged) == planted and planted
+    for vid, (bid, cs) in flagged.items():
+        assert bid == vid, "plant must match itself, not a neighbor"
+        assert cs == 1.0

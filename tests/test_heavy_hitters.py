@@ -85,3 +85,39 @@ def test_stream_mg_sketch_matches_batch_on_fixture(spark):
     truth = {r.word: r.n for r in words.groupBy("word").agg(F.count("*").alias("n")).collect()}
     got = {r.word: r.approx_count for r in rows}
     assert got == truth
+
+
+def test_kmv_merge_equals_global_and_estimate_sane(spark):
+    """KMV min-k merge theorem: the min-k of the union of per-part
+    min-k sketches equals the global min-k EXACTLY (the global k
+    smallest distinct hashes are contained in every cover's per-part
+    k smallest). Also bounds the estimator: rse = 1/sqrt(k-2) ~ 12.7%
+    at k=64; assert within 4 sigma of exact."""
+    from noaa_etl_spark.queries.scale import KMV_K, kmv_hash
+
+    orders = load_table(spark, SF_DIR, "orders")
+    v = orders.select(
+        F.pmod(F.col("o_orderkey"), F.lit(2)).alias("half"),
+        kmv_hash(F.col("o_custkey")).alias("v"),
+    )
+    global_k = sorted(
+        r["v"]
+        for r in v.select("v").dropDuplicates(["v"]).orderBy("v").limit(KMV_K).collect()
+    )
+    part_union: set = set()
+    for h in (0, 1):
+        part_union |= {
+            r["v"]
+            for r in v.filter(F.col("half") == h)
+            .select("v")
+            .dropDuplicates(["v"])
+            .orderBy("v")
+            .limit(KMV_K)
+            .collect()
+        }
+    merged = sorted(part_union)[:KMV_K]
+    assert merged == global_k
+
+    exact = orders.select("o_custkey").distinct().count()
+    est = (KMV_K - 1) * float(2**48) / global_k[-1]
+    assert abs(est - exact) / exact < 4 / (KMV_K - 2) ** 0.5, (est, exact)

@@ -787,3 +787,75 @@ def test_keyword_extraction_high_cardinality_window(spark):
     plan = plan_of(spark, "q_keyword_extraction")
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_kmv_distinct_one_fact_exchange_heap_topk(spark):
+    """The fact collapses to distinct keys in one exchange; the min-k
+    order statistic is TakeOrderedAndProject (per-partition heaps),
+    never a global sort or window."""
+    plan = plan_of(spark, "q_kmv_distinct")
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gini_broadcasts_nation_single_rank_window(spark):
+    """Orders collapse to customer grain in one combinable agg; nation
+    broadcasts; exactly one rank window (per-nation, the honest
+    rank-statistic cost)."""
+    plan = plan_of(spark, "q_gini_concentration")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window (") <= 1 or tree.count("Window") <= 1
+
+
+def test_theil_sen_pairs_on_reduced_relation(spark):
+    """The pairwise slope enumeration is a broadcast range join over the
+    checkpointed |days| relation — never a sort-merge of raw orders."""
+    plan = plan_of(spark, "q_theil_sen")
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_changepoint_prefix_window_takeordered(spark):
+    """Prefix sums ride one ordered window over the reduced calendar
+    relation; the argmax is TakeOrdered(1), never a full sort."""
+    plan = plan_of(spark, "q_changepoint_detect")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interval_overlap_is_banded_equi_join(spark):
+    """The overlap join must stay a (user, bucket) EQUI-join — a
+    nested-loop/cartesian over raw intervals is the quadratic plan the
+    oracle deliberately runs and the engine must avoid."""
+    plan = plan_of(spark, "q_interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_systematic_sample_no_window(spark):
+    """Positions come from the order-index operator (checkpointed); the
+    production plan must never re-introduce the global rank window."""
+    plan = plan_of(spark, "q_systematic_sample")
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_kaplan_meier_reduced_relation_fold(spark):
+    """The fact collapses to user grain then the lifetime grid; the
+    at-risk cumsum and survival fold run on that bounded relation —
+    no sort-merge join, no per-user window over raw events."""
+    plan = plan_of(spark, "q_kaplan_meier")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_decontaminate_scan_local(spark):
+    """The benchmark broadcasts via closure; scoring is one BLAS matmul
+    per Arrow batch — ZERO exchanges (the oracle runs the cross join
+    the engine must avoid)."""
+    plan = plan_of(spark, "q_semantic_decontaminate")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan

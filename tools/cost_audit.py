@@ -276,6 +276,25 @@ AUDITED = [
     # PQ encode is scan-local (codebooks broadcast via closure): any
     # exchange is a regression.
     "q_pq_encode",
+    # round-10 additions: the KMV sketch keeps its heap-pruned min-k
+    # (a global sort or window is the regression); gini is one fact
+    # collapse + broadcast dims + per-nation rank window; theil-sen /
+    # changepoint fold on the checkpointed calendar relation; the
+    # interval-overlap join must stay a (user, bucket) equi-join (the
+    # quadratic range join is oracle-only); systematic sampling rides
+    # the checkpointed order index (one range exchange inside the
+    # checkpoint job).
+    "q_kmv_distinct",
+    "q_gini_concentration",
+    "q_theil_sen",
+    "q_changepoint_detect",
+    "q_interval_overlap_join",
+    "q_systematic_sample",
+    # Kaplan-Meier folds on the lifetime grid (a raw-event window or
+    # SMJ is the regression); semantic decontamination is scan-local
+    # (any exchange is a regression — the bench set rides the closure).
+    "q_kaplan_meier",
+    "q_semantic_decontaminate",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
