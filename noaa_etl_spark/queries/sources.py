@@ -681,3 +681,64 @@ def q_csv_malformed_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(cents).cast("bigint").alias("cents_total"),
     )
+
+
+@graded(
+    "q_retention_vacuum",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d, value
+      FROM events
+    ),
+    cutoff AS (SELECT max(d) - 13 AS keep_from FROM e)
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM e, cutoff
+    WHERE d >= keep_from
+    GROUP BY d
+    """,
+)
+def q_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL retention vacuum — the partition-level data-lifecycle
+    maintenance every lake table runs (GDPR/retention policies,
+    storage cost): events land partitioned by day, then partitions
+    older than the 14-day window are DELETED at the directory level —
+    no rewrite, no scan of surviving data (the complement of
+    q_partition_overwrite's rewrite path and q_gdpr_erasure's row-level
+    cascade). The decision is driver-side over the PARTITION LISTING
+    (bounded by |days|, never the data — the stats-skipping manifest
+    contract); survivors' files are byte-untouched (asserted in
+    tests/test_partition_overwrite.py). The graded read-back proves
+    expired partitions are gone and survivors intact; the oracle
+    replays the cutoff as a filter.
+
+    100 TB: vacuum cost is O(|expired partitions|) filesystem deletes —
+    data size never appears."""
+    import datetime as _dt
+    import shutil
+
+    path = _tmp("retention_events", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ev.write.mode("overwrite").partitionBy("d").parquet(path)
+
+    # driver-side maintenance decision over the partition LISTING
+    days = sorted(
+        _dt.date.fromisoformat(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("d=")
+    )
+    keep_from = days[-1] - _dt.timedelta(days=13)
+    for day in days:
+        if day < keep_from:
+            shutil.rmtree(os.path.join(path, f"d={day.isoformat()}"))
+
+    back = spark.read.parquet(path)
+    return back.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )

@@ -2303,3 +2303,74 @@ def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w).cast("int")).filter(
         F.col("rk") <= 3
     )
+
+
+# Leet-speak folding shared by the engine and replayed by the oracle:
+# translate() is position-independent char mapping — available and
+# identical in both engines (no regex, so no Java-vs-RE2 divergence).
+_LEET_FROM = "013457@$"
+_LEET_TO = "oleast" + "as"
+BLOCKLIST_TERMS = ["vector", "spark", "window"]
+
+
+@graded(
+    "q_blocklist_filter",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, source,
+             translate(lower(text), '013457@$', 'oleastas') AS nt
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, source,
+             list_filter(['vector', 'spark', 'window'],
+                         t -> contains(nt, t)) AS terms
+      FROM norm
+    )
+    SELECT doc_id, source,
+           array_to_string(terms, ',')        AS blocked_terms,
+           CAST(len(terms) AS BIGINT)         AS n_terms
+    FROM hits WHERE len(terms) > 0
+    """,
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety blocklist filter with obfuscation folding — the
+    toxicity/brand-safety gate every training-data pipeline runs before
+    quality scoring: fold leet-speak substitutions (0→o, 1→l, 3→e,
+    4→a, 5→s, 7→t, @→a, $→s) with translate() — character mapping, NOT
+    regex, so there is no Java-vs-RE2 semantic gap (the PII-scrub
+    lesson) and no pattern backreference (RE2 has none) — then flag
+    documents containing any blocklist term as a substring. Emits the
+    matched terms in blocklist order so reviewers see WHY a doc was
+    quarantined (the q_csv_malformed_recovery quarantine contract).
+
+    Scale: scan-local — the blocklist rides the plan as an array
+    literal (a real 10⁴-term list would broadcast a join against an
+    Aho-Corasick UDF; the contains-fold form is exact for the audit
+    sizes this query grades). Zero exchanges; plan-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.translate(F.lower(F.col("text")), _LEET_FROM, _LEET_TO)
+    hits = docs.select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.array(*[F.lit(t) for t in BLOCKLIST_TERMS]),
+            _contains_term_factory(nt),
+        ).alias("terms"),
+    )
+    return hits.filter(F.size("terms") > 0).select(
+        "doc_id",
+        "source",
+        F.array_join("terms", ",").alias("blocked_terms"),
+        F.size("terms").cast("bigint").alias("n_terms"),
+    )
+
+
+def _contains_term_factory(norm_col):
+    """Factory, not a default-arg lambda: a 2-arg lambda would be
+    misread as an (element, index) HOF lambda (CLAUDE.md)."""
+
+    def pred(term):
+        return F.contains(norm_col, term)
+
+    return pred

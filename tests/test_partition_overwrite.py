@@ -48,3 +48,54 @@ def test_dynamic_overwrite_touches_only_target_partition(spark, tmp_dir):
     assert back.filter("part = 'B'").agg(F.sum("v")).collect()[0][0] == sum(
         float(i) for i in range(100) if not i % 2
     )
+
+
+def test_retention_vacuum_survivors_byte_untouched(spark, tmp_dir):
+    """The vacuum must DELETE expired partition dirs and leave every
+    surviving partition's files byte-identical (size + mtime + content
+    hash) — a vacuum that rewrites survivors silently breaks
+    downstream incremental readers keyed on file identity."""
+    import datetime as dt
+    import hashlib
+    import shutil
+
+    path = f"{tmp_dir}/vacuum"
+    rows = [
+        (i, (dt.date(2024, 1, 1) + dt.timedelta(days=i % 20)).isoformat(), i * 1.5)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, d_str string, v double").select(
+        "k", F.to_date("d_str").alias("d"), "v"
+    )
+    df.write.mode("overwrite").partitionBy("d").parquet(path)
+
+    def snap(p):
+        out = {}
+        for f, m in _files(p).items():
+            with open(f, "rb") as fh:
+                out[f] = (m, os.path.getsize(f), hashlib.md5(fh.read()).hexdigest())
+        return out
+
+    before = snap(path)
+    days = sorted(
+        dt.date.fromisoformat(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("d=")
+    )
+    keep_from = days[-1] - dt.timedelta(days=13)
+    expired = [d for d in days if d < keep_from]
+    assert expired, "fixture must have expired partitions"
+    for day in expired:
+        shutil.rmtree(os.path.join(path, f"d={day.isoformat()}"))
+
+    after = snap(path)
+    # survivors byte-identical
+    survivors = {f: v for f, v in before.items() if not any(
+        f"d={d.isoformat()}/" in f or f"d={d.isoformat()}{os.sep}" in f for d in expired
+    )}
+    assert after == survivors
+    # read-back sees exactly the surviving days
+    back_days = {
+        r["d"] for r in spark.read.parquet(path).select("d").distinct().collect()
+    }
+    assert back_days == {d for d in days if d >= keep_from}

@@ -859,3 +859,10 @@ def test_semantic_decontaminate_scan_local(spark):
     plan = plan_of(spark, "q_semantic_decontaminate")
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_blocklist_filter_scan_local(spark):
+    """The blocklist rides the plan as an array literal; matching is a
+    per-row HOF fold — any Exchange is a regression."""
+    plan = plan_of(spark, "q_blocklist_filter")
+    assert "Exchange" not in plan

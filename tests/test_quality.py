@@ -270,3 +270,41 @@ def test_corpus_shuffle_shard_is_deterministic_partition(spark):
         assert a[s] == b[s]
     n_docs = load_table(spark, SF_DIR, "documents").count()
     assert sum(r["n_docs"] for r in a.values()) == n_docs
+
+
+def test_blocklist_folds_leetspeak(spark):
+    """Obfuscated terms must fold to their canonical form and get
+    flagged: 'v3ct0r' -> 'vector', '$p4rk' -> 'spark'; clean text with
+    no term passes."""
+    from noaa_etl_spark.queries.text import (
+        BLOCKLIST_TERMS,
+        _LEET_FROM,
+        _LEET_TO,
+    )
+    from pyspark.sql import functions as F
+
+    assert len(_LEET_FROM) == len(_LEET_TO)
+    docs = spark.createDataFrame(
+        [
+            (1, "a V3CT0R walks into a bar"),
+            (2, "pure $p4rk obfuscation"),
+            (3, "wind0w shopping"),  # 0->o folds (1 folds to l, not i)
+            (4, "nothing to see here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    nt = F.translate(F.lower(F.col("text")), _LEET_FROM, _LEET_TO)
+    flagged = {
+        r["doc_id"]: r["hits"]
+        for r in docs.select(
+            "doc_id",
+            F.filter(
+                F.array(*[F.lit(t) for t in BLOCKLIST_TERMS]),
+                lambda t: F.contains(nt, t),
+            ).alias("hits"),
+        ).collect()
+    }
+    assert flagged[1] == ["vector"]
+    assert flagged[2] == ["spark"]
+    assert flagged[3] == ["window"]
+    assert flagged[4] == []

@@ -295,6 +295,8 @@ AUDITED = [
     # (any exchange is a regression — the bench set rides the closure).
     "q_kaplan_meier",
     "q_semantic_decontaminate",
+    # blocklist filter is scan-local (array-literal terms, HOF fold).
+    "q_blocklist_filter",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
