@@ -742,3 +742,59 @@ def q_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("cents").cast("bigint").alias("cents"),
     )
+
+
+@graded(
+    "q_manifest_time_travel",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)                     AS n_customers,
+           CAST(sum(floor(c_acctbal)) AS BIGINT)        AS floor_balance
+    FROM customer
+    WHERE substr(md5('tt:' || CAST(c_custkey AS VARCHAR)), 1, 1) < '8'
+    GROUP BY c_mktsegment
+    """,
+)
+def q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the manifest-committed sink — the lakehouse
+    read-as-of: two appends land as two atomic manifest commits; a
+    reader pinned to the FIRST manifest id sees exactly the first
+    batch's rows, bit-stable regardless of every later append (the
+    Delta/Iceberg snapshot-isolation contract on plain files + JSON
+    manifests). The oracle replays the first batch's md5 gate on the
+    source table: equality proves snapshot reads are both complete
+    (every committed-by-then row) and isolated (no later row leaks in).
+
+    100 TB: a snapshot read costs the SAME as a current read — the
+    manifest prefix IS the file list; no log replay over data, no copy.
+    Mechanics (orphan invisibility, exactly-once replay, vacuum grace)
+    are pinned in tests/test_datasource.py."""
+    import shutil
+
+    from noaa_etl_spark.session import configure_session
+    from noaa_etl_spark.sources.manifest_sink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+        snapshots,
+    )
+
+    configure_session(spark)  # before register(): by-value pickling
+    spark.dataSource.register(ManifestSinkDataSource)
+    path = _tmp("manifest_tt", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    gate = F.substring(
+        F.md5(F.concat(F.lit("tt:"), F.col("c_custkey").cast("string"))), 1, 1
+    )
+    first, second = cust.filter(gate < "8"), cust.filter(gate >= "8")
+    first.write.format("manifest_sink").option("path", path).mode("overwrite").save()
+    as_of = snapshots(path)[0]["id"]
+    second.write.format("manifest_sink").option("path", path).mode("append").save()
+
+    back = read_manifest_sink(spark, path, cust.schema, as_of=as_of)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.floor("c_acctbal").cast("bigint")).alias("floor_balance"),
+    )
