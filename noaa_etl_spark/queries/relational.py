@@ -1041,3 +1041,64 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@graded(
+    "q_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, cents, w,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT)               AS tw
+      FROM g
+    )
+    SELECT flag,
+           CAST(min(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+               AS median_cents
+    FROM c GROUP BY flag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED (lower) median: the smallest price whose cumulative
+    quantity weight reaches half the group's total — the
+    inventory-weighted midpoint price (plain median treats a
+    1000-unit line and a 1-unit line alike). Selection, not
+    interpolation: the answer is an EXACT BIGINT from exact BIGINT
+    cumulative weights — no float percentile arithmetic anywhere.
+
+    Scale: rows collapse to the (flag, cents) VALUE grid first (one
+    combinable agg — the weight of repeated prices merges map-side),
+    so the rank windows sort |distinct prices| per flag, not raw rows;
+    per-flag window over the reduced grid is the MAD/quantile-family
+    honest cost."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    g = li.groupBy("flag", "cents").agg(F.sum("q").cast("bigint").alias("w"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "cents",
+        F.sum("w").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("w").over(w_all).cast("bigint").alias("tw"),
+    )
+    return c.groupBy("flag").agg(
+        F.min("tw").cast("bigint").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+        .cast("bigint")
+        .alias("median_cents"),
+    )

@@ -2374,3 +2374,90 @@ def _contains_term_factory(norm_col):
         return F.contains(norm_col, term)
 
     return pred
+
+
+@graded(
+    "q_cms_join_estimate",
+    oracle="""
+    WITH a AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1
+    ),
+    b AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1
+    )
+    SELECT CAST((SELECT sum(a.c * b.c) FROM a JOIN b USING (l_partkey))
+                AS BIGINT)                          AS true_size,
+           CAST((SELECT sum(c) FROM a) AS BIGINT)   AS n_a,
+           CAST((SELECT sum(c) FROM b) AS BIGINT)   AS n_b,
+           TRUE AS lower_ok,
+           TRUE AS upper_ok
+    """,
+)
+def q_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE estimation from CMS sketch inner products (the AMS/CMS
+    estimator every cost-based optimizer wants before committing to a
+    join order): |A ⋈ₖ B| = Σᵥ a(v)·b(v), estimated as
+    min_d Σ_w A_d[w]·B_d[w] over the two sides' count-min grids —
+    WITHOUT touching the join itself. Grid rows share hash coordinates
+    (same seeds), so colliding keys only ADD mass: est ≥ true is a
+    THEOREM (graded as lower_ok); E[excess] ≤ n_a·n_b/width per row, so
+    est ≤ true + 4e·n_a·n_b/w fails with probability ~(1/e)⁴ per probe
+    (upper_ok — the q_cms_frequencies margin style; xxhash coords are
+    engine-side, hence property booleans + exact anchors rather than a
+    value-matched est).
+
+    Scale: BOTH sides' grids come from ONE fact scan (the half tag is a
+    grid group key — map-side combined, shuffle carries ≤ 2·d·w partial
+    cells); the inner product joins two KB-sized grids; the exact
+    true_size is oracle-side only (it IS the join the estimator
+    avoids) — the engine-side true count here exists only to grade the
+    booleans and runs on the reduced (key, count) relation."""
+    from noaa_etl_spark.operators.cms import cms_build
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.pmod(F.col("l_orderkey"), F.lit(2)).alias("half")
+    )
+    grids = cms_build(
+        li, "l_partkey", depth=CMS_DEPTH, width=CMS_WIDTH, group_cols=("half",)
+    ).localCheckpoint()  # one fact scan serves both sides + totals
+    ga = grids.filter(F.col("half") == 0).select("d", "bucket", F.col("cnt").alias("ca"))
+    gb = grids.filter(F.col("half") == 1).select("d", "bucket", F.col("cnt").alias("cb"))
+    est = (
+        ga.join(gb, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("est"))
+    )
+    totals = grids.filter(F.col("d") == 0).groupBy().pivot("half", [0, 1]).sum("cnt")
+    totals = totals.select(
+        F.col("0").cast("bigint").alias("n_a"), F.col("1").cast("bigint").alias("n_b")
+    )
+    # exact Σ a(v)·b(v) on the reduced (key, count) relation — grading
+    # anchor only; the estimator's value is precisely NOT running this
+    counts = li.groupBy("l_partkey", "half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ca = counts.filter(F.col("half") == 0).select("l_partkey", F.col("c").alias("c_a"))
+    cb = counts.filter(F.col("half") == 1).select("l_partkey", F.col("c").alias("c_b"))
+    true_sz = ca.join(cb, "l_partkey").agg(
+        F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("true_size")
+    )
+    margin = F.ceil(
+        F.lit(4 * 2.718281828459045)
+        * F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / F.lit(CMS_WIDTH)
+    ).cast("bigint")
+    return (
+        true_sz.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "true_size",
+            "n_a",
+            "n_b",
+            (F.col("est") >= F.col("true_size")).alias("lower_ok"),
+            (F.col("est") <= F.col("true_size") + margin).alias("upper_ok"),
+        )
+    )
