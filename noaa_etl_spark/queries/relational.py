@@ -1078,6 +1078,8 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the rank windows sort |distinct prices| per flag, not raw rows;
     per-flag window over the reduced grid is the MAD/quantile-family
     honest cost."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),

@@ -866,3 +866,21 @@ def test_blocklist_filter_scan_local(spark):
     per-row HOF fold — any Exchange is a regression."""
     plan = plan_of(spark, "q_blocklist_filter")
     assert "Exchange" not in plan
+
+
+def test_weighted_median_reduces_to_value_grid(spark):
+    """Rows collapse to the (flag, cents) value grid BEFORE the rank
+    windows — no join anywhere, and the windows sort distinct prices,
+    not raw rows (HashAggregate feeds the Window)."""
+    plan = plan_of(spark, "q_weighted_median")
+    assert "Join" not in plan
+    assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_cms_join_estimate_grids_from_one_scan(spark):
+    """Both sides' grids come from one checkpointed scan (half is a
+    grid group key); the inner product joins KB-sized grids — never a
+    sort-merge of anything fact-sized."""
+    plan = plan_of(spark, "q_cms_join_estimate")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -297,6 +297,11 @@ AUDITED = [
     "q_semantic_decontaminate",
     # blocklist filter is scan-local (array-literal terms, HOF fold).
     "q_blocklist_filter",
+    # weighted median reduces to the value grid before its windows; the
+    # CMS join estimator joins KB-sized grids (one checkpointed scan
+    # feeds both sides).
+    "q_weighted_median",
+    "q_cms_join_estimate",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
