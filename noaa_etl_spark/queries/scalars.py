@@ -873,3 +873,69 @@ def q_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cells",
         "n_points",
     )
+
+
+@graded(
+    "q_activity_bitmask",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT)
+                 AS day
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    base AS (SELECT min(day) AS dmin FROM e),
+    offs AS (
+      SELECT user_id, day - dmin AS off FROM e, base WHERE day - dmin < 63
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(bit_or(CAST(1 AS BIGINT) << off) AS BIGINT) AS mask
+      FROM offs GROUP BY user_id
+    )
+    SELECT user_id, mask,
+           CAST(bit_count(mask) AS INT)        AS n_active_days,
+           (mask & 127) <> 0                   AS active_week1,
+           CAST(mask & (mask >> 1) AS BIGINT)  AS consec_pairs
+    FROM m
+    """,
+)
+def q_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity BITMASK over a 63-day window — the
+    roaring-bitmap-lite retention representation: one BIGINT per user
+    where bit i = active on day i, built with a single bit_or
+    aggregate. Day-level retention questions (active days, first-week
+    activity, consecutive-day pairs via mask & mask>>1) become pure
+    BITWISE arithmetic on the 8-byte mask — no re-scan, no join, no
+    array state; masks from different loads merge with OR (the
+    mergeable-state family, bit edition).
+
+    Exactness: all integer bit ops; offsets beyond bit 62 are excluded
+    by rule (both engines) to stay in non-negative BIGINT.
+
+    Scale: ONE map-side-combinable agg on user_id (the per-group state
+    is 8 bytes regardless of activity); the 1-row day base broadcasts."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    e = ev.select("user_id", day.alias("day"))
+    base = e.agg(F.min("day").alias("dmin"))
+    offs = (
+        e.crossJoin(F.broadcast(base))
+        .select("user_id", (F.col("day") - F.col("dmin")).alias("off"))
+        .filter(F.col("off") < 63)
+    )
+    m = offs.groupBy("user_id").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), off)"))
+        .cast("bigint")
+        .alias("mask")
+    )
+    return m.select(
+        "user_id",
+        "mask",
+        F.bit_count("mask").cast("int").alias("n_active_days"),
+        (F.col("mask").bitwiseAND(F.lit(127)) != 0).alias("active_week1"),
+        F.col("mask")
+        .bitwiseAND(F.expr("shiftright(mask, 1)"))
+        .cast("bigint")
+        .alias("consec_pairs"),
+    )

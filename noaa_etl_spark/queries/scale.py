@@ -912,3 +912,63 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     d = orders.select("o_custkey").distinct().localCheckpoint()
     return kmv_summarize(spark, d, "o_custkey")
+
+
+@graded(
+    "q_degree_distribution",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45
+    ),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+      GROUP BY node
+    )
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(count(*)) OVER (ORDER BY d DESC) AS BIGINT) AS n_nodes_ge_d
+    FROM deg GROUP BY d
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part-co-purchase graph with the
+    complementary-cumulative column (n_nodes with degree ≥ d) — the
+    diagnostic that tells you BEFORE running triangles/CC/PageRank
+    whether hub skew will straggle a join (the q_skew_diagnose of the
+    graph family; its heavy tail is what the triangle count's
+    degree-orientation and the event-sequence celebrity cap exist for).
+
+    Exactness: all BIGINT counts; the ccdf rides one window over the
+    |distinct degrees|-sized relation.
+
+    Scale: same bounded clique-expansion edge build as q_triangle_count
+    (within-order pairs, quantity-filtered); degrees are one combinable
+    agg; the histogram is |degrees| rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionByName(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    w = Window.orderBy(F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "d", "n_nodes", F.sum("n_nodes").over(w).cast("bigint").alias("n_nodes_ge_d")
+    )

@@ -1317,3 +1317,73 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_distinct"),
         "exact_distinct",
     )
+
+
+from noaa_etl_spark.queries.temporal import (
+    CHANGEPOINT_ORACLE,
+    changepoint_daily,
+    changepoint_finalize,
+)
+
+
+@graded("q_stream_changepoint", oracle=CHANGEPOINT_ORACLE)
+def q_stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #15 — the always-on changepoint monitor: orders
+    arrive as three micro-batches; each batch writes its own (day,
+    count) daily partial (batch_id-keyed overwrite, restart-idempotent).
+    Daily counts are pure integer addition, so folding the per-batch
+    partials reproduces the one-pass rollup EXACTLY, and the shared
+    argmax-gain finalization (changepoint_finalize) emits the identical
+    split — this twin shares CHANGEPOINT_ORACLE verbatim, the
+    Holt-Winters pattern (mergeable partials + shared finalization)
+    applied to a DETECTION statistic rather than a forecast.
+
+    100 TB: per-trigger work is one map-side-combined daily agg over
+    the batch; the maintained partial table is |batches|×|days| rows,
+    and re-detection after each batch costs one bounded-calendar
+    window — never a history rescan."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_changepoint")
+    src = os.path.join(root, "src")
+    partials = os.path.join(root, "partials")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, partials, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    gate = F.pmod(F.xxhash64(F.lit("scp"), F.col("o_orderkey")), F.lit(3))
+    for i in range(3):
+        orders.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        part = changepoint_daily(batch_df)
+        record_foreach_batch_plan("stream_changepoint_partial", part)
+        part.write.mode("overwrite").parquet(f"{partials}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(partials)
+        .groupBy("d")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    return changepoint_finalize(folded)

@@ -2488,9 +2488,7 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_changepoint_detect",
-    oracle="""
+CHANGEPOINT_ORACLE = """
     WITH daily AS (
       SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                   AS BIGINT) AS d,
@@ -2522,29 +2520,14 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d AS split_day, np, sp, qp, round(gain, 6) AS gain
     FROM gains ORDER BY gain DESC, d ASC LIMIT 1
-    """,
-)
-def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single change-point detection on the daily order-volume series:
-    the split maximizing the between-segment SSE reduction (binary
-    segmentation's first step / CUSUM's offline twin). For each
-    candidate boundary t, gain(t) = SSE_total − SSE_left − SSE_right,
-    with every SSE expanded to Σy² − (Σy)²/n over EXACT BIGINT prefix
-    sums — one subtraction chain of correctly-rounded doubles from
-    identical integers ⇒ bit-equal, so the argmax day is
-    cross-engine-deterministic (the bollinger contract; never ln).
-    Ties break to the earliest day; gain is graded at 6dp with the
-    exact integer anchors (np, sp, qp) alongside.
+    """
 
-    Overflow contract: Σy² < 2^63 ⇒ daily volume to ~3·10⁹ rows/day.
 
-    Scale: orders collapse to |days| rows in one combinable agg; the
-    prefix sums are ONE ordered window over that bounded calendar
-    relation (the pareto-survivor pattern — single-partition is the
-    honest cost of a global prefix on ≤ a few thousand rows), the
-    1-row totals broadcast, and the argmax is TakeOrdered(1)."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = (
+def changepoint_daily(orders: DataFrame) -> DataFrame:
+    """(d, y) daily order-count rollup — the mergeable partial shared
+    by the batch changepoint and its streaming twin (counts are pure
+    integer addition: folding per-batch partials == one-pass rollup)."""
+    return (
         orders.select(
             F.datediff(
                 F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
@@ -2554,8 +2537,14 @@ def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d")
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
-        .localCheckpoint()
     )
+
+
+def changepoint_finalize(daily: DataFrame) -> DataFrame:
+    """Argmax-gain split over a (d, y) daily table — shared by the
+    batch query and the streaming twin (identical finalization over
+    identical integers ⇒ identical output)."""
+    daily = daily.localCheckpoint()
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pre = daily.select(
         "d",
@@ -2594,6 +2583,30 @@ def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("gain_full", 6).alias("gain"),
         )
     )
+
+
+@graded("q_changepoint_detect", oracle=CHANGEPOINT_ORACLE)
+def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection on the daily order-volume series:
+    the split maximizing the between-segment SSE reduction (binary
+    segmentation's first step / CUSUM's offline twin). For each
+    candidate boundary t, gain(t) = SSE_total − SSE_left − SSE_right,
+    with every SSE expanded to Σy² − (Σy)²/n over EXACT BIGINT prefix
+    sums — one subtraction chain of correctly-rounded doubles from
+    identical integers ⇒ bit-equal, so the argmax day is
+    cross-engine-deterministic (the bollinger contract; never ln).
+    Ties break to the earliest day; gain is graded at 6dp with the
+    exact integer anchors (np, sp, qp) alongside.
+
+    Overflow contract: Σy² < 2^63 ⇒ daily volume to ~3·10⁹ rows/day.
+
+    Scale: orders collapse to |days| rows in one combinable agg; the
+    prefix sums are ONE ordered window over that bounded calendar
+    relation (the pareto-survivor pattern — single-partition is the
+    honest cost of a global prefix on ≤ a few thousand rows), the
+    1-row totals broadcast, and the argmax is TakeOrdered(1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return changepoint_finalize(changepoint_daily(orders))
 
 
 @graded(

@@ -57,6 +57,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_ab_test": ["fb_stream_ab_moments"],
     "q_stream_psi_drift": ["fb_stream_psi_binned"],
     "q_stream_kmv_distinct": ["fb_stream_kmv_sketch", "fb_stream_kmv_keys"],
+    "q_stream_changepoint": ["fb_stream_changepoint_partial"],
 }
 
 

@@ -884,3 +884,22 @@ def test_cms_join_estimate_grids_from_one_scan(spark):
     plan = plan_of(spark, "q_cms_join_estimate")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_degree_distribution_combinable_aggs(spark):
+    """Edge build is the bounded within-order self-join; degrees and the
+    histogram are combinable aggs; the ccdf windows the |degrees|
+    relation — no cartesian anywhere."""
+    plan = plan_of(spark, "q_degree_distribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_activity_bitmask_single_user_agg(spark):
+    """The mask is ONE map-side-combinable bit_or agg on user_id (8-byte
+    state per group); the day base broadcasts — no window, no second
+    fact pass."""
+    plan = plan_of(spark, "q_activity_bitmask")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final bit_or
+    assert "SortMergeJoin" not in plan

@@ -302,6 +302,10 @@ AUDITED = [
     # feeds both sides).
     "q_weighted_median",
     "q_cms_join_estimate",
+    # degree histogram: bounded clique-expansion join + combinable aggs;
+    # activity bitmask: ONE bit_or agg (8-byte per-group state).
+    "q_degree_distribution",
+    "q_activity_bitmask",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
