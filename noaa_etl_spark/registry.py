@@ -212,6 +212,22 @@ GRADED_WINDOW: list[str] = [
     "q_tpch_q14_promo",
     # --- family fills (2): G and noaa have no new-cohort member ---
     "q_union_distinct", "q_ghcn_pipeline",
+    # Round-11 staging: 17 round-10 additions are registered, tested,
+    # and vanilla-sim'd but enter the window in r11 (the r9→r10
+    # precedent): q_kmv_distinct + q_stream_kmv_distinct (twin #14),
+    # q_gini_concentration, q_theil_sen, q_changepoint_detect +
+    # q_stream_changepoint (twin #15 — also a changed-plan re-grade of
+    # changepoint since it refactored into shared helpers),
+    # q_systematic_sample, q_interval_overlap_join, q_kaplan_meier,
+    # q_semantic_decontaminate, q_blocklist_filter, q_retention_vacuum,
+    # q_manifest_time_travel, q_weighted_median, q_cms_join_estimate,
+    # q_degree_distribution, q_activity_bitmask — ALL oracle-paired.
+    # Plus the two r9 stream twins that yielded their r10 slots to the
+    # G/noaa family fills: q_stream_forecast_holt,
+    # q_stream_holt_winters. That is 19; the remaining ~31 slots go to
+    # oldest-signal rotation (r5/r6-graded cohort — list via
+    # CORRECTNESS_r0{1..10} set difference) with family reps per the
+    # any-of guard.
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:
