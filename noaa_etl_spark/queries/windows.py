@@ -713,3 +713,78 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "price_cents", "size")
     )
+
+
+@graded(
+    "q_sliding_distinct",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    counted AS (
+      SELECT event_id, event_type, ts,
+             count(DISTINCT user_id) OVER (
+               ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+             ) AS d_users
+      FROM e
+    )
+    SELECT event_id, CAST(d_users AS BIGINT) AS d_users
+    FROM counted WHERE event_type = 'purchase'
+    """,
+)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-window distinct count — for each purchase, how
+    many DISTINCT users were active in the preceding hour (live-
+    audience / unique-reach at event time). Spark has no
+    count(DISTINCT) over a RANGE frame; DuckDB does, which is the
+    oracle. The engine uses the LAST-OCCURRENCE identity:
+
+        distinct users in [t−1h, t] = #{events f : ts_f ∈ [t−1h, t]
+                                          and next_f > t}
+
+    (each user in the window is counted exactly once — at their most
+    recent event ≤ t; next_f is the user's next event time, one
+    lag/lead window). Candidates meet query points through the 1 h
+    BAND join (each event replicates to its 2 covering hour buckets —
+    bounded, data-independent), never a per-point rescan.
+
+    Exactness: all comparisons in BIGINT micros.
+
+    Scale: one user-partitioned lead window + one banded equi-join +
+    one count agg. Pair volume is |windows| × in-window events — the
+    honest cost of EXACT sliding distinct (density-bounded, and the
+    approximate gear at extreme density is per-bucket HLL union,
+    q_hll_sketch_union's shape)."""
+    B_US = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    us = F.unix_micros("ts")
+    base = ev.select(
+        "event_id", "user_id", "event_type", us.alias("t_us")
+    )
+    w_next = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    cand = base.select(
+        F.col("t_us").alias("f_us"),
+        F.lead("t_us").over(w_next).alias("next_us"),
+    ).withColumn(
+        "bk",
+        F.explode(
+            F.expr(f"sequence(f_us div {B_US}, (f_us div {B_US}) + 1)")
+        ),
+    )
+    q = base.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("t_us").alias("q_us"),
+        F.expr(f"t_us div {B_US}").alias("bk"),
+    )
+    pairs = q.join(
+        cand,
+        (q["bk"] == cand["bk"])
+        & (F.col("f_us") >= F.col("q_us") - F.lit(B_US))
+        & (F.col("f_us") <= F.col("q_us"))
+        & (F.col("next_us").isNull() | (F.col("next_us") > F.col("q_us"))),
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_users")
+    )

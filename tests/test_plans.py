@@ -903,3 +903,13 @@ def test_activity_bitmask_single_user_agg(spark):
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final bit_or
     assert "SortMergeJoin" not in plan
+
+
+def test_sliding_distinct_banded_equi_join(spark):
+    """Exact sliding distinct = last-occurrence identity + the 1h band
+    join — one lead window, one EQUI-join on (bucket), one count agg;
+    a nested-loop over raw timestamps is the oracle-only plan."""
+    plan = plan_of(spark, "q_sliding_distinct")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1  # the per-user lead

@@ -306,6 +306,9 @@ AUDITED = [
     # activity bitmask: ONE bit_or agg (8-byte per-group state).
     "q_degree_distribution",
     "q_activity_bitmask",
+    # exact sliding distinct: one lead window + the 1h banded equi-join
+    # (a raw-timestamp nested loop is the oracle-only plan).
+    "q_sliding_distinct",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
