@@ -875,9 +875,7 @@ def q_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_activity_bitmask",
-    oracle="""
+ACTIVITY_BITMASK_ORACLE = """
     WITH e AS (
       SELECT user_id,
              CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT)
@@ -898,8 +896,10 @@ def q_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
            (mask & 127) <> 0                   AS active_week1,
            CAST(mask & (mask >> 1) AS BIGINT)  AS consec_pairs
     FROM m
-    """,
-)
+    """
+
+
+@graded("q_activity_bitmask", oracle=ACTIVITY_BITMASK_ORACLE)
 def q_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user activity BITMASK over a 63-day window — the
     roaring-bitmap-lite retention representation: one BIGINT per user

@@ -1387,3 +1387,110 @@ def q_stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("y").cast("bigint").alias("y"))
     )
     return changepoint_finalize(folded)
+
+
+from noaa_etl_spark.queries.scalars import ACTIVITY_BITMASK_ORACLE
+
+
+@graded("q_stream_activity_bitmask", oracle=ACTIVITY_BITMASK_ORACLE)
+def q_stream_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #16 — the first twin whose merge is a state
+    TRANSFORMATION, not plain addition: each micro-batch writes
+    per-user activity masks anchored at its OWN min day (the global
+    base is unknowable per batch — the user-LTV derived-key problem,
+    now affecting the state's bit POSITIONS, not just a key). The fold
+    re-anchors: global base = min of batch anchors; each batch mask is
+    truncated to the bits that survive the 63-bit window under its
+    shift (mask & (1<<k)-1 BEFORE the shift — shifting first would
+    overflow), shifted left by (anchor − base), and OR-folded. Bit-set
+    equality with the one-pass mask is exact (both = {(user, day):
+    day − base < 63}; a day dropped per-batch at offset ≥ 63 from its
+    anchor is ≥ 63 from the earlier global base too), so this twin
+    shares ACTIVITY_BITMASK_ORACLE verbatim.
+
+    100 TB: per-trigger state is 8 bytes per active user; re-anchoring
+    is pure bitwise arithmetic on the state table — no raw-day replay."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_bitmask")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    e = ev.select("event_id", "user_id", day.alias("day"))
+    gate = F.pmod(F.xxhash64(F.lit("sbm"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        e.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        anchor = batch_df.agg(F.min("day").alias("anchor"))
+        masks = (
+            batch_df.crossJoin(F.broadcast(anchor))
+            .select(
+                "user_id",
+                "anchor",
+                (F.col("day") - F.col("anchor")).alias("off"),
+            )
+            .filter(F.col("off") < 63)
+            .groupBy("user_id", "anchor")
+            .agg(
+                F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), off)"))
+                .cast("bigint")
+                .alias("mask")
+            )
+        )
+        record_foreach_batch_plan("stream_bitmask_state", masks)
+        masks.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("user_id bigint, day bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    parts = spark.read.parquet(states)
+    base = parts.agg(F.min("anchor").alias("base"))
+    aligned = parts.crossJoin(F.broadcast(base)).select(
+        "user_id",
+        F.expr(
+            # truncate to surviving bits BEFORE the shift (k = 63-shift;
+            # shift = anchor-base). k == 63 (shift 0) keeps all 63 bits
+            # via the max-BIGINT literal — (1<<63)-1 would overflow ANSI.
+            "shiftleft(mask & (CASE WHEN anchor = base"
+            "                       THEN 9223372036854775807"
+            "                       ELSE shiftleft(CAST(1 AS BIGINT),"
+            "                                      63 - (anchor - base)) - 1 END),"
+            " CAST(anchor - base AS INT))"
+        ).alias("m"),
+    )
+    folded = aligned.groupBy("user_id").agg(
+        F.bit_or("m").cast("bigint").alias("mask")
+    )
+    return folded.select(
+        "user_id",
+        "mask",
+        F.bit_count("mask").cast("int").alias("n_active_days"),
+        (F.col("mask").bitwiseAND(F.lit(127)) != 0).alias("active_week1"),
+        F.col("mask")
+        .bitwiseAND(F.expr("shiftright(mask, 1)"))
+        .cast("bigint")
+        .alias("consec_pairs"),
+    )
