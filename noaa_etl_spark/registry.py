@@ -219,12 +219,15 @@ GRADED_WINDOW: list[str] = [
     # q_stream_changepoint (twin #15 — also a changed-plan re-grade of
     # changepoint since it refactored into shared helpers),
     # q_systematic_sample, q_interval_overlap_join, q_kaplan_meier,
+    # q_sliding_distinct (in the 21 below),
     # q_semantic_decontaminate, q_blocklist_filter, q_retention_vacuum,
     # q_manifest_time_travel, q_weighted_median, q_cms_join_estimate,
-    # q_degree_distribution, q_activity_bitmask — ALL oracle-paired.
+    # q_degree_distribution, q_activity_bitmask, q_sliding_distinct,
+    # q_stream_activity_bitmask (twin #16 — shift-re-anchored merge) —
+    # ALL oracle-paired.
     # Plus the two r9 stream twins that yielded their r10 slots to the
     # G/noaa family fills: q_stream_forecast_holt,
-    # q_stream_holt_winters. That is 19; the remaining ~31 slots go to
+    # q_stream_holt_winters. That is 21; the remaining ~29 slots go to
     # oldest-signal rotation (r5/r6-graded cohort — list via
     # CORRECTNESS_r0{1..10} set difference) with family reps per the
     # any-of guard.
