@@ -696,3 +696,132 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.filter(F.col("position") % 16 == 0).select(
         "doc_id", "source", "position"
     )
+
+
+# Deterministic "Poisson(1)" weight ladder: cumulative e^{-1}/k!
+# thresholds as shared literals. Both engines map the SAME md5-derived
+# u through the SAME ladder, so replicate weights are identical — the
+# scheme is a deterministic weighting, graded exactly (true Poisson
+# tails beyond w=6 are folded into the last rung; irrelevant to the
+# contract since both engines use one ladder).
+BOOT_LADDER = [
+    (0.36787944117144233, 0),
+    (0.7357588823428847, 1),
+    (0.9196986029286058, 2),
+    (0.9810118431238462, 3),
+    (0.9963401531726563, 4),
+    (0.9994058151824183, 5),
+]
+BOOT_B = 32
+
+
+def _boot_ladder_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t!r} THEN {w}" for t, w in BOOT_LADDER
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+@graded(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    rep AS (
+      SELECT b.b, o_orderkey, cents,
+             {_boot_ladder_sql("(CAST('0x' || substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 12) AS UBIGINT) + 1) / 281474976710656.0")}
+               AS w
+      FROM base, (SELECT unnest(range(32)) AS b) b
+    ),
+    per_b AS (
+      SELECT b,
+             CAST(sum(w * cents) AS BIGINT) AS wsum,
+             CAST(sum(w) AS BIGINT)         AS wn,
+             CAST(sum(cents) AS BIGINT)     AS total_cents,
+             CAST(count(*) AS BIGINT)       AS n
+      FROM rep GROUP BY b
+    ),
+    means AS (
+      SELECT list(CAST(wsum AS DOUBLE) / wn ORDER BY CAST(wsum AS DOUBLE) / wn)
+               AS ms,
+             min(total_cents) AS total_cents,
+             min(n) AS n
+      FROM per_b
+    )
+    SELECT n,
+           CAST(total_cents AS DOUBLE) / n AS mean_cents,
+           ms[2]  AS ci_lo,
+           ms[31] AS ci_hi
+    FROM means
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the mean order value —
+    the distributed bootstrap (Chamandy et al., Google): classic
+    resampling needs n draws per replicate from one urn (undistributable);
+    Poisson(1) per-row weights makes each replicate a SCAN-LOCAL weighting,
+    so B=32 replicates ride ONE pass as a combinable (b, Σw·x, Σw) agg.
+    Weights are md5-derived through a shared threshold ladder — RNG-free,
+    rerun-stable, engine-reproducible (the md5-gate doctrine applied to
+    RESAMPLING). CI = 2nd/31st order statistics of the replicate means
+    (~94% interval at B=32), an exact selection over bit-equal doubles.
+
+    Exactness: Σw·cents and Σw are BIGINTs; each replicate mean is one
+    double division; sorting 32 bit-equal doubles is deterministic.
+
+    Scale: replicate expansion is explode(0..31) BEFORE a map-side
+    combinable agg — the shuffle carries 32 partial-state rows per
+    partition, never 32× the data; global n and Σx ride the same agg
+    (every replicate sees each row once ⇒ per-b copies are the global
+    values — no second scan)."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rep = base.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))))
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (v + F.lit(1)) / F.lit(float(2**48))
+    w = F.lit(6)
+    for t, k in reversed(BOOT_LADDER):
+        w = F.when(u < F.lit(t), F.lit(k)).otherwise(w)
+    per_b = (
+        rep.withColumn("w", w.cast("bigint"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("wsum"),
+            F.sum("w").cast("bigint").alias("wn"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    means = per_b.agg(
+        F.array_sort(
+            F.collect_list(F.col("wsum").cast("double") / F.col("wn"))
+        ).alias("ms"),
+        F.min("total_cents").alias("total_cents"),
+        F.min("n").alias("n"),
+    )
+    return means.select(
+        "n",
+        (F.col("total_cents").cast("double") / F.col("n")).alias("mean_cents"),
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", 31).alias("ci_hi"),
+    )

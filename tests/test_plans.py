@@ -913,3 +913,13 @@ def test_sliding_distinct_banded_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window") >= 1  # the per-user lead
+
+
+def test_bootstrap_ci_one_pass_combinable(spark):
+    """B=32 replicate expansion must stay BEFORE a map-side combinable
+    agg (shuffle carries 32 partial rows per partition, never 32x the
+    data) — no join, no window, no second fact scan."""
+    plan = plan_of(spark, "q_bootstrap_ci")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2

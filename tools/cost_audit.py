@@ -309,6 +309,9 @@ AUDITED = [
     # exact sliding distinct: one lead window + the 1h banded equi-join
     # (a raw-timestamp nested loop is the oracle-only plan).
     "q_sliding_distinct",
+    # bootstrap: explode(32) before ONE combinable agg — a join/window/
+    # second scan is the regression.
+    "q_bootstrap_ci",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
