@@ -825,3 +825,88 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ms", 2).alias("ci_lo"),
         F.element_at("ms", 31).alias("ci_hi"),
     )
+
+
+@graded(
+    "q_negative_sampling",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS anchor_id, n.doc_id AS negative_id,
+             n.source AS negative_source,
+             md5('neg:' || CAST(a.doc_id AS VARCHAR) || ':'
+                 || CAST(n.doc_id AS VARCHAR)) AS r
+      FROM d a JOIN d n
+        ON a.shard = n.shard AND a.source <> n.source
+    ),
+    ranked AS (
+      SELECT anchor_id, negative_id, negative_source,
+             CAST(row_number() OVER (
+               PARTITION BY anchor_id ORDER BY r, negative_id
+             ) AS BIGINT) AS rk
+      FROM pairs
+    )
+    SELECT anchor_id, negative_id, negative_source, rk
+    FROM ranked WHERE rk <= 2
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE sampling for contrastive training pairs:
+    each anchor document draws 2 negatives from OTHER sources inside
+    its md5 shard — RNG-free (pair-digest ranked, rerun-stable,
+    auditable: the same anchor always gets the same negatives), the
+    md5-gate doctrine applied to PAIR construction. Cross-source
+    restriction makes the negatives label-safe; shard blocking bounds
+    the candidate space.
+
+    Scale: the self-join is shard-blocked — pair volume is
+    Σ_shard |shard|² like every blocked matcher here (fuzzy join,
+    LSH bands), so the shard-prefix LENGTH must grow with the corpus
+    (2 hex nibbles = 256 shards at fixture scale; production sizes
+    shards to a per-block row budget exactly like the fuzzy-join
+    q-gram order — the SCALING.md gram-universe rule). The rank window
+    partitions by anchor_id — high cardinality, the scale-friendly
+    window shape."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.substring(
+            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 2
+        ).alias("shard"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("a_source"),
+        "shard",
+    )
+    n = d.select(
+        F.col("doc_id").alias("negative_id"),
+        F.col("source").alias("negative_source"),
+        F.col("shard").alias("n_shard"),
+    )
+    pairs = a.join(
+        n,
+        (a["shard"] == n["n_shard"]) & (F.col("a_source") != F.col("negative_source")),
+    ).select(
+        "anchor_id",
+        "negative_id",
+        "negative_source",
+        F.md5(
+            F.concat(
+                F.lit("neg:"),
+                F.col("anchor_id").cast("string"),
+                F.lit(":"),
+                F.col("negative_id").cast("string"),
+            )
+        ).alias("r"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy("r", "negative_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 2)
+        .drop("r")
+    )

@@ -923,3 +923,12 @@ def test_bootstrap_ci_one_pass_combinable(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_negative_sampling_shard_blocked(spark):
+    """The negative self-join must stay a shard EQUI-join (never a
+    cross join over the corpus); the rank window partitions by the
+    high-cardinality anchor."""
+    plan = plan_of(spark, "q_negative_sampling")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

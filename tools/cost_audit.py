@@ -312,6 +312,8 @@ AUDITED = [
     # bootstrap: explode(32) before ONE combinable agg — a join/window/
     # second scan is the regression.
     "q_bootstrap_ci",
+    # negative sampling: shard-blocked self-join + anchor rank window.
+    "q_negative_sampling",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
