@@ -722,9 +722,7 @@ def _boot_ladder_sql(u: str) -> str:
     return f"(CASE {cases} ELSE 6 END)"
 
 
-@graded(
-    "q_bootstrap_ci",
-    oracle=f"""
+BOOTSTRAP_ORACLE = f"""
     WITH base AS (
       SELECT o_orderkey,
              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
@@ -756,8 +754,10 @@ def _boot_ladder_sql(u: str) -> str:
            ms[2]  AS ci_lo,
            ms[31] AS ci_hi
     FROM means
-    """,
-)
+    """
+
+
+@graded("q_bootstrap_ci", oracle=BOOTSTRAP_ORACLE)
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POISSON BOOTSTRAP confidence interval for the mean order value —
     the distributed bootstrap (Chamandy et al., Google): classic

@@ -1494,3 +1494,120 @@ def q_stream_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("consec_pairs"),
     )
+
+
+from noaa_etl_spark.queries.sampling import BOOT_B, BOOT_LADDER, BOOTSTRAP_ORACLE
+
+
+@graded("q_stream_bootstrap_ci", oracle=BOOTSTRAP_ORACLE)
+def q_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #17 — always-on uncertainty: the Poisson
+    bootstrap's replicate state (b, Σw·x, Σw, Σx, n) is PURE integer
+    addition (weights are a per-row function of (b, key) — batch
+    membership cannot change them), so per-micro-batch partials fold to
+    the one-pass state exactly and the CI finalization (sort 32
+    replicate means, take order statistics) emits identical doubles —
+    this twin shares BOOTSTRAP_ORACLE verbatim, putting CONFIDENCE
+    INTERVALS on the same maintain-don't-recompute footing as the
+    means they qualify (stats-merge twin, extended to resampling).
+
+    100 TB: per-trigger work is the batch's explode-32 combinable agg
+    (32 partial rows per partition); maintained state is 32 rows per
+    batch."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_bootstrap")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    gate = F.pmod(F.xxhash64(F.lit("sbc"), F.col("o_orderkey")), F.lit(3))
+    for i in range(3):
+        base.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        rep = batch_df.withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1)))
+        )
+        v = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        u = (v + F.lit(1)) / F.lit(float(2**48))
+        w = F.lit(6)
+        for t, k in reversed(BOOT_LADDER):
+            w = F.when(u < F.lit(t), F.lit(k)).otherwise(w)
+        part = (
+            rep.withColumn("w", w.cast("bigint"))
+            .groupBy("b")
+            .agg(
+                F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("wsum"),
+                F.sum("w").cast("bigint").alias("wn"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+        )
+        record_foreach_batch_plan("stream_bootstrap_state", part)
+        part.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("b")
+        .agg(
+            F.sum("wsum").cast("bigint").alias("wsum"),
+            F.sum("wn").cast("bigint").alias("wn"),
+            F.sum("total_cents").cast("bigint").alias("total_cents"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+    )
+    means = folded.agg(
+        F.array_sort(
+            F.collect_list(F.col("wsum").cast("double") / F.col("wn"))
+        ).alias("ms"),
+        F.min("total_cents").alias("total_cents"),
+        F.min("n").alias("n"),
+    )
+    return means.select(
+        "n",
+        (F.col("total_cents").cast("double") / F.col("n")).alias("mean_cents"),
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", 31).alias("ci_hi"),
+    )
