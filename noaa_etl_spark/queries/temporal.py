@@ -2824,3 +2824,64 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.n_at_risk").alias("n_at_risk"),
         F.element_at("sl", F.col("i") + 1).alias("survival"),
     )
+
+
+@graded(
+    "q_ohlc_candles",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, event_id, cents, ts,
+             time_bucket(INTERVAL '10 minutes', ts) AS bucket
+      FROM e
+    ),
+    ranked AS (
+      SELECT event_type, bucket, cents,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM b
+    )
+    SELECT event_type, bucket,
+           CAST(min(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT)  AS open,
+           CAST(max(cents) AS BIGINT)                                 AS high,
+           CAST(min(cents) AS BIGINT)                                 AS low,
+           CAST(min(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT) AS close,
+           CAST(count(*) AS BIGINT)                                   AS volume
+    FROM ranked GROUP BY event_type, bucket
+    """,
+)
+def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candles — the canonical financial/telemetry downsampling:
+    per (type, 10-min bucket) open/high/low/close/volume. Open and
+    close are ARGMIN/ARGMAX by the total (ts, event_id) order via
+    min_by/max_by over a composite struct key (the mode_by_group
+    doctrine: agg-only, deterministic under ts ties, never a rank
+    window over the raw stream); high/low/volume are plain aggregates.
+
+    Exactness: floor-cents BIGINTs throughout.
+
+    Scale: ONE map-side-combinable agg — per-group state is 4 scalars
+    + 2 (key, value) pairs regardless of bucket population; the oracle
+    replays open/close with rank windows, the plan the engine avoids."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.window("ts", "10 minutes")["start"].alias("bucket"),
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("event_type", "bucket").agg(
+        F.min_by("cents", key).cast("bigint").alias("open"),
+        F.max("cents").cast("bigint").alias("high"),
+        F.min("cents").cast("bigint").alias("low"),
+        F.max_by("cents", key).cast("bigint").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("volume"),
+    )

@@ -932,3 +932,15 @@ def test_negative_sampling_shard_blocked(spark):
     plan = plan_of(spark, "q_negative_sampling")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_single_combinable_agg(spark):
+    """OHLC = one map-side-combinable agg (min_by/max_by on the
+    composite time key) — never a rank window over the raw stream."""
+    plan = plan_of(spark, "q_ohlc_candles")
+    assert "Window (" not in plan.split("\n\n")[0]
+    assert "Join" not in plan
+    # struct min_by/max_by keys force SORT-based aggregation; the
+    # partial (map-side) agg below the exchange is what matters
+    tree = plan.split("\n\n")[0]
+    assert tree.count("SortAggregate") + tree.count("HashAggregate") >= 2

@@ -314,6 +314,9 @@ AUDITED = [
     "q_bootstrap_ci",
     # negative sampling: shard-blocked self-join + anchor rank window.
     "q_negative_sampling",
+    # OHLC: one combinable agg (min_by/max_by composite keys) — a rank
+    # window over the raw stream is the regression.
+    "q_ohlc_candles",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
