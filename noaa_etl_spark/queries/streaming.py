@@ -1611,3 +1611,89 @@ def q_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ms", 2).alias("ci_lo"),
         F.element_at("ms", 31).alias("ci_hi"),
     )
+
+
+from noaa_etl_spark.queries.temporal import OHLC_ORACLE
+
+
+@graded("q_stream_ohlc", oracle=OHLC_ORACLE)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #18 — ARGMIN/ARGMAX state made mergeable: OHLC
+    open/close are positional (value at the earliest/latest event), so
+    a naive per-batch candle is NOT foldable — unless each partial
+    CARRIES ITS KEY: the batch state is (open_key=min(ts,event_id),
+    open, high, low, close_key=max(key), close, volume), and the fold
+    re-applies min_by/max_by on the carried keys. The folded candle
+    equals the one-pass candle exactly (argmin over a partition of the
+    data = argmin over the per-part argmins, keys carried), so this
+    twin shares OHLC_ORACLE verbatim — twin equality extended from
+    additive/order-statistic state to POSITIONAL aggregates.
+
+    100 TB: per-trigger work is the batch's combinable candle agg;
+    maintained state is one row per (type, bucket, batch)."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_ohlc")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.window("ts", "10 minutes")["start"].alias("bucket"),
+    )
+    gate = F.pmod(F.xxhash64(F.lit("soh"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        e.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        key = F.struct(F.col("ts"), F.col("event_id"))
+        part = batch_df.groupBy("event_type", "bucket").agg(
+            F.min(key).alias("open_key"),
+            F.min_by("cents", key).cast("bigint").alias("open"),
+            F.max("cents").cast("bigint").alias("high"),
+            F.min("cents").cast("bigint").alias("low"),
+            F.max(key).alias("close_key"),
+            F.max_by("cents", key).cast("bigint").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+        )
+        record_foreach_batch_plan("stream_ohlc_state", part)
+        part.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    return (
+        spark.read.parquet(states)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.min_by("open", F.col("open_key")).cast("bigint").alias("open"),
+            F.max("high").cast("bigint").alias("high"),
+            F.min("low").cast("bigint").alias("low"),
+            F.max_by("close", F.col("close_key")).cast("bigint").alias("close"),
+            F.sum("volume").cast("bigint").alias("volume"),
+        )
+    )

@@ -2826,9 +2826,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_ohlc_candles",
-    oracle="""
+OHLC_ORACLE = """
     WITH e AS (
       SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
              CAST(floor(value * 100) AS BIGINT) AS cents
@@ -2854,8 +2852,10 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT) AS close,
            CAST(count(*) AS BIGINT)                                   AS volume
     FROM ranked GROUP BY event_type, bucket
-    """,
-)
+    """
+
+
+@graded("q_ohlc_candles", oracle=OHLC_ORACLE)
 def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candles — the canonical financial/telemetry downsampling:
     per (type, 10-min bucket) open/high/low/close/volume. Open and

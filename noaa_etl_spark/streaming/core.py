@@ -60,6 +60,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_changepoint": ["fb_stream_changepoint_partial"],
     "q_stream_activity_bitmask": ["fb_stream_bitmask_state"],
     "q_stream_bootstrap_ci": ["fb_stream_bootstrap_state"],
+    "q_stream_ohlc": ["fb_stream_ohlc_state"],
 }
 
 
