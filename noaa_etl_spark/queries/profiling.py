@@ -962,3 +962,78 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("gini"),
     )
+
+
+@graded(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(datediff('day', DATE '1970-01-01', max(CAST(o_orderdate AS DATE)))
+                  AS BIGINT) AS recency_day,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT CAST(ntile(5) OVER (ORDER BY recency_day, o_custkey) AS INT)    AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS INT)      AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS INT) AS m_score,
+             monetary_cents
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT)            AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS total_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM customer-value grid: quintile
+    scores for Recency (last order day), Frequency (order count), and
+    Monetary (lifetime floor-cents), reported as segment cells with
+    size and revenue. Every ntile runs over a TOTAL order (metric +
+    custkey tiebreak) so quintile boundaries are deterministic and
+    cross-engine identical — ntile on a partial order would split ties
+    arbitrarily and hash-fail.
+
+    Exactness: all BIGINT metrics; ntile is integer rank arithmetic.
+
+    Scale: orders collapse to customer grain in one combinable agg; the
+    three ntile windows run over that REDUCED relation (gini's
+    rank-statistic class — global ranks on customer-grain data are the
+    honest cost; the binned approximation is the extreme-cardinality
+    gear); the final grid is ≤125 cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("recency_day"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    scored = cust.select(
+        F.ntile(5)
+        .over(Window.orderBy("recency_day", "o_custkey"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "o_custkey"))
+        .cast("int")
+        .alias("m_score"),
+        "monetary_cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("monetary_cents").cast("bigint").alias("total_cents"),
+    )

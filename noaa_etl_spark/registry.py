@@ -227,11 +227,11 @@ GRADED_WINDOW: list[str] = [
     # q_bootstrap_ci (Poisson bootstrap), q_negative_sampling,
     # q_stream_bootstrap_ci (twin #17 — incremental CIs),
     # q_ohlc_candles (min_by/max_by composite-key candles),
-    # q_stream_ohlc (twin #18 — key-carrying positional-agg merge) —
-    # ALL oracle-paired.
+    # q_stream_ohlc (twin #18 — key-carrying positional-agg merge),
+    # q_rfm_segmentation (CRM quintile grid) — ALL oracle-paired.
     # Plus the two r9 stream twins that yielded their r10 slots to the
     # G/noaa family fills: q_stream_forecast_holt,
-    # q_stream_holt_winters. That is 26; the remaining ~24 slots go to
+    # q_stream_holt_winters. That is 27; the remaining ~23 slots go to
     # oldest-signal rotation (r5/r6-graded cohort — list via
     # CORRECTNESS_r0{1..10} set difference) with family reps per the
     # any-of guard.

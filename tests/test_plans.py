@@ -944,3 +944,11 @@ def test_ohlc_single_combinable_agg(spark):
     # partial (map-side) agg below the exchange is what matters
     tree = plan.split("\n\n")[0]
     assert tree.count("SortAggregate") + tree.count("HashAggregate") >= 2
+
+
+def test_rfm_windows_on_reduced_relation(spark):
+    """Orders collapse to customer grain BEFORE the three ntile windows
+    (HashAggregate feeds the first Window); no join anywhere."""
+    plan = plan_of(spark, "q_rfm_segmentation")
+    assert "Join" not in plan
+    assert plan.index("HashAggregate") < plan.index("Window")

@@ -317,6 +317,8 @@ AUDITED = [
     # OHLC: one combinable agg (min_by/max_by composite keys) — a rank
     # window over the raw stream is the regression.
     "q_ohlc_candles",
+    # RFM: customer-grain collapse BEFORE the three ntile windows.
+    "q_rfm_segmentation",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
