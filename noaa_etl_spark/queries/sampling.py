@@ -715,6 +715,45 @@ BOOT_LADDER = [
 BOOT_B = 32
 
 
+def boot_replicates(df: DataFrame, key_col: str) -> DataFrame:
+    """df + (b, w): replicate ids 0..31 with their deterministic
+    bootstrap weights. One md5 digest feeds FOUR replicates (8 hex
+    chars = 32 bits of u each — the 7-rung ladder needs far less
+    resolution), and the digest is computed at the 8-row stage BEFORE
+    the slot explode, so each input row costs 8 digests, not 32 (the
+    digest dominates the whole bootstrap's compute at scale; a
+    per-replicate digest form measured ~4x the work for identical
+    statistics)."""
+    g = df.withColumn(
+        "g", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B // 4 - 1)))
+    ).withColumn(
+        "hx",
+        F.md5(
+            F.concat(
+                F.lit("boot:"),
+                F.col("g").cast("string"),
+                F.lit(":"),
+                F.col(key_col).cast("string"),
+            )
+        ),
+    )
+    r = g.withColumn("slot", F.explode(F.sequence(F.lit(0), F.lit(3))))
+    v = F.conv(
+        F.col("hx").substr((F.col("slot") * 8 + 1).cast("int"), F.lit(8)),
+        16,
+        10,
+    ).cast("bigint")
+    u = (v + F.lit(1)) / F.lit(float(2**32))
+    w = F.lit(6)
+    for t, k in reversed(BOOT_LADDER):
+        w = F.when(u < F.lit(t), F.lit(k)).otherwise(w)
+    return r.select(
+        *df.columns,
+        (F.col("g") * 4 + F.col("slot")).cast("int").alias("b"),
+        w.cast("bigint").alias("w"),
+    )
+
+
 def _boot_ladder_sql(u: str) -> str:
     cases = " ".join(
         f"WHEN {u} < {t!r} THEN {w}" for t, w in BOOT_LADDER
@@ -729,10 +768,15 @@ BOOTSTRAP_ORACLE = f"""
       FROM orders
     ),
     rep AS (
-      SELECT b.b, o_orderkey, cents,
-             {_boot_ladder_sql("(CAST('0x' || substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 12) AS UBIGINT) + 1) / 281474976710656.0")}
+      -- one md5 feeds FOUR replicates (8 hex chars = 32 bits each):
+      -- the ladder needs far less than 32 bits of resolution, and the
+      -- digest is the dominant compute at scale
+      SELECT g.g * 4 + s.s AS b, o_orderkey, cents,
+             {_boot_ladder_sql("(CAST('0x' || substr(md5('boot:' || CAST(g.g AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1 + 8 * s.s, 8) AS UBIGINT) + 1) / 4294967296.0")}
                AS w
-      FROM base, (SELECT unnest(range(32)) AS b) b
+      FROM base,
+           (SELECT unnest(range(8)) AS g) g,
+           (SELECT unnest(range(4)) AS s) s
     ),
     per_b AS (
       SELECT b,
@@ -781,30 +825,9 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    rep = base.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))))
-    v = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("boot:"),
-                    F.col("b").cast("string"),
-                    F.lit(":"),
-                    F.col("o_orderkey").cast("string"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    u = (v + F.lit(1)) / F.lit(float(2**48))
-    w = F.lit(6)
-    for t, k in reversed(BOOT_LADDER):
-        w = F.when(u < F.lit(t), F.lit(k)).otherwise(w)
+    rep = boot_replicates(base, "o_orderkey")
     per_b = (
-        rep.withColumn("w", w.cast("bigint"))
-        .groupBy("b")
+        rep.groupBy("b")
         .agg(
             F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("wsum"),
             F.sum("w").cast("bigint").alias("wn"),

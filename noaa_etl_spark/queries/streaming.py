@@ -1496,7 +1496,7 @@ def q_stream_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from noaa_etl_spark.queries.sampling import BOOT_B, BOOT_LADDER, BOOTSTRAP_ORACLE
+from noaa_etl_spark.queries.sampling import BOOTSTRAP_ORACLE, boot_replicates
 
 
 @graded("q_stream_bootstrap_ci", oracle=BOOTSTRAP_ORACLE)
@@ -1534,37 +1534,17 @@ def q_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
+    # 4 files per micro-batch (not coalesce(1)): a single-file trigger
+    # would run the 32× md5 ladder near-single-threaded — the probe read
+    # 8× at 10× data until the batch got scan parallelism.
     gate = F.pmod(F.xxhash64(F.lit("sbc"), F.col("o_orderkey")), F.lit(3))
     for i in range(3):
-        base.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+        base.filter(gate == i).coalesce(4).write.mode("append").parquet(src)
 
     def absorb(batch_df, batch_id: int) -> None:
-        rep = batch_df.withColumn(
-            "b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1)))
-        )
-        v = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("boot:"),
-                        F.col("b").cast("string"),
-                        F.lit(":"),
-                        F.col("o_orderkey").cast("string"),
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        u = (v + F.lit(1)) / F.lit(float(2**48))
-        w = F.lit(6)
-        for t, k in reversed(BOOT_LADDER):
-            w = F.when(u < F.lit(t), F.lit(k)).otherwise(w)
+        rep = boot_replicates(batch_df, "o_orderkey")
         part = (
-            rep.withColumn("w", w.cast("bigint"))
-            .groupBy("b")
+            rep.groupBy("b")
             .agg(
                 F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("wsum"),
                 F.sum("w").cast("bigint").alias("wn"),
@@ -1577,7 +1557,7 @@ def q_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema(base.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "4")
         .parquet(src)
     )
     query = (
