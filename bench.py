@@ -85,6 +85,12 @@ def main() -> None:
                 "sf": sf,
                 "runs": ROUNDS,
                 "dispersion": dispersion,
+                # Self-adjudicating load context: three rounds (r6, r8,
+                # r10) paid a verdict round-trip proving a bench
+                # "regression" was background machine load. 1-minute
+                # load average at exit; readings taken above ~2 on this
+                # 32-CPU box inflate uniformly (BASELINE.md load table).
+                "load_avg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -862,9 +862,7 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_gini_concentration",
-    oracle="""
+GINI_ORACLE = """
     WITH rev AS (
       SELECT o_custkey,
              CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -893,8 +891,10 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
            END AS gini
     FROM ranked GROUP BY n_name
-    """,
-)
+"""
+
+
+@graded("q_gini_concentration", oracle=GINI_ORACLE)
 def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration audit: per-nation Gini coefficient over
     customer lifetime revenue (floor-cents) — the inequality metric
@@ -926,6 +926,15 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = orders.groupBy("o_custkey").agg(
         F.sum("ocents").cast("bigint").alias("cents")
     )
+    return gini_finalize(spark, sf_dir, rev)
+
+
+def gini_finalize(spark: SparkSession, sf_dir: str, rev: DataFrame) -> DataFrame:
+    """Per-nation Gini from a customer-grain (o_custkey, cents) revenue
+    relation — shared by the batch query and the streaming twin
+    (per-batch partial sums fold to the identical customer grain, so
+    the rank identity over identical integers emits identical
+    doubles)."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     c = cust.join(

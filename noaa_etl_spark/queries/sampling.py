@@ -933,3 +933,75 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
         .drop("r")
     )
+
+
+@graded(
+    "q_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    mn AS (SELECT min(n_docs) AS n_min FROM counts),
+    rates AS (
+      SELECT source, n_docs,
+             sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate
+      FROM counts, mn
+    )
+    SELECT r.source, r.n_docs, r.rate,
+           CAST(count(*) FILTER (
+             WHERE CAST('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 12)
+                        AS UBIGINT)
+                   < CAST(floor(r.rate * 281474976710656.0) AS UBIGINT)
+           ) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY r.source, r.n_docs, r.rate
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha = 0.5, the multilingual-
+    corpus rebalancing rule): post-mix source shares go proportional to
+    n_s^alpha instead of n_s, so dominant sources are downsampled and
+    the tail is relatively upweighted. Per-doc keep rate r_s =
+    sqrt(n_min / n_s) — the smallest source is kept whole (rate 1.0)
+    and every larger source thinned toward the temperature target; the
+    keep decision is the standard md5 gate (48-bit hash < floor(r_s *
+    2^48)), deterministic and rerun-stable.
+
+    Exactness: n_s are exact BIGINTs; rate = one IEEE division + one
+    sqrt of identical doubles (bit-equal, the bollinger contract); the
+    gate threshold floors that bit-equal double to an integer, so kept
+    counts are exact in both engines — no tolerance anywhere.
+
+    100 TB: pass 1 is a combinable per-source count (a |sources|-row
+    relation); pass 2 broadcasts the rate table back onto the doc scan
+    and filters scan-locally — no doc-grain shuffle at all; the gate is
+    pure per-row arithmetic, stable under executor loss and cluster
+    resize (the md5-gate determinism story shared by every sampler
+    here)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    mn = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "source",
+        "n_docs",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double")).alias(
+            "rate"
+        ),
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keep = v < F.floor(F.col("rate") * F.lit(float(2**48))).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "rate")
+        .agg(F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"))
+        .select("source", "n_docs", "rate", "n_kept")
+    )

@@ -798,3 +798,72 @@ def q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum(F.floor("c_acctbal").cast("bigint")).alias("floor_balance"),
     )
+
+
+@graded(
+    "q_compaction",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                  AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT)           AS key_sum,
+           CAST(sum(floor(o_totalprice)) AS BIGINT)  AS floor_total,
+           TRUE                                      AS fewer_files,
+           TRUE                                      AS files_disjoint
+    FROM orders
+    """,
+)
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (§2.A table maintenance;
+    operators/compaction.py): fragment orders into 48 tiny files — the
+    streaming-sink / over-parallel-write pathology — then compact to 4
+    range-clustered files and grade (a) losslessness: count + key sum +
+    exact floor-cents total of the COMPACTED read match the source
+    table, (b) the rewrite actually shrank the file count, (c) layout
+    repair: per-file [min,max] o_orderkey ranges are pairwise disjoint
+    (repartitionByRange ⇒ non-overlapping files ⇒ data skipping works
+    again — the q_stats_skipping soundness precondition).
+
+    The disjointness check self-joins the |files|-row min/max relation
+    (4 rows) — bounded by the output file count, never by the data.
+
+    100 TB: compaction is one round-robin-or-range shuffle sized from
+    the actual byte footprint (plan_compaction lists the directory, no
+    table scan); nightly maintenance compacts only partitions whose
+    small-file count breaches a threshold, and the manifest sink's
+    commit protocol makes the swap atomic (see module docstring).
+    """
+    from noaa_etl_spark.operators.compaction import compact
+
+    src = _tmp("compaction_src", sf_dir)
+    out = _tmp("compaction_out", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.repartition(48).write.mode("overwrite").parquet(src)
+    plan = compact(spark, src, out, sort_cols=["o_orderkey"], n_target=4)
+
+    back = spark.read.parquet(out)
+    totals = back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(F.floor("o_totalprice").cast("bigint")).alias("floor_total"),
+    )
+    per_file = back.groupBy(F.input_file_name().alias("f")).agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    )
+    a, b = per_file.alias("a"), per_file.alias("b")
+    overlaps = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.f") < F.col("b.f"))
+            & (F.col("a.lo") <= F.col("b.hi"))
+            & (F.col("b.lo") <= F.col("a.hi")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return totals.crossJoin(F.broadcast(overlaps)).select(
+        "n_rows",
+        "key_sum",
+        "floor_total",
+        F.lit(bool(plan["n_files_out"] < plan["n_files"])).alias("fewer_files"),
+        (F.col("n_overlap") == 0).alias("files_disjoint"),
+    )

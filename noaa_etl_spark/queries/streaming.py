@@ -1474,11 +1474,16 @@ def q_stream_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
             # truncate to surviving bits BEFORE the shift (k = 63-shift;
             # shift = anchor-base). k == 63 (shift 0) keeps all 63 bits
             # via the max-BIGINT literal — (1<<63)-1 would overflow ANSI.
+            # shift >= 63: every one of the batch's days falls outside
+            # the 63-day window, so it contributes NOTHING — without
+            # this branch Java shift semantics wrap the amount mod 64
+            # and garbage bits survive (r10 ADVICE).
+            "CASE WHEN anchor - base >= 63 THEN CAST(0 AS BIGINT) ELSE "
             "shiftleft(mask & (CASE WHEN anchor = base"
             "                       THEN 9223372036854775807"
             "                       ELSE shiftleft(CAST(1 AS BIGINT),"
             "                                      63 - (anchor - base)) - 1 END),"
-            " CAST(anchor - base AS INT))"
+            " CAST(anchor - base AS INT)) END"
         ).alias("m"),
     )
     folded = aligned.groupBy("user_id").agg(
@@ -1677,3 +1682,156 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("volume").cast("bigint").alias("volume"),
         )
     )
+
+
+from noaa_etl_spark.queries.temporal import (
+    ROLLING_MEDIAN_ORACLE,
+    rolling_median_from_daily,
+)
+
+
+@graded("q_stream_rolling_median", oracle=ROLLING_MEDIAN_ORACLE)
+def q_stream_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #19 — the robust spike monitor maintained live:
+    events drain as three micro-batches; foreachBatch writes each
+    batch's per-(type, day) PARTIAL daily rollup batch_id-keyed
+    (restart-idempotent overwrite). The rollup is mergeable BIGINT
+    addition, so the folded daily table is byte-identical to the
+    one-pass batch rollup, and the shared trailing-median finalization
+    (rolling_median_from_daily) emits bit-equal doubles — the twin
+    grades against ROLLING_MEDIAN_ORACLE verbatim. An ORDER STATISTIC
+    is not itself mergeable (median of medians ≠ median), which is
+    exactly why the maintained state is the daily table, never the
+    median (the holt/holt_winters state discipline).
+
+    100 TB: per-trigger work is one combinable agg over the batch; the
+    persisted state is the |types|×|days| reduced relation the
+    7-row-frame window reads at report time.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_rollmed")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("bigint")
+        .alias("day_idx"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    gate = F.pmod(F.xxhash64(F.lit("srmed"), F.col("cents")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = batch_df.groupBy("event_type", "day_idx").agg(
+            F.sum("cents").alias("day_cents")
+        )
+        record_foreach_batch_plan("stream_rollmed_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    daily = (
+        spark.read.parquet(states)
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("day_cents").alias("day_cents"))
+    )
+    return rolling_median_from_daily(daily)
+
+
+from noaa_etl_spark.queries.profiling import GINI_ORACLE, gini_finalize
+
+
+@graded("q_stream_gini", oracle=GINI_ORACLE)
+def q_stream_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #20 — concentration risk maintained live: orders
+    drain as three micro-batches; foreachBatch writes each batch's
+    per-customer PARTIAL floor-cents revenue batch_id-keyed
+    (restart-idempotent overwrite). Revenue state is pure BIGINT
+    addition, so the folded customer-grain relation is byte-identical
+    to the one-pass batch rollup, and the shared rank-identity
+    finalization (gini_finalize — per-nation sort + one exact integer
+    division) emits identical doubles: the twin grades against
+    GINI_ORACLE verbatim. A RANK STATISTIC is not mergeable (the rank
+    of a customer depends on every other customer), which is exactly
+    why the maintained state is the customer-grain totals, never the
+    ranks (the rolling-median/holt state discipline applied to a
+    global order statistic).
+
+    100 TB: per-trigger work is one combinable agg over the batch; the
+    persisted state is the |customers| reduced relation, and the
+    finalization's per-nation sort runs on demand at report time, not
+    per trigger.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_gini")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("ocents"),
+    )
+    gate = F.pmod(F.xxhash64(F.lit("sgini"), F.col("ocents")), F.lit(3))
+    for i in range(3):
+        orders.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = batch_df.groupBy("o_custkey").agg(
+            F.sum("ocents").alias("cents")
+        )
+        record_foreach_batch_plan("stream_gini_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    rev = (
+        spark.read.parquet(states)
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    return gini_finalize(spark, sf_dir, rev)

@@ -2572,8 +2572,12 @@ def changepoint_finalize(daily: DataFrame) -> DataFrame:
         .filter(F.col("np") < F.col("n"))
         .select("d", "np", "sp", "qp", gain.alias("gain_full"))
     )
+    # Tie semantics mirror the oracle exactly: the argmax orders on the
+    # ROUNDED gain (round 6) desc, then earliest day — ordering on the
+    # unrounded gain_full could pick a different day when two candidates
+    # differ only beyond 6 decimals (r10 ADVICE).
     return (
-        gains.orderBy(F.desc("gain_full"), F.asc("d"))
+        gains.orderBy(F.desc(F.round("gain_full", 6)), F.asc("d"))
         .limit(1)
         .select(
             F.col("d").alias("split_day"),
@@ -2885,3 +2889,81 @@ def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("cents", key).cast("bigint").alias("close"),
         F.count(F.lit(1)).cast("bigint").alias("volume"),
     )
+
+
+ROLLING_MEDIAN_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day_idx,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events
+  GROUP BY event_type, 2
+)
+SELECT event_type, day_idx, day_cents,
+       quantile_cont(day_cents, 0.5) OVER w AS med7,
+       CAST(count(*) OVER w AS BIGINT)      AS n_win,
+       day_cents > 2 * quantile_cont(day_cents, 0.5) OVER w AS spike
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def rolling_median_from_daily(daily: DataFrame) -> DataFrame:
+    """Trailing-7-day median over a (event_type, day_idx, day_cents)
+    daily table — shared by the batch query and the streaming twin
+    (identical finalization over identical integers ⇒ identical
+    doubles; Spark's exact F.percentile over a rows frame is bit-equal
+    to DuckDB quantile_cont, the q_anomaly_mad adjudication extended to
+    bounded frames)."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    med = F.percentile("day_cents", 0.5).over(w)
+    return daily.select(
+        "event_type",
+        "day_idx",
+        "day_cents",
+        med.alias("med7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
+        (F.col("day_cents") > 2 * med).alias("spike"),
+    )
+
+
+@graded("q_rolling_median", oracle=ROLLING_MEDIAN_ORACLE)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median (trailing-7-day) of per-type daily revenue with a
+    robust spike flag (day > 2× trailing median) — the outlier-immune
+    sibling of q_bollinger_bands' parametric envelope: one fat-finger
+    day shifts a trailing MEAN for a week but leaves the median
+    untouched, so ops dashboards watch this envelope for real demand
+    spikes.
+
+    Exactness: day-cents are exact BIGINTs; the interpolated median of
+    ≤7 integers is one IEEE-correctly-rounded interpolation — Spark's
+    exact F.percentile over the rows frame is bit-equal to DuckDB
+    quantile_cont (verified on bounded frames, extending the
+    q_anomaly_mad unbounded-frame adjudication), so med7 and the
+    derived boolean grade with no rounding.
+
+    100 TB: raw events collapse to the combinable |types|×|days| daily
+    rollup FIRST; the rolling median runs over that reduced relation —
+    a per-type ordered window whose per-row cost is the 7-row frame,
+    never a window over raw events (the bollinger/decayed-sum
+    contract). An exact sliding median at raw-row grain would need a
+    two-heap state; at daily grain it is free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            day_idx.alias("day_idx"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    return rolling_median_from_daily(daily)

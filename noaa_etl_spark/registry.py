@@ -187,66 +187,57 @@ GRADED_WINDOW: list[str] = [
     # (q14), etl (q_cdc_apply, q_proration, q_entity_resolution);
     # the any-of rep sets in test_graded_window_spans_every_family are
     # extended with these genuine members.
-    # --- round-9 additions, first session (15 of 16) ---
-    "q_winsorize_approx", "q_anomaly_mad_approx", "q_containment_lsh",
-    "q_multimodal_decode", "q_wav_decode", "q_asof_nearest",
-    "q_mutual_knn", "q_forecast_holt",
-    "q_gdpr_erasure", "q_triangle_count", "q_pareto_frontier",
-    "q_ab_test_report", "q_cooccurrence_pmi", "q_markov_transitions",
-    "q_xml_roundtrip",
-    # --- round-9 additions, second session (28 of 29) ---
-    "q_spatial_radius_join", "q_stream_ab_test", "q_rbo_rank_similarity",
-    "q_attribution_multitouch", "q_peak_concurrency",
-    "q_proration_largest_remainder", "q_psi_drift", "q_benford_audit",
-    "q_spatial_nearest", "q_shortest_path_bfs", "q_market_basket_lift",
-    "q_acf_daily", "q_stream_psi_drift", "q_holt_winters_seasonal",
-    "q_bollinger_bands", "q_running_balance_floor", "q_ndcg_eval",
-    "q_jaccard_neighbors", "q_ngram_novelty",
-    "q_curriculum_order", "q_entity_resolution", "q_geo_cluster",
-    "q_user_ltv", "q_balanced_class_sample", "q_keyword_extraction",
-    "q_csv_malformed_recovery", "q_pq_encode", "q_stream_user_ltv",
-    # --- semantics-changed re-grades (4) ---
-    "q_cdc_apply", "q_stream_cdc_apply", "q_containment_dedup",
-    "q_event_sequence",
-    # --- the last r4-stale signal (1) ---
-    "q_tpch_q14_promo",
-    # --- family fills (2): G and noaa have no new-cohort member ---
-    "q_union_distinct", "q_ghcn_pipeline",
-    # Round-11 staging: 17 round-10 additions are registered, tested,
-    # and vanilla-sim'd but enter the window in r11 (the r9→r10
-    # precedent): q_kmv_distinct + q_stream_kmv_distinct (twin #14),
-    # q_gini_concentration, q_theil_sen, q_changepoint_detect +
-    # q_stream_changepoint (twin #15 — also a changed-plan re-grade of
-    # changepoint since it refactored into shared helpers),
-    # q_systematic_sample, q_interval_overlap_join, q_kaplan_meier,
-    # q_sliding_distinct (in the 21 below),
-    # q_semantic_decontaminate, q_blocklist_filter, q_retention_vacuum,
-    # q_manifest_time_travel, q_weighted_median, q_cms_join_estimate,
-    # q_degree_distribution, q_activity_bitmask, q_sliding_distinct,
-    # q_stream_activity_bitmask (twin #16 — shift-re-anchored merge),
-    # q_bootstrap_ci (Poisson bootstrap), q_negative_sampling,
-    # q_stream_bootstrap_ci (twin #17 — incremental CIs),
-    # q_ohlc_candles (min_by/max_by composite-key candles),
-    # q_stream_ohlc (twin #18 — key-carrying positional-agg merge),
-    # q_rfm_segmentation (CRM quintile grid) — ALL oracle-paired.
-    # Plus the two r9 stream twins that yielded their r10 slots to the
-    # G/noaa family fills: q_stream_forecast_holt,
-    # q_stream_holt_winters. That is 27; the remaining ~23 slots go to
-    # oldest-signal rotation (r5/r6-graded cohort — list via
-    # CORRECTNESS_r0{1..10} set difference) with family reps per the
-    # any-of guard.
+    # Round 11: CORRECTNESS_r10 went 49/50 (the one red row was
+    # q_pq_encode's rows-only canonicalizer crash on array<int> — fixed
+    # this round by stringifying the codes column; the operator was
+    # always correct). This window grades the 27 round-10 queries that
+    # have never had driver signal (25 round-10 additions + the two r9
+    # stream twins q_stream_forecast_holt / q_stream_holt_winters that
+    # yielded their r10 slots to the G/noaa family fills), the
+    # q_pq_encode RE-grade, the new q_compaction (VERDICT r10 item 6 —
+    # the one §2.A row that was tests-only), 16 oldest-signal
+    # oracle-paired rotations chosen to carry every §2 family (r5/r6
+    # cohort + the two stalest C/noaa reps, graded r7), and the first 5
+    # of the 10 stale rows-only signals VERDICT r10 item 5 asks to
+    # rotate through (r5-era: embed_docs, knn_lsh, fingerprint,
+    # hll_sketch_union, cluster_corpus; the other 5 — ann_index_update,
+    # dedup_simhash, dedup_minhash_lsh, lang_id, quality_score — rotate
+    # in r12).
+    # --- round-10 additions, never driver-graded (27) ---
+    "q_kmv_distinct", "q_stream_kmv_distinct", "q_gini_concentration",
+    "q_theil_sen", "q_changepoint_detect", "q_stream_changepoint",
+    "q_systematic_sample", "q_interval_overlap_join", "q_kaplan_meier",
+    "q_sliding_distinct", "q_semantic_decontaminate", "q_blocklist_filter",
+    "q_retention_vacuum", "q_manifest_time_travel", "q_weighted_median",
+    "q_cms_join_estimate", "q_degree_distribution", "q_activity_bitmask",
+    "q_stream_activity_bitmask", "q_bootstrap_ci", "q_stream_bootstrap_ci",
+    "q_negative_sampling", "q_ohlc_candles", "q_stream_ohlc",
+    "q_rfm_segmentation", "q_stream_forecast_holt", "q_stream_holt_winters",
+    # --- re-grade: the r10 red row, now canon-sortable (1) ---
+    "q_pq_encode",
+    # --- new this round (1) ---
+    "q_compaction",
+    # --- family fills + oldest-signal rotation (16) ---
+    "q_pricing_summary", "q_schema_evolution", "q_try_cast_qc",
+    "q_asof_join", "q_window_rolling_1h", "q_sort_null_ordering",
+    "q_dedup_keyed", "q_json_extract", "q_tfidf", "q_stream_sessionize",
+    "q_stream_pii_scrub", "q_udtf_dynamic_schema", "q_tpch_q3_shipping",
+    "q_tpch_q9_profit", "q_incremental_dedup", "q_ghcn_daily_wide",
+    # --- stale rows-only rotation, first half (5) ---
+    "q_embed_docs", "q_knn_lsh", "q_fingerprint", "q_hll_sketch_union",
+    "q_cluster_corpus",
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:
 # engine-specific hashes/sketches/ANN, streaming state, custom source).
 # test_graded_window_spans_every_family pins window∩rows-only == this.
 ROWS_ONLY_WINDOW: set[str] = {
-    # round 10: the two never-signaled rows-only round-9 additions.
-    # q_containment_lsh — LSH-blocked containment candidates (capture is
-    # probabilistic by design; == exact on planted subsets in tests).
-    # q_pq_encode — product quantization codes (codebooks are
-    # sample-trained, engine-specific; ADC recall gated in tests).
-    "q_containment_lsh", "q_pq_encode",
+    # round 11: q_pq_encode re-grade (r10's red row — codes now emitted
+    # as a string so the driver's pandas canonicalizer can sort it) +
+    # the first 5 of the 10 stale r5-era rows-only signals (VERDICT r10
+    # item 5; the other 5 rotate in r12).
+    "q_pq_encode", "q_embed_docs", "q_knn_lsh", "q_fingerprint",
+    "q_hll_sketch_union", "q_cluster_corpus",
 }
 
 

@@ -65,6 +65,27 @@ def test_oracle_emits_no_wide_types(duck, name):
     assert not wide, f"oracle emits wide types (CAST them): {wide}"
 
 
+def _assert_canon_sortable(df, name):
+    """The driver's canonicalizer sorts every output column in pandas:
+    array cells arrive as numpy ndarrays (unhashable → factorize crash,
+    r10's q_pq_encode failure), maps as dicts, structs as Rows. Make
+    the whole crash class unrepresentable: no registered query may emit
+    a complex-typed output column — stringify (array_join / to_json) or
+    digest (md5) at the graded select instead."""
+    from pyspark.sql import types as T
+
+    bad = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name} emits complex-typed output columns {bad} — the driver's "
+        f"pandas canonicalizer cannot sort these (r10 q_pq_encode crash); "
+        f"emit a string/digest projection in the graded select"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_type_classes_match_spark(spark, duck, name):
     """Column-by-column type-CLASS equality between the Spark result
@@ -73,7 +94,9 @@ def test_oracle_type_classes_match_spark(spark, duck, name):
     BOOL vs int), not just the wide types. Complex/unmapped types
     (arrays, maps, structs) are outside the driver's scalar hash path
     and are skipped."""
-    spark_types = dict(QUERIES[name](spark, SF_DIR).dtypes)
+    df = QUERIES[name](spark, SF_DIR)
+    _assert_canon_sortable(df, name)
+    spark_types = dict(df.dtypes)
     rel = duck.sql(ORACLES[name])
     duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
     assert sorted(spark_types) == sorted(duck_types), (
@@ -103,6 +126,7 @@ def test_oracle_parity(spark, duck, name):
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_smoke(spark, name):
     df = QUERIES[name](spark, SF_DIR)
+    _assert_canon_sortable(df, name)
     assert len(df.columns) > 0
     assert df.count() >= 0
 

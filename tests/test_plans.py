@@ -807,7 +807,7 @@ def test_gini_broadcasts_nation_single_rank_window(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
-    assert tree.count("Window (") <= 1 or tree.count("Window") <= 1
+    assert tree.count("Window (") <= 1
 
 
 def test_theil_sen_pairs_on_reduced_relation(spark):

@@ -1,6 +1,6 @@
 """Vanilla-driver simulation: run queries() vs oracle_sql() like the real driver.
 
-Usage: python /tmp/driver_sim.py [query ...]   (no args = full sweep)
+Usage: python tools/driver_sim.py [query ...]   (no args = full sweep)
 """
 import sys, os, time
 sys.path.insert(0, "/root/repo")
