@@ -167,3 +167,15 @@ def decode_media(payload: bytes):
         "compressed formats (JPEG/PNG/MP3/...) require a media library "
         "absent from this environment; BMP/PPM/WAV decode natively"
     )
+
+
+def resize_nearest(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (top-left anchor: source pixel
+    floor(r·H/out_h), floor(k·W/out_w)) — the deterministic integer
+    resize used by the multimodal feature pipeline. For integer
+    downsample factors this is exact stride slicing; non-integer
+    ratios follow the same floor rule."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return rgb[rows][:, cols]

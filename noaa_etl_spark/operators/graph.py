@@ -353,3 +353,61 @@ def _pagerank_rounds(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
+    """k-core: the maximal subgraph in which every node has degree ≥ k —
+    the standard graph-density filter (spam rings, community seeds,
+    engagement tiers). Input: canonical undirected (u, v) edges with
+    u < v, deduped. Returns (node, core_deg) for surviving nodes, where
+    core_deg is the node's degree WITHIN the core.
+
+    Algorithm: iterative peeling — drop every node with current degree
+    < k, restrict edges to surviving endpoints, repeat to fixpoint.
+    The fixpoint is exactly the k-core (uniqueness: any subgraph with
+    min-degree ≥ k survives peeling in full, and peeling only removes
+    nodes provably outside every such subgraph). O(peel-depth) rounds,
+    each one combinable degree agg + two semi-joins; per-round frames
+    localCheckpoint like every iterative loop here (AQE coalescing does
+    not reach checkpoint materialization — size shuffles from the data
+    via the caller's scoped conf, the connected-components lesson).
+
+    100 TB: rounds ≪ max-degree in practice (each round peels the
+    whole current shell); the state that iterates is the shrinking edge
+    list, co-partitioned on the node key throughout.
+    """
+    spark = edges.sparkSession
+    with _graph_sized_shuffle(spark, edges.count()):
+        cur = edges.localCheckpoint()
+        n_cur = cur.count()
+        converged = False
+        for _ in range(max_rounds):
+            deg = (
+                cur.select(F.col("u").alias("node"))
+                .unionByName(cur.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("node").localCheckpoint()
+            nxt = (
+                cur.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+                .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint()
+            )
+            n_nxt = nxt.count()
+            cur = nxt
+            if n_nxt == n_cur:
+                converged = True
+                break
+            n_cur = n_nxt
+        if not converged:
+            # A capped run is NOT the k-core (nodes that should peel
+            # remain) — fail loudly rather than return a superset.
+            raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+        return (
+            cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        )

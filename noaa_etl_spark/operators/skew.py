@@ -80,3 +80,44 @@ def replicated_broadcast_join(
     hot = hot_fact.join(F.broadcast(hot_dim), hot_fact[fact_key] == hot_dim[dim_key], how)
     cold = cold_fact.join(cold_dim, cold_fact[fact_key] == cold_dim[dim_key], how)
     return hot.unionByName(cold)
+
+
+def salted_shuffle_join(
+    fact: DataFrame,
+    build: DataFrame,
+    fact_key: str,
+    build_key: str,
+    salt_col: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salt-replicated shuffle join — the big×big skew join for when
+    NEITHER side broadcasts and the hot key is too hot even for AQE's
+    skew split (or AQE can't see stats at all: checkpoint scans carry
+    none — the r9 basket_lift lesson).
+
+    The fact side gains a deterministic salt (``pmod(xxhash64(salt_col),
+    buckets)`` — no RNG, rerun-stable); the build side is replicated
+    ×``buckets`` via one explode. The join key becomes (key, salt), so a
+    celebrity key's fact rows spread over ``buckets`` reducers instead
+    of melting one task, at the cost of shuffling the build side
+    ``buckets`` times — profitable exactly when build ≪ fact/buckets,
+    the usual medium-dim × skewed-fact regime. Results are identical to
+    the plain join: every fact row carries exactly ONE salt and meets
+    exactly one replica of each matching build row (``how='left'`` keeps
+    that property; full/right outer would duplicate unmatched build
+    rows per salt and are rejected).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_shuffle_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets))
+    f = fact.withColumn("__salt", salt)
+    b = build.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(buckets)]))
+    )
+    joined = f.hint("shuffle_hash").join(
+        b,
+        (f[fact_key] == b[build_key]) & (f["__salt"] == b["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")

@@ -316,3 +316,89 @@ def q_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm, 6).alias("l2_norm"),
         F.size("embedding").alias("dim"),
     ).orderBy("doc_id")
+
+
+@graded(
+    "q_image_resize",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, r.r2, k.k2, c.c,
+             (d.doc_id * 7 + (2 * r.r2) * 3 + (2 * k.k2) * 5 + c.c * 11) % 256 AS v
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d,
+           (SELECT unnest(range(0, 6)) AS r2) r,
+           (SELECT unnest(range(0, 8)) AS k2) k,
+           (SELECT unnest(range(0, 3)) AS c) c
+    )
+    SELECT doc_id,
+           8 AS width, 6 AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum((r2 * 24 + k2 * 3 + c) * v) AS BIGINT) AS pos_checksum,
+           CAST(sum(v) AS DOUBLE) / 144 AS mean_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (nearest-neighbor 2× downsample), oracle-paired the
+    q_multimodal_decode way: per doc a 16×12 RGB image from the closed
+    form v(r,k,c) = (id·7+r·3+k·5+c·11) mod 256 is encoded to REAL BMP
+    bytes, decoded back, and resized to 8×6 by
+    operators/codecs.resize_nearest (top-left-anchor floor rule — exact
+    stride slicing at integer factors). Nearest-neighbor keeps every
+    output pixel an EXACT source pixel, so DuckDB replays the closed
+    form at the even (2r, 2k) grid and the position-weighted checksum
+    catches any anchor slip, axis swap, or channel reorder — the decode
+    query's bug-surface argument extended through the resize.
+
+    Scale: encode+decode+resize are scan-local Arrow batches (one row
+    out per payload, no shuffle before the tiny graded agg); resize is
+    the first step of every thumbnail/feature-extract stage, and the
+    32×-smaller pixel payload is what actually crosses the wire
+    downstream.
+    """
+    import numpy as np
+
+    from noaa_etl_spark.operators.codecs import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+    )
+
+    W, H, W2, H2 = 16, 12, 8, 6
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id"
+    )
+
+    def synth_resize(batches):
+        pos = np.arange(H2 * W2 * 3).reshape(H2, W2, 3)
+        r = np.arange(H)[:, None, None]
+        k = np.arange(W)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = ((did * 7 + r * 3 + k * 5 + c * 11) % 256).astype(np.uint8)
+                small = resize_nearest(decode_bmp(encode_bmp(img)), H2, W2)
+                v = small.astype(np.int64)
+                out.append(
+                    (
+                        did,
+                        small.shape[1],
+                        small.shape[0],
+                        int(v.sum()),
+                        int((pos * v).sum()),
+                        float(v.sum()) / (W2 * H2 * 3),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "px_sum", "pos_checksum", "mean_px",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_resize,
+        "doc_id bigint, width int, height int, px_sum bigint, "
+        "pos_checksum bigint, mean_px double",
+    )

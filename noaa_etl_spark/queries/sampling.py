@@ -980,9 +980,12 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     resize (the md5-gate determinism story shared by every sampler
     here)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # counts feeds both the min and the rate table — localCheckpoint the
+    # |sources|-row relation so the count subtree plans once (the
+    # multi-reader rule).
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
+    ).localCheckpoint()
     mn = counts.agg(F.min("n_docs").alias("n_min"))
     rates = counts.crossJoin(F.broadcast(mn)).select(
         "source",
@@ -1004,4 +1007,171 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_docs", "rate")
         .agg(F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"))
         .select("source", "n_docs", "rate", "n_kept")
+    )
+
+
+DSIR_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, source, u.w AS w
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS u(w)
+    ),
+    db AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % 64 AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, source, 3
+    ),
+    bs AS (
+      SELECT b,
+             CAST(sum(c) AS BIGINT) AS s_cnt,
+             CAST(coalesce(sum(c) FILTER (
+               WHERE substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+             ), 0) AS BIGINT) AS t_cnt
+      FROM db GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(s_cnt) AS BIGINT) AS s_tot,
+             CAST(sum(t_cnt) AS BIGINT) AS t_tot
+      FROM bs
+    ),
+    terms AS (
+      SELECT b,
+             ln(CAST((t_cnt + 1) * (s_tot + 64) AS DOUBLE)
+                / CAST((s_cnt + 1) * (t_tot + 64) AS DOUBLE)) AS term
+      FROM bs, tot
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source,
+             CAST(sum(d.c) AS BIGINT) AS n_tokens,
+             round(sum(d.c * t.term ORDER BY d.b), 6) AS score
+      FROM db d JOIN terms t ON d.b = t.b
+      GROUP BY d.doc_id, d.source
+    )
+    SELECT doc_id, source, n_tokens, score, score > 0 AS selected
+    FROM scored
+"""
+
+
+def dsir_doc_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, b, c) hashed-unigram bucket counts for DSIR —
+    the only doc-grain shuffle of the pipeline (one combinable count)."""
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+            )
+        ).alias("w"),
+    )
+    return (
+        words.select(
+            "doc_id",
+            "source",
+            (F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int") % 64).alias(
+                "b"
+            ),
+        )
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+@graded("q_dsir_select", oracle=DSIR_ORACLE)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): score every corpus document by how much more likely its
+    hashed-n-gram features are under a TARGET distribution (here a
+    benchmark-like md5-gated 1/16 subset) than under the raw corpus,
+    score(d) = Σ_w ln(p_target(b(w)) / p_source(b(w))) over a 64-bucket
+    hashed unigram feature space with add-one smoothing — the published
+    recipe for cheaply steering a 100 TB crawl toward a target domain
+    without training a classifier. selected = score > 0 (doc looks more
+    target-like than corpus-like).
+
+    Float discipline (the keyword_extraction / perplexity lessons):
+    the 64 per-bucket ln terms are ln of one exact-integer ratio each —
+    cross-engine ln can differ by 1 ulp, so the per-doc score (a) sums
+    its c_b·term_b contributions in DETERMINISTIC bucket-ascending
+    order (sorted-array fold here == sum(x ORDER BY b) in the oracle),
+    and (b) is graded ROUNDED at 6dp with `selected` derived from the
+    rounded value — never rank or top-k on the raw ln sum.
+
+    100 TB: pass 1 is the token explode collapsed to (doc, bucket)
+    grain by a combinable count (the feature_hashing shape — the ONLY
+    doc-grain shuffle); bucket stats reduce to a 64-row relation that
+    BROADCASTS back, and the per-doc fold is scan-local over ≤64
+    elements. Target counts come from the same pass via a conditional
+    sum — the benchmark set never shuffles separately.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return dsir_score_from_db(dsir_doc_buckets(docs))
+
+
+def dsir_score_from_db(db: DataFrame) -> DataFrame:
+    """DSIR scoring from a (doc_id, source, b, c) doc-bucket count
+    relation — shared by the batch query and the streaming twin (each
+    doc lands in exactly one micro-batch, so the unioned per-batch
+    count partials ARE the batch relation; bucket stats and the ordered
+    fold are then identical arithmetic over identical integers).
+
+    db feeds BOTH the bucket-stats chain and the scoring join, and bs
+    feeds BOTH totals and terms — un-checkpointed, Spark plans the
+    tokenize+count subtree twice (measured: 14 executed exchanges vs 8;
+    the r5 double-plan smell). localCheckpoint both (the multi-reader
+    rule — persist would pollute the exchange accounting); at 100 TB
+    the checkpointed db IS the materialized feature relation."""
+    db = db.localCheckpoint()
+    is_bench = (
+        F.substring(
+            F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        == "0"
+    )
+    bs = db.groupBy("b").agg(
+        F.sum("c").cast("bigint").alias("s_cnt"),
+        F.coalesce(F.sum(F.when(is_bench, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("t_cnt"),
+    ).localCheckpoint()
+    tot = bs.agg(
+        F.sum("s_cnt").cast("bigint").alias("s_tot"),
+        F.sum("t_cnt").cast("bigint").alias("t_tot"),
+    )
+    terms = bs.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("t_cnt") + 1) * (F.col("s_tot") + 64)).cast("double")
+            / ((F.col("s_cnt") + 1) * (F.col("t_tot") + 64)).cast("double")
+        ).alias("term"),
+    )
+    scored = (
+        db.join(F.broadcast(terms), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("b"),
+                                    (F.col("c") * F.col("term")).alias("x"),
+                                )
+                            )
+                        ),
+                        lambda s: s["x"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.select(
+        "doc_id", "source", "n_tokens", "score", (F.col("score") > 0).alias("selected")
     )

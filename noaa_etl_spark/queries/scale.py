@@ -972,3 +972,119 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "d", "n_nodes", F.sum("n_nodes").over(w).cast("bigint").alias("n_nodes_ge_d")
     )
+
+
+@graded(
+    "q_skew_join_salted",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN substr(md5('skj:' || CAST(l_orderkey AS VARCHAR) || ':'
+                                  || CAST(l_linenumber AS VARCHAR)), 1, 1) < '4'
+                  THEN 1 ELSE l_suppkey END AS k,
+             l_orderkey,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT)    AS n_items,
+           CAST(sum(f.cents) AS BIGINT) AS floor_cents
+    FROM fact f
+    JOIN supplier s ON f.k = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted big×big skew JOIN (operators/skew.salted_shuffle_join) —
+    the join-side sibling of q_salted_agg: 25% of lineitem rows are
+    remapped to a single celebrity supplier key (the md5-gate
+    synthesized hot key), then joined to the supplier build side with
+    the fact salted and the build replicated ×16, so the hot key's rows
+    spread over 16 reducers instead of melting one task. The oracle IS
+    the plain join — salting must be result-invisible; only the shuffle
+    layout differs.
+
+    The join is pinned .hint("shuffle_hash") inside the operator: it is
+    big×big BY DESIGN, and AQE's fixture-scale broadcast flip is
+    session-order-dependent (the COSTS-gate rule). Exactness: exact
+    floor-cents BIGINTs everywhere.
+
+    100 TB: this is the manual gear when AQE's skew split can't act —
+    stats-free checkpoint scans, or a hot key whose single-key volume
+    exceeds what split-by-size can rebalance (split subpartitions still
+    hash to the same reducer set under a follow-on window/agg on the
+    key). The build side crosses the wire buckets× — profitable when
+    build ≪ fact/buckets, the medium-dim × skewed-fact regime; beyond
+    that, the hot/cold split (replicated_broadcast_join) is the next
+    gear."""
+    from noaa_etl_spark.operators.skew import salted_shuffle_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("skj:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        < "4"
+    )
+    fact = li.select(
+        F.when(hot, F.lit(1)).otherwise(F.col("l_suppkey")).alias("k"),
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    build = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    joined = salted_shuffle_join(
+        fact, build, fact_key="k", build_key="s_suppkey", salt_col="l_orderkey"
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("cents").cast("bigint").alias("floor_cents"),
+    )
+
+
+@graded("q_kcore")  # rows-only: iterative peeling has no SQL oracle
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part-co-purchase graph (operators/graph.kcore):
+    the maximal subgraph where every part co-occurs with ≥3 other core
+    parts — the density filter that strips tendrils/leaf noise before
+    community detection, and the standard engagement-tier cut in social
+    graphs. Same edge universe as q_triangle_count.
+
+    Rows-only grade (iterative peeling to fixpoint — DuckDB 1.0's
+    recursive CTE cannot re-aggregate degrees per round); correctness
+    is pinned in tests/test_algorithms.py against a brute-force Python
+    peel (exact node set + per-node core degree) plus the min-degree
+    and maximality properties on adversarial shapes (a clique wearing a
+    chain tail peels to the clique; a (k-1)-regular graph peels to
+    nothing).
+
+    100 TB: O(shell-depth) rounds of combinable degree agg + two
+    semi-joins over the shrinking edge list, co-partitioned on the
+    node key; per-round localCheckpoint + data-sized scoped shuffles
+    (the connected-components iterative-loop rule)."""
+    from noaa_etl_spark.operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return kcore(edges, k=3).select(
+        F.col("node").cast("bigint").alias("part"), "core_deg"
+    )

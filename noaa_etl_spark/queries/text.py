@@ -2461,3 +2461,94 @@ def q_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") <= F.col("true_size") + margin).alias("upper_ok"),
         )
     )
+
+
+@graded(
+    "q_readability",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  w -> w <> '')) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(text) - len(regexp_replace(text, '[.!?]', '', 'g')))
+                  AS BIGINT) AS n_sents,
+             CAST(len(regexp_replace(lower(text), '[aeiou]+', 'x', 'g'))
+                  - len(regexp_replace(lower(text), '[aeiou]+', '', 'g'))
+                  AS BIGINT) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, source, n_words, n_sents, n_syll,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS fre,
+           CASE WHEN round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) >= 60 THEN 'easy'
+                WHEN round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) >= 30 THEN 'medium'
+                ELSE 'hard' END AS band
+    FROM feat
+    WHERE n_words > 0
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease readability scoring — the classic document-
+    quality feature LLM-corpus pipelines bucket on (too-hard legalese
+    and too-easy listicles both get downweighted): FRE = 206.835 −
+    1.015·(words/sentence) − 84.6·(syllables/word), with the standard
+    cheap proxies — sentences = terminal-punctuation count (floored at
+    1), syllables = vowel-group runs (the [aeiou]+ run count, the usual
+    hyphenation-free approximation).
+
+    Exactness: all three counts are exact integers from character-class
+    regexes shared verbatim by Java and RE2/DuckDB (the pii_scrub
+    subset rule — plain char classes only); the score is one fixed
+    chain of IEEE correctly-rounded ops over identical doubles ⇒
+    bit-equal, rounded at 6dp with the band derived from the ROUNDED
+    value (the perplexity discipline). Zero-word docs are excluded
+    (ANSI division guard, regen-robust).
+
+    100 TB: pure scan-local string arithmetic — zero exchanges, no UDF;
+    counting chars via length-difference never materializes token
+    arrays."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_words = F.size(
+        F.filter(F.split(lower, "[^a-z]+"), lambda x: x != "")
+    ).cast("bigint")
+    n_sents = F.greatest(
+        F.lit(1).cast("bigint"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[.!?]", ""))
+        ).cast("bigint"),
+    )
+    n_syll = (
+        F.length(F.regexp_replace(lower, "[aeiou]+", "x"))
+        - F.length(F.regexp_replace(lower, "[aeiou]+", ""))
+    ).cast("bigint")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    ).filter(F.col("n_words") > 0)
+    fre = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - F.lit(84.6) * (F.col("n_syll").cast("double") / F.col("n_words")),
+        6,
+    )
+    return feat.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        fre.alias("fre"),
+        F.when(fre >= 60, "easy")
+        .when(fre >= 30, "medium")
+        .otherwise("hard")
+        .alias("band"),
+    )

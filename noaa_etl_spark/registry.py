@@ -226,6 +226,26 @@ GRADED_WINDOW: list[str] = [
     # --- stale rows-only rotation, first half (5) ---
     "q_embed_docs", "q_knn_lsh", "q_fingerprint", "q_hll_sketch_union",
     "q_cluster_corpus",
+    # Round-12 staging: the round-11 additions other than q_compaction
+    # are registered, tested, and vanilla-sim'd but enter the window in
+    # r12 (the r10→r11 precedent): q_rolling_median +
+    # q_stream_rolling_median (twin #19 — daily partials mergeable,
+    # order statistic is not), q_stream_gini (twin #20 — customer-grain
+    # revenue state, rank identity at finalize), q_temperature_mix
+    # (alpha=0.5 source rebalancing), q_dsir_select (DSIR importance
+    # resampling, 64-bucket hashed features), q_skew_join_salted
+    # (salt-replicated big×big join == plain-join oracle),
+    # q_readability (Flesch scan-local), q_image_resize (real
+    # BMP decode + nearest resize vs closed-form oracle), q_stream_dsir
+    # (twin #21 — doc-bucket count partials, corpus-wide stats at
+    # finalize) — all oracle-paired — plus q_kcore (rows-only:
+    # iterative peeling;
+    # brute-force-equal in tests). Add the second half of the stale
+    # rows-only rotation (VERDICT r10 item 5): q_ann_index_update,
+    # q_dedup_simhash, q_dedup_minhash_lsh, q_lang_id, q_quality_score
+    # (these 5 + kcore = the r12 ROWS_ONLY_WINDOW), and fill remaining
+    # slots by oldest-signal rotation (r5/r6 cohort via CORRECTNESS set
+    # difference) with family reps per the any-of guard.
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:

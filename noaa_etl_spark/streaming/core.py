@@ -61,6 +61,9 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_activity_bitmask": ["fb_stream_bitmask_state"],
     "q_stream_bootstrap_ci": ["fb_stream_bootstrap_state"],
     "q_stream_ohlc": ["fb_stream_ohlc_state"],
+    "q_stream_rolling_median": ["fb_stream_rollmed_partial"],
+    "q_stream_gini": ["fb_stream_gini_partial"],
+    "q_stream_dsir": ["fb_stream_dsir_partial"],
 }
 
 

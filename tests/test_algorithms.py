@@ -2331,3 +2331,103 @@ def test_semantic_decontaminate_recovers_planted_leak_exactly(spark):
     for vid, (bid, cs) in flagged.items():
         assert bid == vid, "plant must match itself, not a neighbor"
         assert cs == 1.0
+
+
+def _brute_kcore(edges, k):
+    """Reference peel: remove nodes with degree < k until fixpoint.
+    Returns {node: core_degree}."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(ns) for n, ns in adj.items()}
+
+
+def test_kcore_clique_with_tail(spark):
+    """A K5 clique wearing a chain tail: the 3-core is exactly the
+    clique (tail nodes peel off one shell at a time), every survivor at
+    core degree 4."""
+    from noaa_etl_spark.operators.graph import kcore
+
+    clique = [(u, v) for u in range(5) for v in range(u + 1, 5)]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + tail, "u bigint, v bigint")
+    got = {r["node"]: r["core_deg"] for r in kcore(edges, k=3).collect()}
+    assert got == {n: 4 for n in range(5)}
+
+
+def test_kcore_regular_graph_below_k_empty(spark):
+    """A cycle is 2-regular: its 3-core is empty (the whole graph peels
+    in one round)."""
+    from noaa_etl_spark.operators.graph import kcore
+
+    n = 12
+    cyc = [(min(i, (i + 1) % n), max(i, (i + 1) % n)) for i in range(n)]
+    edges = spark.createDataFrame(sorted(set(cyc)), "u bigint, v bigint")
+    assert kcore(edges, k=3).count() == 0
+
+
+def test_kcore_matches_bruteforce_on_random_graph(spark):
+    """Random graph (seeded): distributed peel == reference peel exactly,
+    node set AND per-node core degree, across two k values."""
+    import random
+
+    from noaa_etl_spark.operators.graph import kcore
+
+    rng = random.Random(711)
+    n = 60
+    raw = {(min(u, v), max(u, v))
+           for u, v in (sorted(rng.sample(range(n), 2)) for _ in range(220))}
+    edges = spark.createDataFrame(sorted(raw), "u bigint, v bigint")
+    for k in (2, 3):
+        got = {r["node"]: r["core_deg"] for r in kcore(edges, k=k).collect()}
+        assert got == _brute_kcore(raw, k), f"k={k}"
+
+
+def test_salted_shuffle_join_matches_plain_join(spark):
+    """Salting is result-invisible: inner and left legs must equal the
+    plain join exactly, including NULL fact keys (never match) and hot
+    keys (match every build row for the key exactly once)."""
+    from noaa_etl_spark.operators.skew import salted_shuffle_join
+
+    fact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (3, 30), (None, 40), (9, 50)],
+        "k int, payload int",
+    )
+    build = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (4, "d")], "bk int, tag string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            [
+                (r["k"], r["payload"], r["tag"])
+                for r in salted_shuffle_join(
+                    fact, build, "k", "bk", salt_col="payload", buckets=4, how=how
+                ).collect()
+            ],
+            key=str,
+        )
+        want = sorted(
+            [
+                (r["k"], r["payload"], r["tag"])
+                for r in fact.join(build, fact.k == build.bk, how).collect()
+            ],
+            key=str,
+        )
+        assert got == want, how
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_shuffle_join(fact, build, "k", "bk", salt_col="payload", how="full")

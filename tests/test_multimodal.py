@@ -166,3 +166,24 @@ def test_decode_media_dispatch_and_env_gate():
     assert arr.shape == (4, 1)
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_resize_nearest_floor_rule_and_identity():
+    """Top-left-anchor floor rule: integer factors are exact stride
+    slices; identity resize returns the image unchanged; non-integer
+    ratios pick floor(r*H/out_h) source rows."""
+    import numpy as np
+
+    from noaa_etl_spark.operators.codecs import resize_nearest
+
+    img = np.arange(12 * 16 * 3, dtype=np.uint8).reshape(12, 16, 3)
+    # identity
+    assert (resize_nearest(img, 12, 16) == img).all()
+    # 2x downsample == even-index slice
+    assert (resize_nearest(img, 6, 8) == img[::2, ::2]).all()
+    # non-integer: 12->5 rows pick floor(r*12/5) = 0,2,4,7,9
+    got = resize_nearest(img, 5, 16)
+    assert (got == img[[0, 2, 4, 7, 9]]).all()
+    # upsample 2x repeats each source pixel twice
+    up = resize_nearest(img, 24, 32)
+    assert (up[::2, ::2] == img).all() and (up[1::2, 1::2] == img).all()

@@ -952,3 +952,57 @@ def test_rfm_windows_on_reduced_relation(spark):
     plan = plan_of(spark, "q_rfm_segmentation")
     assert "Join" not in plan
     assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_readability_zero_exchange_scan_local(spark):
+    """Readability is pure per-row string arithmetic: no exchange, no
+    window, no UDF in the plan."""
+    plan = plan_of(spark, "q_readability")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_broadcasts_rates_no_window(spark):
+    """The per-source rate table broadcasts back onto the doc scan; the
+    doc-grain side never hits a window or a sort."""
+    plan = plan_of(spark, "q_temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_broadcasts_terms_single_docgrain_shuffle(spark):
+    """DSIR: the (doc,bucket) count agg is the only doc-grain shuffle;
+    the 64-row term table broadcasts; no window anywhere."""
+    plan = plan_of(spark, "q_dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_median_window_on_daily_rollup(spark):
+    """The trailing-median window runs on the |types|x|days| reduced
+    relation: exactly one window, partitioned by type, after one
+    combinable daily agg."""
+    plan = plan_of(spark, "q_rolling_median")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window (") == 1
+    assert "HashAggregate" in plan
+
+
+def test_skew_join_salted_shuffle_hash_no_broadcast_of_build(spark):
+    """The salted join is pinned shuffle-hash (big x big by design);
+    the salt must not trick the planner into a cartesian or a sort-merge."""
+    plan = plan_of(spark, "q_skew_join_salted")
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_image_resize_scan_local(spark):
+    """Decode+resize is one scan-local Arrow pass: no exchange at all
+    (the graded output is already doc-grain)."""
+    plan = plan_of(spark, "q_image_resize")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan

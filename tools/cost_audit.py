@@ -319,6 +319,22 @@ AUDITED = [
     "q_ohlc_candles",
     # RFM: customer-grain collapse BEFORE the three ntile windows.
     "q_rfm_segmentation",
+    # round 11: rolling median windows on the daily rollup (a raw-event
+    # window is the regression); temperature mix broadcasts the rate
+    # table back (a doc-grain shuffle is the regression); DSIR's only
+    # doc-grain exchange is the (doc,bucket) count — terms broadcast;
+    # readability is scan-local (any exchange is a regression); the
+    # salted skew join pins shuffle-hash (broadcast would invalidate
+    # the measured big-x-big shape); compaction is write-side and the
+    # disjointness self-join reads only the |files|-row relation.
+    "q_rolling_median",
+    "q_temperature_mix",
+    "q_dsir_select",
+    "q_readability",
+    "q_skew_join_salted",
+    # image resize is scan-local mapInPandas (any exchange is a
+    # regression; the graded agg's single exchange is the ceiling).
+    "q_image_resize",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
