@@ -154,3 +154,48 @@ def sessionize_bucketed(
         ev.join(mapping, cond)
         .drop("__m_user", "__m_bucket", "__m_sid", "__bucket", "__local_sid")
     )
+
+
+def sessionize_auto(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+    session_col: str = "session_id",
+    skew_threshold: int = 5_000_000,
+) -> DataFrame:
+    """Skew-adaptive sessionize: pick the plain or the bucketed form
+    from the DATA — the codified SCALING.md switch rule. The round-10
+    probe settled that the bucketed twin is the SKEW gear, not the size
+    gear (~3× slower at every uniform scale), so the dispatch key is
+    max events-per-user (one combinable agg + a 1-row collect, the
+    q_skew_diagnose statistic), never the table size: a single user
+    above ``skew_threshold`` events would make the plain form's
+    per-user window sort a straggler task, so only then does the
+    bucketed form's extra stitch pass pay for itself.
+
+    The default threshold is sized from the measured crossover
+    (SCALING.md round-3 skew bench: bucketed wins ~3× at 8M events on
+    one user; both forms are within noise near ~1M) with a safety
+    margin under it. Output is identical either way — the bucketed
+    form's equivalence (incl. NULL users/ts, multi-midnight sessions)
+    is pinned in tests/test_scale.py, so the dispatch can never change
+    results, only the shuffle layout.
+    """
+    hottest = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    fn = sessionize_bucketed if (hottest or 0) >= skew_threshold else sessionize
+    return fn(
+        df,
+        user_col=user_col,
+        ts_col=ts_col,
+        gap_seconds=gap_seconds,
+        tiebreak_col=tiebreak_col,
+        session_col=session_col,
+    )

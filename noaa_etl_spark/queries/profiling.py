@@ -1046,3 +1046,69 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("monetary_cents").cast("bigint").alias("total_cents"),
     )
+
+
+@graded(
+    "q_observed_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count_if(o_totalprice <= 0) AS BIGINT) AS nonpositive_price,
+           CAST(count_if(o_custkey IS NULL) AS BIGINT) AS null_custkey,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS floor_total,
+           CAST(count_if(o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+               AS bad_status
+    FROM orders
+    """,
+)
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline observability via df.observe() — Spark's
+    accumulator-backed metric channel: the data-quality counters ride
+    the SAME scan/action as the real work instead of a second audit
+    pass (q_dq_checks' separate aggregate). At 100 TB this is the
+    difference between free DQ and a second full-table scan: every
+    production write attaches observe() metrics and alerts on them
+    per-batch (the streaming twin of this API is
+    StreamingQueryListener).
+
+    The observed aggregates are exact integers (counts + floor-cents),
+    so the driver grade is exact; the action that materializes them is
+    one count() over the observed frame (bounded, metric-only — the
+    result of the pass itself is deliberately not the graded surface).
+    """
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nonpositive_price"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_custkey"),
+        F.sum(F.floor("o_totalprice").cast("bigint"))
+        .cast("bigint")
+        .alias("floor_total"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_status"),
+    )
+    observed.count()  # the pass the metrics ride on
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["nonpositive_price"],
+                m["null_custkey"],
+                m["floor_total"],
+                m["bad_status"],
+            )
+        ],
+        "n_rows bigint, nonpositive_price bigint, null_custkey bigint, "
+        "floor_total bigint, bad_status bigint",
+    )

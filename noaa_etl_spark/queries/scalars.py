@@ -939,3 +939,41 @@ def q_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("consec_pairs"),
     )
+
+
+@graded(
+    "q_sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS floor_total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe-operator surface (Spark 4.0+ `|>` syntax, the
+    GoogleSQL-pipe style): the same relational program expressed as a
+    linear pipeline — FROM |> WHERE |> AGGREGATE |> ORDER BY — which is
+    how exploratory 100 TB SQL increasingly gets written (each stage
+    appended without re-nesting the query). Semantically identical to
+    the classic form (the oracle IS the classic form); Catalyst plans
+    both to the same pushdown + partial-agg shape, so the pipe surface
+    costs nothing.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "pipe_orders_v"
+    )
+    return spark.sql(
+        """
+        FROM pipe_orders_v
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                         AS floor_total
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )

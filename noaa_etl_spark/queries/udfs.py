@@ -480,3 +480,63 @@ def q_fuzzy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("left_key", "rnk")
     )
+
+
+@graded(
+    "q_mapinarrow_hist",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS floor_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_mapinarrow_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow partial aggregation (§2.K — the zero-copy tier below
+    mapInPandas): per-Arrow-batch price-band histogram computed with
+    pyarrow.compute kernels directly on the columnar buffers — no
+    pandas materialization, no per-row Python — then ONE combinable
+    Spark agg merges the per-batch partials. This is the map-side-
+    combine pattern expressed in user code: the shuffle carries ≤
+    |buckets| rows per batch instead of the fact table, exactly how a
+    custom sketch/partial-agg should ride Arrow at 100 TB.
+
+    Exactness: bucket = floor(price/50000) — one IEEE division + floor,
+    identical in pyarrow/Spark/DuckDB; floor-cents totals are exact
+    BIGINTs, merged by integer addition (order-free).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+
+    def batch_hist(batches):
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            price = tbl.column("o_totalprice")
+            part = pa.table(
+                {
+                    "bucket": pc.floor(pc.divide(price, 50000.0)).cast(pa.int64()),
+                    "fp": pc.floor(price).cast(pa.int64()),
+                }
+            )
+            g = part.group_by("bucket").aggregate(
+                [("fp", "sum"), ("fp", "count")]
+            )
+            out = pa.table(
+                {
+                    "bucket": g["bucket"],
+                    "n_part": g["fp_count"].cast(pa.int64()),
+                    "floor_part": g["fp_sum"],
+                }
+            )
+            yield from out.to_batches()
+
+    partials = orders.mapInArrow(
+        batch_hist, "bucket bigint, n_part bigint, floor_part bigint"
+    )
+    return partials.groupBy("bucket").agg(
+        F.sum("n_part").cast("bigint").alias("n"),
+        F.sum("floor_part").cast("bigint").alias("floor_total"),
+    )

@@ -238,7 +238,10 @@ GRADED_WINDOW: list[str] = [
     # q_readability (Flesch scan-local), q_image_resize (real
     # BMP decode + nearest resize vs closed-form oracle), q_stream_dsir
     # (twin #21 — doc-bucket count partials, corpus-wide stats at
-    # finalize) — all oracle-paired — plus q_kcore (rows-only:
+    # finalize), q_mapinarrow_hist (mapInArrow partial-agg surface),
+    # q_observed_metrics (df.observe single-pass DQ channel),
+    # q_sql_pipe_syntax (Spark 4 |> pipe SQL vs classic oracle) — all
+    # oracle-paired — plus q_kcore (rows-only:
     # iterative peeling;
     # brute-force-equal in tests). Add the second half of the stale
     # rows-only rotation (VERDICT r10 item 5): q_ann_index_update,

@@ -1006,3 +1006,12 @@ def test_image_resize_scan_local(spark):
     plan = plan_of(spark, "q_image_resize")
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_mapinarrow_hist_single_merge_exchange(spark):
+    """Per-batch Arrow partials then ONE merge shuffle: the user-code
+    map-side combine must keep the plan at a single exchange."""
+    plan = plan_of(spark, "q_mapinarrow_hist")
+    tree = plan.split("\n\n")[0]
+    assert "MapInArrow" in plan
+    assert tree.count("Exchange") == 1

@@ -263,3 +263,32 @@ def test_sessionize_bucketed_equals_plain(spark):
     assert len(by_user[None]) == 4 and len(set(by_user[None].values())) >= 2
     u998 = by_user[999_998]
     assert len(u998) == 3 and len(set(u998.values())) == 3
+
+
+def test_sessionize_auto_dispatch_and_equivalence(spark):
+    """sessionize_auto picks the plain form under the skew threshold and
+    the bucketed form above it, and both dispatches produce the plain
+    form's exact output (the dispatch can change layout, never rows)."""
+    from noaa_etl_spark.operators.sessionize import sessionize, sessionize_auto
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "user_id", "ts")
+    want = sorted(
+        (r["event_id"], r["user_id"], r["session_id"])
+        for r in sessionize(ev, tiebreak_col="event_id").collect()
+    )
+    # threshold far above fixture max -> plain path
+    got_plain = sorted(
+        (r["event_id"], r["user_id"], r["session_id"])
+        for r in sessionize_auto(
+            ev, tiebreak_col="event_id", skew_threshold=10**9
+        ).collect()
+    )
+    # threshold 1 -> every user is "hot" -> bucketed path
+    got_bucketed = sorted(
+        (r["event_id"], r["user_id"], r["session_id"])
+        for r in sessionize_auto(
+            ev, tiebreak_col="event_id", skew_threshold=1
+        ).collect()
+    )
+    assert got_plain == want
+    assert got_bucketed == want

@@ -335,6 +335,8 @@ AUDITED = [
     # image resize is scan-local mapInPandas (any exchange is a
     # regression; the graded agg's single exchange is the ceiling).
     "q_image_resize",
+    # mapInArrow histogram: per-batch partials + ONE merge exchange.
+    "q_mapinarrow_hist",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
