@@ -115,8 +115,15 @@ def salted_shuffle_join(
     b = build.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(buckets)]))
     )
-    joined = f.hint("shuffle_hash").join(
-        b,
+    # The shuffle_hash hint rides the BUILD side: Spark hashes the
+    # hinted relation, and hashing the fact side dies on the hot
+    # partition at scale (measured at 100×: "Can't acquire … bytes to
+    # build hash relation" building a 15M-row fact partition). The
+    # replicated build side stays `buckets × |build|` rows — the
+    # relation that must fit a task's memory by the operator's own
+    # profitability precondition (build ≪ fact/buckets).
+    joined = f.join(
+        b.hint("shuffle_hash"),
         (f[fact_key] == b[build_key]) & (f["__salt"] == b["__salt"]),
         how,
     )

@@ -1048,9 +1048,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_observed_metrics",
-    oracle="""
+OBSERVED_METRICS_ORACLE = """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count_if(o_totalprice <= 0) AS BIGINT) AS nonpositive_price,
            CAST(count_if(o_custkey IS NULL) AS BIGINT) AS null_custkey,
@@ -1058,8 +1056,10 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count_if(o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
                AS bad_status
     FROM orders
-    """,
-)
+"""
+
+
+@graded("q_observed_metrics", oracle=OBSERVED_METRICS_ORACLE)
 def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass pipeline observability via df.observe() — Spark's
     accumulator-backed metric channel: the data-quality counters ride

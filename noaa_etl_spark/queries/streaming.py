@@ -1905,3 +1905,96 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     db = spark.read.parquet(states).select("doc_id", "source", "b", "c")
     return dsir_score_from_db(db)
+
+
+from noaa_etl_spark.queries.profiling import OBSERVED_METRICS_ORACLE
+
+
+@graded("q_stream_observed_metrics", oracle=OBSERVED_METRICS_ORACLE)
+def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #22 — and the first twin whose merge channel is
+    the ENGINE'S OWN metric plane, not a foreachBatch state table:
+    orders drain as three micro-batches with df.observe() attached to
+    the streaming frame; each micro-batch's observed metrics surface in
+    StreamingQueryProgress.observedMetrics (the listener/monitoring
+    path production alerting consumes), and because every counter is
+    pure integer addition, summing the per-batch metric rows equals the
+    one-pass batch metrics exactly — this twin shares
+    OBSERVED_METRICS_ORACLE verbatim. No sink state is written at all
+    (format("noop")): the metrics ARE the output, which is precisely
+    the production posture — observability must not cost a second scan
+    OR a side table.
+
+    100 TB: observe() compiles to an accumulator-backed aggregate
+    riding the batch's existing tasks; per-trigger overhead is one
+    metric row, and the alerting consumer reads query progress, never
+    the data.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_obs")
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    gate = F.pmod(F.xxhash64(F.lit("sobs"), F.col("o_orderkey")), F.lit(3))
+    for i in range(3):
+        orders.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    observed = stream.observe(
+        "dq",
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nonpositive_price"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_custkey"),
+        F.sum(F.floor("o_totalprice").cast("bigint"))
+        .cast("bigint")
+        .alias("floor_total"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_status"),
+    )
+    query = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    keys = [
+        "n_rows",
+        "nonpositive_price",
+        "null_custkey",
+        "floor_total",
+        "bad_status",
+    ]
+    totals = {k: 0 for k in keys}
+    for p in query.recentProgress:
+        om = p["observedMetrics"]
+        if om and "dq" in om:
+            for k in keys:
+                totals[k] += om["dq"][k]
+    return spark.createDataFrame(
+        [tuple(totals[k] for k in keys)],
+        "n_rows bigint, nonpositive_price bigint, null_custkey bigint, "
+        "floor_total bigint, bad_status bigint",
+    )

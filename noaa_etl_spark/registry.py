@@ -240,8 +240,10 @@ GRADED_WINDOW: list[str] = [
     # (twin #21 — doc-bucket count partials, corpus-wide stats at
     # finalize), q_mapinarrow_hist (mapInArrow partial-agg surface),
     # q_observed_metrics (df.observe single-pass DQ channel),
-    # q_sql_pipe_syntax (Spark 4 |> pipe SQL vs classic oracle) — all
-    # oracle-paired — plus q_kcore (rows-only:
+    # q_stream_observed_metrics (twin #22 — the metric plane IS the
+    # merge channel: per-batch observedMetrics from query progress,
+    # integer-additive), q_sql_pipe_syntax (Spark 4 |> pipe SQL vs
+    # classic oracle) — all oracle-paired — plus q_kcore (rows-only:
     # iterative peeling;
     # brute-force-equal in tests). Add the second half of the stale
     # rows-only rotation (VERDICT r10 item 5): q_ann_index_update,
