@@ -1998,3 +1998,42 @@ def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, nonpositive_price bigint, null_custkey bigint, "
         "floor_total bigint, bad_status bigint",
     )
+
+
+@graded(
+    "q_stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state —
+    dropDuplicatesWithinWatermark (Spark 3.5+): plain stream
+    dropDuplicates (q_stream_dedup) keys state forever, which on an
+    unbounded 100 TB stream is an OOM with a delivery date; the
+    within-watermark form evicts a key's state once the watermark
+    passes it, trading 'exactly-once forever' for 'exactly-once within
+    the lateness bound' — the production contract, since upstream
+    at-least-once redelivery happens within minutes, not years. Here
+    the delay spans the whole fixture window, so the result equals the
+    exact dedup and the oracle is shared with q_stream_dedup's.
+
+    Scale: state is O(keys within one watermark window), not O(all keys
+    ever) — the difference between a dedup that runs for years and one
+    that dies in a week."""
+    a = stream_table(spark, sf_dir, "events")
+    b = stream_table(spark, sf_dir, "events")
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    result = run_to_memory(deduped, "mem_stream_dedup_wm", "append")
+    return (
+        result.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )

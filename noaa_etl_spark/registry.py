@@ -243,8 +243,10 @@ GRADED_WINDOW: list[str] = [
     # q_stream_observed_metrics (twin #22 — the metric plane IS the
     # merge channel: per-batch observedMetrics from query progress,
     # integer-additive), q_sql_pipe_syntax (Spark 4 |> pipe SQL vs
-    # classic oracle) — all oracle-paired — plus q_kcore (rows-only:
-    # iterative peeling;
+    # classic oracle), q_applyinarrow_stats (grouped Arrow map),
+    # q_udtf_table_arg (TABLE(...) PARTITION BY UDTF),
+    # q_stream_dedup_watermark (bounded-state dedup, shared oracle) —
+    # all oracle-paired — plus q_kcore (rows-only: iterative peeling;
     # brute-force-equal in tests). Add the second half of the stale
     # rows-only rotation (VERDICT r10 item 5): q_ann_index_update,
     # q_dedup_simhash, q_dedup_minhash_lsh, q_lang_id, q_quality_score

@@ -44,6 +44,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_tumbling": ["mem_stream_tumbling"],
     "q_stream_sessionize": ["mem_stream_sessionize"],
     "q_stream_dedup": ["mem_stream_dedup"],
+    "q_stream_dedup_watermark": ["mem_stream_dedup_wm"],
     "q_stream_quality_gate": ["mem_stream_quality_gate"],
     "q_stream_cms_frequencies": ["fb_stream_cms_grid"],
     "q_stream_stats_merge": ["fb_stream_stats_state"],

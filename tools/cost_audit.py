@@ -337,6 +337,9 @@ AUDITED = [
     "q_image_resize",
     # mapInArrow histogram: per-batch partials + ONE merge exchange.
     "q_mapinarrow_hist",
+    # grouped Arrow map / table-arg UDTF: one group-key shuffle each.
+    "q_applyinarrow_stats",
+    "q_udtf_table_arg",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
