@@ -107,6 +107,17 @@ def salted_shuffle_join(
     exactly one replica of each matching build row (``how='left'`` keeps
     that property; full/right outer would duplicate unmatched build
     rows per salt and are rejected).
+
+    When to reach for it — MEASURED dispatch rule (SCALING.md r11,
+    25%-hot key, AQE on): salted won 0.86×/0.75× at 10×/100× but LOST
+    1.4× at 1000×, where the executed plan shows
+    ``ShuffledHashJoin(skew=true)`` — AQE's OptimizeSkewedJoin only
+    triggers once the hot partition crosses its advisory-size
+    thresholds, and wherever it CAN act it beats manual salting. Salt
+    for: (a) the mid-regime where the hot partition hurts wall-clock
+    but sits under AQE's trigger sizes, (b) stats-free checkpoint
+    scans, (c) plans where a same-key window/agg downstream
+    re-concentrates AQE's sub-splits onto one reducer anyway.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_shuffle_join supports inner/left, got {how!r}")

@@ -10,7 +10,9 @@ column (count alone would let Catalyst prune the expensive expression
 out of the plan), so the timing includes every shuffle/window/ln but
 returns one row.
 
-Usage: python tools/window_scale_probe.py [n ...]   (default: 100 1000)
+Usage: python tools/window_scale_probe.py [n ...] [query:col ...]
+(default: 100 1000 over the window_rank/tfidf pair; pass explicit
+query:consumed-column pairs to probe other row-proportional outputs)
 Prints one JSON line; record results in SCALING.md.
 """
 
@@ -49,7 +51,11 @@ def timed_consume(fn, col, spark, sf_dir, runs=3):
 
 
 def main() -> None:
-    ns = [int(a) for a in sys.argv[1:]] or [100, 1000]
+    ns = [int(a) for a in sys.argv[1:] if ":" not in a] or [100, 1000]
+    pairs = dict(a.split(":", 1) for a in sys.argv[1:] if ":" in a)
+    if pairs:
+        PROBES.clear()
+        PROBES.update(pairs)
     load_all_queries()
     spark = get_spark("window_scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
