@@ -966,3 +966,99 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("np").cast("bigint").alias("n_parts"),
         F.min("mk").alias("min_partkey"),
     ).drop("component").select("cluster_rep", "n_members", "n_parts", "min_partkey")
+
+
+@graded(
+    "q_quantile_normalize",
+    oracle="""
+    WITH grid AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    ref AS (SELECT v, c AS a FROM grid WHERE source = 'src0'),
+    refc AS (
+      SELECT v,
+             CAST(sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS ca,
+             CAST(sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - a
+                  AS BIGINT) AS cp
+      FROM ref
+    ),
+    refidx AS (
+      SELECT v AS norm_v, unnest(generate_series(cp + 1, ca)) AS idx
+      FROM refc
+    ),
+    natot AS (SELECT CAST(sum(a) AS BIGINT) AS na FROM ref),
+    cur AS (
+      SELECT source, v, c,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS ns
+      FROM grid WHERE source <> 'src0'
+    )
+    SELECT cur.source, cur.v, cur.c, CAST(r.norm_v AS BIGINT) AS norm_v
+    FROM cur, natot, refidx r
+    WHERE r.idx = (cur.cs * natot.na + cur.ns - 1) // cur.ns
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (histogram matching) of every source's
+    document-length distribution onto reference src0 — the batch-effect
+    correction / feature-calibration op (microarray heritage, image
+    histogram matching, cross-corpus length calibration): value v in
+    source s maps to the reference order statistic at the same
+    empirical-CDF position, norm_v = ref_(⌈c_s(v)·n_a/n_s⌉).
+
+    EXACT-INTEGER rendering: the mapping index is pure rank arithmetic
+    — ceil as (c_s·n_a + n_s − 1) div n_s (true integer div, the
+    proration `div` doctrine) — and the match is an EQUI-join against
+    the reference ranks expanded from cumulative-count blocks
+    (sequence(cp+1, ca) explode), never a theta/range join. Every
+    graded column is BIGINT; no floats exist anywhere in the operator.
+
+    Scale: raw rows collapse to the (source, value) grid in one
+    combinable agg (the MW/KS reduced relation); per-source CDF windows
+    partition by source; the REFERENCE is a fixed calibration sample by
+    contract (the ann-drift out-of-sample rule), so its rank expansion
+    (n_a rows) broadcasts — a continuous value domain would be
+    histogram-bucketed first (the KS gear). The graded output is the
+    value-grain MAPPING TABLE (|sources|×|distinct v| rows), which is
+    also what a production pipeline persists and broadcast-joins onto
+    the corpus to rewrite per-doc values scan-locally."""
+    docs = load_table(spark, sf_dir, "documents")
+    grid = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grid = grid.localCheckpoint()  # two readers: ref + current splits
+    ref = grid.filter(F.col("source") == "src0").select("v", F.col("c").alias("a"))
+    w_ref = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    refc = ref.select(
+        "v",
+        F.sum("a").over(w_ref).cast("bigint").alias("ca"),
+        (F.sum("a").over(w_ref) - F.col("a")).cast("bigint").alias("cp"),
+    )
+    refidx = refc.select(
+        F.col("v").alias("norm_v"),
+        F.explode(F.sequence(F.col("cp") + 1, F.col("ca"))).alias("idx"),
+    )
+    na = ref.agg(F.sum("a").cast("bigint").alias("na"))
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_src = Window.partitionBy("source")
+    cur = grid.filter(F.col("source") != "src0").select(
+        "source",
+        "v",
+        "c",
+        F.sum("c").over(w_run).cast("bigint").alias("cs"),
+        F.sum("c").over(w_src).cast("bigint").alias("ns"),
+    )
+    idx = F.expr("(cs * na + ns - 1) div ns")
+    joined = (
+        cur.crossJoin(F.broadcast(na))
+        .withColumn("idx", idx)
+        .join(F.broadcast(refidx), "idx")
+    )
+    return joined.select("source", "v", "c", F.col("norm_v").cast("bigint").alias("norm_v"))

@@ -1112,3 +1112,340 @@ def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, nonpositive_price bigint, null_custkey bigint, "
         "floor_total bigint, bad_status bigint",
     )
+
+
+MANNWHITNEY_ORACLE = """
+    WITH ref AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS a
+      FROM documents WHERE source = 'src0' GROUP BY 1
+    ),
+    oth AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS b
+      FROM documents WHERE source <> 'src0' GROUP BY 1, 2
+    ),
+    srcs AS (SELECT DISTINCT source FROM oth),
+    refrep AS (SELECT s.source, r.v, r.a FROM srcs s CROSS JOIN ref r),
+    pooled AS (
+      SELECT coalesce(rr.source, o.source) AS source,
+             coalesce(rr.v, o.v) AS v,
+             coalesce(rr.a, CAST(0 AS BIGINT)) AS a,
+             coalesce(o.b, CAST(0 AS BIGINT)) AS b
+      FROM refrep rr FULL OUTER JOIN oth o
+        ON rr.source = o.source AND rr.v = o.v
+    ),
+    cums AS (
+      SELECT source, a, b,
+             CAST(sum(a + b) OVER (PARTITION BY source ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - (a + b) AS cum_prev
+      FROM pooled
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(a) AS BIGINT) AS na,
+             CAST(sum(b) AS BIGINT) AS nb,
+             CAST(sum(b * (2 * cum_prev + a + b + 1)) AS BIGINT) AS r2b,
+             CAST(sum((a + b) * (a + b) * (a + b) - (a + b)) AS BIGINT) AS tie_t
+      FROM cums GROUP BY source
+    ),
+    stat AS (
+      SELECT source, na, nb, tie_t,
+             CAST(r2b - nb * (nb + 1) AS BIGINT) AS u2,
+             na + nb AS nn
+      FROM agg
+    ),
+    z AS (
+      SELECT source, na, nb, u2, tie_t,
+             CASE WHEN na < 1 OR nb < 1 OR nn < 2
+                       OR nn * nn * nn - nn - tie_t = 0
+                  THEN NULL
+                  ELSE CAST(u2 - na * nb AS DOUBLE)
+                       / (2.0 * sqrt(
+                           CAST(na * nb AS DOUBLE)
+                           * CAST(nn * nn * nn - nn - tie_t AS DOUBLE)
+                           / (12.0 * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))))
+             END AS z
+      FROM stat
+    )
+    SELECT source, na, nb, u2, tie_t, z,
+           CASE WHEN z IS NULL THEN NULL ELSE abs(z) > 1.959964 END AS reject_95
+    FROM z
+"""
+
+
+@graded("q_mannwhitney_u", oracle=MANNWHITNEY_ORACLE)
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test of every source's
+    document-length distribution against reference src0 — the
+    non-parametric LOCATION-shift test that completes the drift
+    battery: KS bounds the worst CDF gap, PSI weights all bins, MW
+    detects a median shift with full power under heavy tails (where
+    Welch's t on the raw lengths is junk).
+
+    EXACT-INTEGER rendering with the textbook tie treatment: at the
+    (source, value) grain, a tie block of t = a+b pooled observations
+    starting after cum_prev earlier rows has average rank
+    (2·cum_prev + t + 1)/2 — kept as the DOUBLED rank sum
+    R2 = Σ b·(2·cum_prev + t + 1) so every rank statistic stays BIGINT
+    (no .5 halves). U2 = 2·U = R2 − n_b(n_b+1) is exact; the normal
+    approximation uses the tie-corrected variance
+    var = n_a·n_b·(N³ − N − T) / (12·N·(N−1)) with T = Σ(t³ − t), and
+    z = (U2 − n_a·n_b) / (2·√var) is one fixed IEEE chain over exact
+    integers ⇒ bit-equal, so reject_95 (|z| > 1.959964) cannot flip
+    cross-engine. Degenerate pools (one tie block ⇒ var = 0, or
+    samples under 2) grade NULL — regen-robust.
+
+    Overflow contract: n_a·n_b·(N³−N−T) is evaluated as a product of
+    DOUBLE casts of exact BIGINTs (each factor < 2^63 to N ≈ 2·10^6;
+    beyond that pre-bin values first — the KS histogram gear).
+
+    Scale: identical shape to q_ks_drift — raw rows collapse to
+    per-(source, value) counts in ONE combinable agg over ONE scan
+    (ref and current samples split from the same reduced grid, which is
+    localCheckpoint'd — two readers, the multi-reader rule); the rank
+    window runs per SOURCE over the reduced relation (never a global
+    single-partition window); ref counts broadcast-replicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mannwhitney_finalize(mannwhitney_grid(docs).localCheckpoint())
+
+
+def mannwhitney_grid(docs: DataFrame) -> DataFrame:
+    """Exact per-(source, value) counts INCLUDING the reference source
+    — the mergeable Mann–Whitney state (additive BIGINTs: per-micro-
+    batch partial grids fold by sum to the one-pass grid, which is what
+    lets q_stream_mannwhitney share the batch oracle verbatim)."""
+    return docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+
+def mannwhitney_finalize(grid: DataFrame) -> DataFrame:
+    """Tie-corrected rank-sum report from the (source, value, c) count
+    grid — shared verbatim by the batch query and the streaming twin.
+    Callers pass a localCheckpoint'd grid (two readers: the ref split
+    and the current split)."""
+    ref = grid.filter(F.col("source") == "src0").select(
+        "v", F.col("c").alias("a")
+    )
+    oth = grid.filter(F.col("source") != "src0").select(
+        "source", "v", F.col("c").alias("b")
+    )
+    srcs = oth.select("source").distinct()
+    refrep = F.broadcast(srcs).crossJoin(ref)
+    pooled = refrep.join(oth, ["source", "v"], "full_outer").select(
+        "source",
+        "v",
+        F.coalesce(F.col("a"), F.lit(0).cast("bigint")).alias("a"),
+        F.coalesce(F.col("b"), F.lit(0).cast("bigint")).alias("b"),
+    )
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col("a") + F.col("b")
+    cums = pooled.select(
+        "source",
+        "a",
+        "b",
+        (F.sum(t).over(w_run) - t).alias("cum_prev"),
+    )
+    agg = cums.groupBy("source").agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+        F.sum(
+            F.col("b") * (F.lit(2) * F.col("cum_prev") + F.col("a") + F.col("b") + 1)
+        )
+        .cast("bigint")
+        .alias("r2b"),
+        F.sum(t * t * t - t).cast("bigint").alias("tie_t"),
+    )
+    nn = F.col("na") + F.col("nb")
+    u2 = (F.col("r2b") - F.col("nb") * (F.col("nb") + 1)).cast("bigint")
+    var_num = nn * nn * nn - nn - F.col("tie_t")
+    z = F.when(
+        (F.col("na") < 1) | (F.col("nb") < 1) | (nn < 2) | (var_num == 0),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        (u2 - F.col("na") * F.col("nb")).cast("double")
+        / (
+            F.lit(2.0)
+            * F.sqrt(
+                (F.col("na") * F.col("nb")).cast("double")
+                * var_num.cast("double")
+                / (F.lit(12.0) * nn.cast("double") * (nn - 1).cast("double"))
+            )
+        )
+    )
+    stat = agg.select("source", "na", "nb", u2.alias("u2"), "tie_t", z.alias("z"))
+    return stat.select(
+        "source",
+        "na",
+        "nb",
+        "u2",
+        "tie_t",
+        "z",
+        F.when(F.col("z").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.abs(F.col("z")) > 1.959964)
+        .alias("reject_95"),
+    )
+
+
+CHI_SQUARE_ORACLE = """
+    WITH grid AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50), 4) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT t.event_type, b.band
+      FROM (SELECT DISTINCT event_type FROM grid) t
+      CROSS JOIN (SELECT DISTINCT band FROM grid) b
+    ),
+    filled AS (
+      SELECT s.event_type, s.band, coalesce(g.o, CAST(0 AS BIGINT)) AS o
+      FROM spine s LEFT JOIN grid g USING (event_type, band)
+    ),
+    tot AS (
+      SELECT event_type, band, o,
+             CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+             CAST(sum(o) OVER (PARTITION BY band) AS BIGINT)       AS c,
+             CAST(sum(o) OVER () AS BIGINT)                        AS nn
+      FROM filled
+    ),
+    terms AS (
+      SELECT event_type, band, nn,
+             CAST((o * nn - r * c) * (o * nn - r * c) AS DOUBLE)
+               / CAST(nn * r * c AS DOUBLE) AS term
+      FROM tot
+    ),
+    fin AS (
+      SELECT CAST(max(nn) AS BIGINT) AS n_total,
+             CAST((count(DISTINCT event_type) - 1)
+                  * (count(DISTINCT band) - 1) AS BIGINT) AS dof,
+             round(sum(term ORDER BY event_type, band), 6) AS chi2
+      FROM terms
+    )
+    SELECT n_total, dof, chi2,
+           CASE dof WHEN 12 THEN chi2 > 21.026
+                    WHEN 16 THEN chi2 > 26.296
+                    WHEN 20 THEN chi2 > 31.410
+                    WHEN 24 THEN chi2 > 36.415
+                    ELSE NULL END AS indep_rejected
+    FROM fin
+"""
+
+
+@graded("q_chi_square_independence", oracle=CHI_SQUARE_ORACLE)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    value band (width-50 bins clamped at 200+) — the categorical
+    association test every experimentation / segmentation audit runs
+    (is the metric distribution independent of the segment?), closing
+    the inference family: Welch z (ab_test), rank shift (mannwhitney),
+    CDF gap (ks), now contingency association.
+
+    EXACT-INTEGER rendering: each cell's term is
+    (o·N − r·c)² / (N·r·c) — numerator and denominator are exact
+    BIGINTs (the o·N form avoids the fractional expected count
+    e = r·c/N entirely), so each term is ONE IEEE division ⇒ bit-equal,
+    and the 25 terms fold in (type, band) order on both engines
+    (Spark: array_sort + aggregate; DuckDB: sum ORDER BY — the PSI
+    contract). chi2 is graded ROUNDED 6dp with the rejection flag
+    derived from the rounded value against a CASE-mapped critical value
+    (dof 12/16/20/24 at α=0.05); other dofs grade NULL (regen-robust:
+    a regenerated fixture that empties a band changes dof, never the
+    flag's semantics). Empty cells are REAL terms: the spine
+    cross-joins observed types × observed bands so a type missing a
+    band still contributes (0·N − r·c)²/(N·r·c) — dropping it would
+    understate the statistic; spine-derived marginals are all > 0 by
+    construction (no division guard needed).
+
+    Scale: raw rows collapse to the |types|×|bands| grid in one
+    combinable agg; the grid is localCheckpoint'd (three readers —
+    types, bands, fill join — the multi-reader double-plan rule) and
+    every window/fold after runs on that bounded relation. Overflow:
+    o·N < 2^63 to N ≈ 3·10^9 rows (the KS contract); beyond that,
+    grade per-shard and fold the additive cell counts."""
+    ev = load_table(spark, sf_dir, "events")
+    return chi_square_finalize(chi_square_grid(ev).localCheckpoint())
+
+
+def chi_square_grid(ev: DataFrame) -> DataFrame:
+    """Exact (event_type, band) cell counts — the mergeable χ² state
+    (additive BIGINTs: per-micro-batch partial grids fold by sum to the
+    one-pass contingency table, the PSI-grid contract — which is what
+    lets q_stream_chi_square share the batch oracle verbatim)."""
+    band = F.least(F.floor(F.col("value") / 50), F.lit(4)).cast("bigint")
+    return ev.groupBy(F.col("event_type"), band.alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+
+
+def chi_square_finalize(grid: DataFrame) -> DataFrame:
+    """Spine-filled χ² report from the contingency grid — shared
+    verbatim by the batch query and the streaming twin. Callers pass a
+    localCheckpoint'd grid (three readers: types, bands, fill join —
+    the multi-reader double-plan rule)."""
+    types = grid.select("event_type").distinct()
+    bands = grid.select("band").distinct()
+    spine = F.broadcast(types).crossJoin(F.broadcast(bands))
+    filled = spine.join(grid, ["event_type", "band"], "left").select(
+        "event_type",
+        "band",
+        F.coalesce(F.col("o"), F.lit(0).cast("bigint")).alias("o"),
+    )
+    w_t = Window.partitionBy("event_type")
+    w_b = Window.partitionBy("band")
+    w_all = Window.partitionBy(F.lit(1))
+    tot = filled.select(
+        "event_type",
+        "band",
+        "o",
+        F.sum("o").over(w_t).cast("bigint").alias("r"),
+        F.sum("o").over(w_b).cast("bigint").alias("c"),
+        F.sum("o").over(w_all).cast("bigint").alias("nn"),
+    )
+    num = F.col("o") * F.col("nn") - F.col("r") * F.col("c")
+    terms = tot.select(
+        "event_type",
+        "band",
+        "nn",
+        ((num * num).cast("double") / (F.col("nn") * F.col("r") * F.col("c")).cast("double")).alias("term"),
+    )
+    fin = terms.agg(
+        F.max("nn").cast("bigint").alias("n_total"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("band") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("event_type").alias("e"),
+                                F.col("band").alias("bd"),
+                                F.col("term").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("chi2"),
+    )
+    crit = (
+        F.when(F.col("dof") == 12, F.col("chi2") > 21.026)
+        .when(F.col("dof") == 16, F.col("chi2") > 26.296)
+        .when(F.col("dof") == 20, F.col("chi2") > 31.410)
+        .when(F.col("dof") == 24, F.col("chi2") > 36.415)
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    return fin.select("n_total", "dof", "chi2", crit.alias("indep_rejected"))

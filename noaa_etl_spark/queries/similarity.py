@@ -740,3 +740,153 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = best_match_against(emb, bench, ref_id_out="bench_id")
     return best.filter(F.col("cos_sim") >= 0.95)
+
+
+# --- class-conditional covariance / correlation matrix (round 11) ---
+
+COV_DIMS = 8
+_COV_Q = 1048576.0  # 2^20 quantization width
+_COV_Q2 = 1099511627776.0  # 2^40 = _COV_Q^2 (back to value units^2)
+
+COVARIANCE_ORACLE = """
+    WITH q AS (
+      SELECT e.label,
+             CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+             CAST(floor(CAST(e.embedding[i.i + 1] AS DOUBLE) * 1048576.0)
+                  AS BIGINT) AS qx,
+             CAST(floor(CAST(e.embedding[j.j + 1] AS DOUBLE) * 1048576.0)
+                  AS BIGINT) AS qy
+      FROM embeddings e, generate_series(0, 7) i(i), generate_series(0, 7) j(j)
+      WHERE i.i <= j.j
+    ),
+    m AS (
+      SELECT label, i, j,
+             CAST(count(*) AS BIGINT)      AS n,
+             CAST(sum(qx) AS BIGINT)       AS sx,
+             CAST(sum(qy) AS BIGINT)       AS sy,
+             CAST(sum(qx * qy) AS BIGINT)  AS sxy,
+             CAST(sum(qx * qx) AS BIGINT)  AS sxx,
+             CAST(sum(qy * qy) AS BIGINT)  AS syy
+      FROM q GROUP BY label, i, j
+    )
+    SELECT label, i, j, n, sx, sy, sxy,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1099511627776.0) AS cov,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS corr
+    FROM m
+"""
+
+
+def covariance_moments(emb: DataFrame) -> DataFrame:
+    """Per-label raw moment state over the first COV_DIMS embedding
+    dimensions, quantized to BIGINT at 2^20 — the MERGEABLE covariance
+    state: (n, s_k, p_i_j) are pure integer sums, so per-micro-batch
+    partials fold by addition to the one-pass global moments (the
+    stats-merge contract extended to cross-moments), which is what lets
+    the streaming twin share COVARIANCE_ORACLE verbatim.
+
+    ONE combinable agg: every product is computed scan-local and
+    partial-aggregated map-side; the exchange carries |labels| rows of
+    45 BIGINT columns — never a per-pair exploded relation.
+
+    Overflow contract (the stats-merge class): |q| ≤ 2^20, so each
+    product ≤ 2^40 and a group's p_i_j ≤ n·2^40 — exact to n ≈ 8·10^6
+    per label at this width; at larger group sizes shrink the
+    quantization (2^10 is exact to n ≈ 8·10^12) or shard per group.
+    """
+    qc = [
+        F.floor(F.col("embedding")[k].cast("double") * F.lit(_COV_Q))
+        .cast("bigint")
+        .alias(f"q{k}")
+        for k in range(COV_DIMS)
+    ]
+    qd = emb.select("label", *qc)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    aggs += [
+        F.sum(F.col(f"q{k}")).cast("bigint").alias(f"s{k}") for k in range(COV_DIMS)
+    ]
+    aggs += [
+        F.sum(F.col(f"q{i}") * F.col(f"q{j}")).cast("bigint").alias(f"p{i}_{j}")
+        for i in range(COV_DIMS)
+        for j in range(i, COV_DIMS)
+    ]
+    return qd.groupBy("label").agg(*aggs)
+
+
+def covariance_finalize(mom: DataFrame) -> DataFrame:
+    """Upper-triangle (i, j) covariance/correlation report from the
+    moment state — shared verbatim by the batch query and the streaming
+    twin (identical folded BIGINTs ⇒ identical doubles: cov is one
+    division of exact integers, corr two correctly-rounded sqrts, one
+    product, one division — all IEEE-deterministic)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("i"),
+                F.lit(j).cast("int").alias("j"),
+                F.col(f"s{i}").alias("sx"),
+                F.col(f"s{j}").alias("sy"),
+                F.col(f"p{i}_{j}").alias("sxy"),
+                F.col(f"p{i}_{i}").alias("sxx"),
+                F.col(f"p{j}_{j}").alias("syy"),
+            )
+            for i in range(COV_DIMS)
+            for j in range(i, COV_DIMS)
+        ]
+    )
+    ex = mom.select("label", "n", F.explode(pairs).alias("p")).select(
+        "label",
+        F.col("p.i").alias("i"),
+        F.col("p.j").alias("j"),
+        "n",
+        F.col("p.sx").alias("sx"),
+        F.col("p.sy").alias("sy"),
+        F.col("p.sxy").alias("sxy"),
+        F.col("p.sxx").alias("sxx"),
+        F.col("p.syy").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = num.cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double") * F.lit(_COV_Q2)
+    )
+    corr = F.when((vx == 0) | (vy == 0), F.lit(None).cast("double")).otherwise(
+        num.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+    )
+    return ex.select(
+        "label", "i", "j", "n", "sx", "sy", "sxy", cov.alias("cov"), corr.alias("corr")
+    )
+
+
+@graded("q_covariance_matrix", oracle=COVARIANCE_ORACLE)
+def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-conditional covariance + correlation matrix over the first
+    8 embedding dimensions — the feature-statistics pass every
+    whitening / PCA / LDA / Mahalanobis-drift stage runs before
+    touching a 100 TB embedding corpus. Output is the per-label upper
+    triangle (36 pairs × |labels|); the diagonal (i == j) carries the
+    variances.
+
+    EXACT-INTEGER rendering: components quantize to BIGINT at 2^20
+    (the quantize_int8 floor contract), so all raw moments are exact
+    integer sums in ANY accumulation order — immune to the double-sum
+    ordering trap — and cov/corr are fixed IEEE expressions over exact
+    integers ⇒ bit-equal cross-engine. Zero-variance dimensions grade
+    NULL corr (regen-robust guard).
+
+    Scale: ONE combinable groupBy over the scan (45 BIGINT sums,
+    map-side partial agg); the pair explosion happens on the |labels|-
+    row AGGREGATE, never on the data. The oracle pays the 36× row
+    blow-up the engine avoids. D grows quadratically (d=64 → 2080
+    sums): past codegen comfort (~d 100+) switch to the Arrow matmul
+    Gram-accumulator (mapInArrow per-batch X^T X, the mapinarrow_hist
+    partial-agg shape).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_finalize(covariance_moments(emb))

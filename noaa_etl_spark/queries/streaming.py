@@ -2037,3 +2037,225 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")
     )
+
+
+from noaa_etl_spark.queries.similarity import (
+    COVARIANCE_ORACLE,
+    covariance_finalize,
+    covariance_moments,
+)
+
+
+@graded("q_stream_covariance", oracle=COVARIANCE_ORACLE)
+def q_stream_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #23 — feature statistics maintained over a live
+    embedding feed: vectors drain as three micro-batches; foreachBatch
+    writes each batch's per-label PARTIAL raw moments (n, s_k, p_i_j —
+    45 quantized-BIGINT sums) batch_id-keyed (restart-idempotent
+    overwrite). Cross-moments are pure integer addition, so the folded
+    per-label state is byte-identical to the one-pass batch moments and
+    the shared finalization (covariance_finalize — pair explode on the
+    |labels|-row aggregate + fixed IEEE cov/corr expressions) emits
+    identical doubles: the twin grades against COVARIANCE_ORACLE
+    verbatim. This extends the stats-merge discipline (n, Σv, Σv²) to
+    the full cross-moment matrix — the state a streaming whitening /
+    Mahalanobis-drift monitor actually keeps.
+
+    100 TB: per-trigger work is one combinable 45-column agg over the
+    batch; persisted state is |labels| rows per batch, and the
+    covariance report is recomputed on demand from the folded moments
+    (the gini/rolling-median rule: keep the mergeable state, recompute
+    the statistic).
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_covariance")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    gate = F.pmod(F.xxhash64(F.lit("scov"), F.col("vec_id")), F.lit(3))
+    for i in range(3):
+        emb.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = covariance_moments(batch_df)
+        record_foreach_batch_plan("stream_covariance_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    state = spark.read.parquet(states)
+    sum_cols = [c for c in state.columns if c not in ("label", "batch_id")]
+    folded = state.groupBy("label").agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in sum_cols]
+    )
+    return covariance_finalize(folded)
+
+
+from noaa_etl_spark.queries.profiling import (
+    CHI_SQUARE_ORACLE,
+    chi_square_finalize,
+    chi_square_grid,
+)
+
+
+@graded("q_stream_chi_square", oracle=CHI_SQUARE_ORACLE)
+def q_stream_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #24 — categorical association monitored live (is
+    the metric's band distribution independent of the event type as the
+    stream evolves?): events drain as three micro-batches; foreachBatch
+    writes each batch's PARTIAL (event_type, band) contingency grid
+    batch_id-keyed (restart-idempotent overwrite). Cell counts are pure
+    BIGINT addition, so the folded grid is byte-identical to the
+    one-pass contingency table and the shared finalization
+    (chi_square_finalize — spine fill, window marginals on the bounded
+    grid, PSI-ordered term fold) emits the identical rounded χ²: the
+    twin grades against CHI_SQUARE_ORACLE verbatim. Like the gini /
+    rolling-median discipline, the STATISTIC is never maintained
+    incrementally — marginals (and therefore every cell's term) shift
+    with each batch, so the mergeable state is the grid and χ² is
+    recomputed at report time.
+
+    100 TB: per-trigger work is one combinable grid agg over the batch;
+    persisted state is ≤ |types|×|bands| rows per batch; the report
+    runs on the folded bounded relation on demand.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_chi_square")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    gate = F.pmod(F.xxhash64(F.lit("schi"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = chi_square_grid(batch_df)
+        record_foreach_batch_plan("stream_chi_square_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("event_type", "band")
+        .agg(F.sum("o").cast("bigint").alias("o"))
+    )
+    return chi_square_finalize(folded.localCheckpoint())
+
+
+from noaa_etl_spark.queries.profiling import (
+    MANNWHITNEY_ORACLE,
+    mannwhitney_finalize,
+    mannwhitney_grid,
+)
+
+
+@graded("q_stream_mannwhitney", oracle=MANNWHITNEY_ORACLE)
+def q_stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #25 — location-shift drift monitored live as a
+    corpus crawls in: documents drain as three micro-batches;
+    foreachBatch writes each batch's PARTIAL (source, value) count grid
+    batch_id-keyed (restart-idempotent overwrite), reference source
+    included — the ref sample itself grows with the stream, which is
+    exactly why the split into ref/current happens at FINALIZE time,
+    never in the state. Counts are pure BIGINT addition, so the folded
+    grid is byte-identical to the one-pass grid and the shared
+    finalization (mannwhitney_finalize — per-source rank windows over
+    the reduced relation + one fixed IEEE chain) emits identical
+    doubles: the twin grades against MANNWHITNEY_ORACLE verbatim. A
+    RANK STATISTIC is not mergeable (every midrank depends on every
+    pooled observation) — the gini discipline: keep the additive grid,
+    rank at report time.
+
+    100 TB: per-trigger work is one combinable count over the batch;
+    persisted state is the |sources|×|distinct values| reduced grid per
+    batch; the test reruns on the folded bounded relation on demand.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_mannwhitney")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    gate = F.pmod(F.xxhash64(F.lit("smw"), F.col("doc_id")), F.lit(3))
+    for i in range(3):
+        docs.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = mannwhitney_grid(batch_df)
+        record_foreach_batch_plan("stream_mannwhitney_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("source", "v")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return mannwhitney_finalize(folded.localCheckpoint())

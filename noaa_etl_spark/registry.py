@@ -245,8 +245,17 @@ GRADED_WINDOW: list[str] = [
     # integer-additive), q_sql_pipe_syntax (Spark 4 |> pipe SQL vs
     # classic oracle), q_applyinarrow_stats (grouped Arrow map),
     # q_udtf_table_arg (TABLE(...) PARTITION BY UDTF),
-    # q_stream_dedup_watermark (bounded-state dedup, shared oracle) —
-    # all oracle-paired — plus q_kcore (rows-only: iterative peeling;
+    # q_stream_dedup_watermark (bounded-state dedup, shared oracle),
+    # q_covariance_matrix + q_stream_covariance (twin #23 — cross-
+    # moment merge, the stats-merge discipline extended to the full
+    # matrix), q_mannwhitney_u (tie-corrected rank-sum, exact doubled
+    # ranks) + q_stream_mannwhitney (twin #25 — the ref sample itself
+    # grows with the stream: split at finalize, never in the state),
+    # q_chi_square_independence + q_stream_chi_square (twin
+    # #24 — additive contingency grid, all-BIGINT cell terms,
+    # PSI-ordered fold), q_quantile_normalize (all-integer empirical-
+    # CDF matching, equi-join on expanded ref ranks) — all
+    # oracle-paired — plus q_kcore (rows-only: iterative peeling;
     # brute-force-equal in tests). Add the second half of the stale
     # rows-only rotation (VERDICT r10 item 5): q_ann_index_update,
     # q_dedup_simhash, q_dedup_minhash_lsh, q_lang_id, q_quality_score

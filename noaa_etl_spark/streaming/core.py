@@ -65,6 +65,9 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_rolling_median": ["fb_stream_rollmed_partial"],
     "q_stream_gini": ["fb_stream_gini_partial"],
     "q_stream_dsir": ["fb_stream_dsir_partial"],
+    "q_stream_covariance": ["fb_stream_covariance_partial"],
+    "q_stream_chi_square": ["fb_stream_chi_square_partial"],
+    "q_stream_mannwhitney": ["fb_stream_mannwhitney_partial"],
 }
 
 

@@ -5,6 +5,8 @@ plus the cheap property checks from SURVEY.md §5.
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -2431,3 +2433,236 @@ def test_salted_shuffle_join_matches_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_shuffle_join(fact, build, "k", "bk", salt_col="payload", how="full")
+
+
+class TestCovarianceMatrix:
+    """q_covariance_matrix: exact quantized-moment covariance."""
+
+    def test_matches_numpy_exactly(self, spark):
+        """cov/corr doubles must equal an independent numpy evaluation
+        of the same fixed expressions over the same quantized integers
+        (not just the DuckDB mirror of the same SQL)."""
+        import numpy as np
+        import pandas as pd
+
+        from noaa_etl_spark.queries import QUERIES
+        from tests.conftest import SF_DIR
+
+        out = (
+            QUERIES["q_covariance_matrix"](spark, SF_DIR)
+            .toPandas()
+            .set_index(["label", "i", "j"])
+            .sort_index()
+        )
+        emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        mat = np.stack(emb["embedding"].to_numpy())[:, :8].astype(np.float64)
+        q = np.floor(mat * 1048576.0).astype(np.int64)
+        for label, grp in emb.groupby("label"):
+            qg = q[emb["label"].to_numpy() == label]
+            n = len(qg)
+            for i in range(8):
+                for j in range(i, 8):
+                    sx, sy = int(qg[:, i].sum()), int(qg[:, j].sum())
+                    sxy = int((qg[:, i] * qg[:, j]).sum())
+                    sxx = int((qg[:, i] * qg[:, i]).sum())
+                    syy = int((qg[:, j] * qg[:, j]).sum())
+                    row = out.loc[(label, i, j)]
+                    assert row["n"] == n
+                    assert row["sx"] == sx and row["sy"] == sy and row["sxy"] == sxy
+                    num = n * sxy - sx * sy
+                    cov = float(num) / (float(n) * float(n) * 1099511627776.0)
+                    assert row["cov"] == cov  # bit-equal, not approx
+                    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+                    if vx == 0 or vy == 0:
+                        assert pd.isna(row["corr"])
+                    else:
+                        corr = float(num) / (
+                            math.sqrt(float(vx)) * math.sqrt(float(vy))
+                        )
+                        assert row["corr"] == corr
+
+    def test_moments_merge_equals_recompute(self, spark):
+        """The twin contract: per-split moment partials folded by
+        addition equal the one-pass moments (pure BIGINT sums)."""
+        from pyspark.sql import functions as F
+
+        from noaa_etl_spark.io import load_table
+        from noaa_etl_spark.queries.similarity import covariance_moments
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        full = covariance_moments(emb).toPandas().set_index("label").sort_index()
+        gate = F.pmod(F.xxhash64(F.lit("t"), F.col("vec_id")), F.lit(3))
+        parts = [covariance_moments(emb.filter(gate == i)) for i in range(3)]
+        import functools
+
+        union = functools.reduce(lambda a, b: a.unionByName(b), parts)
+        sum_cols = [c for c in full.columns]
+        folded = (
+            union.groupBy("label")
+            .agg(*[F.sum(c).cast("bigint").alias(c) for c in sum_cols])
+            .toPandas()
+            .set_index("label")
+            .sort_index()
+        )
+        assert folded.equals(full)
+
+
+class TestMannWhitneyU:
+    """q_mannwhitney_u: tie-corrected rank-sum vs brute force."""
+
+    def test_matches_bruteforce_ranks(self, spark):
+        """U and z must equal an independent average-rank computation
+        (scipy-style midranks over the pooled sample)."""
+        import numpy as np
+        import pandas as pd
+
+        from noaa_etl_spark.queries import QUERIES
+        from tests.conftest import SF_DIR
+
+        out = (
+            QUERIES["q_mannwhitney_u"](spark, SF_DIR)
+            .toPandas()
+            .set_index("source")
+            .sort_index()
+        )
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        ref = docs.loc[docs["source"] == "src0", "n_chars"].to_numpy()
+        for src, grp in docs[docs["source"] != "src0"].groupby("source"):
+            cur = grp["n_chars"].to_numpy()
+            pool = np.concatenate([ref, cur])
+            order = np.argsort(pool, kind="mergesort")
+            ranks = np.empty(len(pool), dtype=np.float64)
+            sorted_vals = pool[order]
+            i = 0
+            r = 1
+            while i < len(pool):
+                jj = i
+                while jj + 1 < len(pool) and sorted_vals[jj + 1] == sorted_vals[i]:
+                    jj += 1
+                avg = (r + (r + (jj - i))) / 2.0
+                ranks[order[i : jj + 1]] = avg
+                r += jj - i + 1
+                i = jj + 1
+            rb = ranks[len(ref) :].sum()
+            na, nb = len(ref), len(cur)
+            u = rb - nb * (nb + 1) / 2.0
+            row = out.loc[src]
+            assert row["u2"] == int(round(2 * u))
+            # tie term
+            _, counts = np.unique(pool, return_counts=True)
+            t = int((counts.astype(np.int64) ** 3 - counts).sum())
+            assert row["tie_t"] == t
+            nn = na + nb
+            var = (
+                float(na * nb)
+                * float(nn**3 - nn - t)
+                / (12.0 * float(nn) * float(nn - 1))
+            )
+            z = (row["u2"] - na * nb) / (2.0 * math.sqrt(var))
+            assert abs(row["z"] - z) < 1e-12
+
+    def test_degenerate_single_tie_block_is_null(self, spark, tmp_path):
+        """All pooled values equal -> var 0 -> z NULL (regen guard)."""
+        import pandas as pd
+
+        from noaa_etl_spark.queries import QUERIES
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": ["x"] * 6,
+                "lang": ["en"] * 6,
+                "source": ["src0"] * 3 + ["src1"] * 3,
+                "n_chars": [7] * 6,
+            }
+        )
+        docs.to_parquet(d / "documents.parquet")
+        out = QUERIES["q_mannwhitney_u"](spark, str(d)).toPandas()
+        assert len(out) == 1
+        assert pd.isna(out.loc[0, "z"]) and pd.isna(out.loc[0, "reject_95"])
+
+
+class TestChiSquareIndependence:
+    """q_chi_square_independence vs an independent numpy evaluation."""
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from noaa_etl_spark.queries import QUERIES
+        from tests.conftest import SF_DIR
+
+        out = QUERIES["q_chi_square_independence"](spark, SF_DIR).toPandas()
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        band = np.minimum(np.floor(ev["value"].to_numpy() / 50), 4).astype(np.int64)
+        ct = pd.crosstab(ev["event_type"], band)
+        o = ct.to_numpy().astype(np.int64)
+        n = int(o.sum())
+        r = o.sum(axis=1)
+        c = o.sum(axis=0)
+        chi2 = 0.0
+        # fold in (type, band) order like both engines
+        for i in range(o.shape[0]):
+            for j in range(o.shape[1]):
+                num = int(o[i, j]) * n - int(r[i]) * int(c[j])
+                chi2 += float(num * num) / float(n * int(r[i]) * int(c[j]))
+        assert out.loc[0, "n_total"] == n
+        assert out.loc[0, "dof"] == (o.shape[0] - 1) * (o.shape[1] - 1)
+        assert abs(out.loc[0, "chi2"] - round(chi2, 6)) < 1e-9
+
+
+class TestQuantileNormalize:
+    """q_quantile_normalize: empirical-CDF matching contracts."""
+
+    def test_mapping_properties(self, spark):
+        import pandas as pd
+
+        from noaa_etl_spark.queries import QUERIES
+        from tests.conftest import SF_DIR
+
+        out = QUERIES["q_quantile_normalize"](spark, SF_DIR).toPandas()
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        ref = sorted(docs.loc[docs["source"] == "src0", "n_chars"].tolist())
+        ref_set = set(ref)
+        for src, grp in out.groupby("source"):
+            g = grp.sort_values("v")
+            # monotone: higher source value never maps lower
+            assert g["norm_v"].is_monotonic_increasing
+            # every normalized value is an actual reference value
+            assert set(g["norm_v"]).issubset(ref_set)
+            # the top of each source maps to the reference max
+            assert g["norm_v"].iloc[-1] == ref[-1]
+
+    def test_matches_numpy_replay(self, spark):
+        """Independent replay of the rank arithmetic (not the SQL)."""
+        import math as m
+
+        import pandas as pd
+
+        from noaa_etl_spark.queries import QUERIES
+        from tests.conftest import SF_DIR
+
+        out = (
+            QUERIES["q_quantile_normalize"](spark, SF_DIR)
+            .toPandas()
+            .set_index(["source", "v"])
+            .sort_index()
+        )
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        ref = sorted(docs.loc[docs["source"] == "src0", "n_chars"].tolist())
+        na = len(ref)
+        for src, grp in docs[docs["source"] != "src0"].groupby("source"):
+            vals = sorted(grp["n_chars"].tolist())
+            ns = len(vals)
+            cs = 0
+            from collections import Counter
+
+            for v, c in sorted(Counter(vals).items()):
+                cs += c
+                idx = -(-cs * na // ns)  # ceil
+                row = out.loc[(src, v)]
+                assert row["c"] == c
+                assert row["norm_v"] == ref[idx - 1]

@@ -1015,3 +1015,53 @@ def test_mapinarrow_hist_single_merge_exchange(spark):
     tree = plan.split("\n\n")[0]
     assert "MapInArrow" in plan
     assert tree.count("Exchange") == 1
+
+
+def test_covariance_single_agg_no_pair_explode_of_data(spark):
+    """All 45 moments ride ONE combinable agg over the scan: a single
+    exchange (the groupBy(label) shuffle), with the 36-pair explode on
+    the aggregate — a Generate above the HashAggregate, never between
+    the scan and the agg (a per-pair exploded data relation would
+    shuffle 36x the rows)."""
+    plan = plan_of(spark, "q_covariance_matrix")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Generate" in plan
+    # the explode must consume the aggregate, not feed it: in the
+    # formatted tree the Generate node appears ABOVE (before) every
+    # HashAggregate node.
+    gen = tree.index("Generate")
+    assert all(gen < i for i in _all_indexes(tree, "HashAggregate"))
+
+
+def _all_indexes(s: str, needle: str):
+    out, i = [], s.find(needle)
+    while i != -1:
+        out.append(i)
+        i = s.find(needle, i + 1)
+    return out
+
+
+def test_mannwhitney_windows_partitioned_by_source(spark):
+    """The rank-statistic window mirrors the KS shape: partitioned by
+    source over the reduced (source, value) count relation — never a
+    global single-partition window."""
+    plan = plan_of(spark, "q_mannwhitney_u")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window (") == 1
+    # no exchange in the whole plan is a SinglePartition repartition:
+    # the rank window hashes on source.
+    assert "SinglePartition" not in plan
+
+
+def test_chi_square_windows_on_bounded_grid(spark):
+    """Every window after the grid collapse runs on the checkpointed
+    |types|x|bands| relation: the events scan feeds exactly one
+    HashAggregate subtree (localCheckpoint breaks the three readers'
+    re-plans), and the single-partition marginal window is on the
+    bounded grid, not the fact."""
+    plan = plan_of(spark, "q_chi_square_independence")
+    tree = plan.split("\n\n")[0]
+    # the fact scan is behind the checkpoint: no parquet scan of events
+    # appears in the final plan at all.
+    assert "Scan parquet" not in tree or "events" not in tree

@@ -340,6 +340,19 @@ AUDITED = [
     # grouped Arrow map / table-arg UDTF: one group-key shuffle each.
     "q_applyinarrow_stats",
     "q_udtf_table_arg",
+    # round 11, second session: covariance is ONE combinable 45-column
+    # agg (the pair explode runs on the |labels|-row aggregate — a
+    # per-pair exploded data relation is the regression); mannwhitney
+    # mirrors the KS shape (per-(source,value) combinable counts, then
+    # per-source windows on the reduced relation); chi-square collapses
+    # to the |types|x|bands| grid (localCheckpoint'd — three readers)
+    # and every window after runs on that bounded relation.
+    "q_covariance_matrix",
+    "q_mannwhitney_u",
+    "q_chi_square_independence",
+    # quantile normalize: grid agg + per-source windows + broadcast
+    # ref-rank equi-join (a theta/range join is the regression).
+    "q_quantile_normalize",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
