@@ -254,9 +254,10 @@ GRADED_WINDOW: list[str] = [
     # q_chi_square_independence + q_stream_chi_square (twin
     # #24 — additive contingency grid, all-BIGINT cell terms,
     # PSI-ordered fold), q_quantile_normalize (all-integer empirical-
-    # CDF matching, equi-join on expanded ref ranks) — all
-    # oracle-paired — plus q_kcore (rows-only: iterative peeling;
-    # brute-force-equal in tests). Add the second half of the stale
+    # CDF matching, equi-join on expanded ref ranks), q_geohash_encode
+    # (all-integer Morton/base32 generated once for both engines,
+    # zero-exchange) — all oracle-paired — plus q_kcore (rows-only:
+    # iterative peeling; brute-force-equal in tests). Add the second half of the stale
     # rows-only rotation (VERDICT r10 item 5): q_ann_index_update,
     # q_dedup_simhash, q_dedup_minhash_lsh, q_lang_id, q_quality_score
     # (these 5 + kcore = the r12 ROWS_ONLY_WINDOW), and fill remaining

@@ -2666,3 +2666,72 @@ class TestQuantileNormalize:
                 row = out.loc[(src, v)]
                 assert row["c"] == c
                 assert row["norm_v"] == ref[idx - 1]
+
+
+class TestGeohashEncode:
+    """q_geohash_encode vs the classic bisection encoder."""
+
+    @staticmethod
+    def _ref_geohash(lat: float, lon: float, length: int = 6) -> str:
+        from noaa_etl_spark.queries.scalars import GEOHASH_B32
+
+        lat_lo, lat_hi = -90.0, 90.0
+        lon_lo, lon_hi = -180.0, 180.0
+        bits = []
+        even = True  # longitude first
+        while len(bits) < 5 * length:
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if lon >= mid:
+                    bits.append(1)
+                    lon_lo = mid
+                else:
+                    bits.append(0)
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    bits.append(1)
+                    lat_lo = mid
+                else:
+                    bits.append(0)
+                    lat_hi = mid
+            even = not even
+        out = []
+        for t in range(length):
+            v = 0
+            for b in bits[5 * t : 5 * t + 5]:
+                v = v * 2 + b
+            out.append(GEOHASH_B32[v])
+        return "".join(out)
+
+    def test_matches_bisection_encoder(self, spark):
+        from noaa_etl_spark.queries import QUERIES
+        from tests.conftest import SF_DIR
+
+        rows = QUERIES["q_geohash_encode"](spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            k = r["c_custkey"]
+            lat = (k % 120) - 60.0 + 0.5
+            lon = (k % 300) - 150.0 + 0.5
+            assert r["geohash"] == self._ref_geohash(lat, lon), (
+                k,
+                lat,
+                lon,
+                r["geohash"],
+            )
+
+    def test_prefix_is_containment(self, spark):
+        """Geohash contract: equal 4-char prefixes = same 20-bit cell
+        (truncation is the multi-resolution rollup)."""
+        from noaa_etl_spark.queries import QUERIES
+        from tests.conftest import SF_DIR
+
+        rows = QUERIES["q_geohash_encode"](spark, SF_DIR).collect()
+        for r in rows:
+            assert r["geohash"][:4] == self._ref_geohash(
+                (r["c_custkey"] % 120) - 59.5,
+                (r["c_custkey"] % 300) - 149.5,
+                length=4,
+            )

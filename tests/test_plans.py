@@ -1065,3 +1065,12 @@ def test_chi_square_windows_on_bounded_grid(spark):
     # the fact scan is behind the checkpoint: no parquet scan of events
     # appears in the final plan at all.
     assert "Scan parquet" not in tree or "events" not in tree
+
+
+def test_geohash_scan_local_zero_exchange(spark):
+    """Morton interleave + base32 are pure projection arithmetic: no
+    exchange, no UDF, no window — a free column on any pass."""
+    plan = plan_of(spark, "q_geohash_encode")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

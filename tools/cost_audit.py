@@ -353,6 +353,9 @@ AUDITED = [
     # quantile normalize: grid agg + per-source windows + broadcast
     # ref-rank equi-join (a theta/range join is the regression).
     "q_quantile_normalize",
+    # geohash: scan-local integer projection (any exchange/UDF is the
+    # regression).
+    "q_geohash_encode",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
