@@ -1316,8 +1316,12 @@ CHI_SQUARE_ORACLE = """
     ),
     terms AS (
       SELECT event_type, band, nn,
-             CAST((o * nn - r * c) * (o * nn - r * c) AS DOUBLE)
-               / CAST(nn * r * c AS DOUBLE) AS term
+             ((CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+               - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+              * (CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+                 - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+               / (CAST(nn AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+               AS term
       FROM tot
     ),
     fin AS (
@@ -1366,8 +1370,10 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable agg; the grid is localCheckpoint'd (three readers —
     types, bands, fill join — the multi-reader double-plan rule) and
     every window/fold after runs on that bounded relation. Overflow:
-    o·N < 2^63 to N ≈ 3·10^9 rows (the KS contract); beyond that,
-    grade per-shard and fold the additive cell counts."""
+    counts are exact BIGINTs at any realistic N; the term arithmetic
+    runs as a DOUBLE chain (the integer square binds at a residual of
+    ~3·10^9 — measured live at the 100× probe and fixed), so nothing
+    in the statistic can overflow."""
     ev = load_table(spark, sf_dir, "events")
     return chi_square_finalize(chi_square_grid(ev).localCheckpoint())
 
@@ -1407,12 +1413,20 @@ def chi_square_finalize(grid: DataFrame) -> DataFrame:
         F.sum("o").over(w_b).cast("bigint").alias("c"),
         F.sum("o").over(w_all).cast("bigint").alias("nn"),
     )
-    num = F.col("o") * F.col("nn") - F.col("r") * F.col("c")
+    # The cell term is computed as a DOUBLE chain, not BIGINT-then-cast:
+    # num² overflows 2^63 once the independence residual o·N − r·c
+    # reaches ~3·10^9 (caught LIVE by the 100× probe at N = 10M events —
+    # the exact failure mode the covariance finalize hit). Token-
+    # identical chain in the oracle keeps the grade bit-equal; the cell
+    # counts stay exact BIGINTs.
+    o_d, r_d = F.col("o").cast("double"), F.col("r").cast("double")
+    c_d, nn_d = F.col("c").cast("double"), F.col("nn").cast("double")
+    num_d = o_d * nn_d - r_d * c_d
     terms = tot.select(
         "event_type",
         "band",
         "nn",
-        ((num * num).cast("double") / (F.col("nn") * F.col("r") * F.col("c")).cast("double")).alias("term"),
+        ((num_d * num_d) / (nn_d * r_d * c_d)).alias("term"),
     )
     fin = terms.agg(
         F.max("nn").cast("bigint").alias("n_total"),
@@ -1449,3 +1463,228 @@ def chi_square_finalize(grid: DataFrame) -> DataFrame:
         .otherwise(F.lit(None).cast("boolean"))
     )
     return fin.select("n_total", "dof", "chi2", crit.alias("indep_rejected"))
+
+
+@graded(
+    "q_ab_srm_check",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    arms AS (
+      SELECT CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM u
+    ),
+    agg AS (
+      SELECT CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS a,
+             CAST(count(*) AS BIGINT) AS n
+      FROM arms
+    )
+    SELECT a                    AS n_a,
+           CAST(n - a AS BIGINT) AS n_b,
+           n                    AS n_units,
+           CASE WHEN n = 0 THEN NULL
+                ELSE CAST((2 * a - n) * (2 * a - n) AS DOUBLE) / CAST(n AS DOUBLE)
+           END AS chi2,
+           CASE WHEN n = 0 THEN NULL
+                ELSE CAST((2 * a - n) * (2 * a - n) AS DOUBLE) / CAST(n AS DOUBLE)
+                     > 3.841459
+           END AS srm_detected
+    FROM agg
+    """,
+)
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the SAME experiment
+    q_ab_test_report reads out (identical 'ab:' md5 assignment): a χ²
+    goodness-of-fit of the realized arm split against the designed
+    50/50, on the RANDOMIZATION UNIT (distinct users, never events —
+    per-user event counts differ by design and would fake an SRM). SRM
+    is the experimentation platform's first invalidity alarm: an
+    imbalanced split means assignment, logging, or filtering is biased
+    and every downstream p-value is garbage — platforms gate readouts
+    on it (Kohavi's trustworthy-experiments rule).
+
+    EXACT-INTEGER rendering: with designed p = 1/2 and b = n − a, the
+    two-cell GOF statistic collapses to χ² = (2a − n)²/n — numerator
+    and denominator exact BIGINTs, ONE IEEE division ⇒ bit-equal, so
+    srm_detected (χ² > 3.841459, dof 1 at α=0.05) cannot flip
+    cross-engine. n = 0 grades NULL (regen guard).
+
+    Scale: distinct users is one combinable agg (partial distinct
+    map-side); the statistic is arithmetic on a 1-row aggregate. The
+    md5 gate makes the audit replayable anywhere — the same property
+    that makes the assignment itself rerun-stable after executor
+    loss."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.select("user_id").distinct()
+    arm_a = (
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8"
+    )
+    agg = users.agg(
+        F.count_if(arm_a).cast("bigint").alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dev = F.lit(2) * F.col("a") - F.col("n")
+    chi2 = F.when(F.col("n") == 0, F.lit(None).cast("double")).otherwise(
+        (dev * dev).cast("double") / F.col("n").cast("double")
+    )
+    return agg.select(
+        F.col("a").alias("n_a"),
+        (F.col("n") - F.col("a")).cast("bigint").alias("n_b"),
+        F.col("n").alias("n_units"),
+        chi2.alias("chi2"),
+        F.when(F.col("n") == 0, F.lit(None).cast("boolean"))
+        .otherwise(chi2 > 3.841459)
+        .alias("srm_detected"),
+    )
+
+
+@graded(
+    "q_ratio_metric_delta",
+    oracle="""
+    WITH ug AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    m AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT)      AS n,
+             CAST(sum(x) AS BIGINT)        AS sx,
+             CAST(sum(y) AS BIGINT)        AS sy,
+             CAST(sum(x * x) AS BIGINT)    AS sxx,
+             CAST(sum(y * y) AS BIGINT)    AS syy,
+             CAST(sum(x * y) AS BIGINT)    AS sxy
+      FROM ug GROUP BY arm
+    ),
+    r AS (
+      SELECT arm, n, sx, sy,
+             CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio,
+             ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+              - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+              + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))
+             / (CAST(n AS DOUBLE)
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS var_r
+      FROM m WHERE n >= 2 AND sy > 0
+    ),
+    pivoted AS (
+      SELECT max(CASE WHEN arm = 'A' THEN n END)     AS n_a,
+             max(CASE WHEN arm = 'B' THEN n END)     AS n_b,
+             max(CASE WHEN arm = 'A' THEN ratio END) AS ratio_a,
+             max(CASE WHEN arm = 'B' THEN ratio END) AS ratio_b,
+             max(CASE WHEN arm = 'A' THEN var_r END) AS va,
+             max(CASE WHEN arm = 'B' THEN var_r END) AS vb
+      FROM r
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ratio_a, ratio_b,
+           CASE WHEN va IS NULL OR vb IS NULL OR va + vb <= 0 THEN NULL
+                ELSE (ratio_a - ratio_b) / sqrt(va + vb) END AS z,
+           CASE WHEN va IS NULL OR vb IS NULL OR va + vb <= 0 THEN NULL
+                ELSE abs((ratio_a - ratio_b) / sqrt(va + vb)) > 1.959964
+           END AS significant
+    FROM pivoted
+    """,
+)
+def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method readout for a RATIO metric — revenue per click —
+    in the same 'ab:' experiment: ratio metrics (CTR, revenue/click,
+    items/session) are means of a QUOTIENT of per-user totals, so the
+    naive per-event variance is wrong (events within a user are
+    correlated); the industry answer (Deng et al., 'Applying the Delta
+    Method in Metric Analytics') is Var(X̄/Ȳ) ≈ (s_xx − 2R·s_xy +
+    R²·s_yy) / (n·ȳ²) over USER-grain (x, y). Completes the
+    experimentation battery: Welch z (mean metrics, q_ab_test_report),
+    SRM (validity, q_ab_srm_check), delta method (ratio metrics).
+
+    Exactness: user-grain x (purchase floor-cents) and y (click count)
+    are exact BIGINTs; each arm's six moments (n, Σx, Σy, Σxx, Σyy,
+    Σxy) ride ONE combinable agg; ratio/variance/z are a fixed double
+    chain over exact integers written token-identically in both engines
+    ⇒ bit-equal; degenerate arms (n < 2, Σy = 0, var ≤ 0) grade NULL.
+
+    Scale: two stacked combinable aggs (events → user grain → arm
+    moments) — the randomization-unit collapse IS the first agg, so no
+    user ever materializes its events anywhere; adding metrics adds
+    moment columns, never passes. The moments are pure integer
+    addition — a streaming twin would fold (user, x, y) state, the
+    stats-merge contract."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    ug = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("x"),
+        F.count_if(F.col("event_type") == "click").cast("bigint").alias("y"),
+    )
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    m = ug.select(arm.alias("arm"), "x", "y").groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    ratio = sx_d / sy_d
+    denom = n_d * (F.col("n") - 1).cast("double")
+    s_xx = (n_d * F.col("sxx").cast("double") - sx_d * sx_d) / denom
+    s_xy = (n_d * F.col("sxy").cast("double") - sx_d * sy_d) / denom
+    s_yy = (n_d * F.col("syy").cast("double") - sy_d * sy_d) / denom
+    var_r = (
+        s_xx - F.lit(2.0) * ratio * s_xy + ratio * ratio * s_yy
+    ) / (n_d * (sy_d / n_d) * (sy_d / n_d))
+    r = m.filter((F.col("n") >= 2) & (F.col("sy") > 0)).select(
+        "arm", "n", ratio.alias("ratio"), var_r.alias("var_r")
+    )
+    piv = r.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).cast("bigint").alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).cast("bigint").alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("ratio"))).alias("ratio_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("ratio"))).alias("ratio_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("var_r"))).alias("va"),
+        F.max(F.when(F.col("arm") == "B", F.col("var_r"))).alias("vb"),
+    )
+    bad = (
+        F.col("va").isNull()
+        | F.col("vb").isNull()
+        | ((F.col("va") + F.col("vb")) <= 0)
+    )
+    z = (F.col("ratio_a") - F.col("ratio_b")) / F.sqrt(F.col("va") + F.col("vb"))
+    return piv.select(
+        "n_a",
+        "n_b",
+        "ratio_a",
+        "ratio_b",
+        F.when(bad, F.lit(None).cast("double")).otherwise(z).alias("z"),
+        F.when(bad, F.lit(None).cast("boolean"))
+        .otherwise(F.abs(z) > 1.959964)
+        .alias("significant"),
+    )

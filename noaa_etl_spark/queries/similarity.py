@@ -770,13 +770,20 @@ COVARIANCE_ORACLE = """
       FROM q GROUP BY label, i, j
     )
     SELECT label, i, j, n, sx, sy, sxy,
-           CAST(n * sxy - sx * sy AS DOUBLE)
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1099511627776.0) AS cov,
-           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+                  OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
                 THEN NULL
-                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
-                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
            END AS corr
     FROM m
 """
@@ -850,14 +857,21 @@ def covariance_finalize(mom: DataFrame) -> DataFrame:
         F.col("p.sxx").alias("sxx"),
         F.col("p.syy").alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    cov = num.cast("double") / (
-        F.col("n").cast("double") * F.col("n").cast("double") * F.lit(_COV_Q2)
-    )
-    corr = F.when((vx == 0) | (vy == 0), F.lit(None).cast("double")).otherwise(
-        num.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+    # The n·sxy / sx·sy products are computed in DOUBLE, not BIGINT:
+    # the integer form overflows 2^63 once n·E[q²] approaches 2^63/n
+    # (caught LIVE by the 100× probe at n = 50k/label — the binding
+    # constraint is this finalize, not the moment sums). Each cast and
+    # operation is IEEE-deterministic and the oracle runs the token-
+    # identical chain, so the grade stays bit-equal; the moments
+    # themselves stay exact BIGINTs.
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n_d * F.col("sxy").cast("double") - sx_d * sy_d
+    vx = n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    vy = n_d * F.col("syy").cast("double") - sy_d * sy_d
+    cov = num / (n_d * n_d * F.lit(_COV_Q2))
+    corr = F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double")).otherwise(
+        num / (F.sqrt(vx) * F.sqrt(vy))
     )
     return ex.select(
         "label", "i", "j", "n", "sx", "sy", "sxy", cov.alias("cov"), corr.alias("corr")

@@ -256,8 +256,11 @@ GRADED_WINDOW: list[str] = [
     # PSI-ordered fold), q_quantile_normalize (all-integer empirical-
     # CDF matching, equi-join on expanded ref ranks), q_geohash_encode
     # (all-integer Morton/base32 generated once for both engines,
-    # zero-exchange) — all oracle-paired — plus q_kcore (rows-only:
-    # iterative peeling; brute-force-equal in tests). Add the second half of the stale
+    # zero-exchange), q_ab_srm_check (χ² GOF on the randomization
+    # unit — (2a−n)²/n exact) + q_ratio_metric_delta (delta-method z
+    # for ratio metrics, six-moment combinable agg) — all
+    # oracle-paired — plus q_kcore (rows-only: iterative peeling;
+    # brute-force-equal in tests). Add the second half of the stale
     # rows-only rotation (VERDICT r10 item 5): q_ann_index_update,
     # q_dedup_simhash, q_dedup_minhash_lsh, q_lang_id, q_quality_score
     # (these 5 + kcore = the r12 ROWS_ONLY_WINDOW), and fill remaining

@@ -2469,16 +2469,18 @@ class TestCovarianceMatrix:
                     row = out.loc[(label, i, j)]
                     assert row["n"] == n
                     assert row["sx"] == sx and row["sy"] == sy and row["sxy"] == sxy
-                    num = n * sxy - sx * sy
-                    cov = float(num) / (float(n) * float(n) * 1099511627776.0)
+                    # mirror the engines' DOUBLE chain (the finalize is
+                    # float-form so it cannot overflow BIGINT at scale —
+                    # the 100x-probe lesson), not integer-then-cast
+                    num = float(n) * float(sxy) - float(sx) * float(sy)
+                    cov = num / (float(n) * float(n) * 1099511627776.0)
                     assert row["cov"] == cov  # bit-equal, not approx
-                    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
-                    if vx == 0 or vy == 0:
+                    vx = float(n) * float(sxx) - float(sx) * float(sx)
+                    vy = float(n) * float(syy) - float(sy) * float(sy)
+                    if vx <= 0 or vy <= 0:
                         assert pd.isna(row["corr"])
                     else:
-                        corr = float(num) / (
-                            math.sqrt(float(vx)) * math.sqrt(float(vy))
-                        )
+                        corr = num / (math.sqrt(vx) * math.sqrt(vy))
                         assert row["corr"] == corr
 
     def test_moments_merge_equals_recompute(self, spark):
@@ -2735,3 +2737,75 @@ class TestGeohashEncode:
                 (r["c_custkey"] % 300) - 149.5,
                 length=4,
             )
+
+
+class TestAbSrmAndDelta:
+    """SRM goodness-of-fit + delta-method ratio metric vs numpy."""
+
+    def test_srm_matches_direct_computation(self, spark):
+        import hashlib
+
+        import pandas as pd
+
+        from noaa_etl_spark.queries import QUERIES
+        from tests.conftest import SF_DIR
+
+        out = QUERIES["q_ab_srm_check"](spark, SF_DIR).toPandas()
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        users = ev["user_id"].dropna().unique()
+        a = sum(
+            1
+            for u in users
+            if hashlib.md5(f"ab:{u}".encode()).hexdigest()[0] < "8"
+        )
+        n = len(users)
+        assert out.loc[0, "n_a"] == a and out.loc[0, "n_units"] == n
+        chi2 = float((2 * a - n) ** 2) / float(n)
+        assert out.loc[0, "chi2"] == chi2
+        assert bool(out.loc[0, "srm_detected"]) == (chi2 > 3.841459)
+
+    def test_delta_method_matches_numpy(self, spark):
+        """z must match an independent numpy delta-method evaluation
+        to float precision (the formula, not the SQL mirror)."""
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from noaa_etl_spark.queries import QUERIES
+        from tests.conftest import SF_DIR
+
+        out = QUERIES["q_ratio_metric_delta"](spark, SF_DIR).toPandas()
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        ev = ev[ev["user_id"].notna()].copy()
+        ev["cents"] = np.floor(ev["value"] * 100).astype(np.int64)
+        stats = {}
+        for arm_name in ("A", "B"):
+            rows = []
+            for u, g in ev.groupby("user_id"):
+                arm = (
+                    "A"
+                    if hashlib.md5(f"ab:{u}".encode()).hexdigest()[0] < "8"
+                    else "B"
+                )
+                if arm != arm_name:
+                    continue
+                x = int(g.loc[g["event_type"] == "purchase", "cents"].sum())
+                y = int((g["event_type"] == "click").sum())
+                rows.append((x, y))
+            xs = np.array([r[0] for r in rows], dtype=np.float64)
+            ys = np.array([r[1] for r in rows], dtype=np.float64)
+            n = len(rows)
+            r = xs.sum() / ys.sum()
+            sxx = np.cov(xs, ddof=1)
+            syy = np.cov(ys, ddof=1)
+            sxy = np.cov(xs, ys, ddof=1)[0, 1]
+            var = (sxx - 2 * r * sxy + r * r * syy) / (n * (ys.mean() ** 2))
+            stats[arm_name] = (n, r, float(var))
+        za = (stats["A"][1] - stats["B"][1]) / np.sqrt(
+            stats["A"][2] + stats["B"][2]
+        )
+        assert out.loc[0, "n_a"] == stats["A"][0]
+        assert out.loc[0, "n_b"] == stats["B"][0]
+        assert abs(out.loc[0, "ratio_a"] - stats["A"][1]) < 1e-12
+        assert abs(out.loc[0, "z"] - za) < 1e-9

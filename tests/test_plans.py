@@ -1074,3 +1074,22 @@ def test_geohash_scan_local_zero_exchange(spark):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_srm_single_distinct_agg_no_window(spark):
+    """SRM is a count over distinct users: combinable partial-distinct
+    aggregates, no window, no join."""
+    plan = plan_of(spark, "q_ab_srm_check")
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_ratio_delta_two_stacked_aggs(spark):
+    """Delta method: events collapse to user grain, user grain to arm
+    moments — two combinable aggs, no window, no join, and the events
+    scan reads only the three needed columns."""
+    plan = plan_of(spark, "q_ratio_metric_delta")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 3

@@ -356,6 +356,10 @@ AUDITED = [
     # geohash: scan-local integer projection (any exchange/UDF is the
     # regression).
     "q_geohash_encode",
+    # SRM is one combinable distinct agg; delta method is two stacked
+    # combinable aggs (events -> user grain -> arm moments).
+    "q_ab_srm_check",
+    "q_ratio_metric_delta",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
