@@ -255,11 +255,18 @@ def simhash_near_dup(
     )
     left = chunks.select(F.col("ck").alias("ck"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     right = chunks.select(F.col("ck").alias("ck2"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # hamming filter BEFORE dropDuplicates: the verify predicate is
+    # computed pipelined on the join output, so only true near-dup
+    # pairs ever reach the dedup shuffle. The reverse order (dedup all
+    # candidate pairs, then filter) materializes the FULL banded
+    # fan-out — Σ cnt² over 2^16 band keys — and OOM'd the JVM at the
+    # 100× sweep (periodic replication multiplies every band count;
+    # real templated corpora skew the same way — the Ed-Join lesson).
     return (
         left.join(right, (left.ck == right.ck2) & (left.id_a < right.id_b))
         .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -661,11 +661,16 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = basket.select("l_orderkey", F.col("p_brand").alias("brand_a"))
     b = basket.select("l_orderkey", F.col("p_brand").alias("brand_b"))
     # The pair enumeration is basket×basket on the ORDER key — big×big
-    # BY DESIGN at 100 TB, so pin shuffle_hash (the AQE-flap rule): the
-    # checkpointed scan carries no stats, and neither a fixture-scale
-    # broadcast flip nor a sort-merge sort is the honest plan.
+    # BY DESIGN at 100 TB, pinned MERGE (not shuffle_hash): the
+    # checkpointed scan carries no stats so AQE's fixture-scale
+    # broadcast flip must be pinned away, but ShuffledHashJoin builds a
+    # NON-SPILLABLE per-partition hash relation and aborted the 100×
+    # sweep with "Can't acquire ... to build hash relation" — sort-merge
+    # spills, which is the honest plan when the per-partition build side
+    # grows with data (contrast skew_join_salted, where the salt BOUNDS
+    # the build partition and shuffle_hash stays correct).
     pairs = (
-        a.join(b.hint("shuffle_hash"), "l_orderkey")
+        a.join(b.hint("merge"), "l_orderkey")
         .filter(F.col("brand_a") < F.col("brand_b"))
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
@@ -780,13 +785,16 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1 = nbrs.select("node", F.col("nbr").alias("a"))
     n2 = nbrs.select("node", F.col("nbr").alias("b"))
-    # shuffle_hash hint: the wedge self-join is big×big at scale (both
-    # sides are the full neighbor relation), so pin the 100 TB-honest
-    # strategy instead of letting AQE flip it to broadcast at fixture
-    # sizes — the flip KEEPS the feeding exchanges and proved
-    # session-order-dependent, flapping the COSTS gate.
+    # merge hint: the wedge self-join is big×big at scale (both sides
+    # are the full neighbor relation), so pin a deterministic strategy
+    # instead of letting AQE flip it to broadcast at fixture sizes —
+    # the flip KEEPS the feeding exchanges and proved session-order-
+    # dependent, flapping the COSTS gate. MERGE, not shuffle_hash: the
+    # per-partition build side grows with the data and SHJ's hash
+    # relation cannot spill (the basket_lift 100×-sweep abort class);
+    # sort-merge pays a spillable sort instead of an un-spillable OOM.
     common = (
-        n1.hint("shuffle_hash").join(n2, "node")
+        n1.hint("merge").join(n2, "node")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))

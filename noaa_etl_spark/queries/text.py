@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from noaa_etl_spark.functions.text import (
@@ -302,36 +302,65 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5.
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5, via LOSSLESS
+    prefix filtering (the PPJoin/SSJoin principle).
 
-    This is the *exact* (oracle-checkable) form: candidate pairs via a
-    shared-shingle equi-join (inverted index), never a cross join — the
-    same blocking idea MinHash-LSH approximates with signatures.
-    """
+    The r11 100× execution sweep killed the previous all-grams
+    inverted-index join with >56 GB of shuffle spill: indexing EVERY
+    gram makes the candidate fan-out Σ df², and common grams dominate
+    it (replication multiplies every df; templated corpora skew the
+    same way — the round-6 Ed-Join degeneracy, now caught in its
+    Jaccard sibling). Prefix filtering keeps the result EXACT: order
+    all grams globally by (df, gram) rarest-first and index only each
+    doc's first ⌊n/2⌋+1 = n − ⌈t·n⌉ + 1 grams; any pair with J ≥ t has
+    overlap ≥ ⌈t·max(na,nb)⌉, and two sets with overlap ≥ α must
+    collide inside their (n−α+1)-prefixes (pigeonhole on the shared
+    suffix), so no qualifying pair is missed. High-df stop-grams land
+    at the END of the order and are never indexed — the fan-out now
+    tracks RARE-gram df², which is what actually shrinks. Candidates
+    verify exactly via array_intersect of the full (distinct) gram
+    arrays — same integer intersection as the old count, bit-identical
+    jaccard. Both multi-reader frames localCheckpoint (grams feeds the
+    df count, the prefix, and the verify; the prefix feeds both join
+    sides — the Ed-Join persist lesson)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     grams_df = (
         docs.filter(F.size(toks) >= 3)
         .select("doc_id", F.array_distinct(ngrams(toks, 3)).alias("grams"))
+        .localCheckpoint()
     )
-    exploded = grams_df.select("doc_id", F.explode("grams").alias("g"))
-    sizes = grams_df.select("doc_id", F.size("grams").alias("n"))
-    a = exploded.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
-    b = exploded.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
-    pairs = (
-        a.join(b, (F.col("ga") == F.col("gb")) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    exploded = grams_df.select(
+        "doc_id", F.size("grams").alias("n"), F.explode("grams").alias("g")
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    dfc = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    prefix = (
+        exploded.join(dfc, "g")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.floor(F.col("n") / 2) + 1)
+        .select("doc_id", "g")
+        .localCheckpoint()
+    )
+    a = prefix.select(F.col("doc_id").alias("id_a"), "g")
+    b = prefix.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    cand = (
+        a.join(b, (F.col("g") == F.col("gb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    ga = grams_df.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb_full = grams_df.select(
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    na, nb = F.size("grams_a"), F.size("grams_b")
+    jac = inter.cast("double") / (na + nb - inter).cast("double")
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(ga, "id_a")
+        .join(gb_full, "id_b")
         .filter(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard_sim"))
-        .orderBy("id_a", "id_b")
     )
 
 

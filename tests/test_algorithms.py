@@ -2809,3 +2809,41 @@ class TestAbSrmAndDelta:
         assert out.loc[0, "n_b"] == stats["B"][0]
         assert abs(out.loc[0, "ratio_a"] - stats["A"][1]) < 1e-12
         assert abs(out.loc[0, "z"] - za) < 1e-9
+
+
+class TestSimhashNearDup:
+    """simhash_near_dup == brute-force hamming over all pairs (the
+    banding is lossless for hamming <= 3 by pigeonhole: 4 chunks, at
+    most 3 differing bits => one chunk untouched)."""
+
+    def test_matches_bruteforce(self, spark):
+        import itertools
+
+        from noaa_etl_spark.functions.text import tokenize
+        from noaa_etl_spark.operators.dedup import simhash64, simhash_near_dup
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dogs"),  # near-dup of 1
+            (3, "completely different text about spark physical plans"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (5, "spark physical plans are completely different text about"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_near_dup(df, max_hamming=3).collect()
+        }
+        sh = {
+            r["doc_id"]: r["sh"]
+            for r in df.select(
+                "doc_id", simhash64(tokenize(F.col("text"))).alias("sh")
+            ).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(sh), 2):
+            h = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+        assert got == want
+        assert (1, 4) in want  # exact dup pair present at hamming 0

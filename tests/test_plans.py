@@ -655,7 +655,10 @@ def test_market_basket_no_item_cross_join(spark):
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
-    assert "SortMergeJoin" not in tree or "l_orderkey" in tree
+    # exactly ONE sort-merge join: the pinned big×big pair enumeration
+    # (merge, not shuffle_hash — SHJ's non-spillable build aborted the
+    # 100× sweep); everything else broadcasts.
+    assert tree.count("SortMergeJoin") == 1, tree
 
 
 def test_acf_runs_on_reduced_daily_relation(spark):
