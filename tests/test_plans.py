@@ -1068,6 +1068,21 @@ def test_chi_square_windows_on_bounded_grid(spark):
     # the fact scan is behind the checkpoint: no parquet scan of events
     # appears in the final plan at all.
     assert "Scan parquet" not in tree or "events" not in tree
+    # positive properties (not just the truncation artifact): the
+    # marginal windows DO appear, running above the checkpointed grid
+    # scan, and the plan's source is the checkpoint (ExistingRDD).
+    assert tree.count("Window") >= 1
+    assert "Scan ExistingRDD" in tree
+    # the SinglePartition exchanges are exactly the grid-grain total-N
+    # marginal (input carries band) and the one-row finalize (agg
+    # buffers) — never a fact-grain repartition.
+    import re as _re
+    singles = [m.start() for m in _re.finditer(r"Arguments: SinglePartition", plan)]
+    assert 1 <= len(singles) <= 2, plan
+    grid_marginal = [
+        i for i in singles if "band" in plan[plan.rfind("Input", 0, i):i]
+    ]
+    assert grid_marginal, "expected the grid-marginal single-partition window"
 
 
 def test_geohash_scan_local_zero_exchange(spark):

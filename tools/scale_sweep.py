@@ -13,6 +13,14 @@ prunes the projected expressions); the noop sink computes every column.
 Streaming twins are skipped (their arithmetic is the shared batch
 finalize; their foreachBatch drains would copy the replica 3x each).
 
+CAVEAT — run HEAVY queries ONE PER INVOCATION: an executor/JVM OOM
+kills the shared local SparkSession and every later query in the same
+run reports FAIL unclassified (observed live in the round-11 sweep,
+where four heavy ops were misreported off one OOM). After any FAIL the
+sweep now probes session health with spark.range(1).count() and aborts
+with status "session poisoned" instead of emitting junk rows; restart
+the process (the .tmp/scale{N} replica persists, so rebuilds are free).
+
 Usage: python tools/scale_sweep.py [N] [cap_seconds] [query ...]
 Prints one line per query and a final JSON summary.
 """
@@ -43,6 +51,7 @@ def main() -> None:
     big = build(spark, n)
 
     results: dict[str, dict] = {}
+    poisoned_after: str | None = None
     for name in names:
         group = f"sweep:{name}"
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel=True)
@@ -70,6 +79,21 @@ def main() -> None:
         wall = time.perf_counter() - t0
         results[name] = {"status": status, "sec": round(wall, 1), "detail": detail}
         print(f"{name}: {status} [{wall:.1f}s] {detail}", flush=True)
+        if status == "FAIL":
+            # An executor/JVM OOM poisons the shared session: every
+            # later query would read FAIL unclassified. Probe health
+            # and abort rather than emit junk rows.
+            try:
+                spark.range(1).count()
+            except Exception:
+                print(
+                    f"SESSION POISONED after {name} — aborting sweep; "
+                    f"rerun remaining queries in a fresh invocation",
+                    flush=True,
+                )
+                results[name]["detail"] += " [session poisoned after this]"
+                poisoned_after = name
+                break
 
     summary = {
         "n": n,
@@ -78,6 +102,8 @@ def main() -> None:
         "ok": sum(1 for r in results.values() if r["status"] == "ok"),
         "timeout": sorted(k for k, r in results.items() if r["status"] == "timeout"),
         "fail": {k: r["detail"] for k, r in results.items() if r["status"] == "FAIL"},
+        "session_poisoned_after": poisoned_after,
+        "not_run": [q for q in names if q not in results],
     }
     print(json.dumps(summary))
     spark.stop()
