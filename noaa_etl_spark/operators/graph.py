@@ -411,3 +411,57 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
         )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA,
+    Raghavan et al. 2007) made DETERMINISTIC: every node starts as its
+    own label; each round every node adopts the most frequent label
+    among its neighbors, ties broken by SMALLEST label (classic LPA
+    breaks ties randomly — engine-reproducibility demands a total
+    order), for a FIXED number of synchronous rounds (sync LPA can
+    2-cycle on bipartite-ish structure, so a fixpoint test would not
+    terminate; a fixed round budget is the standard remedy and keeps
+    the result a pure function of the graph). Input: canonical
+    undirected (u, v) edges, u < v, deduped. Returns (node, label).
+
+    Per round: one (node, label) hash join onto the symmetrized edge
+    list + one combinable (node, label) count + one min_by argmax on
+    the node grain — the CC cost model (16-byte rows, no adjacency
+    materialization); per-round localCheckpoint and caller-scoped
+    shuffle sizing (the iterative-loop rule). Isolated nodes keep
+    their own label (LEFT join + coalesce).
+
+    100 TB: rounds is a constant (5 recovers communities on
+    small-world graphs; LPA's own literature uses <10); each round's
+    shuffle moves degree-many (node, label) pairs.
+    """
+    raw = edges.select(F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v"))
+    with _graph_sized_shuffle(edges.sparkSession, raw.count()):
+        sym = (
+            raw.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            .unionByName(raw.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+            .localCheckpoint()
+        )
+        nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+        labels = nodes.select("node", F.col("node").alias("label"))
+        for _ in range(rounds):
+            msgs = sym.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            ).select(F.col("src").alias("node"), "label")
+            counts = msgs.groupBy("node", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            new = counts.groupBy("node").agg(
+                F.min_by(
+                    "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
+                ).alias("new_label")
+            )
+            labels = (
+                nodes.join(new, "node", "left")
+                .select(
+                    "node", F.coalesce("new_label", F.col("node")).alias("label")
+                )
+                .localCheckpoint()
+            )
+    return labels

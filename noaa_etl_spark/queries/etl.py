@@ -1062,3 +1062,156 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(refidx), "idx")
     )
     return joined.select("source", "v", "c", F.col("norm_v").cast("bigint").alias("norm_v"))
+
+
+# Fellegi–Sunter log-likelihood weights, PRECOMPUTED as decimal literals
+# so neither engine evaluates ln() at query time (the 1-ulp ln doctrine,
+# solved at the source: identical literals -> identical doubles, and the
+# 3-term sum folds left-to-right in both engines -> bit-equal weights).
+# m = P(agree | match), u = P(agree | non-match):
+#   name  (levenshtein <= 1): m=0.95, u=0.001
+#   segment (exact):          m=0.97, u=0.2
+#   balance (within $10):     m=0.99, u=0.05
+FS_W = {
+    "name_a": "6.856461984594587",
+    "name_d": "-2.9947317732204066",
+    "seg_a": "1.5789787049493917",
+    "seg_d": "-3.283414346005771",
+    "bal_a": "2.9856819377004893",
+    "bal_d": "-4.55387689160054",
+}
+FS_MATCH_THRESHOLD = 5.0
+
+RECORD_LINKAGE_ORACLE = f"""
+    WITH clean AS (
+      SELECT c_custkey AS k, c_name AS name, c_nationkey AS nat,
+             c_mktsegment AS seg,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    dirty AS (
+      SELECT k + 10000000 AS k,
+             CASE WHEN substr(md5('rl1:' || CAST(k AS VARCHAR)), 1, 2) < '4d'
+                  THEN substr(name, 1, 9) || substr(name, 11)
+                  ELSE name END AS name,
+             nat,
+             CASE WHEN substr(md5('rl2:' || CAST(k AS VARCHAR)), 1, 2) < '33'
+                  THEN 'UNKNOWN' ELSE seg END AS seg,
+             CASE WHEN substr(md5('rl3:' || CAST(k AS VARCHAR)), 1, 2) < '1a'
+                  THEN cents + 250000 ELSE cents END AS cents
+      FROM clean
+    ),
+    pairs AS (
+      SELECT c.k AS clean_key, d.k AS dirty_key,
+             (CASE WHEN levenshtein(c.name, d.name) <= 1
+                   THEN {FS_W["name_a"]} ELSE {FS_W["name_d"]} END)
+             + (CASE WHEN c.seg = d.seg
+                     THEN {FS_W["seg_a"]} ELSE {FS_W["seg_d"]} END)
+             + (CASE WHEN abs(c.cents - d.cents) <= 1000
+                     THEN {FS_W["bal_a"]} ELSE {FS_W["bal_d"]} END) AS w
+      FROM clean c JOIN dirty d
+        ON c.nat = d.nat
+       AND substr(c.name, length(c.name) - 1) = substr(d.name, length(d.name) - 1)
+    )
+    SELECT clean_key, dirty_key, w AS fs_weight,
+           w >= {FS_MATCH_THRESHOLD!r} AS is_match
+    FROM pairs
+    ORDER BY clean_key, dirty_key
+    """
+
+
+@graded("q_record_linkage_fs", oracle=RECORD_LINKAGE_ORACLE)
+def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage: score candidate
+    (clean, dirty) customer pairs by the classic log-likelihood weight
+    w = Σ_fields ln(m/u) if the field agrees else ln((1−m)/(1−u)), and
+    classify matches at a weight threshold — the statistical backbone
+    of master-data matching (Splink/dedupe.io), composing with
+    q_fuzzy_name_match (comparators) and q_entity_resolution
+    (clustering) into the full MDM stack.
+
+    The dirty side is synthesized deterministically from the clean one
+    (md5-gated corruptions: 30% name char-drop at position 10, 20%
+    segment wipe, 10% balance shift by $2,500), so both engines build
+    IDENTICAL inputs. Field comparators: levenshtein(name) ≤ 1 —
+    tolerant of exactly the planted drop; segment equality; |balance
+    difference| ≤ $10 on floor-cents BIGINTs (floor, never CAST —
+    DuckDB CAST rounds half-away and acctbal goes negative).
+
+    BLOCKING: (nationkey, last-2-chars-of-name). The name suffix
+    survives the mid-name corruption by construction — blocking keys
+    must be chosen from corruption-stable features, the real-world MDM
+    discipline — and spreads each nation's customers across 100
+    sub-blocks, so block size stays O(customers / 2500): the all-pairs
+    comparison this bounds is the operator's scale story (a 100×
+    corpus grows block COUNT, not block size, because the suffix
+    distribution is uniform).
+
+    Exactness: ln() never runs at query time — the six FS weights are
+    precomputed decimal literals (FS_W) shared verbatim by both
+    engines, and each pair's weight is one fixed 3-term double sum ⇒
+    bit-equal, so is_match cannot flip cross-engine.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    g = lambda tag: F.substring(  # noqa: E731 — md5 gate, the house pattern
+        F.md5(F.concat(F.lit(tag), F.col("k").cast("string"))), 1, 2
+    )
+    dirty = clean.select(
+        (F.col("k") + 10_000_000).alias("k"),
+        F.when(
+            g("rl1:") < "4d",
+            F.concat(F.substring("name", 1, 9), F.expr("substring(name, 11)")),
+        )
+        .otherwise(F.col("name"))
+        .alias("name"),
+        "nat",
+        F.when(g("rl2:") < "33", F.lit("UNKNOWN")).otherwise(F.col("seg")).alias("seg"),
+        F.when(g("rl3:") < "1a", F.col("cents") + 250_000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    suf = lambda c: F.expr(f"substring({c}, length({c}) - 1)")  # noqa: E731
+    c = clean.select(
+        F.col("k").alias("clean_key"),
+        F.col("name").alias("name_c"),
+        F.col("nat").alias("nat_c"),
+        F.col("seg").alias("seg_c"),
+        F.col("cents").alias("cents_c"),
+        suf("name").alias("blk_c"),
+    )
+    d = dirty.select(
+        F.col("k").alias("dirty_key"),
+        F.col("name").alias("name_d"),
+        F.col("nat").alias("nat_d"),
+        F.col("seg").alias("seg_d"),
+        F.col("cents").alias("cents_d"),
+        suf("name").alias("blk_d"),
+    )
+    pairs = c.join(
+        d, (F.col("nat_c") == F.col("nat_d")) & (F.col("blk_c") == F.col("blk_d"))
+    )
+    w = (
+        F.when(
+            F.levenshtein("name_c", "name_d") <= 1, F.lit(float(FS_W["name_a"]))
+        ).otherwise(F.lit(float(FS_W["name_d"])))
+        + F.when(F.col("seg_c") == F.col("seg_d"), F.lit(float(FS_W["seg_a"]))).otherwise(
+            F.lit(float(FS_W["seg_d"]))
+        )
+        + F.when(
+            F.abs(F.col("cents_c") - F.col("cents_d")) <= 1000,
+            F.lit(float(FS_W["bal_a"])),
+        ).otherwise(F.lit(float(FS_W["bal_d"])))
+    )
+    return pairs.select(
+        "clean_key",
+        "dirty_key",
+        w.alias("fs_weight"),
+        (w >= FS_MATCH_THRESHOLD).alias("is_match"),
+    )

@@ -1698,3 +1698,270 @@ def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(z) > 1.959964)
         .alias("significant"),
     )
+
+
+CALIBRATION_ORACLE = """
+    WITH scored AS (
+      SELECT CAST(CAST('0x' || substr(md5('cal:' || CAST(user_id AS VARCHAR)), 1, 12)
+                  AS UBIGINT) AS BIGINT) AS s48,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    binned AS (
+      SELECT CAST(s48 * 10 // 281474976710656 AS BIGINT) AS bin,
+             s48 // 1048576 AS s28, y
+      FROM scored
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(s28) AS BIGINT) / (CAST(count(*) AS DOUBLE) * 268435456.0)
+             AS mean_pred,
+           CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE) AS obs_rate
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """
+
+
+def calibration_finalize(partials: DataFrame) -> DataFrame:
+    """Shared calibration finalization over the per-bin integer partials
+    (bin, n, n_pos, s28_sum) — all three measures are pure addition, so
+    the streaming twin folds them per micro-batch; the two divisions
+    happen here, once, over exact BIGINTs ⇒ bit-equal either route."""
+    return (
+        partials.groupBy("bin")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("n_pos").cast("bigint").alias("n_pos"),
+            F.sum("s28_sum").cast("bigint").alias("s28_sum"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (
+                F.col("s28_sum").cast("double")
+                / (F.col("n").cast("double") * F.lit(268435456.0))
+            ).alias("mean_pred"),
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "obs_rate"
+            ),
+        )
+        .select("bin", "n", "n_pos", "mean_pred", "obs_rate")
+    )
+
+
+def calibration_partials(ev: DataFrame) -> DataFrame:
+    """Per-bin integer partials from a (user_id, event_type) slice —
+    the mergeable state of the calibration-bin report."""
+    s48 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cal:"), F.col("user_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("s48")
+    )
+    y = F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y")
+    binned = ev.select(s48, y).select(
+        F.expr("s48 * 10 div 281474976710656").cast("bigint").alias("bin"),
+        F.expr("s48 div 1048576").alias("s28"),
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum("s28").cast("bigint").alias("s28_sum"),
+    )
+
+
+@graded("q_calibration_bins", oracle=CALIBRATION_ORACLE)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration bins) for a scored classifier —
+    the ML-eval step between ranking metrics (q_ndcg_eval) and
+    inference tests (q_ab_test_report): decile-bin the model score,
+    compare mean predicted probability against observed positive rate
+    per bin. A calibrated model sits on the diagonal; the per-bin gap
+    is what Platt scaling / isotonic regression would correct.
+
+    The 'model' is the house deterministic stand-in: score = 48-bit
+    md5 uniform of user_id (kmv_hash's derivation), outcome = the
+    event being a click — both engines score IDENTICAL integers, so
+    the operator's arithmetic, not a trained artifact, is what's
+    graded. Bin index is ALL-INTEGER (s48·10 div 2^48 — never a float
+    multiply that could straddle a bin edge). OVERFLOW CONTRACT
+    (applied up front per the finalize-product doctrine): Σs48 at
+    2^48/term would ANSI-abort at ~2^15 rows per bin — well inside the
+    100× probe — so the mean sums the PRE-SCALED s48 div 2^20
+    (≤ 2^28/term, safe to 2^35 rows per bin ≈ 3.4e10), both engines
+    truncating identically; mean_pred divides by n·2^28 once ⇒
+    bit-equal. obs_rate is one division of exact counts.
+
+    100 TB: scan-local scoring, one combinable 10-group agg — the
+    q_pricing_summary shape.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return calibration_finalize(calibration_partials(ev))
+
+
+@graded(
+    "q_dp_noise_agg",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    noised AS (
+      SELECT event_type, n,
+             (CAST(CAST('0x' || substr(md5('dp:' || event_type), 1, 12)
+                   AS UBIGINT) AS BIGINT) + 0.5) / 281474976710656.0 AS u
+      FROM counts
+    )
+    SELECT event_type, n,
+           round(n + (CASE WHEN u >= 0.5 THEN -2.0 ELSE 2.0 END)
+                     * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n,
+           CAST(floor(round(n + (CASE WHEN u >= 0.5 THEN -2.0 ELSE 2.0 END)
+                            * ln(1.0 - 2.0 * abs(u - 0.5)), 6) + 0.5)
+                AS BIGINT) AS released_n
+    FROM noised
+    ORDER BY event_type
+    """,
+)
+def q_dp_noise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private released counts — the Laplace mechanism
+    on a grouped count query (sensitivity 1, ε = 0.5 ⇒ scale b = 2):
+    the privacy family's release step, after q_k_anonymity (suppression)
+    and q_pii_scrub (redaction). Noise is drawn by inverse-CDF from the
+    house deterministic uniform (48-bit md5 of the GROUP KEY, +0.5
+    offset keeps u strictly inside (0,1) so ln(1−2|u−½|) is finite):
+    lap = −b·sign(u−½)·ln(1−2|u−½|). A deterministic 'draw' is of
+    course not private in the cryptographic sense — the operator
+    demonstrates the MECHANISM arithmetic (and keeps the release
+    reproducible for the engineering pipeline); production swaps the
+    md5 for a sealed RNG and drops true n from the output.
+
+    Exactness: the single ln() per group follows the ln doctrine —
+    noisy_n graded ROUNDED 6dp, released_n derived from the ROUNDED
+    value (floor(x+0.5), the quantize_int8 rounding contract), so a
+    1-ulp ln difference cannot flip the integer release.
+
+    100 TB: one combinable count agg; the noise is a literal-arithmetic
+    projection on the |groups|-row aggregate. ε composes across
+    releases by simple addition — run the budget ledger outside.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 12), 16, 10)
+        .cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(281474976710656.0)
+    lap = (
+        F.when(u >= 0.5, F.lit(-2.0)).otherwise(F.lit(2.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    noisy = F.round(F.col("n") + lap, 6)
+    return counts.select(
+        "event_type",
+        "n",
+        noisy.alias("noisy_n"),
+        F.floor(noisy + F.lit(0.5)).cast("bigint").alias("released_n"),
+    )
+
+
+@graded(
+    "q_auc_eval",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(CAST('0x' || substr(md5('cal:' || CAST(user_id AS VARCHAR)), 1, 12)
+                  AS UBIGINT) AS BIGINT) // 268435456 AS s20,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    grid AS (
+      SELECT s20,
+             CAST(count(*) FILTER (y = 1) AS BIGINT) AS pos_c,
+             CAST(count(*) FILTER (y = 0) AS BIGINT) AS neg_c
+      FROM scored GROUP BY s20
+    ),
+    cums AS (
+      SELECT pos_c, neg_c,
+             coalesce(sum(neg_c) OVER (ORDER BY s20
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+      FROM grid
+    ),
+    agg AS (
+      SELECT CAST(sum(pos_c) AS BIGINT) AS n_pos,
+             CAST(sum(neg_c) AS BIGINT) AS n_neg,
+             CAST(sum(pos_c * (2 * neg_below + neg_c)) AS BIGINT) AS u2
+      FROM cums
+    )
+    SELECT n_pos, n_neg,
+           CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+             AS auc
+    FROM agg
+    """,
+)
+def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a scored binary classifier by the rank identity
+    AUC = P(s⁺ > s⁻) + ½P(s⁺ = s⁻) — the ML-eval companion to
+    q_calibration_bins (same deterministic md5 score, outcome = click),
+    computed EXACTLY from the score-value count grid: per distinct
+    score, u2-contribution = pos_c·(2·neg_below + neg_c) (doubled so
+    tie halves stay integer — the Mann-Whitney doubled-rank discipline;
+    AUC and U are the same statistic, U = u2/2), one division at the
+    end ⇒ bit-equal.
+
+    BOUNDED-GRID design: the score is QUANTIZED to 20 bits
+    (s48 div 2^28) as part of the operator contract, so the cumulative
+    window runs on a ≤ 2^20-row relation no matter the corpus size —
+    the chi-square bounded-grid rule applied to ranking evaluation
+    (Mann-Whitney bounds its window per source; AUC's rank is global,
+    so the GRID must be bounded instead). Overflow: u2 terms sum to
+    2·n_pos·n_neg ≤ 2^63 up to n_pos·n_neg ≈ 4.6e18 (~3e9 events
+    balanced) — document past that, quantize counts.
+
+    100 TB: one combinable grid agg (≤1M groups), window + finalize on
+    the bounded grid.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    s48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cal:"), F.col("user_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    scored = ev.select(
+        s48.alias("s48"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+    ).select(F.expr("s48 div 268435456").alias("s20"), "y")
+    grid = scored.groupBy("s20").agg(
+        F.sum("y").cast("bigint").alias("pos_c"),
+        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("neg_c"),
+    )
+    w_run = Window.orderBy("s20").rowsBetween(Window.unboundedPreceding, -1)
+    cums = grid.select(
+        "pos_c",
+        "neg_c",
+        F.coalesce(F.sum("neg_c").over(w_run), F.lit(0)).alias("neg_below"),
+    )
+    agg = cums.agg(
+        F.sum("pos_c").cast("bigint").alias("n_pos"),
+        F.sum("neg_c").cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos_c") * (F.lit(2) * F.col("neg_below") + F.col("neg_c")))
+        .cast("bigint")
+        .alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("u2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )

@@ -1096,3 +1096,47 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=3).select(
         F.col("node").cast("bigint").alias("part"), "core_deg"
     )
+
+
+@graded("q_label_propagation")  # rows-only: iterative sync rounds have
+# no SQL oracle (DuckDB recursive CTEs cannot re-aggregate neighbor
+# modes per round); exactness vs a Python reference LPA is pinned in
+# tests/test_algorithms.py on planted two-community and barbell graphs.
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the high-quantity part-co-purchase graph
+    (the q_kcore / q_triangle_count edge universe) via deterministic
+    synchronous label propagation (operators/graph.label_propagation,
+    5 rounds, min-label tiebreak) — the clustering step after the
+    density filter (kcore) and before per-community rollups; completes
+    the graph family (CC, BFS, PageRank, triangles, degrees, k-core,
+    LPA).
+
+    Output: one row per community (label, n_members, min_part) for
+    communities of ≥ 2 parts — the community census, not the raw
+    assignment (compact and grading-stable).
+
+    100 TB: 5 rounds × (edge-label join + combinable count + node-grain
+    argmax), 16-byte rows, data-sized scoped shuffles — the CC cost
+    model with a constant round budget.
+    """
+    from noaa_etl_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    labels = label_propagation(edges, rounds=5)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").cast("bigint").alias("min_part"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(F.col("label").cast("bigint").alias("label"), "n_members", "min_part")
+    )

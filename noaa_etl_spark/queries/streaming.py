@@ -2259,3 +2259,218 @@ def q_stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
     return mannwhitney_finalize(folded.localCheckpoint())
+
+
+from noaa_etl_spark.queries.temporal import FUNNEL_ORACLE, funnel_from_user_mins
+
+
+@graded("q_stream_funnel", oracle=FUNNEL_ORACLE)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the ordered-event funnel (twin #26): events
+    drain as three micro-batches; each batch's state is the per-user
+    min-CASE pivot (first view/click/purchase epoch-micros seen in that
+    batch), written batch_id-keyed (restart-idempotent overwrite). The
+    state is MIN-mergeable — min of per-batch minima == global minimum,
+    and min() ignores the NULLs of batches where a user never hit a
+    stage — while the funnel predicates (t_click > t_view, ...) are
+    NOT: a user can 'view' in batch 2 and 'click' in batch 0, so any
+    per-batch funnel verdict would be wrong. Fold first, then run the
+    shared finalization (funnel_from_user_mins) over the folded table —
+    the twin grades against FUNNEL_ORACLE verbatim, extending
+    twin-equality to ordered-sequence predicates evaluated on folded
+    first-occurrence state.
+
+    100 TB: per-trigger work is one combinable agg over the batch; the
+    persisted state is three BIGINTs per user (the continuously
+    maintained first-touch table every funnel/attribution consumer
+    shares).
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_funnel")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", F.unix_micros("ts").alias("t_us"))
+    )
+    gate = F.pmod(F.xxhash64(F.lit("sfun"), F.col("t_us")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        t = F.col("t_us")
+        partial = batch_df.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "view", t)).alias("t_view"),
+            F.min(F.when(F.col("event_type") == "click", t)).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_purchase"),
+        )
+        record_foreach_batch_plan("stream_funnel_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = spark.read.parquet(states).groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return funnel_from_user_mins(folded)
+
+
+from noaa_etl_spark.queries.text import OOV_ORACLE, oov_finalize
+
+
+@graded("q_stream_oov_rate", oracle=OOV_ORACLE)
+def q_stream_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the OOV-rate report (twin #27): documents
+    drain as three micro-batches; each batch's state is its (source,
+    token, count) rollup, batch_id-keyed (restart-idempotent
+    overwrite). Token counts are sum-mergeable; the VOCABULARY is not —
+    the top-K cut depends on corpus-wide totals, so a per-batch vocab
+    would misclassify tokens that are rare early and common late. Fold
+    the counts first, then run the shared finalization (oov_finalize)
+    over the folded relation — grades against OOV_ORACLE verbatim,
+    extending twin-equality to derived-vocabulary statistics (the
+    q_stream_dsir lesson, applied to the vocab itself).
+
+    100 TB: per-trigger work is one combinable agg over the batch; the
+    maintained state is the (source, token) reduced relation —
+    the streaming wordcount every feature store already keeps.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.functions.text import tokenize as _tok
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_oov")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    gate = F.pmod(F.xxhash64(F.lit("soov"), F.col("doc_id")), F.lit(3))
+    for i in range(3):
+        docs.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = (
+            batch_df.select("source", F.explode(_tok(F.col("text"))).alias("w"))
+            .groupBy("source", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        record_foreach_batch_plan("stream_oov_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("source", "w")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint()
+    )
+    return oov_finalize(folded)
+
+
+from noaa_etl_spark.queries.profiling import (
+    CALIBRATION_ORACLE,
+    calibration_finalize,
+    calibration_partials,
+)
+
+
+@graded("q_stream_calibration_bins", oracle=CALIBRATION_ORACLE)
+def q_stream_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the reliability diagram (twin #28): events
+    drain as three micro-batches; each batch's state is the per-bin
+    integer partials (n, n_pos, Σs28) — pure addition, the cleanest
+    mergeable-moment case — and the shared finalization performs the
+    two divisions over the folded integers, so the twin is bit-equal
+    to the batch report and grades against CALIBRATION_ORACLE verbatim.
+    The monitoring story: a LIVE calibration dashboard (model drift =
+    bins walking off the diagonal) maintained for the cost of one
+    10-row rollup per trigger.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_calib")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", F.unix_micros("ts").alias("t_us"))
+    )
+    gate = F.pmod(F.xxhash64(F.lit("scal"), F.col("t_us")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = calibration_partials(batch_df)
+        record_foreach_batch_plan("stream_calib_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    return calibration_finalize(spark.read.parquet(states))

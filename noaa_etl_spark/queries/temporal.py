@@ -629,9 +629,7 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_funnel",
-    oracle="""
+FUNNEL_ORACLE = """
     WITH per_user AS (
         SELECT user_id,
                min(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS t_view,
@@ -652,8 +650,28 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND t_purchase > t_click)
                 AS BIGINT) AS total_conversion_us
     FROM per_user
-    """,
-)
+    """
+
+
+def funnel_from_user_mins(per_user: DataFrame) -> DataFrame:
+    """Shared funnel finalization over the per-user first-occurrence
+    table (t_view, t_click, t_purchase epoch-micros, NULL = stage never
+    hit) — used by q_funnel and its streaming twin (per-user mins are
+    min-mergeable across micro-batches, the finalize is not)."""
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    converted = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).alias("n_view"),
+        F.count(F.when(clicked, 1)).alias("n_view_click"),
+        F.count(F.when(converted, 1)).alias("n_full_funnel"),
+        F.sum(F.when(converted, F.col("t_purchase") - F.col("t_view"))).alias(
+            "total_conversion_us"
+        ),
+    )
+
+
+@graded("q_funnel", oracle=FUNNEL_ORACLE)
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-event funnel (view → click → purchase): per user take
     the FIRST occurrence of each stage, then count users whose first
@@ -679,17 +697,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "click", t)).alias("t_click"),
         F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_purchase"),
     )
-    viewed = F.col("t_view").isNotNull()
-    clicked = viewed & (F.col("t_click") > F.col("t_view"))
-    converted = clicked & (F.col("t_purchase") > F.col("t_click"))
-    return per_user.agg(
-        F.count(F.when(viewed, 1)).alias("n_view"),
-        F.count(F.when(clicked, 1)).alias("n_view_click"),
-        F.count(F.when(converted, 1)).alias("n_full_funnel"),
-        F.sum(F.when(converted, F.col("t_purchase") - F.col("t_view"))).alias(
-            "total_conversion_us"
-        ),
-    )
+    return funnel_from_user_mins(per_user)
 
 
 @graded(

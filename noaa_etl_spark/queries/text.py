@@ -2552,3 +2552,97 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hard")
         .alias("band"),
     )
+
+
+OOV_VOCAB_K = 1000
+
+
+OOV_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    st AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, w
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, sum(c) AS total FROM st GROUP BY w
+        ORDER BY total DESC, w LIMIT {OOV_VOCAB_K}
+      )
+    )
+    SELECT st.source,
+           CAST(sum(st.c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NOT NULL THEN st.c ELSE 0 END)
+                AS BIGINT) AS n_in_vocab,
+           CAST(sum(CASE WHEN v.w IS NULL THEN st.c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(st.c) AS DOUBLE) AS oov_rate
+    FROM st LEFT JOIN vocab v ON st.w = v.w
+    GROUP BY st.source
+    ORDER BY st.source
+    """
+
+
+def oov_finalize(st: DataFrame) -> DataFrame:
+    """Shared OOV finalization over the (source, w, c) token-count
+    relation (callers pass it localCheckpoint'd — it feeds both the
+    global vocab reduction and the scoring join): derive the top-K
+    vocabulary and the per-source coverage report. Used by q_oov_rate
+    and its streaming twin (token counts are sum-mergeable; the vocab
+    and rates are not — finalize after folding)."""
+    vocab = (
+        st.groupBy("w")
+        .agg(F.sum("c").alias("total"))
+        .orderBy(F.desc("total"), F.asc("w"))
+        .limit(OOV_VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    scored = st.join(F.broadcast(vocab), "w", "left")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab"), F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_in_vocab"),
+            (
+                F.sum(F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@graded("q_oov_rate", oracle=OOV_ORACLE)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus top-1000
+    vocabulary — the tokenizer-coverage diagnostic run before training
+    a fixed-vocab model on a new source mix (a source whose OOV rate
+    spikes will fragment into byte-fallback tokens, inflating its
+    effective token cost; pairs with q_tokenizer_fertility, which
+    measures the same risk against a TRAINED BPE).
+
+    Vocabulary selection is DETERMINISTIC: top-K global tokens by
+    (count DESC, token ASC) — the q_keyword_extraction ordering
+    doctrine (never rank on a float). oov_rate is one division of
+    exact BIGINTs.
+
+    Plan: one explode → (source, token) combinable agg,
+    localCheckpoint'd because it feeds BOTH the global vocab reduction
+    and the per-source scoring join (the multi-reader double-plan
+    rule); the global top-K is a TakeOrderedAndProject over the
+    reduced token relation, broadcast back. Token text crosses the
+    wire once.
+
+    100 TB: shuffle ∝ distinct (source, token) pairs, not corpus
+    tokens; the vocab is a K-row broadcast. A 100× corpus grows the
+    reduced relation sublinearly (vocabulary saturation).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    return oov_finalize(st)

@@ -2934,3 +2934,56 @@ class TestSimhashNearDup:
                 want[(a, b)] = h
         assert got == want
         assert (1, 4) in want  # exact dup pair present at hamming 0
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Deterministic sync LPA (min-label tiebreak, fixed rounds) must
+    equal a straightforward Python reference on planted shapes: two
+    cliques joined by one bridge edge resolve to two communities led by
+    their min ids, and the operator is round-for-round identical to the
+    reference on a random-ish sparse graph."""
+    from noaa_etl_spark.operators.graph import label_propagation
+
+    def ref_lpa(edge_list, rounds):
+        from collections import Counter, defaultdict
+
+        adj = defaultdict(set)
+        for u, v in edge_list:
+            adj[u].add(v)
+            adj[v].add(u)
+        labels = {n: n for n in adj}
+        for _ in range(rounds):
+            new = {}
+            for n in adj:
+                c = Counter(labels[m] for m in adj[n])
+                top = max(c.values())
+                new[n] = min(l for l, k in c.items() if k == top)
+            labels = new
+        return labels
+
+    # Two 6-cliques bridged by a single edge (5, 100).
+    cliq = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    cliq += [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]
+    cliq += [(5, 100)]
+    for rounds in (1, 3, 5):
+        exp = ref_lpa(cliq, rounds)
+        edges = spark.createDataFrame(cliq, "u bigint, v bigint")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, rounds=rounds).collect()
+        }
+        assert got == exp, f"rounds={rounds}: {got} != {exp}"
+    # After 3+ rounds the two cliques are distinct min-led communities.
+    assert {exp[i] for i in range(6)} == {0}
+    assert {exp[100 + i] for i in range(1, 6)} == {100}
+
+    # Sparse deterministic pseudo-random graph: exact equality again.
+    rnd = [(i, (i * 37 + 11) % 60) for i in range(60)]
+    rnd = [(min(a, b), max(a, b)) for a, b in rnd if a != b]
+    rnd = sorted(set(rnd))
+    exp = ref_lpa(rnd, 5)
+    edges = spark.createDataFrame(rnd, "u bigint, v bigint")
+    got = {
+        r["node"]: r["label"] for r in label_propagation(edges, rounds=5).collect()
+    }
+    assert got == exp
