@@ -1873,9 +1873,7 @@ def q_dp_noise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_auc_eval",
-    oracle="""
+AUC_ORACLE = """
     WITH scored AS (
       SELECT CAST(CAST('0x' || substr(md5('cal:' || CAST(user_id AS VARCHAR)), 1, 12)
                   AS UBIGINT) AS BIGINT) // 268435456 AS s20,
@@ -1904,8 +1902,58 @@ def q_dp_noise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
              AS auc
     FROM agg
-    """,
-)
+    """
+
+
+def auc_grid(ev: DataFrame) -> DataFrame:
+    """The (s20, pos_c, neg_c) quantized-score count grid — the
+    sum-mergeable state of the AUC report (streaming twin folds these
+    per micro-batch)."""
+    s48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cal:"), F.col("user_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    scored = ev.select(
+        s48.alias("s48"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+    ).select(F.expr("s48 div 268435456").alias("s20"), "y")
+    return scored.groupBy("s20").agg(
+        F.sum("y").cast("bigint").alias("pos_c"),
+        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("neg_c"),
+    )
+
+
+def auc_finalize(grid: DataFrame) -> DataFrame:
+    """Shared AUC finalization over the folded score grid: the
+    cumulative window and the single division run on the bounded
+    ≤2^20-row relation — rank statistics do not merge, counts do."""
+    w_run = Window.orderBy("s20").rowsBetween(Window.unboundedPreceding, -1)
+    cums = grid.select(
+        "pos_c",
+        "neg_c",
+        F.coalesce(F.sum("neg_c").over(w_run), F.lit(0)).alias("neg_below"),
+    )
+    agg = cums.agg(
+        F.sum("pos_c").cast("bigint").alias("n_pos"),
+        F.sum("neg_c").cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos_c") * (F.lit(2) * F.col("neg_below") + F.col("neg_c")))
+        .cast("bigint")
+        .alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("u2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )
+
+
+@graded("q_auc_eval", oracle=AUC_ORACLE)
 def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC AUC of a scored binary classifier by the rank identity
     AUC = P(s⁺ > s⁻) + ½P(s⁺ = s⁻) — the ML-eval companion to
@@ -1929,39 +1977,93 @@ def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded grid.
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    s48 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("cal:"), F.col("user_id").cast("string"))), 1, 12
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    scored = ev.select(
-        s48.alias("s48"),
-        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
-    ).select(F.expr("s48 div 268435456").alias("s20"), "y")
-    grid = scored.groupBy("s20").agg(
-        F.sum("y").cast("bigint").alias("pos_c"),
-        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("neg_c"),
+    return auc_finalize(auc_grid(ev))
+
+
+@graded(
+    "q_mutual_information",
+    oracle="""
+    WITH grid AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50), 4) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, band, o,
+             CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+             CAST(sum(o) OVER (PARTITION BY band) AS BIGINT)       AS c,
+             CAST(sum(o) OVER () AS BIGINT)                        AS nn
+      FROM grid
+    ),
+    terms AS (
+      SELECT event_type, band, nn,
+             (CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+               * ln((CAST(o AS DOUBLE) * CAST(nn AS DOUBLE))
+                    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) AS term
+      FROM tot
     )
-    w_run = Window.orderBy("s20").rowsBetween(Window.unboundedPreceding, -1)
-    cums = grid.select(
-        "pos_c",
-        "neg_c",
-        F.coalesce(F.sum("neg_c").over(w_run), F.lit(0)).alias("neg_below"),
+    SELECT CAST(max(nn) AS BIGINT) AS n_total,
+           round(sum(term ORDER BY event_type, band), 6) AS mi_nats
+    FROM terms
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(type; band) over the chi-square contingency
+    grid — the information-theoretic member of the association family
+    (χ² asks 'is there dependence?', MI asks 'how many nats does one
+    variable carry about the other?' — the feature-screening score
+    behind MI-based feature selection and decision-tree splits).
+
+    Reuses chi_square_grid verbatim (one combinable agg to the bounded
+    |types|×|bands| relation, localCheckpoint'd for its marginal-window
+    readers). Only OBSERVED cells contribute (the o·ln(o·…) term of an
+    empty cell is 0 — no spine needed, unlike χ² where empty cells
+    carry (r·c)²-shaped mass). The per-cell ln() follows the ln
+    doctrine: terms fold in (type, band) order on both engines (ordered
+    struct fold / sum ORDER BY — the PSI contract) and mi_nats is
+    graded ROUNDED 6dp.
+
+    100 TB: identical posture to q_chi_square_independence — fact
+    collapses to the grid once; everything after is bounded-relation
+    arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    grid = chi_square_grid(ev).localCheckpoint()
+    w_t = Window.partitionBy("event_type")
+    w_b = Window.partitionBy("band")
+    w_all = Window.partitionBy()
+    tot = grid.select(
+        "event_type",
+        "band",
+        "o",
+        F.sum("o").over(w_t).cast("bigint").alias("r"),
+        F.sum("o").over(w_b).cast("bigint").alias("c"),
+        F.sum("o").over(w_all).cast("bigint").alias("nn"),
     )
-    agg = cums.agg(
-        F.sum("pos_c").cast("bigint").alias("n_pos"),
-        F.sum("neg_c").cast("bigint").alias("n_neg"),
-        F.sum(F.col("pos_c") * (F.lit(2) * F.col("neg_below") + F.col("neg_c")))
-        .cast("bigint")
-        .alias("u2"),
-    )
-    return agg.select(
-        "n_pos",
-        "n_neg",
-        (
-            F.col("u2").cast("double")
-            / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
-        ).alias("auc"),
+    o_d, r_d = F.col("o").cast("double"), F.col("r").cast("double")
+    c_d, nn_d = F.col("c").cast("double"), F.col("nn").cast("double")
+    term = (o_d / nn_d) * F.log((o_d * nn_d) / (r_d * c_d))
+    terms = tot.select("event_type", "band", "nn", term.alias("term"))
+    return terms.agg(
+        F.max("nn").cast("bigint").alias("n_total"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("event_type").alias("e"),
+                                F.col("band").alias("bd"),
+                                F.col("term").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        ).alias("mi_nats"),
     )

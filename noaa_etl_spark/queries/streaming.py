@@ -2474,3 +2474,73 @@ def q_stream_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination()
 
     return calibration_finalize(spark.read.parquet(states))
+
+
+from noaa_etl_spark.queries.profiling import AUC_ORACLE, auc_finalize, auc_grid
+
+
+@graded("q_stream_auc", oracle=AUC_ORACLE)
+def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the AUC report (twin #29): events drain as
+    three micro-batches; each batch's state is its quantized-score
+    count grid (s20, pos_c, neg_c) — sum-mergeable — written
+    batch_id-keyed. RANKS DO NOT MERGE: the cumulative neg-below of a
+    score level depends on every batch's counts below it, so the
+    window + division run only in the shared finalization over the
+    folded grid (auc_finalize), and the twin grades against AUC_ORACLE
+    verbatim. The monitoring story: a live ranking-quality metric
+    maintained for one bounded-grid rollup per trigger — the
+    model-regression alarm next to q_stream_calibration_bins' drift
+    dashboard.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_auc")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", F.unix_micros("ts").alias("t_us"))
+    )
+    gate = F.pmod(F.xxhash64(F.lit("sauc"), F.col("t_us")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = auc_grid(batch_df)
+        record_foreach_batch_plan("stream_auc_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("s20")
+        .agg(
+            F.sum("pos_c").cast("bigint").alias("pos_c"),
+            F.sum("neg_c").cast("bigint").alias("neg_c"),
+        )
+    )
+    return auc_finalize(folded)

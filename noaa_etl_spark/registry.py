@@ -251,6 +251,26 @@ GRADED_WINDOW: list[str] = [
     "q_tpch_q17_small_qty", "q_tpch_q18_large_volume", "q_tpch_q21_waiting",
     "q_referential_audit", "q_sample", "q_train_val_split",
     "q_zstd_roundtrip", "q_set_ops_all", "q_topk_global", "q_ghcn_pipeline",
+    # Round-13 staging: the round-12 additions are registered, tested,
+    # and vanilla-sim'd at both SFs but enter the window in r13 (the
+    # standing one-round precedent): q_stream_funnel (twin #26, shares
+    # FUNNEL_ORACLE), q_temporal_split (embargoed time split),
+    # q_record_linkage_fs (Fellegi–Sunter literal weights),
+    # q_calibration_bins + q_stream_calibration_bins (twin #28),
+    # q_dp_noise_agg (Laplace release), q_oov_rate + q_stream_oov_rate
+    # (twin #27, vocab at finalize), q_auc_eval (bounded-grid rank AUC)
+    # — all oracle-paired — plus q_label_propagation (rows-only:
+    # iterative sync LPA, Python-reference-equal in tests) and the r12
+    # additions made later this session (see registry tail). Also
+    # re-grade q_dedup_minhash_lsh + q_containment_lsh if their
+    # plan-shape changes (round-12 hot-band star cap; outputs
+    # fixture-identical, 100× OOM closed) warrant fresh signal, and
+    # rotate the r5-stale leftovers: q_approx_aggs, q_chunk_dedup,
+    # q_gap_fill, q_fingerprint_md5, q_stream_heavy_hitters,
+    # q_stream_chunk_documents + rows-only q_multimodal_features,
+    # q_stream_stateful, q_custom_datasource. Fill remaining slots by
+    # oldest-signal rotation (r6 cohort) with family reps per the
+    # any-of guard.
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:

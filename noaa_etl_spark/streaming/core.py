@@ -68,6 +68,10 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_covariance": ["fb_stream_covariance_partial"],
     "q_stream_chi_square": ["fb_stream_chi_square_partial"],
     "q_stream_mannwhitney": ["fb_stream_mannwhitney_partial"],
+    "q_stream_funnel": ["fb_stream_funnel_partial"],
+    "q_stream_oov_rate": ["fb_stream_oov_partial"],
+    "q_stream_calibration_bins": ["fb_stream_calib_partial"],
+    "q_stream_auc": ["fb_stream_auc_partial"],
 }
 
 

@@ -1111,3 +1111,70 @@ def test_ratio_delta_two_stacked_aggs(spark):
     assert "Join" not in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") <= 3
+
+
+def test_temporal_split_broadcast_bounds_no_window(spark):
+    """The global bounds are a one-row broadcast back onto the scan —
+    never a window (a global min/max window would single-partition the
+    fact); labeling is a scan-local CASE."""
+    plan = plan_of(spark, "q_temporal_split")
+    assert "Window" not in plan
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_record_linkage_blocked_join_no_udf(spark):
+    """FS linkage is ONE blocked equi-join of two scan-local
+    projections: levenshtein and the md5 corruptions are JVM
+    expressions (no Python), and no window appears anywhere."""
+    plan = plan_of(spark, "q_record_linkage_fs")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Join") == 1
+
+
+def test_calibration_and_dp_single_agg_shapes(spark):
+    """Calibration bins and the DP release are each pure combinable
+    aggregates: no joins, no windows, scan-local scoring."""
+    for name in ("q_calibration_bins", "q_dp_noise_agg"):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, name
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_auc_window_on_bounded_grid(spark):
+    """AUC's cumulative rank window runs on the quantized ≤2^20-row
+    score grid — exactly one Window, fed by the grid HashAggregate, no
+    joins."""
+    plan = plan_of(spark, "q_auc_eval")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1
+    assert "Join" not in plan
+    # the window's input is the aggregated grid: a HashAggregate sits
+    # BELOW the Window in the printed tree (appears after it), and the
+    # finalize agg sits above (appears before).
+    assert tree.index("HashAggregate") < tree.index("Window")
+    assert tree.rindex("HashAggregate") > tree.index("Window")
+
+
+def test_oov_vocab_broadcast_and_checkpointed_counts(spark):
+    """The (source, token) count relation is checkpointed (one
+    computation feeding both the vocab reduction and the scoring join),
+    the vocab is a TakeOrdered + broadcast, and no window appears."""
+    plan = plan_of(spark, "q_oov_rate")
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mutual_information_windows_on_bounded_grid(spark):
+    """MI shares the chi-square posture: the fact scan is behind the
+    grid checkpoint, marginal windows run on the bounded relation."""
+    plan = plan_of(spark, "q_mutual_information")
+    tree = plan.split("\n\n")[0]
+    assert "Scan parquet" not in tree or "events" not in tree
+    assert "Scan ExistingRDD" in tree
+    assert tree.count("Window") >= 1

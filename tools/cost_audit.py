@@ -360,6 +360,22 @@ AUDITED = [
     # combinable aggs (events -> user grain -> arm moments).
     "q_ab_srm_check",
     "q_ratio_metric_delta",
+    # round 12: funnel = two stacked combinable aggs (user pivot ->
+    # scalar); temporal split = min/max agg broadcast back + count agg;
+    # record linkage = blocked equi-join, both sides scan-local;
+    # calibration/auc/dp = combinable aggs (auc adds a window on the
+    # BOUNDED 2^20 grid); oov = (source,token) agg localCheckpoint'd,
+    # top-K TakeOrdered + broadcast scoring join. (q_funnel is already
+    # audited above.)
+    "q_temporal_split",
+    "q_record_linkage_fs",
+    "q_calibration_bins",
+    "q_auc_eval",
+    "q_dp_noise_agg",
+    "q_oov_rate",
+    # MI shares chi-square's bounded-grid posture (grid checkpoint +
+    # marginal windows + ordered fold).
+    "q_mutual_information",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
