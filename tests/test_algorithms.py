@@ -3018,3 +3018,28 @@ def test_mutual_knn_ivf_precision_and_recall(spark):
     a_ids = [a for a, _ in ivf]
     b_ids = [b for _, b in ivf]
     assert len(a_ids) == len(set(a_ids)) and len(b_ids) == len(set(b_ids))
+
+
+def test_record_linkage_block_cap_refuses_degenerate_blocks(spark):
+    """FS_BLOCK_CAP guardrail: a verbatim-duplicated entity (block
+    deeper than the cap) is refused outright — no quadratic garbage
+    pairs — while normal blocks link exactly as without the cap."""
+    import noaa_etl_spark.queries.etl as etl_mod
+    from noaa_etl_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    base = QUERIES["q_record_linkage_fs"](spark, SF_DIR)
+    n_base = base.count()
+    assert n_base > 0
+    old = etl_mod.FS_BLOCK_CAP
+    try:
+        # A cap of 0 refuses EVERY block — the degenerate-block path,
+        # exercised without synthesizing a 512-deep fixture.
+        etl_mod.FS_BLOCK_CAP = 0
+        assert QUERIES["q_record_linkage_fs"](spark, SF_DIR).count() == 0
+        # A huge cap is a no-op: identical pair set.
+        etl_mod.FS_BLOCK_CAP = 1_000_000
+        loose = QUERIES["q_record_linkage_fs"](spark, SF_DIR)
+        assert loose.count() == n_base
+    finally:
+        etl_mod.FS_BLOCK_CAP = old

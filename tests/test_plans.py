@@ -1126,11 +1126,13 @@ def test_temporal_split_broadcast_bounds_no_window(spark):
 def test_record_linkage_blocked_join_no_udf(spark):
     """FS linkage is ONE blocked equi-join of two scan-local
     projections: levenshtein and the md5 corruptions are JVM
-    expressions (no Python), and no window appears anywhere."""
+    expressions (no Python). The only windows are the two FS_BLOCK_CAP
+    occupancy counts, each riding the (nation, suffix) partitioning the
+    join shuffles on anyway."""
     plan = plan_of(spark, "q_record_linkage_fs")
-    assert "Window" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert tree.count("Join") == 1
 
 
