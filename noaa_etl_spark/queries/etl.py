@@ -1090,6 +1090,103 @@ FS_MATCH_THRESHOLD = 5.0
 # refuses (measured 20x wall at 10x, 299 s at 100x, pre-guardrail).
 FS_BLOCK_CAP = 512
 
+def fs_clean(cust: DataFrame) -> DataFrame:
+    """Clean-registry projection for FS linkage."""
+    return cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+
+
+def fs_dirty(clean: DataFrame) -> DataFrame:
+    """Deterministic md5-gated corruption of the clean registry (30%
+    name char-drop, 20% segment wipe, 10% balance shift) — both engines
+    synthesize IDENTICAL dirty twins."""
+    g = lambda tag: F.substring(  # noqa: E731 — md5 gate, the house pattern
+        F.md5(F.concat(F.lit(tag), F.col("k").cast("string"))), 1, 2
+    )
+    return clean.select(
+        (F.col("k") + 10_000_000).alias("k"),
+        F.when(
+            g("rl1:") < "4d",
+            F.concat(F.substring("name", 1, 9), F.expr("substring(name, 11)")),
+        )
+        .otherwise(F.col("name"))
+        .alias("name"),
+        "nat",
+        F.when(g("rl2:") < "33", F.lit("UNKNOWN")).otherwise(F.col("seg")).alias("seg"),
+        F.when(g("rl3:") < "1a", F.col("cents") + 250_000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+
+
+def fs_cap_blocks(df: DataFrame, side: str) -> DataFrame:
+    """Degenerate-block guardrail (FS_BLOCK_CAP): refuse blocks whose
+    occupancy exceeds the cap — the count window rides the same
+    (nation, suffix) partitioning the join shuffles on. The cap is a
+    CORPUS-WIDE property: the streaming twin cannot apply it per batch
+    (a block split across batches would evade it) and instead filters
+    at finalize over folded per-block counts."""
+    suf = F.expr("substring(name, length(name) - 1)")
+    keyed = df.withColumn("blk", suf)
+    w = Window.partitionBy("nat", "blk")
+    return (
+        keyed.withColumn("blk_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("blk_n") <= FS_BLOCK_CAP)
+        .drop("blk_n")
+    )
+
+
+def fs_link(clean_side: DataFrame, dirty_side: DataFrame) -> DataFrame:
+    """Blocked FS scoring join over pre-capped sides (each must carry
+    the `blk` suffix column). Output keeps the dirty block key so a
+    streaming caller can late-filter refused blocks at finalize."""
+    c = clean_side.select(
+        F.col("k").alias("clean_key"),
+        F.col("name").alias("name_c"),
+        F.col("nat").alias("nat_c"),
+        F.col("seg").alias("seg_c"),
+        F.col("cents").alias("cents_c"),
+        F.col("blk").alias("blk_c"),
+    )
+    d = dirty_side.select(
+        F.col("k").alias("dirty_key"),
+        F.col("name").alias("name_d"),
+        F.col("nat").alias("nat_d"),
+        F.col("seg").alias("seg_d"),
+        F.col("cents").alias("cents_d"),
+        F.col("blk").alias("blk_d"),
+    )
+    pairs = c.join(
+        d, (F.col("nat_c") == F.col("nat_d")) & (F.col("blk_c") == F.col("blk_d"))
+    )
+    w = (
+        F.when(
+            F.levenshtein("name_c", "name_d") <= 1, F.lit(float(FS_W["name_a"]))
+        ).otherwise(F.lit(float(FS_W["name_d"])))
+        + F.when(F.col("seg_c") == F.col("seg_d"), F.lit(float(FS_W["seg_a"]))).otherwise(
+            F.lit(float(FS_W["seg_d"]))
+        )
+        + F.when(
+            F.abs(F.col("cents_c") - F.col("cents_d")) <= 1000,
+            F.lit(float(FS_W["bal_a"])),
+        ).otherwise(F.lit(float(FS_W["bal_d"])))
+    )
+    return pairs.select(
+        "clean_key",
+        "dirty_key",
+        F.col("nat_d"),
+        F.col("blk_d"),
+        w.alias("fs_weight"),
+        (w >= FS_MATCH_THRESHOLD).alias("is_match"),
+    )
+
+
+
 RECORD_LINKAGE_ORACLE = f"""
     WITH clean0 AS (
       SELECT c_custkey AS k, c_name AS name, c_nationkey AS nat,
@@ -1185,76 +1282,6 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-equal, so is_match cannot flip cross-engine.
     """
     cust = load_table(spark, sf_dir, "customer")
-    clean = cust.select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_name").alias("name"),
-        F.col("c_nationkey").alias("nat"),
-        F.col("c_mktsegment").alias("seg"),
-        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
-    )
-    g = lambda tag: F.substring(  # noqa: E731 — md5 gate, the house pattern
-        F.md5(F.concat(F.lit(tag), F.col("k").cast("string"))), 1, 2
-    )
-    dirty = clean.select(
-        (F.col("k") + 10_000_000).alias("k"),
-        F.when(
-            g("rl1:") < "4d",
-            F.concat(F.substring("name", 1, 9), F.expr("substring(name, 11)")),
-        )
-        .otherwise(F.col("name"))
-        .alias("name"),
-        "nat",
-        F.when(g("rl2:") < "33", F.lit("UNKNOWN")).otherwise(F.col("seg")).alias("seg"),
-        F.when(g("rl3:") < "1a", F.col("cents") + 250_000)
-        .otherwise(F.col("cents"))
-        .alias("cents"),
-    )
-    suf = lambda c: F.expr(f"substring({c}, length({c}) - 1)")  # noqa: E731
-    c = clean.select(
-        F.col("k").alias("clean_key"),
-        F.col("name").alias("name_c"),
-        F.col("nat").alias("nat_c"),
-        F.col("seg").alias("seg_c"),
-        F.col("cents").alias("cents_c"),
-        suf("name").alias("blk_c"),
-    )
-    d = dirty.select(
-        F.col("k").alias("dirty_key"),
-        F.col("name").alias("name_d"),
-        F.col("nat").alias("nat_d"),
-        F.col("seg").alias("seg_d"),
-        F.col("cents").alias("cents_d"),
-        suf("name").alias("blk_d"),
-    )
-    # Degenerate-block guardrail (FS_BLOCK_CAP): refuse blocks whose
-    # occupancy exceeds the cap on either side — the count window rides
-    # the same (nation, suffix) partitioning the join shuffles on.
-    wc = Window.partitionBy("nat_c", "blk_c")
-    wd = Window.partitionBy("nat_d", "blk_d")
-    c = c.withColumn("blk_n", F.count(F.lit(1)).over(wc)).filter(
-        F.col("blk_n") <= FS_BLOCK_CAP
-    )
-    d = d.withColumn("blk_n_d", F.count(F.lit(1)).over(wd)).filter(
-        F.col("blk_n_d") <= FS_BLOCK_CAP
-    )
-    pairs = c.join(
-        d, (F.col("nat_c") == F.col("nat_d")) & (F.col("blk_c") == F.col("blk_d"))
-    )
-    w = (
-        F.when(
-            F.levenshtein("name_c", "name_d") <= 1, F.lit(float(FS_W["name_a"]))
-        ).otherwise(F.lit(float(FS_W["name_d"])))
-        + F.when(F.col("seg_c") == F.col("seg_d"), F.lit(float(FS_W["seg_a"]))).otherwise(
-            F.lit(float(FS_W["seg_d"]))
-        )
-        + F.when(
-            F.abs(F.col("cents_c") - F.col("cents_d")) <= 1000,
-            F.lit(float(FS_W["bal_a"])),
-        ).otherwise(F.lit(float(FS_W["bal_d"])))
-    )
-    return pairs.select(
-        "clean_key",
-        "dirty_key",
-        w.alias("fs_weight"),
-        (w >= FS_MATCH_THRESHOLD).alias("is_match"),
+    return fs_link(fs_cap_blocks(fs_clean(cust), "c"), fs_cap_blocks(fs_dirty(fs_clean(cust)), "d")).select(
+        "clean_key", "dirty_key", "fs_weight", "is_match"
     )

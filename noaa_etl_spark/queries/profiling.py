@@ -2067,3 +2067,80 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mi_nats"),
     )
+
+
+@graded(
+    "q_gains_table",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(CAST('0x' || substr(md5('cal:' || CAST(user_id AS VARCHAR)), 1, 12)
+                  AS UBIGINT) AS BIGINT) AS s48,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    binned AS (
+      SELECT CAST(s48 * 10 // 281474976710656 AS BIGINT) AS bin, y FROM scored
+    ),
+    per_bin AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+      FROM binned GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, n, n_pos,
+             CAST(sum(n) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_n,
+             CAST(sum(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_pos,
+             CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+             CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+      FROM per_bin
+    )
+    SELECT bin, n, n_pos,
+           CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS cum_gain,
+           (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+             / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) AS cum_lift
+    FROM cum
+    ORDER BY bin DESC
+    """,
+)
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table — the campaign-targeting readout
+    that completes the ML-eval trio (calibration = probability quality,
+    AUC = ranking quality, gains = business yield of targeting the top
+    k deciles): walk score deciles best-first, report the cumulative
+    fraction of positives captured and the lift over random targeting.
+
+    Reuses calibration_partials' integer state (bin, n, n_pos); the
+    cumulative window runs best-bin-first over the TEN-row aggregate
+    (bounded by construction — the chi-square grid rule at its
+    smallest); gains/lift are fixed divisions of exact BIGINTs ⇒
+    bit-equal.
+
+    100 TB: one combinable 10-group agg; everything after is 10-row
+    arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_bin = calibration_partials(ev).select("bin", "n", "n_pos")
+    w_cum = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = per_bin.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(w_cum).cast("bigint").alias("cum_pos"),
+        F.sum("n").over(w_all).cast("bigint").alias("tot_n"),
+        F.sum("n_pos").over(w_all).cast("bigint").alias("tot_pos"),
+    )
+    return cum.select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double")).alias(
+            "cum_gain"
+        ),
+        (
+            (F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"))
+            / (F.col("tot_pos").cast("double") / F.col("tot_n").cast("double"))
+        ).alias("cum_lift"),
+    )

@@ -2544,3 +2544,90 @@ def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return auc_finalize(folded)
+
+
+from noaa_etl_spark.queries.etl import (
+    FS_BLOCK_CAP,
+    RECORD_LINKAGE_ORACLE,
+    fs_cap_blocks,
+    fs_clean,
+    fs_dirty,
+    fs_link,
+)
+
+
+@graded("q_stream_record_linkage", oracle=RECORD_LINKAGE_ORACLE)
+def q_stream_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of FS record linkage (twin #30): dirty records
+    arrive as three micro-batches and link against the STATIC clean
+    registry inside foreachBatch (the stream-static enrichment shape of
+    q_stream_feature_pit). Each dirty record lives in exactly one batch
+    and FS scoring depends only on (record, static registry), so the
+    union of per-batch pair sets IS the batch answer — EXCEPT the
+    degenerate-block guardrail, which is a CORPUS-WIDE property: a
+    600-deep dirty block split across batches would evade any per-batch
+    cap. The twin therefore scores pairs UNCAPPED on the dirty side per
+    batch, folds per-(nation, suffix) dirty-block counts as mergeable
+    state, and REFUSES over-cap blocks at finalize (filter commutes
+    with the blocked join, so the result equals the batch query's
+    pre-join cap exactly) — the guardrail lesson: corpus-wide
+    invariants evaluate on folded state, never per batch.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_linkage")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    counts_dir = os.path.join(root, "counts")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, counts_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    clean = fs_cap_blocks(fs_clean(load_table(spark, sf_dir, "customer")), "c")
+    dirty = fs_dirty(fs_clean(load_table(spark, sf_dir, "customer")))
+    gate = F.pmod(F.xxhash64(F.lit("slink"), F.col("k")), F.lit(3))
+    for i in range(3):
+        dirty.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        keyed = batch_df.withColumn(
+            "blk", F.expr("substring(name, length(name) - 1)")
+        )
+        partial = fs_link(clean, keyed)
+        record_foreach_batch_plan("stream_linkage_pairs", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+        cnt = keyed.groupBy("nat", "blk").agg(F.count(F.lit(1)).alias("n"))
+        record_foreach_batch_plan("stream_linkage_counts", cnt)
+        cnt.write.mode("overwrite").parquet(f"{counts_dir}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(dirty.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded_counts = (
+        spark.read.parquet(counts_dir)
+        .groupBy("nat", "blk")
+        .agg(F.sum("n").alias("n"))
+    )
+    ok_blocks = folded_counts.filter(F.col("n") <= FS_BLOCK_CAP).select(
+        F.col("nat").alias("nat_d"), F.col("blk").alias("blk_d")
+    )
+    pairs = spark.read.parquet(states)
+    return pairs.join(F.broadcast(ok_blocks), ["nat_d", "blk_d"]).select(
+        "clean_key", "dirty_key", "fs_weight", "is_match"
+    )

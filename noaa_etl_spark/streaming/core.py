@@ -72,6 +72,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_oov_rate": ["fb_stream_oov_partial"],
     "q_stream_calibration_bins": ["fb_stream_calib_partial"],
     "q_stream_auc": ["fb_stream_auc_partial"],
+    "q_stream_record_linkage": ["fb_stream_linkage_pairs", "fb_stream_linkage_counts"],
 }
 
 

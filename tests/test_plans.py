@@ -1180,3 +1180,16 @@ def test_mutual_information_windows_on_bounded_grid(spark):
     assert "Scan parquet" not in tree or "events" not in tree
     assert "Scan ExistingRDD" in tree
     assert tree.count("Window") >= 1
+
+
+def test_gains_table_windows_on_ten_row_aggregate(spark):
+    """The cumulative/total windows run on the 10-bin aggregate — the
+    HashAggregate pair sits BELOW every Window in the tree (fact rows
+    never enter a window)."""
+    plan = plan_of(spark, "q_gains_table")
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree
+    import re as _re
+    aggs = [m.start() for m in _re.finditer("HashAggregate", tree)]
+    wins = [m.start() for m in _re.finditer("Window", tree)]
+    assert max(aggs) > max(wins), "a window runs below the bin aggregate"

@@ -376,6 +376,8 @@ AUDITED = [
     # MI shares chi-square's bounded-grid posture (grid checkpoint +
     # marginal windows + ordered fold).
     "q_mutual_information",
+    # gains table: calibration partials + 10-row cumulative windows.
+    "q_gains_table",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
