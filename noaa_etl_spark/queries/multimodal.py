@@ -402,3 +402,85 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, width int, height int, px_sum bigint, "
         "pos_checksum bigint, mean_px double",
     )
+
+
+@graded(
+    "q_mime_sniff",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5('mime:' || CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+                    THEN 'image/bmp'
+                  WHEN substr(md5('mime:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 'audio/wav'
+                  WHEN substr(md5('mime:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                    THEN 'image/x-portable-pixmap'
+                  ELSE 'text/plain' END AS mime,
+             CASE WHEN substr(md5('mime:' || CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+                    THEN 6
+                  WHEN substr(md5('mime:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 4
+                  WHEN substr(md5('mime:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                    THEN 3
+                  ELSE 0 END + octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT mime AS detected_mime,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM planted GROUP BY mime ORDER BY mime
+    """,
+)
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME detection over an opaque binary column — the
+    intake-triage step of every multimodal pipeline (route each blob to
+    the right decoder BEFORE trusting any sidecar metadata; mislabeled
+    uploads are the norm in crawled corpora). The fixture plants a
+    deterministic format mix by md5 gate (25% BMP 'BM', 25% WAV
+    'RIFF…WAVE'-prefix, 25% PPM 'P6\\n', 25% bare utf-8), builds REAL
+    header bytes on the Spark side, and sniffs them back with binary
+    prefix tests; the oracle predicts the same census from the gate in
+    closed form — so the grade proves synthesis → sniff → aggregate
+    round-trips exactly (the q_multimodal_decode oracle pattern:
+    detection is graded against construction, not against itself).
+
+    Scale: payload synthesis, prefix test, and byte length are all
+    scan-local expressions; one combinable |mimes|-row agg. Real
+    corpora swap the synthesis for the raw payload column — the sniff
+    + census stays identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = F.substring(
+        F.md5(F.concat(F.lit("mime:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    text_bin = F.col("text").cast("binary")
+    payload = (
+        F.when(g < "4", F.concat(F.lit(b"BM\x00\x00\x00\x00"), text_bin))
+        .when(g < "8", F.concat(F.lit(b"RIFF"), text_bin))
+        .when(g < "c", F.concat(F.lit(b"P6\n"), text_bin))
+        .otherwise(text_bin)
+    )
+    blobs = docs.select("doc_id", payload.alias("payload"))
+    prefix2 = F.substring(F.col("payload"), 1, 2)
+    prefix4 = F.substring(F.col("payload"), 1, 4)
+    detected = (
+        F.when(prefix2 == F.lit(b"BM"), "image/bmp")
+        .when(prefix4 == F.lit(b"RIFF"), "audio/wav")
+        .when(F.substring(F.col("payload"), 1, 3) == F.lit(b"P6\n"),
+              "image/x-portable-pixmap")
+        .otherwise("text/plain")
+    )
+    return (
+        blobs.select(
+            "doc_id",
+            detected.alias("detected_mime"),
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("detected_mime")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+    )

@@ -153,9 +153,7 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_hist_quantiles",
-    oracle="""
+HIST_QUANTILES_ORACLE = """
     WITH dom AS (
         SELECT min(value) AS lo, max(value) AS hi FROM events
     ),
@@ -200,8 +198,10 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= (SELECT (hi - lo) / 64 FROM dom)) AS within_one_bin
     FROM est e JOIN disc d ON e.event_type = d.event_type AND e.q = d.q
     ORDER BY e.event_type, e.q
-    """,
-)
+    """
+
+
+@graded("q_hist_quantiles", oracle=HIST_QUANTILES_ORACLE)
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equi-width histogram sketch → bounded-error quantiles
     (operators/histogram.py), graded against the exact discrete

@@ -16,7 +16,7 @@ Semantics notes vs the batch oracle:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from noaa_etl_spark.registry import graded
@@ -2630,4 +2630,128 @@ def q_stream_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.read.parquet(states)
     return pairs.join(F.broadcast(ok_blocks), ["nat_d", "blk_d"]).select(
         "clean_key", "dirty_key", "fs_weight", "is_match"
+    )
+
+
+from noaa_etl_spark.queries.scale import HIST_QUANTILES_ORACLE
+
+
+@graded("q_stream_hist_quantiles", oracle=HIST_QUANTILES_ORACLE)
+def q_stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the histogram-sketch quantiles (twin #31),
+    with a state-design lesson the batch form hides: the sketch's bin
+    EDGES are data-derived (global min/max), so a per-batch grid is NOT
+    mergeable — two batches would bin against different edges. The
+    maintained state is therefore the DOMAIN-FREE (event_type, value)
+    count relation (sum-mergeable, the Mann-Whitney/KS reduced-relation
+    class), and BOTH report legs — the fixed-edge grid sketch and the
+    exact rank-⌈qN⌉ discrete quantile — are derived from the folded
+    state at report time in WEIGHTED form (cumulative counts over the
+    value order; never a row re-expansion). est uses the identical
+    IEEE bin arithmetic, x_disc the identical rank selection, so the
+    twin grades against HIST_QUANTILES_ORACLE verbatim. Production
+    note: with a CONTRACTED domain (fixed edges known up front),
+    per-batch grids DO merge cell-wise and the state shrinks to
+    |groups|×|bins| — this twin is the fallback when no such contract
+    exists.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_hist")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    gate = F.pmod(F.xxhash64(F.lit("shist"), F.col("value")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = batch_df.groupBy("event_type", "value").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        record_foreach_batch_plan("stream_hist_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("event_type", "value")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    N_BINS, QS = 64, [0.5, 0.9, 0.99]
+    dom = folded.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    lo, hi = float(dom.lo), float(dom.hi)
+    w = (hi - lo) / N_BINS
+
+    # weighted grid sketch from the folded value counts
+    bin_col = F.greatest(
+        F.least(F.floor((F.col("value") - F.lit(lo)) / F.lit(w)).cast("int"), F.lit(N_BINS - 1)),
+        F.lit(0),
+    )
+    hist = folded.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.sum("cnt").alias("cnt")
+    )
+    gw = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(gw.orderBy("bin")).alias("cum"),
+        F.sum("cnt").over(gw).alias("n_total"),
+    )
+    q_df = spark.createDataFrame([(q,) for q in QS], "q double")
+    est = (
+        cum.crossJoin(F.broadcast(q_df))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
+        .groupBy("event_type", "q")
+        .agg(F.min(F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("est"))
+    )
+    # weighted exact discrete quantile from the same folded state
+    vcum = folded.select(
+        "event_type",
+        "value",
+        F.sum("cnt").over(gw.orderBy("value")).alias("vcum"),
+        F.sum("cnt").over(gw).alias("n"),
+    )
+    disc = (
+        vcum.crossJoin(F.broadcast(q_df))
+        .filter(F.col("vcum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("event_type", "q")
+        .agg(F.min("value").alias("x_disc"))
+    )
+    return (
+        est.join(disc, ["event_type", "q"])
+        .select(
+            "event_type",
+            "q",
+            "est",
+            "x_disc",
+            (
+                (F.col("x_disc") <= F.col("est"))
+                & (F.col("est") - F.col("x_disc") <= F.lit(w))
+            ).alias("within_one_bin"),
+        )
+        .orderBy("event_type", "q")
     )

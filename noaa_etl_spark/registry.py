@@ -260,8 +260,11 @@ GRADED_WINDOW: list[str] = [
     # q_dp_noise_agg (Laplace release), q_oov_rate + q_stream_oov_rate
     # (twin #27, vocab at finalize), q_auc_eval (bounded-grid rank AUC)
     # — all oracle-paired — plus q_label_propagation (rows-only:
-    # iterative sync LPA, Python-reference-equal in tests) and the r12
-    # additions made later this session (see registry tail). Also
+    # iterative sync LPA, Python-reference-equal in tests) and the
+    # later-session r12 additions: q_stream_auc (twin #29),
+    # q_mutual_information, q_mutual_knn_ivf (rows-only IVF gear),
+    # q_stream_record_linkage (twin #30 — folded-state guardrail),
+    # q_gains_table. Also
     # re-grade q_dedup_minhash_lsh + q_containment_lsh if their
     # plan-shape changes (round-12 hot-band star cap; outputs
     # fixture-identical, 100× OOM closed) warrant fresh signal, and

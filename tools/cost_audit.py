@@ -378,6 +378,8 @@ AUDITED = [
     "q_mutual_information",
     # gains table: calibration partials + 10-row cumulative windows.
     "q_gains_table",
+    # mime sniff: scan-local synthesis + prefix tests + one tiny agg.
+    "q_mime_sniff",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
