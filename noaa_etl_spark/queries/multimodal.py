@@ -404,9 +404,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_mime_sniff",
-    oracle="""
+MIME_SNIFF_ORACLE = """
     WITH planted AS (
       SELECT doc_id,
              CASE WHEN substr(md5('mime:' || CAST(doc_id AS VARCHAR)), 1, 1) < '4'
@@ -430,27 +428,14 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            CAST(min(doc_id) AS BIGINT) AS min_doc
     FROM planted GROUP BY mime ORDER BY mime
-    """,
-)
-def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Magic-byte MIME detection over an opaque binary column — the
-    intake-triage step of every multimodal pipeline (route each blob to
-    the right decoder BEFORE trusting any sidecar metadata; mislabeled
-    uploads are the norm in crawled corpora). The fixture plants a
-    deterministic format mix by md5 gate (25% BMP 'BM', 25% WAV
-    'RIFF…WAVE'-prefix, 25% PPM 'P6\\n', 25% bare utf-8), builds REAL
-    header bytes on the Spark side, and sniffs them back with binary
-    prefix tests; the oracle predicts the same census from the gate in
-    closed form — so the grade proves synthesis → sniff → aggregate
-    round-trips exactly (the q_multimodal_decode oracle pattern:
-    detection is graded against construction, not against itself).
-
-    Scale: payload synthesis, prefix test, and byte length are all
-    scan-local expressions; one combinable |mimes|-row agg. Real
-    corpora swap the synthesis for the raw payload column — the sniff
-    + census stays identical.
     """
-    docs = load_table(spark, sf_dir, "documents")
+
+
+def mime_census(docs: DataFrame) -> DataFrame:
+    """Per-mime census partials (detected_mime, n, total_bytes, min_doc)
+    from a documents slice — the mergeable state of the sniff report
+    (n/total_bytes sum-merge, min_doc min-merges), shared by q_mime_sniff
+    and its streaming twin."""
     g = F.substring(
         F.md5(F.concat(F.lit("mime:"), F.col("doc_id").cast("string"))), 1, 1
     )
@@ -484,3 +469,26 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("min_doc"),
         )
     )
+
+
+@graded("q_mime_sniff", oracle=MIME_SNIFF_ORACLE)
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME detection over an opaque binary column — the
+    intake-triage step of every multimodal pipeline (route each blob to
+    the right decoder BEFORE trusting any sidecar metadata; mislabeled
+    uploads are the norm in crawled corpora). The fixture plants a
+    deterministic format mix by md5 gate (25% BMP 'BM', 25% WAV
+    'RIFF…WAVE'-prefix, 25% PPM 'P6\\n', 25% bare utf-8), builds REAL
+    header bytes on the Spark side, and sniffs them back with binary
+    prefix tests; the oracle predicts the same census from the gate in
+    closed form — so the grade proves synthesis → sniff → aggregate
+    round-trips exactly (the q_multimodal_decode oracle pattern:
+    detection is graded against construction, not against itself).
+
+    Scale: payload synthesis, prefix test, and byte length are all
+    scan-local expressions; one combinable |mimes|-row agg. Real
+    corpora swap the synthesis for the raw payload column — the sniff
+    + census stays identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return mime_census(docs)

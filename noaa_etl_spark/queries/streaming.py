@@ -2755,3 +2755,65 @@ def q_stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "q")
     )
+
+
+from noaa_etl_spark.queries.multimodal import MIME_SNIFF_ORACLE, mime_census
+
+
+@graded("q_stream_mime_sniff", oracle=MIME_SNIFF_ORACLE)
+def q_stream_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the MIME census (twin #32) — the intake
+    format-drift alarm: a crawler whose blob mix shifts (a partner
+    feed silently switching container formats) shows up as census
+    drift long before a decoder error does. Per-batch state is the
+    (detected_mime, n, total_bytes, min_doc) census — n/total_bytes
+    sum-merge, min_doc min-merges — and the fold IS the report (no
+    separate finalize arithmetic), sharing MIME_SNIFF_ORACLE verbatim.
+    """
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_mime")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    gate = F.pmod(F.xxhash64(F.lit("smime"), F.col("doc_id")), F.lit(3))
+    for i in range(3):
+        docs.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from noaa_etl_spark.streaming.core import record_foreach_batch_plan
+
+        partial = mime_census(batch_df)
+        record_foreach_batch_plan("stream_mime_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    return (
+        spark.read.parquet(states)
+        .groupBy("detected_mime")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("total_bytes").cast("bigint").alias("total_bytes"),
+            F.min("min_doc").cast("bigint").alias("min_doc"),
+        )
+    )

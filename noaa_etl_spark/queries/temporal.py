@@ -2975,3 +2975,88 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("day_cents"))
     )
     return rolling_median_from_daily(daily)
+
+
+@graded(
+    "q_session_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, event_type, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             min(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS t_view,
+             min(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS n_view,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view)
+                AS BIGINT) AS n_view_click,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                                 AND t_purchase > t_click)
+                AS BIGINT) AS n_full_funnel,
+           CAST(sum(t_purchase - t_view)
+                    FILTER (t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click)
+                AS BIGINT) AS total_conversion_us
+    FROM per_session
+    """,
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel at SESSION grain — the composition q_sessionize × q_funnel
+    answers the question the user-grain funnel cannot: 'did the visit
+    convert?' A user who viewed in January and purchased in March
+    counts for the lifetime funnel but for NO session funnel; dividing
+    n_full_funnel by n_sessions here gives per-visit conversion, the
+    number growth teams actually A/B against.
+
+    Shape: ONE user_id window shuffle (the sessionize lag/cumsum),
+    then two stacked combinable aggs — (user, session) min-CASE pivot,
+    global census. The session id and the funnel predicates both ride
+    the same partitioning; no join anywhere. First-occurrence times
+    are epoch-micros BIGINTs; the latency sum is exact integer
+    arithmetic.
+
+    100 TB: identical posture to q_sessionize (its 2-exchange plan) —
+    the funnel pivot adds CASE branches to the agg, never a pass.
+    """
+    from noaa_etl_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sess = sessionize(
+        ev, user_col="user_id", ts_col="ts", gap_seconds=1800, tiebreak_col="event_id"
+    )
+    t = F.unix_micros("ts")
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", t)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", t)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    converted = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(viewed, 1)).alias("n_view"),
+        F.count(F.when(clicked, 1)).alias("n_view_click"),
+        F.count(F.when(converted, 1)).alias("n_full_funnel"),
+        F.sum(F.when(converted, F.col("t_purchase") - F.col("t_view"))).alias(
+            "total_conversion_us"
+        ),
+    )

@@ -74,6 +74,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_auc": ["fb_stream_auc_partial"],
     "q_stream_record_linkage": ["fb_stream_linkage_pairs", "fb_stream_linkage_counts"],
     "q_stream_hist_quantiles": ["fb_stream_hist_partial"],
+    "q_stream_mime_sniff": ["fb_stream_mime_partial"],
 }
 
 

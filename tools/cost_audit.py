@@ -380,6 +380,8 @@ AUDITED = [
     "q_gains_table",
     # mime sniff: scan-local synthesis + prefix tests + one tiny agg.
     "q_mime_sniff",
+    # session funnel: the q_sessionize 2-exchange shape + census agg.
+    "q_session_funnel",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
