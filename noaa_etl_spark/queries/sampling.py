@@ -1251,3 +1251,95 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("t_us").alias("max_t_us"),
         )
     )
+
+
+@graded(
+    "q_source_entropy",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS docs_total,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM per_source
+    ),
+    terms AS (
+      SELECT s.source,
+             -(CAST(s.n_docs AS DOUBLE) / CAST(t.docs_total AS DOUBLE))
+               * ln(CAST(s.n_docs AS DOUBLE) / CAST(t.docs_total AS DOUBLE)) AS h_doc,
+             -(CAST(s.n_tokens AS DOUBLE) / CAST(t.tokens_total AS DOUBLE))
+               * ln(CAST(s.n_tokens AS DOUBLE) / CAST(t.tokens_total AS DOUBLE)) AS h_tok
+      FROM per_source s, tot t
+    ),
+    folded AS (
+      SELECT round(sum(h_doc ORDER BY source), 9) AS h_docs,
+             round(sum(h_tok ORDER BY source), 9) AS h_tokens
+      FROM terms
+    )
+    SELECT t.n_sources, t.docs_total, t.tokens_total,
+           f.h_docs, f.h_tokens,
+           round(exp(f.h_docs), 6) AS eff_sources_docs,
+           round(exp(f.h_tokens), 6) AS eff_sources_tokens
+    FROM folded f, tot t
+    """,
+)
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix diversity report: Shannon entropy of the source
+    distribution (by docs AND by tokens) plus the effective number of
+    sources exp(H) — the one-row diagnostic a training-data pipeline
+    watches to catch a mix collapsing onto one source (eff_sources ->
+    1) or a token-vs-doc imbalance (H_tokens << H_docs means a few
+    sources carry all the volume in long documents).
+
+    Exactness: counts are exact BIGINTs; each entropy term -p*ln(p) is
+    a double of exact integers with a 1-ulp ln() window, so the sums
+    fold in ascending-source order on both engines (Spark: array_sort +
+    F.aggregate; DuckDB: sum(x ORDER BY source)) and H is graded
+    ROUNDED at 9dp with exp(H) derived from the ROUNDED value then
+    rounded again (the perplexity/dsir ln doctrine — no raw
+    transcendental is ever compared). Scale: one combinable
+    source-grain agg; everything after runs on the |sources|-row
+    relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("bigint")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").cast("bigint").alias("docs_total"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    p_doc = F.col("n_docs").cast("double") / F.col("docs_total").cast("double")
+    p_tok = F.col("n_tokens").cast("double") / F.col("tokens_total").cast("double")
+    terms = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (-p_doc * F.log(p_doc)).alias("h_doc"),
+        (-p_tok * F.log(p_tok)).alias("h_tok"),
+    )
+    ser = terms.agg(
+        F.array_sort(F.collect_list(F.struct("source", "h_doc", "h_tok"))).alias("xs")
+    )
+    h_docs = F.round(
+        F.aggregate(F.col("xs"), F.lit(0.0), lambda acc, x: acc + x["h_doc"]), 9
+    )
+    h_tokens = F.round(
+        F.aggregate(F.col("xs"), F.lit(0.0), lambda acc, x: acc + x["h_tok"]), 9
+    )
+    folded = ser.select(h_docs.alias("h_docs"), h_tokens.alias("h_tokens"))
+    return folded.crossJoin(F.broadcast(tot)).select(
+        "n_sources", "docs_total", "tokens_total", "h_docs", "h_tokens",
+        F.round(F.exp(F.col("h_docs")), 6).alias("eff_sources_docs"),
+        F.round(F.exp(F.col("h_tokens")), 6).alias("eff_sources_tokens"),
+    )

@@ -2587,7 +2587,7 @@ def q_stream_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (src, states, counts_dir, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
-    clean = fs_cap_blocks(fs_clean(load_table(spark, sf_dir, "customer")), "c")
+    clean = fs_cap_blocks(fs_clean(load_table(spark, sf_dir, "customer")))
     dirty = fs_dirty(fs_clean(load_table(spark, sf_dir, "customer")))
     gate = F.pmod(F.xxhash64(F.lit("slink"), F.col("k")), F.lit(3))
     for i in range(3):

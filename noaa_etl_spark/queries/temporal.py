@@ -11,14 +11,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from noaa_etl_spark.io import load_table
-from noaa_etl_spark.operators.sessionize import sessionize, sessionize_bucketed
+from noaa_etl_spark.operators.sessionize import (
+    sessionize,
+    sessionize_auto,
+    sessionize_bucketed,
+)
 from noaa_etl_spark.operators.asof import asof_join, asof_join_nearest
 from noaa_etl_spark.registry import graded
 
 
-@graded(
-    "q_sessionize",
-    oracle="""
+SESSIONIZE_ORACLE = """
     WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
     flagged AS (
       SELECT user_id, ts, value, event_id,
@@ -40,8 +42,10 @@ from noaa_etl_spark.registry import graded
            max(ts)    AS session_end
     FROM sessions
     GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+@graded("q_sessionize", oracle=SESSIONIZE_ORACLE)
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-min-gap sessionization via lag → flag → running-sum.
 
@@ -66,32 +70,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_sessionize_bucketed",
-    oracle="""
-    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-    flagged AS (
-      SELECT user_id, ts, value, event_id,
-             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM e
-    ),
-    sessions AS (
-      SELECT user_id, ts, value,
-             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      FROM flagged
-    )
-    SELECT user_id, session_id,
-           count(*)   AS n_events,
-           sum(value) AS session_value,
-           min(ts)    AS session_start,
-           max(ts)    AS session_end
-    FROM sessions
-    GROUP BY user_id, session_id
-    """,
-)
+@graded("q_sessionize_bucketed", oracle=SESSIONIZE_ORACLE)
 def q_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SKEW-SAFE sessionize served end-to-end against the exact same
     oracle as q_sessionize: local (user, day) sessionize → summary
@@ -104,6 +83,30 @@ def q_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     sess = sessionize_bucketed(
+        ev, user_col="user_id", ts_col="ts", gap_seconds=1800, tiebreak_col="event_id"
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("session_value"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@graded("q_sessionize_auto", oracle=SESSIONIZE_ORACLE)
+def q_sessionize_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-ADAPTIVE sessionize dispatcher served end-to-end — the
+    operator a 100 TB deployment actually calls (operators/
+    sessionize.sessionize_auto): one combinable max-events-per-user agg
+    picks the plain window form below the measured skew crossover and
+    the bucketed stitch form above it (the round-10 probe's rule —
+    bucketed is the SKEW gear, never the size gear). Output is
+    identical on either path by the pinned equivalence, so all three
+    sessionize entries share one oracle; this grades the dispatch
+    plumbing (the extra 1-row collect + branch) under the vanilla
+    driver rather than only in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize_auto(
         ev, user_col="user_id", ts_col="ts", gap_seconds=1800, tiebreak_col="event_id"
     )
     return sess.groupBy("user_id", "session_id").agg(
@@ -2838,6 +2841,177 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded(
+    "q_logrank_test",
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    assigned AS (
+      SELECT (substr(md5('lr:' || CAST(user_id AS VARCHAR)), 1, 1) < '8') AS treat,
+             1 + CAST(CAST('0x' || substr(md5('lrd:' || CAST(user_id AS VARCHAR)), 1, 12)
+                           AS UBIGINT) AS BIGINT) % 40
+               + (CASE WHEN (substr(md5('lr:' || CAST(user_id AS VARCHAR)), 1, 1) < '8')
+                       THEN 8 ELSE 0 END) AS dur
+      FROM users
+    ),
+    lives AS (
+      SELECT least(dur, 30) AS t, (dur <= 30) AS died, treat FROM assigned
+    ),
+    totals AS (
+      SELECT CAST(count(*) FILTER (WHERE treat) AS BIGINT)     AS n1_total,
+             CAST(count(*) FILTER (WHERE NOT treat) AS BIGINT) AS n0_total
+      FROM lives
+    ),
+    grid AS (
+      SELECT t,
+             CAST(count(*) FILTER (WHERE died AND treat) AS BIGINT)         AS dd1,
+             CAST(count(*) FILTER (WHERE died AND NOT treat) AS BIGINT)     AS dd0,
+             CAST(count(*) FILTER (WHERE NOT died AND treat) AS BIGINT)     AS cc1,
+             CAST(count(*) FILTER (WHERE NOT died AND NOT treat) AS BIGINT) AS cc0
+      FROM lives GROUP BY t
+    ),
+    atrisk AS (
+      SELECT t, dd1, dd0,
+             CAST(sum(dd1 + cc1) OVER (ORDER BY t DESC) AS BIGINT) AS n1,
+             CAST(sum(dd0 + cc0) OVER (ORDER BY t DESC) AS BIGINT) AS n0
+      FROM grid
+    ),
+    steps AS (SELECT * FROM atrisk WHERE dd1 + dd0 > 0),
+    terms AS (
+      SELECT t, dd1,
+             CAST(dd1 + dd0 AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)) AS e_term,
+             CASE WHEN n1 + n0 > 1 THEN
+               CAST(dd1 + dd0 AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                 * (1.0 - CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                 * (CAST(n1 + n0 - dd1 - dd0 AS DOUBLE) / CAST(n1 + n0 - 1 AS DOUBLE))
+             ELSE 0.0 END AS v_term
+      FROM steps
+    ),
+    folded AS (
+      SELECT CAST(sum(dd1) AS BIGINT) AS o1,
+             sum(e_term ORDER BY t) AS e1,
+             sum(v_term ORDER BY t) AS var_o1
+      FROM terms
+    )
+    SELECT n1_total, n0_total, o1, e1, var_o1,
+           (CAST(o1 AS DOUBLE) - e1) / sqrt(var_o1) AS z,
+           ((CAST(o1 AS DOUBLE) - e1) / sqrt(var_o1))
+             * ((CAST(o1 AS DOUBLE) - e1) / sqrt(var_o1)) AS chi2,
+           (((CAST(o1 AS DOUBLE) - e1) / sqrt(var_o1))
+             * ((CAST(o1 AS DOUBLE) - e1) / sqrt(var_o1)) > 3.841458820694124) AS reject_95
+    FROM folded, totals
+    """,
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm log-rank test — the survival battery's hypothesis test
+    next to q_kaplan_meier's estimator, censoring-correct: subjects
+    censored at the administrative horizon leave the risk set without
+    counting as deaths.
+
+    Fixture lifetimes are PLANTED by md5 (the mime_sniff construction
+    doctrine): the events fixture has no churn structure — every user
+    is active essentially daily, so activity-derived lifetimes have
+    zero deaths and the statistic is vacuous. Instead each distinct
+    user gets dur = 1 + (u48 mod 40) + 8·treat days (treat = the 'lr:'
+    gate), administratively censored at day 30 — both arms carry a
+    deterministic mix of deaths and censored rows and a real arm
+    effect, and the grade proves the log-rank MACHINERY (risk-set
+    cumsums, hypergeometric terms, ordered folds) end to end. Real
+    deployments swap the planted `lives` relation for observed
+    (duration, event) columns; everything from `grid` down is
+    unchanged.
+
+    At each pooled death time t: O1 accumulates arm-1 deaths (exact
+    BIGINT), E1 accumulates d_t·(n1_t/n_t), and Var accumulates the
+    hypergeometric term d_t·r·(1−r)·((n_t−d_t)/(n_t−1)) — every factor
+    a correctly-rounded double of exact BIGINTs, summed in ascending-t
+    order on both engines (Spark: array_sort + F.aggregate fold;
+    DuckDB: sum(x ORDER BY t) — the trimmed-mean precedent) ⇒ E1/Var/
+    z/chi2 are bit-equal and reject_95 cannot flip. The n_t=1 tail row
+    (a lone subject dying last) zeroes its variance term by CASE on
+    both sides rather than risking engine-specific x/0 semantics.
+
+    Scale: one combinable user-grain agg (the only data-sized
+    shuffle), then everything runs on the bounded lifetime grid
+    (≤ study-day span rows — the kaplan_meier reduced-relation shape);
+    the desc-cumsum window and the fold are SinglePartition on that
+    bounded relation by design; the 1-row study horizon and arm totals
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.select("user_id").distinct()
+    treat = (
+        F.substring(
+            F.md5(F.concat(F.lit("lr:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8"
+    )
+    u48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("lrd:"), F.col("user_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    dur = F.lit(1) + (u48 % 40) + F.when(treat, F.lit(8)).otherwise(F.lit(0))
+    lives = users.select(
+        F.least(dur, F.lit(30)).alias("t"),
+        (dur <= 30).alias("died"),
+        treat.alias("treat"),
+    )
+    lives = lives.localCheckpoint()  # feeds totals AND grid (two readers)
+    totals = lives.agg(
+        F.count_if(F.col("treat")).cast("bigint").alias("n1_total"),
+        F.count_if(~F.col("treat")).cast("bigint").alias("n0_total"),
+    )
+    grid = lives.groupBy("t").agg(
+        F.count_if(F.col("died") & F.col("treat")).cast("bigint").alias("dd1"),
+        F.count_if(F.col("died") & ~F.col("treat")).cast("bigint").alias("dd0"),
+        F.count_if(~F.col("died") & F.col("treat")).cast("bigint").alias("cc1"),
+        F.count_if(~F.col("died") & ~F.col("treat")).cast("bigint").alias("cc0"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    atrisk = grid.select(
+        "t", "dd1", "dd0",
+        F.sum(F.col("dd1") + F.col("cc1")).over(w_desc).cast("bigint").alias("n1"),
+        F.sum(F.col("dd0") + F.col("cc0")).over(w_desc).cast("bigint").alias("n0"),
+    )
+    steps = atrisk.filter((F.col("dd1") + F.col("dd0")) > 0)
+    dtot = (F.col("dd1") + F.col("dd0")).cast("double")
+    ntot = F.col("n1") + F.col("n0")
+    r = F.col("n1").cast("double") / ntot.cast("double")
+    e_term = dtot * r
+    v_term = F.when(
+        ntot > 1,
+        dtot
+        * r
+        * (F.lit(1.0) - r)
+        * ((ntot - (F.col("dd1") + F.col("dd0"))).cast("double")
+           / (ntot - F.lit(1)).cast("double")),
+    ).otherwise(F.lit(0.0))
+    terms = steps.select(
+        "t", "dd1", e_term.alias("e_term"), v_term.alias("v_term")
+    )
+    ser = terms.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "e_term", "v_term"))
+        ).alias("xs"),
+        F.sum("dd1").cast("bigint").alias("o1"),
+    )
+    e1 = F.aggregate(F.col("xs"), F.lit(0.0), lambda acc, x: acc + x["e_term"])
+    v1 = F.aggregate(F.col("xs"), F.lit(0.0), lambda acc, x: acc + x["v_term"])
+    folded = ser.select("o1", e1.alias("e1"), v1.alias("var_o1"))
+    z = (F.col("o1").cast("double") - F.col("e1")) / F.sqrt(F.col("var_o1"))
+    return folded.crossJoin(F.broadcast(totals)).select(
+        "n1_total", "n0_total", "o1", "e1", "var_o1",
+        z.alias("z"),
+        (z * z).alias("chi2"),
+        ((z * z) > F.lit(3.841458820694124)).alias("reject_95"),
+    )
+
+
 OHLC_ORACLE = """
     WITH e AS (
       SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -3059,4 +3233,58 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(converted, F.col("t_purchase") - F.col("t_view"))).alias(
             "total_conversion_us"
         ),
+    )
+
+
+@graded(
+    "q_ewma_irregular",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    anchored AS (
+      SELECT user_id, value, t_us,
+             max(t_us) OVER (PARTITION BY user_id) AS t_last
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * exp(-(CAST(t_last - t_us AS DOUBLE) / 86400000000.0))), 6)
+             AS decay_score
+    FROM anchored
+    GROUP BY user_id
+    """,
+)
+def q_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular-gap exponential time-decay score per user (tau = 1
+    day) — the feature-store "recency-weighted engagement" shape where
+    events arrive at arbitrary timestamps, complementing q_decayed_sum
+    (whose dyadic per-DAY alpha=1/2 fold is the exact-arithmetic gear on
+    a regular grid).
+
+    The naive form is a per-user recurrence s_i = v_i + e^(-dt/tau)*s_i-1
+    — but the recurrence has a CLOSED FORM: s_n = sum_i v_i *
+    exp(-(t_last - t_i)/tau), which turns the sequential fold into ONE
+    map-side-combinable aggregate after a per-user max window on the
+    same partitioning — the rolling_1h plan shape (one user-key
+    exchange), no collect_list, no per-user state, no UDF. That is the
+    100 TB difference between "ordered fold per user" and "plain agg".
+
+    Grading: exp() is not correctly-rounded and libm differs across
+    engines (the perplexity ln() adjudication), and the sum order is
+    engine-arbitrary — both effects are bounded by ~n*ulp relative
+    error (~1e-12 here), so the score is graded ROUNDED at 6dp, far
+    above the noise floor, with counts exact."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w_u = Window.partitionBy("user_id")
+    anchored = ev.select(
+        "user_id", "value", F.unix_micros("ts").alias("t_us")
+    ).withColumn("t_last", F.max("t_us").over(w_u))
+    decay = F.exp(
+        -((F.col("t_last") - F.col("t_us")).cast("double") / F.lit(86400000000.0))
+    )
+    return anchored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum(F.col("value") * decay), 6).alias("decay_score"),
     )

@@ -276,9 +276,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_dedup_ngram_jaccard",
-    oracle="""
+_NGRAM_JACCARD_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
              list_distinct(list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i + 1] || ' ' || t[i + 2])) AS grams
@@ -299,8 +297,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
     ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@graded("q_dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5, via LOSSLESS
     prefix filtering (the PPJoin/SSJoin principle).
@@ -333,6 +333,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=3)
+
+
+@graded("q_dedup_ngram_jaccard_capped", oracle=_NGRAM_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION gear of q_dedup_ngram_jaccard: same PPJoin prefix
+    filtering with candidate_cap_per_doc=64 — the pathological-corpus
+    guardrail (operators/dedup.ngram_jaccard_pairs) that bounds the
+    verify fan-in and the output to N·cap rows when a boilerplate-heavy
+    corpus's true pair count explodes (the 100× replica's ~25M-pair
+    answer, SCALING.md round-11). On fixture corpora the cap never
+    binds (candidate lists are far below 64), so the result — and this
+    query's grade — is the exact answer and the oracle is shared
+    verbatim with the uncapped query. This registers driver signal for
+    the contract a 100 TB deployment would actually run (VERDICT r12
+    item 4)."""
+    from noaa_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, threshold=0.5, shingle_n=3, candidate_cap_per_doc=64
+    )
 
 
 @graded(
@@ -412,10 +433,55 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
-@graded("q_lang_id")  # rows-only: heuristic marker scoring, engine-defined
+def _lang_id_oracle() -> str:
+    """DuckDB replay of functions/text.lang_id, generated from the SAME
+    LANG_MARKERS dict so the marker lists cannot drift between engines.
+    The Spark sequential strictly-greater argmax ('improved = hits >
+    best_score', iterating sorted(LANG_MARKERS)) is equivalent to: the
+    FIRST language in sorted order whose hit count equals the overall
+    max, or 'und' when the max is 0 — a later equal score never
+    improves, so the earliest max-attainer wins."""
+    from noaa_etl_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = []
+    for lang in langs:
+        lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        hit_cols.append(
+            f"len(list_filter(t, x -> list_contains([{lst}], x))) AS h_{lang}"
+        )
+    m = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    cases = "\n              ".join(
+        f"WHEN h_{lang} = {m} THEN '{lang}'" for lang in langs[:-1]
+    )
+    hits_sql = ",\n             ".join(hit_cols)
+    return f"""
+    WITH s AS (
+      SELECT lang, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    h AS (
+      SELECT lang,
+             {hits_sql}
+      FROM s
+    ),
+    p AS (
+      SELECT lang,
+        CASE WHEN {m} = 0 THEN 'und'
+              {cases}
+              ELSE '{langs[-1]}' END AS pred_lang
+      FROM h
+    )
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """
+
+
+@graded("q_lang_id", oracle=_lang_id_oracle())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID vs the labeled lang column (confusion
-    counts). Deterministic heuristic; engine-defined semantics."""
+    counts). Deterministic heuristic — oracle-paired since round 13:
+    the argmax/tie-break is a fixed integer rule both engines replay
+    from the shared LANG_MARKERS source (see _lang_id_oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("lang", lang_id(F.col("text")).alias("pred_lang"))
@@ -425,9 +491,46 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded("q_quality_score")  # rows-only: engine-defined scoring formula
+def _quality_score_oracle() -> str:
+    """DuckDB replay of functions/text.quality_score, generated from the
+    SAME EN_STOPWORDS list. Every term is a token-identical IEEE double
+    chain over exact integers (lengths, filter counts), so the 6-dp
+    rounds agree bit-for-bit; \\w and \\s are ASCII classes in both Java
+    regex and RE2, and fixture text is space-joined words (no \\x0B
+    divergence)."""
+    from noaa_etl_spark.functions.text import EN_STOPWORDS
+
+    stop_lst = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(t) AS DOUBLE) AS n,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+             CAST(len(list_filter(t, x -> list_contains([{stop_lst}], x))) AS DOUBLE)
+               / CAST(greatest(len(t), 1) AS DOUBLE) AS stop_ratio,
+             CAST(len(t) AS INT) AS n_tokens
+      FROM s
+    )
+    SELECT doc_id,
+           round((least(n / 50.0, 1.0)
+                  + (1.0 - least(punct_ratio * 5.0, 1.0))
+                  + least(stop_ratio * 4.0, 1.0)) / 3.0, 6) AS quality,
+           round(stop_ratio, 6) AS stop_ratio,
+           n_tokens
+    FROM c ORDER BY doc_id
+    """
+
+
+@graded("q_quality_score", oracle=_quality_score_oracle())
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score + components per doc."""
+    """Composite quality score + components per doc. Oracle-paired since
+    round 13: the score is a fixed IEEE chain over exact integer counts
+    (see _quality_score_oracle), replayed from the shared EN_STOPWORDS
+    source."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     return docs.select(

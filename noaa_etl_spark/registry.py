@@ -229,63 +229,86 @@ GRADED_WINDOW: list[str] = [
     # q_fingerprint_md5, q_stream_heavy_hitters, q_stream_chunk_documents
     # (+ rows-only q_multimodal_features, q_stream_stateful,
     # q_custom_datasource).
-    # --- round-11 additions, never driver-graded (27) ---
-    "q_rolling_median", "q_stream_rolling_median", "q_stream_gini",
-    "q_temperature_mix", "q_dsir_select", "q_stream_dsir",
-    "q_skew_join_salted", "q_readability", "q_image_resize",
-    "q_mapinarrow_hist", "q_observed_metrics", "q_stream_observed_metrics",
-    "q_sql_pipe_syntax", "q_applyinarrow_stats", "q_udtf_table_arg",
-    "q_stream_dedup_watermark", "q_covariance_matrix", "q_stream_covariance",
-    "q_mannwhitney_u", "q_stream_mannwhitney", "q_chi_square_independence",
-    "q_stream_chi_square", "q_quantile_normalize", "q_geohash_encode",
-    "q_ab_srm_check", "q_ratio_metric_delta", "q_kcore",
-    # --- re-grades: the four round-11 scale-redesigns (4) ---
-    "q_market_basket_lift", "q_jaccard_neighbors", "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    # --- stale rows-only rotation, second half (4; simhash above) ---
-    "q_ann_index_update", "q_dedup_minhash_lsh", "q_lang_id",
-    "q_quality_score",
-    # --- oldest-signal fills + family insurance (15) ---
-    "q_tpch_q2_min_cost", "q_tpch_q6_forecast", "q_tpch_q12_late_priority",
-    "q_tpch_q15_top_supplier", "q_tpch_q16_supplier_cnt",
-    "q_tpch_q17_small_qty", "q_tpch_q18_large_volume", "q_tpch_q21_waiting",
-    "q_referential_audit", "q_sample", "q_train_val_split",
-    "q_zstd_roundtrip", "q_set_ops_all", "q_topk_global", "q_ghcn_pipeline",
-    # Round-13 staging: the round-12 additions are registered, tested,
-    # and vanilla-sim'd at both SFs but enter the window in r13 (the
-    # standing one-round precedent): q_stream_funnel (twin #26, shares
-    # FUNNEL_ORACLE), q_temporal_split (embargoed time split),
-    # q_record_linkage_fs (Fellegi–Sunter literal weights),
-    # q_calibration_bins + q_stream_calibration_bins (twin #28),
-    # q_dp_noise_agg (Laplace release), q_oov_rate + q_stream_oov_rate
-    # (twin #27, vocab at finalize), q_auc_eval (bounded-grid rank AUC)
-    # — all oracle-paired — plus q_label_propagation (rows-only:
-    # iterative sync LPA, Python-reference-equal in tests) and the
-    # later-session r12 additions: q_stream_auc (twin #29),
-    # q_mutual_information, q_mutual_knn_ivf (rows-only IVF gear),
-    # q_stream_record_linkage (twin #30 — folded-state guardrail),
-    # q_gains_table. Also
-    # re-grade q_dedup_minhash_lsh + q_containment_lsh if their
-    # plan-shape changes (round-12 hot-band star cap; outputs
-    # fixture-identical, 100× OOM closed) warrant fresh signal, and
-    # rotate the r5-stale leftovers: q_approx_aggs, q_chunk_dedup,
-    # q_gap_fill, q_fingerprint_md5, q_stream_heavy_hitters,
-    # q_stream_chunk_documents + rows-only q_multimodal_features,
-    # q_stream_stateful, q_custom_datasource. Fill remaining slots by
-    # oldest-signal rotation (r6 cohort) with family reps per the
-    # any-of guard.
+    # Round 13: CORRECTNESS_r12 went 50/50 (seventh consecutive
+    # all-green window; zero red rows anywhere for the second round).
+    # This window grades (a) the 20 never-driver-graded queries: the 19
+    # round-12 additions (17 oracle-paired + q_label_propagation +
+    # q_mutual_knn_ivf rows-only) plus the new
+    # q_dedup_ngram_jaccard_capped (VERDICT r12 item 4 — the production
+    # cap gear, non-binding on fixtures, shares the uncapped oracle);
+    # (b) q_lang_id + q_quality_score, converted from rows-only to
+    # ORACLE-PAIRED this round (VERDICT item 5 — the oracles replay the
+    # marker-argmax / IEEE score chain from the shared LANG_MARKERS /
+    # EN_STOPWORDS sources); (c) the two LSH queries whose PLANS changed
+    # with the round-12 hot-bucket star caps but were not in the r12
+    # window: q_containment_lsh (rows-only) + q_semantic_dedup_lsh
+    # (rows-only; VERDICT item 3 — q_dedup_minhash_lsh already got
+    # post-cap signal in r12); (d) the complete r5-stale cohort (9):
+    # q_chunk_dedup, q_fingerprint_md5, q_stream_chunk_documents,
+    # q_gap_fill, q_approx_aggs (rows-only: approx aggs are
+    # engine-defined) + rows-only q_stream_stateful,
+    # q_stream_heavy_hitters, q_custom_datasource, q_multimodal_features;
+    # (e) 17 oldest-signal r6-stale oracle-paired fills chosen for
+    # family spread: q_date_functions (H), q_udtf_tokens (K),
+    # q_tpch_q11_value (tpch), q_quality_gate + q_gopher_quality +
+    # q_repetition_filter + q_fuzzy_name_match + q_cms_frequencies +
+    # q_hist_quantiles (I), q_stream_quality_gate (J),
+    # q_profile_columns + q_dq_checks + q_k_anonymity (etl/profiling),
+    # q_stats_skipping (A), q_anomaly_mad (E), q_array_functions (H),
+    # q_recursive_hierarchy (subqueries). Also changed this round and
+    # in-window: q_mime_sniff + q_stream_mime_sniff gained the text-leg
+    # sentinel byte (ADVICE r12 — the gate prediction is now a theorem,
+    # never fixture-content-dependent). Deferred to r14 by this
+    # rotation: the rest of the r6 cohort (date spine through
+    # mode_by_group per the oldest-signal list), then the r7 cohort.
+    # --- (a) never-driver-graded (20) ---
+    "q_stream_funnel", "q_temporal_split", "q_record_linkage_fs",
+    "q_calibration_bins", "q_stream_calibration_bins", "q_dp_noise_agg",
+    "q_oov_rate", "q_stream_oov_rate", "q_auc_eval", "q_stream_auc",
+    "q_mutual_information", "q_label_propagation", "q_mutual_knn_ivf",
+    "q_stream_record_linkage", "q_gains_table", "q_mime_sniff",
+    "q_stream_hist_quantiles", "q_session_funnel", "q_stream_mime_sniff",
+    "q_dedup_ngram_jaccard_capped",
+    # --- (b) rows-only -> oracle-paired conversions (2) ---
+    "q_lang_id", "q_quality_score",
+    # --- (c) hot-cap plan re-grades (2) ---
+    "q_containment_lsh", "q_semantic_dedup_lsh",
+    # --- (d) the complete r5-stale cohort (9) ---
+    "q_chunk_dedup", "q_fingerprint_md5", "q_stream_chunk_documents",
+    "q_gap_fill", "q_approx_aggs", "q_stream_stateful",
+    "q_stream_heavy_hitters", "q_custom_datasource", "q_multimodal_features",
+    # --- (e) oldest-signal oracle-paired fills + family insurance (17)
+    # r6-stale: date_functions (H), udtf_tokens (K), tpch_q11 (tpch),
+    # quality_gate / repetition_filter / fuzzy_name_match /
+    # hist_quantiles (I), stream_quality_gate (J), dq_checks (etl),
+    # stats_skipping (A), anomaly_mad (E), recursive_hierarchy
+    # (subqueries), mode_by_group (D rep). Families with no genuine
+    # stale-or-new member in the window get their oldest-signal curated
+    # rep: feature_store_pit (C, r7), union_all_yearly (G, r7),
+    # sort_offset (F, r9), ghcn_daily_wide (noaa, r11). Rep sets in
+    # test_graded_window_spans_every_family are extended with the
+    # genuine new-cohort members (A: stats_skipping/custom_datasource;
+    # B: temporal_split+quality_gate — split/filter semantics; E:
+    # anomaly_mad/session_funnel; J: the new stream twins; etl:
+    # dq_checks/record_linkage_fs).
+    "q_date_functions", "q_udtf_tokens", "q_tpch_q11_value",
+    "q_quality_gate", "q_repetition_filter", "q_stream_quality_gate",
+    "q_dq_checks", "q_fuzzy_name_match", "q_stats_skipping",
+    "q_anomaly_mad", "q_hist_quantiles", "q_recursive_hierarchy",
+    "q_mode_by_group", "q_feature_store_pit", "q_union_all_yearly",
+    "q_sort_offset", "q_ghcn_daily_wide",
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:
 # engine-specific hashes/sketches/ANN, streaming state, custom source).
 # test_graded_window_spans_every_family pins window∩rows-only == this.
 ROWS_ONLY_WINDOW: set[str] = {
-    # round 12: q_kcore (round-11 addition; brute-force-equal in tests)
-    # + the second 5 of the 10 stale r5-era rows-only signals (VERDICT
-    # r10 item 5 — first half rotated r11; q_dedup_simhash doubles as a
-    # scale-redesign re-grade).
-    "q_kcore", "q_ann_index_update", "q_dedup_simhash",
-    "q_dedup_minhash_lsh", "q_lang_id", "q_quality_score",
+    # round 13: the two new rows-only round-12 additions + the hot-cap
+    # LSH re-grades (VERDICT r12 item 3) + the r5-stale rows-only
+    # rotation (q_approx_aggs: approx_* aggs are engine-defined).
+    "q_label_propagation", "q_mutual_knn_ivf", "q_containment_lsh",
+    "q_semantic_dedup_lsh", "q_approx_aggs", "q_stream_stateful",
+    "q_stream_heavy_hitters", "q_custom_datasource", "q_multimodal_features",
 }
 
 

@@ -558,6 +558,67 @@ def test_minhash_hot_band_star_keeps_clusters_connected(spark):
     assert keep == {0, 500}
 
 
+def test_srp_hot_bucket_star_keeps_clusters_connected(spark):
+    """SRP sibling of the minhash hot-band star test (ADVICE r12): a
+    planted clique of identical embeddings larger than the cap must emit
+    BOUNDED candidates (head all-pairs + hub star edges) in BOTH ordered
+    and unordered modes, every over-cap id must stay connected through
+    the bucket hub (cos 1 to every clique member), a control pair far
+    from the clique must survive, and a non-binding cap must be exact
+    (== the default-cap result)."""
+    import numpy as np
+
+    from noaa_etl_spark.operators.similarity import lsh_candidate_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    base /= np.linalg.norm(base)
+    other = rng.randn(64)
+    other -= other.dot(base) * base
+    other /= np.linalg.norm(other)
+    n_clique = 100
+    rows = [(i, [float(x) for x in base]) for i in range(n_clique)]
+    rows += [(500, [float(x) for x in other]), (501, [float(x) for x in other])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    for ordered in (True, False):
+        cand = lsh_candidate_pairs(
+            df, df, ordered=ordered, hot_bucket_cap=8
+        ).collect()
+        pairs = {(r["query_id"], r["neighbor_id"]) for r in cand}
+        # Bounded: identical vectors share every band bucket; all-pairs
+        # would be C(100,2)=4950 (ordered) / 9900 (unordered). The star
+        # form is C(8,2)+92 = 120 ordered, 8·7+92·2 = 240 unordered.
+        bound = 150 if ordered else 300
+        assert len(pairs) <= bound + 2, (ordered, len(pairs))
+        # Every clique member appears, over-cap ids via the hub (id 0).
+        seen = {a for a, _ in pairs} | {b for _, b in pairs}
+        assert set(range(n_clique)) <= seen
+        for i in range(8, n_clique):
+            assert ((0, i) in pairs) or ((i, 0) in pairs), i
+        # Hub edges carry the true cosine (identical vectors → 1.0).
+        sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in cand}
+        hub_edge = (0, 8) if (0, 8) in sims else (8, 0)
+        assert abs(sims[hub_edge] - 1.0) < 1e-9
+        # Control pair far from the clique survives the cap.
+        assert ((500, 501) in pairs) or ((501, 500) in pairs)
+
+    # Non-binding cap is exact: same pairs as the module default.
+    small = spark.createDataFrame(rows[:10] + rows[-2:],
+                                  "vec_id bigint, embedding array<double>")
+    got_default = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_candidate_pairs(small, small, ordered=True).collect()
+    }
+    got_loose = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_candidate_pairs(
+            small, small, ordered=True, hot_bucket_cap=10_000
+        ).collect()
+    }
+    assert got_default == got_loose and len(got_default) >= 45 + 1
+
+
 def test_cluster_report_contract_and_determinism(spark):
     """cluster_report on the fixture embeddings: every vector assigned
     exactly once, at most n_cells rows, internally consistent purity,
