@@ -179,3 +179,29 @@ def resize_nearest(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     rows = (np.arange(out_h) * h) // out_h
     cols = (np.arange(out_w) * w) // out_w
     return rgb[rows][:, cols]
+
+
+def resample_linear(samples: np.ndarray, p: int, q: int) -> np.ndarray:
+    """Integer-exact linear-interpolation resample: output j reads the
+    source at position j·p/q (step p/q source samples per output
+    sample; p=8, q=3 converts 16 kHz to 6 kHz). With k = (j·p) div q
+    and r = (j·p) mod q, the interpolated value is the FLOOR of the
+    exact rational ((q−r)·v[k] + r·v[k+1]) / q — all arithmetic in
+    int64, floor division (never truncation: samples are signed), so
+    any engine can replay it bit-for-bit in closed form. Output length
+    = ((n−1)·q) div p + 1 (every j whose source position lies inside
+    the signal); when the position lands exactly on the last sample,
+    r = 0 and the v[k+1] term vanishes, so the clamped index never
+    contributes."""
+    v = samples.astype(np.int64)
+    n = v.shape[0]
+    if n == 0:
+        return v
+    n_out = ((n - 1) * q) // p + 1
+    j = np.arange(n_out, dtype=np.int64)
+    pos = j * p
+    k = pos // q
+    r = pos - k * q
+    kp1 = np.minimum(k + 1, n - 1)
+    num = (q - r) * v[k] + r * v[kp1]
+    return np.floor_divide(num, q)

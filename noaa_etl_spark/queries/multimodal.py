@@ -231,6 +231,105 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded(
+    "q_audio_resample",
+    oracle="""
+    WITH src AS (
+      SELECT d.doc_id, i.i,
+             ((d.doc_id * 31 + i.i * 17) % 65536) - 32768 AS v,
+             200 + d.doc_id % 56 AS n_in
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d,
+           (SELECT unnest(range(0, 256)) AS i) i
+      WHERE i.i < 200 + d.doc_id % 56
+    ),
+    outpos AS (
+      SELECT s.doc_id, j.j,
+             (j.j * 8) // 3 AS k,
+             (j.j * 8) % 3 AS r
+      FROM (SELECT DISTINCT doc_id, n_in FROM src) s,
+           (SELECT unnest(range(0, 700)) AS j) j
+      WHERE j.j <= ((s.n_in - 1) * 3) // 8
+    ),
+    vals AS (
+      SELECT o.doc_id, o.j,
+             CAST(floor(CAST((3 - o.r) * a.v + o.r * coalesce(b.v, 0) AS DOUBLE)
+                        / 3.0) AS BIGINT) AS y
+      FROM outpos o
+      JOIN src a ON a.doc_id = o.doc_id AND a.i = o.k
+      LEFT JOIN src b ON b.doc_id = o.doc_id AND b.i = o.k + 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_out,
+           6000 AS out_rate,
+           CAST(sum(y) AS BIGINT) AS sum_out,
+           CAST(sum(j * y) AS BIGINT) AS pos_checksum,
+           CAST(max(abs(y)) AS BIGINT) AS max_abs
+    FROM vals GROUP BY doc_id
+    """,
+)
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling through the REAL codec path (q_image_resize's
+    audio sibling): per doc, closed-form int16 samples are encoded to
+    actual RIFF/WAVE bytes, decoded back by the pure-numpy chunk
+    walker, linearly resampled 16 kHz → 6 kHz by the integer-exact
+    floor rule (operators/codecs.resample_linear: source position
+    j·8/3, value = floor(((3−r)v[k] + r·v[k+1])/3) — floor, never
+    truncation, because samples are signed), and summarized with the
+    position-weighted checksum that catches off-by-one/phase bugs. The
+    oracle replays the interpolation arithmetic in closed form, so the
+    grade proves synthesis → encode → decode → resample end to end
+    (the detection-vs-construction doctrine).
+
+    Scale: scan-local mapInPandas — one Arrow batch in, six scalars
+    out per blob; no shuffle before the final tiny census."""
+    import numpy as np
+
+    from noaa_etl_spark.operators.codecs import (
+        decode_wav,
+        encode_wav,
+        resample_linear,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id"
+    )
+
+    def synth_resample(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 200 + did % 56
+                i = np.arange(n, dtype=np.int64)
+                samples = (((did * 31 + i * 17) % 65536) - 32768).astype(np.int16)
+                dec, rate = decode_wav(encode_wav(samples, 16_000))
+                y = resample_linear(dec[:, 0], 8, 3)
+                jj = np.arange(y.shape[0], dtype=np.int64)
+                out.append(
+                    (
+                        did,
+                        int(y.shape[0]),
+                        (rate * 3) // 8,
+                        int(y.sum()),
+                        int((jj * y).sum()),
+                        int(np.abs(y).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_out", "out_rate",
+                    "sum_out", "pos_checksum", "max_abs",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_resample,
+        "doc_id bigint, n_out bigint, out_rate int, "
+        "sum_out bigint, pos_checksum bigint, max_abs bigint",
+    )
+
+
 # --- embedding generation stub (embed_udf) ----------------------------
 
 _EMBED_DIM = 16

@@ -2817,3 +2817,211 @@ def q_stream_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("min_doc").cast("bigint").alias("min_doc"),
         )
     )
+
+
+@graded(
+    "q_stream_session_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    flagged AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, event_type, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             min(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS t_view,
+             min(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS n_view,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view)
+                AS BIGINT) AS n_view_click,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                                 AND t_purchase > t_click)
+                AS BIGINT) AS n_full_funnel,
+           CAST(sum(t_purchase - t_view)
+                    FILTER (t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click)
+                AS BIGINT) AS total_conversion_us
+    FROM per_session
+    """,
+)
+def q_stream_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the session-grain funnel (twin #33): the
+    native F.session_window stateful operator computes the per-session
+    min-CASE funnel pivot LIVE (first view/click/purchase micros per
+    merged session window), and the batch census finalize is the
+    SHARED session_funnel_census helper — per-visit conversion as a
+    continuously-maintained number.
+
+    Semantics note (the q_stream_sessionize precedent): session_window
+    merges windows that OVERLAP, i.e. splits on gap ≥ G, while the
+    batch lag/cumsum form splits on gap > G — so this twin carries its
+    own ≥-form oracle rather than sharing the batch one verbatim; the
+    two differ only at exact-G gaps. State per open session is three
+    BIGINT minima regardless of session length — the watermark bounds
+    how long a session stays open."""
+    from noaa_etl_spark.queries.temporal import session_funnel_census
+
+    ev = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", "1 hour")
+    )
+    t = F.unix_micros("ts")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(
+        F.min(F.when(F.col("event_type") == "view", t)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", t)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_purchase"),
+    )
+    per_session = run_to_memory(agg, "mem_stream_session_funnel", "complete")
+    return session_funnel_census(per_session)
+
+
+@graded(
+    "q_stream_ewma_irregular",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             CAST(CAST('0x' || substr(md5('sewma:' || CAST(event_id AS VARCHAR)), 1, 2)
+                       AS UBIGINT) AS BIGINT) % 3 AS b
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    anch AS (
+      SELECT user_id, b, max(t_us) AS t_anchor FROM e GROUP BY user_id, b
+    ),
+    partials AS (
+      SELECT e.user_id, e.b, a.t_anchor,
+             CAST(count(*) AS BIGINT) AS n_events,
+             sum(e.value * exp(-(CAST(a.t_anchor - e.t_us AS DOUBLE)
+                                 / 86400000000.0))) AS s_b
+      FROM e JOIN anch a ON a.user_id = e.user_id AND a.b = e.b
+      GROUP BY e.user_id, e.b, a.t_anchor
+    ),
+    gmax AS (SELECT user_id, max(t_anchor) AS t_global FROM partials GROUP BY user_id),
+    folded AS (
+      SELECT p.user_id,
+             CAST(sum(p.n_events) AS BIGINT) AS n_events,
+             sum(p.s_b * exp(-(CAST(g.t_global - p.t_anchor AS DOUBLE)
+                               / 86400000000.0))
+                 ORDER BY p.b) AS s
+      FROM partials p JOIN gmax g ON g.user_id = p.user_id
+      GROUP BY p.user_id
+    )
+    SELECT user_id, n_events, round(s, 6) AS decay_score FROM folded
+    """,
+)
+def q_stream_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the irregular-gap decay score (twin #34) — the
+    EXPONENTIAL-RE-ANCHORING merge: each micro-batch keeps per-user
+    state (t_anchor = its own max timestamp, s_b = sum v·e^((t−t_anchor)/tau),
+    n), and the fold re-anchors at the global max:
+    s = sum_b s_b · e^((t_anchor_b − T)/tau) — the bitmask twin's
+    state-transforming merge in the continuous domain (scale instead of
+    shift). State is three scalars per user per trigger; no raw-event
+    replay ever.
+
+    The decomposition e^(a)·e^(b) is NOT bit-equal to the batch form's
+    e^(a+b), so this twin does NOT share the batch oracle: its own
+    oracle replays the identical two-step chain — batch membership is
+    an md5 gate on event_id (cross-engine, unlike the xxhash gates of
+    exact-integer twins where membership cancels), partials anchor at
+    the per-(user, batch) max, and the fold multiplies the identical
+    correctly-rounded factors in batch order. Grading stays at the
+    operator's 6-dp contract."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_ewma")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sewma:"), F.col("event_id").cast("string"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 3
+    )
+    e = ev.select(
+        "user_id", "value", F.unix_micros("ts").alias("t_us"), gate.alias("b")
+    )
+    for i in range(3):
+        e.filter(F.col("b") == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        w_u = W.partitionBy("user_id")
+        anchored = batch_df.withColumn("t_anchor", F.max("t_us").over(w_u))
+        decay = F.exp(
+            -((F.col("t_anchor") - F.col("t_us")).cast("double")
+              / F.lit(86400000000.0))
+        )
+        partial = anchored.groupBy("user_id", "b", "t_anchor").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value") * decay).alias("s_b"),
+        )
+        record_foreach_batch_plan("stream_ewma_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double, t_us bigint, b bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    parts = spark.read.parquet(states)
+    w_u = Window.partitionBy("user_id")
+    aligned = parts.withColumn("t_global", F.max("t_anchor").over(w_u))
+    scale = F.exp(
+        -((F.col("t_global") - F.col("t_anchor")).cast("double")
+          / F.lit(86400000000.0))
+    )
+    terms = aligned.select(
+        "user_id", "b", "n_events", (F.col("s_b") * scale).alias("term")
+    )
+    ser = terms.groupBy("user_id").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.array_sort(F.collect_list(F.struct("b", "term"))).alias("xs"),
+    )
+    s = F.aggregate(F.col("xs"), F.lit(0.0), lambda acc, x: acc + x["term"])
+    return ser.select("user_id", "n_events", F.round(s, 6).alias("decay_score"))

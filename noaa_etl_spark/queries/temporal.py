@@ -3222,6 +3222,14 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "click", t)).alias("t_click"),
         F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_purchase"),
     )
+    return session_funnel_census(per_session)
+
+
+def session_funnel_census(per_session: DataFrame) -> DataFrame:
+    """Funnel census over a (…, t_view, t_click, t_purchase) per-session
+    table — shared by q_session_funnel and its streaming twin (the
+    census is one combinable agg over the per-session relation, so the
+    finalization is identical whichever engine produced the sessions)."""
     viewed = F.col("t_view").isNotNull()
     clicked = viewed & (F.col("t_click") > F.col("t_view"))
     converted = clicked & (F.col("t_purchase") > F.col("t_click"))

@@ -75,6 +75,8 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_record_linkage": ["fb_stream_linkage_pairs", "fb_stream_linkage_counts"],
     "q_stream_hist_quantiles": ["fb_stream_hist_partial"],
     "q_stream_mime_sniff": ["fb_stream_mime_partial"],
+    "q_stream_session_funnel": ["mem_stream_session_funnel"],
+    "q_stream_ewma_irregular": ["fb_stream_ewma_partial"],
 }
 
 

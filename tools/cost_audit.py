@@ -382,6 +382,22 @@ AUDITED = [
     "q_mime_sniff",
     # session funnel: the q_sessionize 2-exchange shape + census agg.
     "q_session_funnel",
+    # Round-13 additions: the auto dispatcher must keep the plain
+    # 2-exchange sessionize shape at fixture skew (below threshold);
+    # logrank/entropy run on bounded reduced relations after one
+    # data-sized agg; SNM is the order_index range exchange + banded
+    # join; ewma is the rolling_1h window+agg shape; the capped ngram
+    # gear must not add exchanges over the uncapped form.
+    "q_sessionize_auto",
+    "q_logrank_test",
+    "q_sorted_neighborhood_dedup",
+    "q_ewma_irregular",
+    "q_source_entropy",
+    "q_dedup_ngram_jaccard_capped",
+    "q_lang_id",
+    "q_quality_score",
+    # audio resample: scan-local mapInPandas — must stay zero-exchange.
+    "q_audio_resample",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
