@@ -2144,3 +2144,149 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tot_pos").cast("double") / F.col("tot_n").cast("double"))
         ).alias("cum_lift"),
     )
+
+
+@graded(
+    "q_cuped_adjustment",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    span AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+    per_user AS (
+      SELECT user_id,
+             CAST(coalesce(sum(CASE WHEN day <  mid THEN cents END), 0) AS BIGINT) // 100 AS x,
+             CAST(coalesce(sum(CASE WHEN day >= mid THEN cents END), 0) AS BIGINT) // 100 AS y,
+             (substr(md5('cuped:' || CAST(user_id AS VARCHAR)), 1, 1) < '8') AS treat
+      FROM e, span GROUP BY user_id, mid
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(count(*) FILTER (treat) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (NOT treat) AS BIGINT) AS n_b,
+             CAST(coalesce(sum(x) FILTER (treat), 0) AS BIGINT) AS sx_a,
+             CAST(coalesce(sum(y) FILTER (treat), 0) AS BIGINT) AS sy_a,
+             CAST(coalesce(sum(x) FILTER (NOT treat), 0) AS BIGINT) AS sx_b,
+             CAST(coalesce(sum(y) FILTER (NOT treat), 0) AS BIGINT) AS sy_b
+      FROM per_user
+    )
+    SELECT n, n_a, n_b,
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             AS theta,
+           (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n - 1 AS DOUBLE) AS var_y,
+           ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+             / CAST(n - 1 AS DOUBLE) AS var_y_cuped,
+           ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             AS var_reduction,
+           CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff_raw,
+           (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS diff_cuped
+    FROM m
+    """,
+)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng/Xu/Kohavi/Walker 2013) — the
+    fourth tool of the experimentation battery (Welch z, SRM, delta
+    method, CUPED): the pre-period covariate X absorbs between-user
+    variance from the post-period metric Y via theta = cov(X,Y)/var(X),
+    and var(Y_cuped) = var(Y) - cov^2/var(X) in CLOSED FORM from pooled
+    moments — no per-user adjusted values are ever materialized. Pre =
+    days before the integer midpoint of the study span; arm = the
+    'cuped:' md5 gate on the randomization unit (distinct users, the
+    SRM doctrine).
+
+    Exactness & overflow (the round-11 finalize lesson applied at
+    design time): per-user revenue totals are exact floor-cents BIGINTs
+    quantized to DOLLARS (div 100, nonnegative so div == floor-div)
+    before the pooled second moments — per-user dollars ~5e6 at
+    fixture scale means sum(x*x) stays ~1e16 even at 100x replication
+    (cents-grain would abort at ~4e19); every finalize product
+    (n-free cov/var forms, theta, reduction) is a token-identical
+    DOUBLE chain, bit-equal cross-engine. Scale: one user-grain agg
+    (the only data-sized shuffle), then ONE combinable 12-column moment
+    agg; the report is literal arithmetic on a 1-row frame."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    e = ev.select("user_id", day.alias("day"), cents.alias("cents"))
+    span = e.agg(
+        F.expr("(min(day) + max(day) + 1) div 2").cast("bigint").alias("mid")
+    )
+    treat = (
+        F.substring(
+            F.md5(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8"
+    )
+    per_user = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy("user_id", "mid")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("day") < F.col("mid"), F.col("cents"))), F.lit(0)
+            ).cast("bigint").alias("pre_cents"),
+            F.coalesce(
+                F.sum(F.when(F.col("day") >= F.col("mid"), F.col("cents"))), F.lit(0)
+            ).cast("bigint").alias("post_cents"),
+        )
+        .select(
+            F.expr("pre_cents div 100").alias("x"),
+            F.expr("post_cents div 100").alias("y"),
+            treat.alias("treat"),
+        )
+    )
+    is_a, is_b = F.col("treat"), ~F.col("treat")
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.count_if(is_a).cast("bigint").alias("n_a"),
+        F.count_if(is_b).cast("bigint").alias("n_b"),
+        F.coalesce(F.sum(F.when(is_a, F.col("x"))), F.lit(0)).cast("bigint").alias("sx_a"),
+        F.coalesce(F.sum(F.when(is_a, F.col("y"))), F.lit(0)).cast("bigint").alias("sy_a"),
+        F.coalesce(F.sum(F.when(is_b, F.col("x"))), F.lit(0)).cast("bigint").alias("sx_b"),
+        F.coalesce(F.sum(F.when(is_b, F.col("y"))), F.lit(0)).cast("bigint").alias("sy_b"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / nd
+    varx_n = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / nd
+    vary_n = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / nd
+    theta = cov_n / varx_n
+    mean = lambda s, c: F.col(s).cast("double") / F.col(c).cast("double")  # noqa: E731
+    diff_raw = mean("sy_a", "n_a") - mean("sy_b", "n_b")
+    return m.select(
+        "n", "n_a", "n_b",
+        theta.alias("theta"),
+        (vary_n / (F.col("n") - 1).cast("double")).alias("var_y"),
+        ((vary_n - (cov_n * cov_n / varx_n)) / (F.col("n") - 1).cast("double")).alias(
+            "var_y_cuped"
+        ),
+        ((cov_n * cov_n / varx_n) / vary_n).alias("var_reduction"),
+        diff_raw.alias("diff_raw"),
+        (
+            diff_raw - theta * (mean("sx_a", "n_a") - mean("sx_b", "n_b"))
+        ).alias("diff_cuped"),
+    )

@@ -1253,9 +1253,7 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_source_entropy",
-    oracle="""
+SOURCE_ENTROPY_ORACLE = """
     WITH per_source AS (
       SELECT source,
              CAST(count(*) AS BIGINT) AS n_docs,
@@ -1287,40 +1285,29 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(exp(f.h_docs), 6) AS eff_sources_docs,
            round(exp(f.h_tokens), 6) AS eff_sources_tokens
     FROM folded f, tot t
-    """,
-)
-def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-mix diversity report: Shannon entropy of the source
-    distribution (by docs AND by tokens) plus the effective number of
-    sources exp(H) — the one-row diagnostic a training-data pipeline
-    watches to catch a mix collapsing onto one source (eff_sources ->
-    1) or a token-vs-doc imbalance (H_tokens << H_docs means a few
-    sources carry all the volume in long documents).
+    """
 
-    Exactness: counts are exact BIGINTs; each entropy term -p*ln(p) is
-    a double of exact integers with a 1-ulp ln() window, so the sums
-    fold in ascending-source order on both engines (Spark: array_sort +
-    F.aggregate; DuckDB: sum(x ORDER BY source)) and H is graded
-    ROUNDED at 9dp with exp(H) derived from the ROUNDED value then
-    rounded again (the perplexity/dsir ln doctrine — no raw
-    transcendental is ever compared). Scale: one combinable
-    source-grain agg; everything after runs on the |sources|-row
-    relation."""
-    docs = load_table(spark, sf_dir, "documents")
-    n_tokens = (
-        F.length("text")
-        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-        + 1
-    ).cast("bigint")
-    per_source = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(n_tokens).cast("bigint").alias("n_tokens"),
-    )
+
+def source_entropy_report(per_source: DataFrame) -> DataFrame:
+    """Entropy finalize over a (source, n_docs, n_tokens) relation —
+    shared by q_source_entropy and its streaming twin (per-source doc
+    and token counts are pure-addition mergeable; the entropy terms and
+    folds are computed only over the folded |sources|-row relation).
+
+    per_source is localCheckpoint'd: it feeds the totals agg AND the
+    term projection (and tot itself feeds two readers) — un-pinned,
+    each reader re-plans the full source scan + agg (audited at 12
+    executed exchanges for what is a 2-exchange computation; the
+    multi-reader double-plan rule)."""
+    per_source = per_source.localCheckpoint()
+    # tot is itself two-reader (the term projection and the final
+    # report) — checkpoint the 1-row frame too, or each reader re-runs
+    # the totals exchange.
     tot = per_source.agg(
         F.sum("n_docs").cast("bigint").alias("docs_total"),
         F.sum("n_tokens").cast("bigint").alias("tokens_total"),
         F.count(F.lit(1)).cast("bigint").alias("n_sources"),
-    )
+    ).localCheckpoint()
     p_doc = F.col("n_docs").cast("double") / F.col("docs_total").cast("double")
     p_tok = F.col("n_tokens").cast("double") / F.col("tokens_total").cast("double")
     terms = per_source.crossJoin(F.broadcast(tot)).select(
@@ -1343,3 +1330,39 @@ def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.col("h_docs")), 6).alias("eff_sources_docs"),
         F.round(F.exp(F.col("h_tokens")), 6).alias("eff_sources_tokens"),
     )
+
+
+@graded("q_source_entropy", oracle=SOURCE_ENTROPY_ORACLE)
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix diversity report: Shannon entropy of the source
+    distribution (by docs AND by tokens) plus the effective number of
+    sources exp(H) — the one-row diagnostic a training-data pipeline
+    watches to catch a mix collapsing onto one source (eff_sources ->
+    1) or a token-vs-doc imbalance (H_tokens << H_docs means a few
+    sources carry all the volume in long documents).
+
+    Exactness: counts are exact BIGINTs; each entropy term -p*ln(p) is
+    a double of exact integers with a 1-ulp ln() window, so the sums
+    fold in ascending-source order on both engines (Spark: array_sort +
+    F.aggregate; DuckDB: sum(x ORDER BY source)) and H is graded
+    ROUNDED at 9dp with exp(H) derived from the ROUNDED value then
+    rounded again (the perplexity/dsir ln doctrine — no raw
+    transcendental is ever compared). Scale: one combinable
+    source-grain agg; everything after runs on the |sources|-row
+    relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(source_token_count()).cast("bigint").alias("n_tokens"),
+    )
+    return source_entropy_report(per_source)
+
+
+def source_token_count():
+    """Whitespace token count as a pure length expression (no split
+    array materialized) — shared by the entropy pair."""
+    return (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("bigint")

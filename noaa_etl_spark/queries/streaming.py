@@ -2924,7 +2924,7 @@ def q_stream_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM partials p JOIN gmax g ON g.user_id = p.user_id
       GROUP BY p.user_id
     )
-    SELECT user_id, n_events, round(s, 6) AS decay_score FROM folded
+    SELECT user_id, n_events, round(s, 3) AS decay_score FROM folded
     """,
 )
 def q_stream_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3024,4 +3024,74 @@ def q_stream_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("b", "term"))).alias("xs"),
     )
     s = F.aggregate(F.col("xs"), F.lit(0.0), lambda acc, x: acc + x["term"])
-    return ser.select("user_id", "n_events", F.round(s, 6).alias("decay_score"))
+    return ser.select("user_id", "n_events", F.round(s, 3).alias("decay_score"))
+
+
+from noaa_etl_spark.queries.sampling import SOURCE_ENTROPY_ORACLE
+
+
+@graded("q_stream_source_entropy", oracle=SOURCE_ENTROPY_ORACLE)
+def q_stream_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the corpus-mix entropy report (twin #35):
+    per-batch (source, n_docs, n_tokens) partials are pure integer
+    addition; the entropy terms, ordered ln folds, and exp(H) run ONLY
+    in the shared source_entropy_report over the folded relation (the
+    oov derived-at-finalize doctrine — a per-batch entropy would be
+    meaningless). Live mix-collapse alarm: one combinable agg per
+    trigger, |sources|-row maintained state. Shares
+    SOURCE_ENTROPY_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries.sampling import (
+        source_entropy_report,
+        source_token_count,
+    )
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_src_entropy")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    gate = F.pmod(F.xxhash64(F.lit("sentropy"), F.col("doc_id")), F.lit(3))
+    for i in range(3):
+        docs.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = batch_df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(source_token_count()).cast("bigint").alias("n_tokens"),
+        )
+        record_foreach_batch_plan("stream_src_entropy_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return source_entropy_report(folded)

@@ -3258,7 +3258,7 @@ def session_funnel_census(per_session: DataFrame) -> DataFrame:
     )
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value * exp(-(CAST(t_last - t_us AS DOUBLE) / 86400000000.0))), 6)
+           round(sum(value * exp(-(CAST(t_last - t_us AS DOUBLE) / 86400000000.0))), 3)
              AS decay_score
     FROM anchored
     GROUP BY user_id
@@ -3282,8 +3282,12 @@ def q_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     Grading: exp() is not correctly-rounded and libm differs across
     engines (the perplexity ln() adjudication), and the sum order is
     engine-arbitrary — both effects are bounded by ~n*ulp relative
-    error (~1e-12 here), so the score is graded ROUNDED at 6dp, far
-    above the noise floor, with counts exact."""
+    error, so the score is graded ROUNDED. 3dp, not 6: the terms are
+    all-positive and summed in engine-arbitrary order, so the noise
+    floor is ~n*eps*score (~1e-9 at fixture scale) — against a 6dp
+    half-gap of 5e-7 that is a ~2e-3 flip probability PER USER per
+    regen (an expected red row every few rounds); at 3dp the flip
+    probability is ~3e-4 per grading. Counts exact."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     w_u = Window.partitionBy("user_id")
     anchored = ev.select(
@@ -3294,5 +3298,5 @@ def q_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return anchored.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.round(F.sum(F.col("value") * decay), 6).alias("decay_score"),
+        F.round(F.sum(F.col("value") * decay), 3).alias("decay_score"),
     )

@@ -2749,3 +2749,86 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return oov_finalize(st)
+
+
+@graded(
+    "q_line_dedup_global",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i.i AS idx,
+             array_to_string(t[i.i * 10 + 1 : i.i * 10 + 10], ' ') AS line
+      FROM toks, (SELECT unnest(range(0, 512)) AS i) i
+      WHERE i.i < (len(t) + 9) // 10
+    ),
+    winners AS (
+      SELECT line, min(doc_id * 1048576 + idx) AS k FROM lines GROUP BY line
+    ),
+    kept AS (
+      SELECT k // 1048576 AS doc_id, k % 1048576 AS idx, line FROM winners
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           md5(string_agg(line, ' ' ORDER BY idx)) AS kept_md5
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style GLOBAL line-level dedup: split every document into
+    10-word segments ('lines'), keep each distinct line only at its
+    FIRST occurrence under the total (doc_id, idx) order, and reassemble
+    each document from its surviving lines — the classic boilerplate
+    killer (nav bars, license headers, repeated footers) that document-
+    level dedup cannot touch because the containing documents differ.
+
+    First-occurrence-wins needs NO window and NO join-back: the winner
+    of each line group IS the kept instance, so one groupBy(line) with
+    min over the encoded BIGINT key doc_id*2^20 + idx (idx < 2^20 — a
+    512-line cap per doc is part of the segmentation contract here)
+    selects the survivors, and one doc-grain agg reassembles them in
+    idx order (md5 of the reassembled text is the graded witness — any
+    mis-ordered, dropped, or duplicated line changes it). Two
+    exchanges total: lines shuffle by content once, survivors by doc
+    once; line synthesis is pure expression land (sequence + slice +
+    array_join), no explode of per-token rows.
+
+    Docs whose every line was seen earlier vanish from the output by
+    definition (nothing survives) — the graded relation is the
+    surviving corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_chunks = F.floor((F.size(toks) + 9) / 10).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.array_join(F.slice(toks, i * 10 + 1, 10), " ").alias("line"),
+        ),
+    )
+    lines = docs.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select("doc_id", F.col("c.idx").alias("idx"), F.col("c.line").alias("line"))
+    winners = lines.groupBy("line").agg(
+        F.min(F.col("doc_id") * 1048576 + F.col("idx")).alias("k")
+    )
+    kept = winners.select(
+        F.expr("k div 1048576").alias("doc_id"),
+        (F.col("k") % 1048576).alias("idx"),
+        "line",
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                    lambda x: x["line"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    # no terminal sort: per-doc table, graded order-insensitively.
+    return reassembled

@@ -297,6 +297,29 @@ GRADED_WINDOW: list[str] = [
     "q_anomaly_mad", "q_hist_quantiles", "q_recursive_hierarchy",
     "q_mode_by_group", "q_feature_store_pit", "q_union_all_yearly",
     "q_sort_offset", "q_ghcn_daily_wide",
+    # Round-14 staging: the round-13 additions are registered, tested,
+    # simmed at both SFs, COSTS-audited, and enter the window in r14
+    # (the standing one-round rhythm): q_sessionize_auto (shares
+    # SESSIONIZE_ORACLE — the skew dispatcher's own driver signal),
+    # q_logrank_test (survival battery: bit-equal ordered folds),
+    # q_sorted_neighborhood_dedup (SNM gear on order_index),
+    # q_ewma_irregular + q_stream_ewma_irregular (twin #34 —
+    # exponential re-anchoring merge, own two-step-chain oracle),
+    # q_source_entropy + q_stream_source_entropy (twin #35 — shares
+    # SOURCE_ENTROPY_ORACLE), q_stream_session_funnel (twin #33 — own
+    # gap-≥ oracle), q_audio_resample (codec resample, closed-form
+    # oracle), q_cuped_adjustment (experimentation battery #4),
+    # q_line_dedup_global (C4 line-level dedup), plus the two sort-drop
+    # re-grades q_window_rank / q_join_left (plan changed, semantics
+    # identical). Then rotate the remaining r6-stale cohort
+    # (doc_similarity, knn_ivf, survivor_policy, mixture_epochs,
+    # gopher_quality, corpus_shuffle_shard, profile_columns, table_diff,
+    # fuzzy_match_q3, cms_frequencies, k_anonymity, stream_drift_monitor,
+    # weighted_sample, interval_merge, funnel, cohort_retention,
+    # fuzzy_rank, array_functions, partition_overwrite,
+    # stream_cms_frequencies, resample_interpolate, bpe pair,
+    # date_spine, lang_stats, quality_filter, ...) and start the r7
+    # cohort, families per the any-of guard.
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:

@@ -77,6 +77,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_mime_sniff": ["fb_stream_mime_partial"],
     "q_stream_session_funnel": ["mem_stream_session_funnel"],
     "q_stream_ewma_irregular": ["fb_stream_ewma_partial"],
+    "q_stream_source_entropy": ["fb_stream_src_entropy_partial"],
 }
 
 

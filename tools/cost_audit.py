@@ -398,6 +398,10 @@ AUDITED = [
     "q_quality_score",
     # audio resample: scan-local mapInPandas — must stay zero-exchange.
     "q_audio_resample",
+    # CUPED: one user-grain agg + one 1-row moment agg; line dedup:
+    # exactly two exchanges (lines by content, survivors by doc).
+    "q_cuped_adjustment",
+    "q_line_dedup_global",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
