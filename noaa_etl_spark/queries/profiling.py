@@ -2228,8 +2228,16 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
     cents = F.floor(F.col("value") * 100).cast("bigint")
-    e = ev.select("user_id", day.alias("day"), cents.alias("cents"))
-    span = e.agg(
+    # ONE fact pass: reduce to (user, day) grain first (combinable),
+    # derive the midpoint from the reduced relation, then split — the
+    # naive form (global span agg + user agg) scans the fact twice.
+    ud = (
+        ev.select("user_id", day.alias("day"), cents.alias("cents"))
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+        .localCheckpoint()  # feeds span AND per_user (two readers)
+    )
+    span = ud.agg(
         F.expr("(min(day) + max(day) + 1) div 2").cast("bigint").alias("mid")
     )
     treat = (
@@ -2239,7 +2247,7 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         < "8"
     )
     per_user = (
-        e.crossJoin(F.broadcast(span))
+        ud.crossJoin(F.broadcast(span))
         .groupBy("user_id", "mid")
         .agg(
             F.coalesce(

@@ -1193,3 +1193,28 @@ def test_gains_table_windows_on_ten_row_aggregate(spark):
     aggs = [m.start() for m in _re.finditer("HashAggregate", tree)]
     wins = [m.start() for m in _re.finditer("Window", tree)]
     assert max(aggs) > max(wins), "a window runs below the bin aggregate"
+
+
+def test_sorted_neighborhood_banded_join_shape(spark):
+    """SNM's w-neighborhood is a BANDED equi-join over order_index
+    positions — never a global rank window in the production path, and
+    never a cross/theta join: the physical join must be a hash or merge
+    join keyed on the block id. (COSTS shows 0 executed exchanges for
+    this query because order_index's localCheckpoint truncates the
+    audited plan — this structural test is the compensating gate, the
+    curriculum_order precedent.)"""
+    prod = plan_of(spark, "q_sorted_neighborhood_dedup")
+    assert "Window" not in prod
+    assert "CartesianProduct" not in prod and "NestedLoop" not in prod
+    assert ("SortMergeJoin" in prod) or ("ShuffledHashJoin" in prod) or (
+        "BroadcastHashJoin" in prod
+    )
+
+
+def test_line_dedup_no_window_no_join(spark):
+    """Global first-occurrence-wins needs NO window and NO join-back:
+    the winner of each line group IS the kept instance. Two hash
+    aggregations (line grain, doc grain) are the whole plan."""
+    prod = plan_of(spark, "q_line_dedup_global")
+    assert "Window" not in prod
+    assert "Join" not in prod
