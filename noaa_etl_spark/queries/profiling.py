@@ -2146,9 +2146,7 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_cuped_adjustment",
-    oracle="""
+CUPED_ORACLE = """
     WITH e AS (
       SELECT user_id,
              CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day,
@@ -2202,8 +2200,10 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
              * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
                 - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS diff_cuped
     FROM m
-    """,
-)
+    """
+
+
+@graded("q_cuped_adjustment", oracle=CUPED_ORACLE)
 def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance reduction (Deng/Xu/Kohavi/Walker 2013) — the
     fourth tool of the experimentation battery (Welch z, SRM, delta
@@ -2235,8 +2235,18 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", day.alias("day"), cents.alias("cents"))
         .groupBy("user_id", "day")
         .agg(F.sum("cents").cast("bigint").alias("cents"))
-        .localCheckpoint()  # feeds span AND per_user (two readers)
     )
+    return cuped_report(ud)
+
+
+def cuped_report(ud: DataFrame) -> DataFrame:
+    """CUPED finalize over a (user_id, day, cents) relation — shared by
+    q_cuped_adjustment and its streaming twin: the (user, day) rollup
+    is pure-addition mergeable, while the midpoint, the pre/post split,
+    and every moment DEPEND on the full horizon and so run only at
+    report time over the folded relation (the stream_hist_quantiles
+    domain-free-state doctrine)."""
+    ud = ud.localCheckpoint()  # feeds span AND per_user (two readers)
     span = ud.agg(
         F.expr("(min(day) + max(day) + 1) div 2").cast("bigint").alias("mid")
     )

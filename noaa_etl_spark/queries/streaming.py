@@ -3095,3 +3095,72 @@ def q_stream_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return source_entropy_report(folded)
+
+
+from noaa_etl_spark.queries.profiling import CUPED_ORACLE
+
+
+@graded("q_stream_cuped", oracle=CUPED_ORACLE)
+def q_stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of CUPED (twin #36): per-batch (user, day, cents)
+    rollups are pure integer addition; the study midpoint, the pre/post
+    covariate split, and all pooled moments depend on the FULL horizon,
+    so they run only in the shared cuped_report over the folded
+    relation — a per-batch midpoint would misclassify pre-period days
+    that arrive after later-period batches (the hist-quantiles
+    data-derived-domain lesson applied to a time split). Maintained
+    state is the (user, day) reduced relation; shares CUPED_ORACLE
+    verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries.profiling import cuped_report
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_cuped")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    e = ev.select(
+        "event_id", "user_id", day.alias("day"), cents.alias("cents")
+    )
+    gate = F.pmod(F.xxhash64(F.lit("scuped"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        e.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = batch_df.groupBy("user_id", "day").agg(
+            F.sum("cents").cast("bigint").alias("cents")
+        )
+        record_foreach_batch_plan("stream_cuped_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("user_id bigint, day bigint, cents bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    return cuped_report(folded)

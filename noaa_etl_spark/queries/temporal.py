@@ -3300,3 +3300,193 @@ def q_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.round(F.sum(F.col("value") * decay), 3).alias("decay_score"),
     )
+
+
+@graded(
+    "q_out_of_order_audit",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(CAST('0x' || substr(md5('ooo:' || CAST(event_id AS VARCHAR)), 1, 12)
+                           AS UBIGINT) AS BIGINT) % 600000000 AS arrival
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    w AS (
+      SELECT event_type, t,
+             max(t) OVER (PARTITION BY user_id ORDER BY arrival, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+      FROM e
+    ),
+    l AS (
+      SELECT event_type,
+             CASE WHEN runmax IS NULL OR runmax <= t THEN 0
+                  ELSE runmax - t END AS late_us
+      FROM w
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (late_us > 0) AS BIGINT) AS n_late,
+           CAST(max(late_us) AS BIGINT) AS max_late_us,
+           quantile_cont(CASE WHEN late_us > 0 THEN late_us END, 0.95)
+             AS p95_late_us
+    FROM l GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder census — THE report that sizes a streaming
+    watermark: per event type, how many events arrive after a
+    later-timestamped event of the same user has already arrived, and
+    how late (max + p95 of the lateness an ingest would observe).
+    Lateness of an event = max(0, max event-time among its user's
+    EARLIER ARRIVALS − its own event-time), i.e. exactly the gap
+    withWatermark must tolerate to not drop it.
+
+    The fixture's event_id order is perfectly time-sorted (zero
+    disorder — a vacuous audit, the logrank lesson), so arrival order
+    is PLANTED as ts + an md5 network delay in [0, 10 min) on event_id
+    (the construction doctrine): deterministic in both engines, and the
+    resulting disorder census is a theorem of the construction.
+
+    Exactness: lateness values are exact BIGINT micros; p95 among late
+    events via F.percentile == DuckDB quantile_cont (the anomaly_mad
+    adjudication; NULL when a type has no late events, both engines).
+    Scale: one user-partition window (arrival order rides the user
+    exchange — the sessionize shape) + one combinable type-grain agg;
+    no skewed global window."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    t = F.unix_micros("ts")
+    delay = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ooo:"), F.col("event_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 600_000_000
+    )
+    e = ev.select(
+        "event_id", "user_id", "event_type",
+        t.alias("t"), (t + delay).alias("arrival"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runmax = F.max("t").over(w)
+    late = F.when(
+        runmax.isNull() | (runmax <= F.col("t")), F.lit(0)
+    ).otherwise(runmax - F.col("t"))
+    l = e.select("event_type", late.alias("late_us"))
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_if(F.col("late_us") > 0).cast("bigint").alias("n_late"),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+            F.expr(
+                "percentile(CASE WHEN late_us > 0 THEN late_us END, 0.95)"
+            ).alias("p95_late_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@graded(
+    "q_rolling_corr",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    daily AS (
+      SELECT day,
+             CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN cents END), 0)
+                  AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN cents END), 0)
+                  AS BIGINT) AS y
+      FROM e GROUP BY day
+    ),
+    win AS (
+      SELECT day, x, y,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, x, y, n,
+           CASE WHEN n > 1
+                 AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                 AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+           THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           END AS corr7
+    FROM win
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day Pearson correlation between two series (daily
+    click vs purchase revenue) — the rolling JOINT-moment shape
+    (co-movement monitoring: did the funnel decouple this week?),
+    extending q_bollinger_bands' exact-integer rolling variance to the
+    cross-moment. All six window sums are exact BIGINTs over a bounded
+    rows frame on the dense daily grid; corr = one fixed double chain
+    (n-scaled covariance over the product of two correctly-rounded
+    sqrts) ⇒ bit-equal, with degenerate windows (n = 1 or a constant
+    series) NULLed by CASE on both sides rather than risking 0/0.
+
+    Overflow: daily cents ~5e7 at sf0.1 ⇒ x·y ~2.5e15/term, 7-term
+    window sums ~2e16, n·sxy ~1.4e17 — the finalize products stay in
+    DOUBLE per the round-11 lesson, and the BIGINT window sums
+    themselves are safe to ~1e3× fixture volume (documented bound;
+    dollars-quantize the daily grain beyond that).
+
+    Scale: one combinable (day)-grain agg collapses the fact; the
+    window runs on the bounded daily spine (SinglePartition by design —
+    the kaplan_meier reduced-relation posture)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    daily = (
+        ev.select(F.col("event_type").alias("et"), day.alias("day"), cents.alias("cents"))
+        .groupBy("day")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("et") == "click", F.col("cents"))), F.lit(0))
+            .cast("bigint").alias("x"),
+            F.coalesce(F.sum(F.when(F.col("et") == "purchase", F.col("cents"))), F.lit(0))
+            .cast("bigint").alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    win = daily.select(
+        "day", "x", "y",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    corr = F.when(
+        (F.col("n") > 1) & (vx > 0) & (vy > 0),
+        cov / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return win.select("day", "x", "y", "n", corr.alias("corr7"))

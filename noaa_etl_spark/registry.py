@@ -309,9 +309,11 @@ GRADED_WINDOW: list[str] = [
     # SOURCE_ENTROPY_ORACLE), q_stream_session_funnel (twin #33 — own
     # gap-≥ oracle), q_audio_resample (codec resample, closed-form
     # oracle), q_cuped_adjustment (experimentation battery #4),
-    # q_line_dedup_global (C4 line-level dedup), plus the two sort-drop
-    # re-grades q_window_rank / q_join_left (plan changed, semantics
-    # identical). Then rotate the remaining r6-stale cohort
+    # q_line_dedup_global (C4 line-level dedup), q_stream_cuped
+    # (twin #36 — shares CUPED_ORACLE), q_out_of_order_audit (disorder
+    # census, md5-planted arrival delays), q_rolling_corr (exact
+    # rolling joint moments), plus the two sort-drop re-grades
+    # q_window_rank / q_join_left (plan changed, semantics identical). Then rotate the remaining r6-stale cohort
     # (doc_similarity, knn_ivf, survivor_policy, mixture_epochs,
     # gopher_quality, corpus_shuffle_shard, profile_columns, table_diff,
     # fuzzy_match_q3, cms_frequencies, k_anonymity, stream_drift_monitor,

@@ -78,6 +78,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_session_funnel": ["mem_stream_session_funnel"],
     "q_stream_ewma_irregular": ["fb_stream_ewma_partial"],
     "q_stream_source_entropy": ["fb_stream_src_entropy_partial"],
+    "q_stream_cuped": ["fb_stream_cuped_partial"],
 }
 
 

@@ -402,6 +402,10 @@ AUDITED = [
     # exactly two exchanges (lines by content, survivors by doc).
     "q_cuped_adjustment",
     "q_line_dedup_global",
+    # disorder census: one user window + type agg (sessionize shape);
+    # rolling corr: day-grain reduction then bounded-spine window.
+    "q_out_of_order_audit",
+    "q_rolling_corr",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
