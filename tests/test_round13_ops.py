@@ -190,3 +190,123 @@ def test_source_entropy_numpy_replay(spark):
     ):
         assert 1.0 - 1e-9 <= eff <= len(per) + 1e-9
         assert abs(eff - math.exp(h)) < 1e-5
+
+
+def test_cuped_numpy_replay(spark):
+    """Replay CUPED end-to-end in numpy from the raw fixture rows (own
+    day/cents/dollar quantization, own md5 arms) and require bit-
+    adjacent agreement; variance reduction must equal corr(x,y)^2 and
+    sit in [0, 1]."""
+    from noaa_etl_spark.queries.profiling import q_cuped_adjustment
+
+    row = q_cuped_adjustment(spark, SF_SMALL).collect()[0]
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("t"), "value")
+        .collect()
+    )
+    per_day = {}
+    for r in ev:
+        day = r["t"] // 86400000000
+        cents = math.floor(r["value"] * 100)
+        k = (r["user_id"], day)
+        per_day[k] = per_day.get(k, 0) + cents
+    days = [d for _, d in per_day]
+    mid = (min(days) + max(days) + 1) // 2
+    xy = {}
+    for (u, d), c in per_day.items():
+        x, y = xy.get(u, (0, 0))
+        if d < mid:
+            x += c
+        else:
+            y += c
+        xy[u] = (x, y)
+    xs = np.array([x // 100 for x, _ in xy.values()], dtype=np.float64)
+    ys = np.array([y // 100 for _, y in xy.values()], dtype=np.float64)
+    treats = np.array([_md5(f"cuped:{u}")[0] < "8" for u in xy], dtype=bool)
+    n = len(xs)
+    cov_n = (xs * ys).sum() - xs.sum() * ys.sum() / n
+    varx_n = (xs * xs).sum() - xs.sum() ** 2 / n
+    vary_n = (ys * ys).sum() - ys.sum() ** 2 / n
+    theta = cov_n / varx_n
+    assert row["n"] == n
+    assert row["n_a"] == int(treats.sum())
+    assert abs(row["theta"] - theta) < 1e-9 * max(1.0, abs(theta))
+    assert abs(row["var_y"] - vary_n / (n - 1)) < 1e-6 * vary_n
+    red = (cov_n * cov_n / varx_n) / vary_n
+    assert abs(row["var_reduction"] - red) < 1e-9
+    assert 0.0 <= row["var_reduction"] <= 1.0
+    assert abs(
+        row["var_y_cuped"] - (vary_n - cov_n * cov_n / varx_n) / (n - 1)
+    ) < 1e-6 * vary_n
+    da = ys[treats].mean() - ys[~treats].mean()
+    dx = xs[treats].mean() - xs[~treats].mean()
+    assert abs(row["diff_raw"] - da) < 1e-9 * max(1.0, abs(da))
+    assert abs(row["diff_cuped"] - (da - theta * dx)) < 1e-9 * max(
+        1.0, abs(da - theta * dx)
+    )
+
+
+def test_line_dedup_replay_and_properties(spark):
+    """Replay the global first-occurrence line dedup in Python: same
+    survivors, same reassembly hashes; every distinct line survives
+    exactly once corpus-wide."""
+    from noaa_etl_spark.queries.text import q_line_dedup_global
+
+    got = {
+        r["doc_id"]: (r["n_kept"], r["kept_md5"])
+        for r in q_line_dedup_global(spark, SF_SMALL).collect()
+    }
+    docs = (
+        load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    )
+    winners = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        toks = r["text"].split(" ")
+        for i in range((len(toks) + 9) // 10):
+            line = " ".join(toks[i * 10 : i * 10 + 10])
+            key = r["doc_id"] * 1048576 + i
+            if line not in winners or key < winners[line]:
+                winners[line] = key
+    per_doc = {}
+    for line, key in winners.items():
+        per_doc.setdefault(key // 1048576, []).append((key % 1048576, line))
+    expect = {}
+    for d, lines in per_doc.items():
+        lines.sort()
+        text = " ".join(l for _, l in lines)
+        expect[d] = (len(lines), hashlib.md5(text.encode()).hexdigest())
+    assert got == expect
+    # every distinct line survives exactly once corpus-wide
+    assert sum(n for n, _ in got.values()) == len(winners)
+
+
+def test_rolling_corr_numpy_replay(spark):
+    """Rolling correlation replayed with numpy over the same daily
+    integer series; values in [-1, 1]; the n=1 first row is NULL."""
+    from noaa_etl_spark.queries.temporal import q_rolling_corr
+
+    rows = sorted(
+        q_rolling_corr(spark, SF_SMALL).collect(), key=lambda r: r["day"]
+    )
+    days = [r["day"] for r in rows]
+    assert days == sorted(set(days))
+    xs = {r["day"]: r["x"] for r in rows}
+    ys = {r["day"]: r["y"] for r in rows}
+    for r in rows:
+        win = [d for d in days if r["day"] - 6 <= d <= r["day"]]
+        n = len(win)
+        assert r["n"] == n
+        x = np.array([xs[d] for d in win], dtype=np.float64)
+        y = np.array([ys[d] for d in win], dtype=np.float64)
+        vx = n * (x * x).sum() - x.sum() ** 2
+        vy = n * (y * y).sum() - y.sum() ** 2
+        if n > 1 and vx > 0 and vy > 0:
+            corr = (n * (x * y).sum() - x.sum() * y.sum()) / (
+                math.sqrt(vx) * math.sqrt(vy)
+            )
+            assert abs(r["corr7"] - corr) < 1e-9, (r["day"], r["corr7"], corr)
+            assert -1.0 - 1e-12 <= r["corr7"] <= 1.0 + 1e-12
+        else:
+            assert r["corr7"] is None
