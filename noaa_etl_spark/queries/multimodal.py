@@ -45,10 +45,50 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@graded("q_multimodal_features")  # rows-only: engine-defined fake featurizer
+@graded(
+    "q_multimodal_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+             octet_length(CAST(text AS BLOB)) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, n,
+             CAST(('0x' || substr(h, i.i * 2 + 1, 2)) AS INT) % 8 AS bin
+      FROM b, (SELECT unnest(range(0, 16384)) AS i) i
+      WHERE i.i < n
+    ),
+    hist AS (
+      SELECT doc_id, bin, count(*) AS c FROM bytes GROUP BY doc_id, bin
+    ),
+    spine AS (
+      SELECT b.doc_id, b.n, s.bin, coalesce(hh.c, 0) AS c
+      FROM b
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) s
+      LEFT JOIN hist hh ON hh.doc_id = b.doc_id AND hh.bin = s.bin
+    )
+    SELECT doc_id,
+           round(sum(CASE WHEN bin = 0 THEN CAST(c AS DOUBLE) / n END), 6) AS f0,
+           round(sum(CAST(c AS DOUBLE) / n ORDER BY bin), 6) AS f_sum,
+           CAST(8 AS INT) AS dim
+    FROM spine GROUP BY doc_id, n ORDER BY doc_id
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch 'decode + featurize' over binary payloads via mapInPandas
-    (deterministic byte-histogram stand-in for a media encoder)."""
+    (deterministic byte-histogram stand-in for a media encoder).
+
+    CONVERTED rows-only → oracle-paired (round 13, the lang_id class):
+    the fake featurizer is a normalized byte-value histogram mod 8 over
+    the utf-8 payload, which DuckDB replays exactly by hex()-expanding
+    the blob and binning two-hex-digit bytes; f_sum folds the 8 bins in
+    bin order on both sides (Python list comprehension == sum ORDER BY
+    bin, both seeded at 0.0), and each bin share c/n is one correctly-
+    rounded division of exact integers ⇒ 6-dp rounds agree bit-for-bit.
+    The oracle's 16384-byte range bound is a fixture contract (docs are
+    a few KB); real encoders are where the mapInPandas plumbing — the
+    thing this query grades — stays identical."""
     docs = load_table(spark, sf_dir, "documents")
     feats = featurize(attach_payload(docs))
     return feats.select(

@@ -164,13 +164,46 @@ def q_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded("q_custom_datasource")  # rows-only: md5-derived values, not SQL-expressible
+@graded(
+    "q_custom_datasource",
+    oracle="""
+    WITH g AS (
+      SELECT e.element,
+             md5(CAST(s.s AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)
+                 || ':' || e.element) AS h
+      FROM (SELECT unnest(range(0, 8)) AS s) s,
+           (SELECT unnest(range(1, 32)) AS d) d,
+           (SELECT unnest(['TMAX', 'TMIN', 'PRCP']) AS element) e
+    ),
+    v AS (
+      SELECT element,
+             (CAST('0x' || substr(h, 1, 2) AS INT)
+              + 256 * CAST('0x' || substr(h, 3, 2) AS INT)) % 1000
+               AS value_scaled
+      FROM g
+    )
+    SELECT element,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(value_scaled) AS BIGINT) AS sum_scaled,
+           CAST(min(value_scaled) AS INT) AS min_scaled,
+           CAST(max(value_scaled) AS INT) AS max_scaled
+    FROM v GROUP BY element ORDER BY element
+    """,
+)
 def q_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource (Spark 4 extension point): partitioned
     synthetic observation generator, aggregated per element. The source
     is deterministic (md5-derived values) and partition-parallel (one
     input partition per station); determinism + partitioning are
-    asserted in tests/test_datasource.py."""
+    asserted in tests/test_datasource.py.
+
+    CONVERTED rows-only → oracle-paired (round 13): the generator's
+    value formula — little-endian 2-byte int of md5('s:day:element')
+    mod 1000 — is pure md5 + integer arithmetic, so DuckDB replays the
+    ENTIRE source output in closed form (the first two digest bytes are
+    hex chars 1-2 and 3-4: b0 + 256·b1). The driver grade now verifies
+    the DataSource plumbing end-to-end (partitions → worker read →
+    agg), not just that it runs."""
     from noaa_etl_spark.session import configure_session
     from noaa_etl_spark.sources.synthetic import SyntheticObsDataSource
 

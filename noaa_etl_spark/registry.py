@@ -331,9 +331,13 @@ ROWS_ONLY_WINDOW: set[str] = {
     # round 13: the two new rows-only round-12 additions + the hot-cap
     # LSH re-grades (VERDICT r12 item 3) + the r5-stale rows-only
     # rotation (q_approx_aggs: approx_* aggs are engine-defined).
+    # q_custom_datasource and q_multimodal_features were slotted here
+    # but got CONVERTED to oracle pairs mid-round (md5-formula replay /
+    # hex byte-histogram replay) — they stay in the window as
+    # oracle-paired entries, upgrading their slots' signal.
     "q_label_propagation", "q_mutual_knn_ivf", "q_containment_lsh",
     "q_semantic_dedup_lsh", "q_approx_aggs", "q_stream_stateful",
-    "q_stream_heavy_hitters", "q_custom_datasource", "q_multimodal_features",
+    "q_stream_heavy_hitters",
 }
 
 
