@@ -245,6 +245,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     candidate_cap_per_doc: int | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (id_a < id_b, jaccard_sim ≥ threshold)
     via LOSSLESS PPJoin prefix filtering — the q_dedup_ngram_jaccard
@@ -314,6 +315,12 @@ def ngram_jaccard_pairs(
             .filter(F.col("crk") <= candidate_cap_per_doc)
             .drop("crk")
         )
+    if candidates_only:
+        # Diagnostic escape: the (id_a, id_b) candidate pairs before
+        # gram arrays attach — lets tests measure per-doc candidate
+        # depth (the cap-never-binds fixture contract) without
+        # duplicating the prefix logic.
+        return cand
     ga = grams_df.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb_full = grams_df.select(
         F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b")

@@ -1371,3 +1371,74 @@ def q_sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+@graded(
+    "q_target_encode_loo",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    stats AS (
+      SELECT cat, CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM o GROUP BY cat
+    ),
+    g AS (
+      SELECT CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gm FROM o
+    )
+    SELECT o.o_orderkey, o.cat, o.cents,
+           CASE WHEN st.n > 1
+                THEN CAST(st.s - o.cents AS DOUBLE) / CAST(st.n - 1 AS DOUBLE)
+           END AS te_loo,
+           (CAST(st.s - o.cents AS DOUBLE) + 10.0 * g.gm)
+             / (CAST(st.n - 1 AS DOUBLE) + 10.0) AS te_smooth
+    FROM o JOIN stats st ON o.cat = st.cat CROSS JOIN g
+    ORDER BY o.o_orderkey
+    """,
+)
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature — the
+    leakage-aware form of mean encoding (a row's own target is EXCLUDED
+    from its encoding, otherwise the feature memorizes the label and
+    the model overfits it; the m=10 smoothed variant shrinks small
+    categories toward the global mean, the Micci-Barreca formula).
+
+    te_loo = (Σcat − x)/(n_cat − 1) is one division of exact BIGINT
+    cents ⇒ bit-equal; singleton categories NULL by CASE on both sides
+    (their LOO encoding is undefined). te_smooth is one token-identical
+    double chain over the same exact integers and the exact-division
+    global mean.
+
+    Plan: the per-category stats are a 5-row partial-combined agg
+    BROADCAST back onto the fact, plus the 1-row global-mean broadcast —
+    never a window over the 5-value category key (a celebrity-skew
+    window by construction). The fact is planned twice (stats pass +
+    enrich pass) — deliberate: the agg outputs are O(|cats|) rows, so
+    broadcasting them back is the 100 TB-honest enrichment; a
+    co-partitioned join would shuffle the full fact on 5 keys."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    stats = o.groupBy("cat").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    g = o.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double")).alias("gm")
+    )
+    e = o.join(F.broadcast(stats), "cat").crossJoin(F.broadcast(g))
+    loo_num = (F.col("s") - F.col("cents")).cast("double")
+    te_loo = F.when(
+        F.col("n") > 1, loo_num / (F.col("n") - 1).cast("double")
+    )
+    te_smooth = (loo_num + F.lit(10.0) * F.col("gm")) / (
+        (F.col("n") - 1).cast("double") + F.lit(10.0)
+    )
+    return e.select(
+        "o_orderkey", "cat", "cents",
+        te_loo.alias("te_loo"), te_smooth.alias("te_smooth"),
+    )

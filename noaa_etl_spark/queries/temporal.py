@@ -3302,9 +3302,7 @@ def q_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_out_of_order_audit",
-    oracle="""
+OUT_OF_ORDER_ORACLE = """
     WITH e AS (
       SELECT event_id, user_id, event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) AS t,
@@ -3332,8 +3330,10 @@ def q_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
            quantile_cont(CASE WHEN late_us > 0 THEN late_us END, 0.95)
              AS p95_late_us
     FROM l GROUP BY event_type ORDER BY event_type
-    """,
-)
+    """
+
+
+@graded("q_out_of_order_audit", oracle=OUT_OF_ORDER_ORACLE)
 def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time disorder census — THE report that sizes a streaming
     watermark: per event type, how many events arrive after a
@@ -3355,7 +3355,26 @@ def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user-partition window (arrival order rides the user
     exchange — the sessionize shape) + one combinable type-grain agg;
     no skewed global window."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    e = out_of_order_events(load_table(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runmax = F.max("t").over(w)
+    late = F.when(
+        runmax.isNull() | (runmax <= F.col("t")), F.lit(0)
+    ).otherwise(runmax - F.col("t"))
+    l = e.select("event_type", late.alias("late_us"))
+    return out_of_order_census(l)
+
+
+def out_of_order_events(ev: DataFrame) -> DataFrame:
+    """The disorder-audit event relation shared by q_out_of_order_audit
+    and its streaming twin: event-time micros t + a PLANTED md5 arrival
+    delay in [0, 10 min) on event_id (the fixture's event_id order is
+    perfectly ts-sorted — zero natural disorder, the logrank vacuity
+    lesson)."""
     t = F.unix_micros("ts")
     delay = (
         F.conv(
@@ -3369,20 +3388,15 @@ def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % 600_000_000
     )
-    e = ev.select(
+    return ev.filter(F.col("user_id").isNotNull()).select(
         "event_id", "user_id", "event_type",
         t.alias("t"), (t + delay).alias("arrival"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("arrival", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    runmax = F.max("t").over(w)
-    late = F.when(
-        runmax.isNull() | (runmax <= F.col("t")), F.lit(0)
-    ).otherwise(runmax - F.col("t"))
-    l = e.select("event_type", late.alias("late_us"))
+
+
+def out_of_order_census(l: DataFrame) -> DataFrame:
+    """Shared disorder-census finalization over the per-event
+    (event_type, late_us) relation — one combinable type-grain agg."""
     return (
         l.groupBy("event_type")
         .agg(
@@ -3397,9 +3411,7 @@ def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_rolling_corr",
-    oracle="""
+ROLLING_CORR_ORACLE = """
     WITH e AS (
       SELECT event_type,
              CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day,
@@ -3434,8 +3446,10 @@ def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
            END AS corr7
     FROM win
-    """,
-)
+    """
+
+
+@graded("q_rolling_corr", oracle=ROLLING_CORR_ORACLE)
 def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day Pearson correlation between two series (daily
     click vs purchase revenue) — the rolling JOINT-moment shape
@@ -3456,13 +3470,21 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one combinable (day)-grain agg collapses the fact; the
     window runs on the bounded daily spine (SinglePartition by design —
     the kaplan_meier reduced-relation posture)."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_corr_report(rolling_corr_daily(ev))
+
+
+def rolling_corr_daily(ev: DataFrame) -> DataFrame:
+    """The per-day (x, y) cents-sum relation — the sum-mergeable state
+    of the rolling correlation (the streaming twin folds these per
+    micro-batch; a day split across batches merges by addition, with
+    the coalesce-to-0 preserved since a partial with only one series
+    contributes 0 to the other)."""
     day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
     cents = F.floor(F.col("value") * 100).cast("bigint")
-    daily = (
-        ev.select(F.col("event_type").alias("et"), day.alias("day"), cents.alias("cents"))
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(F.col("event_type").alias("et"), day.alias("day"), cents.alias("cents"))
         .groupBy("day")
         .agg(
             F.coalesce(F.sum(F.when(F.col("et") == "click", F.col("cents"))), F.lit(0))
@@ -3471,6 +3493,13 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("y"),
         )
     )
+
+
+def rolling_corr_report(daily: DataFrame) -> DataFrame:
+    """Shared trailing-7d correlation finalize over the folded daily
+    relation: six exact BIGINT window moments on the bounded day spine,
+    corr = one fixed double chain (finalize products in DOUBLE per the
+    round-11 overflow doctrine)."""
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     win = daily.select(
         "day", "x", "y",
@@ -3490,3 +3519,176 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov / (F.sqrt(vx) * F.sqrt(vy)),
     )
     return win.select("day", "x", "y", "n", corr.alias("corr7"))
+
+
+@graded(
+    "q_spearman_corr",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    daily AS (
+      SELECT day,
+             CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN cents END), 0)
+                  AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN cents END), 0)
+                  AS BIGINT) AS y
+      FROM e GROUP BY day
+    ),
+    r AS (
+      SELECT CAST(2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1
+                  AS BIGINT) AS r2x,
+             CAST(2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1
+                  AS BIGINT) AS r2y
+      FROM daily
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r2x) AS BIGINT) AS sa, CAST(sum(r2y) AS BIGINT) AS sb,
+             CAST(sum(r2x * r2x) AS BIGINT) AS saa,
+             CAST(sum(r2y * r2y) AS BIGINT) AS sbb,
+             CAST(sum(r2x * r2y) AS BIGINT) AS sab
+      FROM r
+    )
+    SELECT n AS n_days,
+           CASE WHEN n > 1
+                 AND CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa > 0
+                 AND CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb > 0
+           THEN (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+                / (sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                   * sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb))
+           END AS rho
+    FROM m
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily click and purchase
+    revenue series — the monotonic-association companion to
+    q_rolling_corr's Pearson (robust to the heavy-tailed revenue
+    distribution that dominates a Pearson estimate).
+
+    TIES VIA DOUBLED MIDRANKS, the Mann-Whitney discipline: midrank =
+    rank_min + (tied−1)/2 halves on ties, so the operator carries
+    2·midrank = 2·rank() + tied − 1 — every rank statistic stays BIGINT
+    through tie blocks, and the ½ factors cancel in the correlation.
+    rho is then Pearson over the doubled ranks: exact BIGINT moments on
+    the bounded daily relation, one token-identical double chain with
+    degenerate (constant-series) windows NULLed by CASE ⇒ bit-equal.
+    Overflow: Σr2² ≤ n·(2n)² = 4n³ — safe to ~1.3M days.
+
+    Scale: the fact collapses to the day grain once; both rank windows
+    and the moment agg run on the bounded calendar relation
+    (SinglePartition by design — the kaplan_meier posture)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = rolling_corr_daily(ev)
+    r2x = (
+        F.lit(2) * F.rank().over(Window.orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("x"))
+        - 1
+    ).cast("bigint")
+    r2y = (
+        F.lit(2) * F.rank().over(Window.orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("y"))
+        - 1
+    ).cast("bigint")
+    r = daily.select(r2x.alias("r2x"), r2y.alias("r2y"))
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r2x").cast("bigint").alias("sa"),
+        F.sum("r2y").cast("bigint").alias("sb"),
+        F.sum(F.col("r2x") * F.col("r2x")).cast("bigint").alias("saa"),
+        F.sum(F.col("r2y") * F.col("r2y")).cast("bigint").alias("sbb"),
+        F.sum(F.col("r2x") * F.col("r2y")).cast("bigint").alias("sab"),
+    )
+    nd = F.col("n").cast("double")
+    va = nd * F.col("saa") - F.col("sa").cast("double") * F.col("sa")
+    vb = nd * F.col("sbb") - F.col("sb").cast("double") * F.col("sb")
+    cov = nd * F.col("sab") - F.col("sa").cast("double") * F.col("sb")
+    rho = F.when((F.col("n") > 1) & (va > 0) & (vb > 0), cov / (F.sqrt(va) * F.sqrt(vb)))
+    return m.select(F.col("n").alias("n_days"), rho.alias("rho"))
+
+
+@graded(
+    "q_kendall_tau",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    daily AS (
+      SELECT day,
+             CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN cents END), 0)
+                  AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN cents END), 0)
+                  AS BIGINT) AS y
+      FROM e GROUP BY day
+    ),
+    pairs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(*) FILTER ((a.x < b.x AND a.y < b.y)
+                                OR (a.x > b.x AND a.y > b.y)) AS BIGINT) AS n_conc,
+             CAST(count(*) FILTER ((a.x < b.x AND a.y > b.y)
+                                OR (a.x > b.x AND a.y < b.y)) AS BIGINT) AS n_disc,
+             CAST(count(*) FILTER (a.x = b.x AND a.y <> b.y) AS BIGINT) AS n_tie_x,
+             CAST(count(*) FILTER (a.y = b.y AND a.x <> b.x) AS BIGINT) AS n_tie_y
+      FROM daily a JOIN daily b ON a.day < b.day
+    )
+    SELECT n_pairs, n_conc, n_disc, n_tie_x, n_tie_y,
+           CASE WHEN n_conc + n_disc + n_tie_x > 0 AND n_conc + n_disc + n_tie_y > 0
+           THEN (CAST(n_conc AS DOUBLE) - CAST(n_disc AS DOUBLE))
+                / (sqrt(CAST(n_conc + n_disc + n_tie_x AS DOUBLE))
+                   * sqrt(CAST(n_conc + n_disc + n_tie_y AS DOUBLE)))
+           END AS tau_b
+    FROM pairs
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between the daily click and purchase revenue
+    series — pairwise concordance with the tie correction, completing
+    the correlation battery (Pearson = linear, Spearman = monotonic
+    rank, Kendall = pairwise order agreement, the most
+    outlier-insensitive of the three).
+
+    Pair classes are PURE COMPARISONS — never the sign of
+    (x1−x2)·(y1−y2), whose BIGINT product overflows at ~2.5e19 once
+    daily cents reach 100× fixture volume (the finalize-product
+    doctrine applied to a predicate). All counts exact BIGINTs from one
+    pair agg; tau_b = (C−D)/(√(C+D+Tx)·√(C+D+Ty)) is one
+    token-identical double chain, degenerate denominators NULLed.
+
+    BOUNDED-CALENDAR CONTRACT (the theil_sen precedent): the self-join
+    is quadratic in DAYS, not events — ~11k pairs on the 150-day
+    fixture, ~6.7e10 at a millennium of days; beyond that, subsample
+    the calendar or fall back to Spearman (computable in O(n log n))."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = rolling_corr_daily(ev).localCheckpoint()
+    a = daily.select(
+        F.col("day").alias("day_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    xa, xb, ya, yb = F.col("xa"), F.col("xb"), F.col("ya"), F.col("yb")
+    pairs = a.join(b, F.col("day_a") < F.col("day_b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count_if(((xa < xb) & (ya < yb)) | ((xa > xb) & (ya > yb)))
+        .cast("bigint")
+        .alias("n_conc"),
+        F.count_if(((xa < xb) & (ya > yb)) | ((xa > xb) & (ya < yb)))
+        .cast("bigint")
+        .alias("n_disc"),
+        F.count_if((xa == xb) & (ya != yb)).cast("bigint").alias("n_tie_x"),
+        F.count_if((ya == yb) & (xa != xb)).cast("bigint").alias("n_tie_y"),
+    )
+    dx = (F.col("n_conc") + F.col("n_disc") + F.col("n_tie_x")).cast("double")
+    dy = (F.col("n_conc") + F.col("n_disc") + F.col("n_tie_y")).cast("double")
+    num = F.col("n_conc").cast("double") - F.col("n_disc").cast("double")
+    tau = F.when((dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy)))
+    return pairs.select(
+        "n_pairs", "n_conc", "n_disc", "n_tie_x", "n_tie_y", tau.alias("tau_b")
+    )

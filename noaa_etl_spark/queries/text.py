@@ -2799,7 +2799,13 @@ def q_line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving corpus."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
-    n_chunks = F.floor((F.size(toks) + 9) / 10).cast("int")
+    # The 512-line cap is enforced on BOTH sides (the oracle's
+    # range(0, 512) and this least()) so a regenerated fixture with
+    # >5120-token docs cannot silently diverge (ADVICE r13); it also
+    # keeps idx < 2^20 with nine bits to spare for the encoded key.
+    n_chunks = F.least(
+        F.floor((F.size(toks) + 9) / 10).cast("int"), F.lit(512)
+    )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(

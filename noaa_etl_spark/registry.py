@@ -261,83 +261,74 @@ GRADED_WINDOW: list[str] = [
     # never fixture-content-dependent). Deferred to r14 by this
     # rotation: the rest of the r6 cohort (date spine through
     # mode_by_group per the oldest-signal list), then the r7 cohort.
-    # --- (a) never-driver-graded (20) ---
-    "q_stream_funnel", "q_temporal_split", "q_record_linkage_fs",
-    "q_calibration_bins", "q_stream_calibration_bins", "q_dp_noise_agg",
-    "q_oov_rate", "q_stream_oov_rate", "q_auc_eval", "q_stream_auc",
-    "q_mutual_information", "q_label_propagation", "q_mutual_knn_ivf",
-    "q_stream_record_linkage", "q_gains_table", "q_mime_sniff",
-    "q_stream_hist_quantiles", "q_session_funnel", "q_stream_mime_sniff",
-    "q_dedup_ngram_jaccard_capped",
-    # --- (b) rows-only -> oracle-paired conversions (2) ---
-    "q_lang_id", "q_quality_score",
-    # --- (c) hot-cap plan re-grades (2) ---
-    "q_containment_lsh", "q_semantic_dedup_lsh",
-    # --- (d) the complete r5-stale cohort (9) ---
-    "q_chunk_dedup", "q_fingerprint_md5", "q_stream_chunk_documents",
-    "q_gap_fill", "q_approx_aggs", "q_stream_stateful",
-    "q_stream_heavy_hitters", "q_custom_datasource", "q_multimodal_features",
-    # --- (e) oldest-signal oracle-paired fills + family insurance (17)
-    # r6-stale: date_functions (H), udtf_tokens (K), tpch_q11 (tpch),
-    # quality_gate / repetition_filter / fuzzy_name_match /
-    # hist_quantiles (I), stream_quality_gate (J), dq_checks (etl),
-    # stats_skipping (A), anomaly_mad (E), recursive_hierarchy
-    # (subqueries), mode_by_group (D rep). Families with no genuine
-    # stale-or-new member in the window get their oldest-signal curated
-    # rep: feature_store_pit (C, r7), union_all_yearly (G, r7),
-    # sort_offset (F, r9), ghcn_daily_wide (noaa, r11). Rep sets in
-    # test_graded_window_spans_every_family are extended with the
-    # genuine new-cohort members (A: stats_skipping/custom_datasource;
-    # B: temporal_split+quality_gate — split/filter semantics; E:
-    # anomaly_mad/session_funnel; J: the new stream twins; etl:
-    # dq_checks/record_linkage_fs).
-    "q_date_functions", "q_udtf_tokens", "q_tpch_q11_value",
-    "q_quality_gate", "q_repetition_filter", "q_stream_quality_gate",
-    "q_dq_checks", "q_fuzzy_name_match", "q_stats_skipping",
-    "q_anomaly_mad", "q_hist_quantiles", "q_recursive_hierarchy",
-    "q_mode_by_group", "q_feature_store_pit", "q_union_all_yearly",
-    "q_sort_offset", "q_ghcn_daily_wide",
-    # Round-14 staging: the round-13 additions are registered, tested,
-    # simmed at both SFs, COSTS-audited, and enter the window in r14
-    # (the standing one-round rhythm): q_sessionize_auto (shares
-    # SESSIONIZE_ORACLE — the skew dispatcher's own driver signal),
-    # q_logrank_test (survival battery: bit-equal ordered folds),
-    # q_sorted_neighborhood_dedup (SNM gear on order_index),
-    # q_ewma_irregular + q_stream_ewma_irregular (twin #34 —
-    # exponential re-anchoring merge, own two-step-chain oracle),
-    # q_source_entropy + q_stream_source_entropy (twin #35 — shares
-    # SOURCE_ENTROPY_ORACLE), q_stream_session_funnel (twin #33 — own
-    # gap-≥ oracle), q_audio_resample (codec resample, closed-form
-    # oracle), q_cuped_adjustment (experimentation battery #4),
-    # q_line_dedup_global (C4 line-level dedup), q_stream_cuped
-    # (twin #36 — shares CUPED_ORACLE), q_out_of_order_audit (disorder
-    # census, md5-planted arrival delays), q_rolling_corr (exact
-    # rolling joint moments), plus the two sort-drop re-grades
-    # q_window_rank / q_join_left (plan changed, semantics identical). Then rotate the remaining r6-stale cohort
-    # (doc_similarity, knn_ivf, survivor_policy, mixture_epochs,
-    # gopher_quality, corpus_shuffle_shard, profile_columns, table_diff,
-    # fuzzy_match_q3, cms_frequencies, k_anonymity, stream_drift_monitor,
-    # weighted_sample, interval_merge, funnel, cohort_retention,
-    # fuzzy_rank, array_functions, partition_overwrite,
-    # stream_cms_frequencies, resample_interpolate, bpe pair,
-    # date_spine, lang_stats, quality_filter, ...) and start the r7
-    # cohort, families per the any-of guard.
+    # Round 14: CORRECTNESS_r13 went 50/50 (eighth consecutive all-green
+    # window). This window grades (a) the 14 never-driver-graded
+    # round-13 additions (all oracle-paired: twins #33-#36 included);
+    # (b) the two sort-drop re-grades whose PLANS changed in r13
+    # (q_window_rank 4->2 exchanges, q_join_left — semantics identical
+    # by test, and both are r7-stale anyway); (c) the COMPLETE r6-stale
+    # cohort (23 — six fixture regenerations old, the failure source
+    # local sweeps can't simulate; includes the deliberate rows-only
+    # rotation bpe pair / knn_ivf / doc_similarity / stream_drift_monitor);
+    # (d) 11 oldest-signal family fills starting the r7 cohort:
+    # jsonl_roundtrip (A, r7), tpch_q7_volume (tpch, r7), agg_stats +
+    # percentiles (D, r7), cogroup_merge (K, r7), conditional_case
+    # (B, r7 — §2.B CASE semantics, rep set extended), set_ops (G, r8),
+    # variant_json (H, r7), sessionize (E headline, r7),
+    # curriculum_order (F, r10 — oldest F), ghcn_pipeline (noaa
+    # insurance, r12). Rep sets extended with genuine members:
+    # B += conditional_case/null_handling/distinct_rows (§2.B rows),
+    # E += sessionize_auto, H += array_functions (§2.H HOF row),
+    # K += fuzzy_rank (§2.K Jaro-Winkler row), J += the r13 stream
+    # twins + the r6 stream sketch/drift members.
+    # --- (a) never-driver-graded round-13 additions (14) ---
+    "q_sessionize_auto", "q_logrank_test", "q_sorted_neighborhood_dedup",
+    "q_ewma_irregular", "q_stream_ewma_irregular", "q_source_entropy",
+    "q_stream_source_entropy", "q_stream_session_funnel",
+    "q_audio_resample", "q_cuped_adjustment", "q_stream_cuped",
+    "q_line_dedup_global", "q_out_of_order_audit", "q_rolling_corr",
+    # --- (b) sort-drop plan re-grades (2) ---
+    "q_window_rank", "q_join_left",
+    # --- (c) the complete r6-stale cohort (23) ---
+    "q_interval_merge", "q_funnel", "q_cohort_retention",
+    "q_resample_interpolate", "q_dedup_survivor_policy",
+    "q_gopher_quality", "q_fuzzy_match_q3", "q_cms_frequencies",
+    "q_bpe_train", "q_bpe_tokenize", "q_knn_ivf", "q_partition_overwrite",
+    "q_array_functions", "q_fuzzy_rank", "q_stream_drift_monitor",
+    "q_stream_cms_frequencies", "q_table_diff", "q_profile_columns",
+    "q_k_anonymity", "q_mixture_epochs", "q_corpus_shuffle_shard",
+    "q_weighted_sample", "q_doc_similarity",
+    # --- (d) oldest-signal family fills (11) ---
+    "q_jsonl_roundtrip", "q_tpch_q7_volume", "q_agg_stats",
+    "q_percentiles", "q_cogroup_merge", "q_conditional_case", "q_set_ops",
+    "q_curriculum_order", "q_ghcn_pipeline", "q_variant_json",
+    "q_sessionize",
+    # Round-15 staging: rotate the remaining r7-stale cohort (42 left
+    # after window_rank/join_left/jsonl/tpch_q7/agg_stats/percentiles/
+    # cogroup_merge/conditional_case/variant_json/sessionize grade here:
+    # minmax_by, agg_filtered, rollup, null_handling, distinct_rows,
+    # join3_topk, join5_region, join_cross, join_range, bool_aggs,
+    # string_agg, window_running_total, window_moving_avg,
+    # window_first_last, record_tracking, window_range_numeric,
+    # ntile_cume, tumbling_window, sliding_window, unpivot, date_spine,
+    # lang_stats, quality_filter, perplexity_filter, bm25_rank,
+    # feature_hashing, regexp_extract, incremental_agg,
+    # incremental_stats_merge, linear_trend, stream_stats_merge,
+    # stream_feature_pit, connected_components, token_budget_select)
+    # plus any round-14 additions, families per the any-of guard.
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:
 # engine-specific hashes/sketches/ANN, streaming state, custom source).
 # test_graded_window_spans_every_family pins window∩rows-only == this.
 ROWS_ONLY_WINDOW: set[str] = {
-    # round 13: the two new rows-only round-12 additions + the hot-cap
-    # LSH re-grades (VERDICT r12 item 3) + the r5-stale rows-only
-    # rotation (q_approx_aggs: approx_* aggs are engine-defined).
-    # q_custom_datasource and q_multimodal_features were slotted here
-    # but got CONVERTED to oracle pairs mid-round (md5-formula replay /
-    # hex byte-histogram replay) — they stay in the window as
-    # oracle-paired entries, upgrading their slots' signal.
-    "q_label_propagation", "q_mutual_knn_ivf", "q_containment_lsh",
-    "q_semantic_dedup_lsh", "q_approx_aggs", "q_stream_stateful",
-    "q_stream_heavy_hitters",
+    # round 14: the r6-stale rows-only rotation — BPE legs (iterative
+    # merge training, not SQL-expressible), the ANN/IVF pipelines
+    # (engine-defined clustering), and the foreachBatch drift monitor
+    # (custom streaming state). All last signaled r6; rows-only by
+    # design per SURVEY §3.1.
+    "q_bpe_train", "q_bpe_tokenize", "q_knn_ivf", "q_doc_similarity",
+    "q_stream_drift_monitor",
 }
 
 

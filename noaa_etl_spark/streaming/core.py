@@ -79,6 +79,8 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_ewma_irregular": ["fb_stream_ewma_partial"],
     "q_stream_source_entropy": ["fb_stream_src_entropy_partial"],
     "q_stream_cuped": ["fb_stream_cuped_partial"],
+    "q_stream_out_of_order": ["fb_stream_ooo_partial"],
+    "q_stream_rolling_corr": ["fb_stream_rollcorr_partial"],
 }
 
 

@@ -1,0 +1,62 @@
+"""Fixture-contract guards (ADVICE round 13): oracles that bound an
+expansion (range(0, K) in DuckDB) or share an uncapped oracle on a
+"cap never binds" assumption are only sound while the graded fixtures
+stay inside those bounds. The driver regenerates testdata between
+rounds, so these assertions fail LOUDLY at the graded SFs instead of
+letting a larger regenerated corpus silently flip a grade.
+
+(The q_line_dedup_global 512-line cap is NOT tested here — round 14
+enforced it on the Spark side too, so both engines share the bound by
+construction.)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from noaa_etl_spark.io import load_table
+from tests.conftest import SF_DIR, SF_SMALL
+
+GRADED_SFS = [SF_SMALL, SF_DIR]
+
+
+@pytest.mark.parametrize("sf", GRADED_SFS)
+def test_multimodal_blob_under_oracle_expansion_bound(spark, sf):
+    """q_multimodal_features' oracle hex-expands at most 16384 bytes per
+    blob while the Spark featurizer histograms the whole payload; the
+    shared grade is exact only while every document fits the bound."""
+    max_bytes = (
+        load_table(spark, sf, "documents")
+        .select(F.max(F.octet_length("text")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_bytes < 16384, (
+        f"{sf}: max document payload {max_bytes} bytes >= the oracle's "
+        f"16384-byte expansion bound — q_multimodal_features' Spark side "
+        f"would histogram bytes the oracle never sees; bound both sides"
+    )
+
+
+@pytest.mark.parametrize("sf", GRADED_SFS)
+def test_ngram_jaccard_cap_never_binds(spark, sf):
+    """q_dedup_ngram_jaccard_capped shares the exact UNCAPPED oracle on
+    the assumption candidate_cap_per_doc=64 never binds on fixture
+    corpora. Measure the true per-doc candidate depth at the graded SFs
+    (via the operator's own candidate frame, not a reimplementation)."""
+    from noaa_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf, "documents")
+    cand = ngram_jaccard_pairs(
+        docs, threshold=0.5, shingle_n=3, candidates_only=True
+    )
+    deepest = (
+        cand.groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.max("c").alias("m"))
+        .collect()[0]["m"]
+    )
+    deepest = deepest or 0
+    assert deepest < 64, (
+        f"{sf}: deepest per-doc candidate list is {deepest} >= the "
+        f"production cap 64 — the capped query would diverge from the "
+        f"shared uncapped oracle on this fixture"
+    )

@@ -426,3 +426,34 @@ def test_stream_user_ltv_equals_batch(spark):
     s = {(r["cohort_week"], r["weeks_since"]): tuple(r[c] for c in cols)
          for r in QUERIES["q_stream_user_ltv"](spark, SF_SMALL).collect()}
     assert b == s and b
+
+
+def test_stream_out_of_order_equals_batch(spark):
+    """Arrival-range micro-batches + the per-user prefix-max carry must
+    reproduce the batch disorder census BIT-EXACTLY: within-batch
+    running maxima cover in-range earlier arrivals, the finalize carry
+    covers every earlier range (ties never straddle the half-open
+    cuts), so each event's runmax — and its exact BIGINT lateness — is
+    identical to the one global (arrival, event_id) window."""
+    from noaa_etl_spark.queries import QUERIES
+
+    cols = ("n_events", "n_late", "max_late_us", "p95_late_us")
+    b = {r["event_type"]: tuple(r[c] for c in cols)
+         for r in QUERIES["q_out_of_order_audit"](spark, SF_SMALL).collect()}
+    s = {r["event_type"]: tuple(r[c] for c in cols)
+         for r in QUERIES["q_stream_out_of_order"](spark, SF_SMALL).collect()}
+    assert b == s and b
+
+
+def test_stream_rolling_corr_equals_batch(spark):
+    """Per-batch daily (x, y) cents partials fold to the identical
+    daily relation by integer addition, so the shared trailing-7d
+    window + corr chain is bit-equal to the batch form."""
+    from noaa_etl_spark.queries import QUERIES
+
+    cols = ("x", "y", "n", "corr7")
+    b = {r["day"]: tuple(r[c] for c in cols)
+         for r in QUERIES["q_rolling_corr"](spark, SF_SMALL).collect()}
+    s = {r["day"]: tuple(r[c] for c in cols)
+         for r in QUERIES["q_stream_rolling_corr"](spark, SF_SMALL).collect()}
+    assert b == s and b
