@@ -1427,3 +1427,104 @@ def q_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@graded(
+    "q_neyman_allocation",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM e GROUP BY event_type
+    ),
+    sd AS (
+      SELECT event_type, n_h,
+             CASE WHEN n_h > 1 THEN
+               sqrt((CAST(n_h AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                    / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0)))
+             ELSE 0.0 END AS sd_h
+      FROM stats
+    ),
+    tot AS (
+      SELECT sum(CAST(n_h AS DOUBLE) * sd_h ORDER BY event_type) AS total FROM sd
+    )
+    SELECT sd.event_type, sd.n_h, sd.sd_h,
+           CAST(sd.n_h AS DOUBLE) * sd.sd_h / tot.total AS w_h,
+           CAST(floor(1000.0 * (CAST(sd.n_h AS DOUBLE) * sd.sd_h / tot.total))
+                AS BIGINT) AS alloc
+    FROM sd CROSS JOIN tot ORDER BY sd.event_type
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) allocation for stratified sampling: a budget of
+    1000 samples is allocated across strata proportional to n_h·σ_h —
+    the allocation that minimizes the variance of the stratified mean
+    estimator (high-variance strata earn more than proportional share;
+    the report a survey/eval-set designer runs before drawing with
+    q_stratified_sample's md5 gates).
+
+    σ_h from exact BIGINT moments with the n·ss product in DOUBLES (the
+    finalize-product doctrine; the BIGINT Σcents² itself is safe to
+    ~1000× fixture volume at the 25k-cent value bound). The
+    denominator Σ n_h·σ_h is an ORDERED fold over strata (sum ORDER BY
+    / sorted-struct aggregate — the ln/PSI doctrine applied to a sum of
+    engine-computed doubles whose addition order is otherwise
+    arbitrary), so w_h is one token-identical chain and alloc =
+    floor(1000·w_h) of a bit-equal double is deterministic. Integer
+    allocations floor (Σalloc ≤ 1000); largest-remainder topping-off is
+    deliberately NOT graded — ranking on float remainders is the
+    keyword-extraction ordering trap.
+
+    100 TB: one combinable fact agg to |strata| rows; everything after
+    is bounded-relation arithmetic (stats localCheckpoint'd — it feeds
+    both the total fold and the per-stratum report)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    stats = (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_h"),
+            F.sum("cents").cast("bigint").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+        )
+    )
+    nd = F.col("n_h").cast("double")
+    sd_h = F.when(
+        F.col("n_h") > 1,
+        F.sqrt(
+            (nd * F.col("ss") - F.col("s").cast("double") * F.col("s"))
+            / (nd * (nd - F.lit(1.0)))
+        ),
+    ).otherwise(F.lit(0.0))
+    sd = stats.select("event_type", "n_h", sd_h.alias("sd_h")).localCheckpoint()
+    tot = sd.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("event_type").alias("e"),
+                            (F.col("n_h").cast("double") * F.col("sd_h")).alias("v"),
+                        )
+                    )
+                ),
+                lambda x: x["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("total")
+    )
+    out = sd.crossJoin(F.broadcast(tot))
+    w_h = F.col("n_h").cast("double") * F.col("sd_h") / F.col("total")
+    return out.select(
+        "event_type", "n_h", "sd_h",
+        w_h.alias("w_h"),
+        F.floor(F.lit(1000.0) * w_h).cast("bigint").alias("alloc"),
+    ).orderBy("event_type")

@@ -2838,3 +2838,101 @@ def q_line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # no terminal sort: per-doc table, graded order-insensitively.
     return reassembled
+
+
+@graded(
+    "q_rouge_eval",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, text,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pairs AS (
+      SELECT source,
+             min(CASE WHEN rn = 1 THEN text END) AS ref_text,
+             min(CASE WHEN rn = 2 THEN text END) AS cand_text
+      FROM ranked WHERE rn <= 2 GROUP BY source
+    ),
+    grams AS (
+      SELECT source,
+             list_distinct(string_split(ref_text, ' ')) AS ref1,
+             list_distinct(string_split(cand_text, ' ')) AS cand1,
+             list_distinct(list_transform(
+               string_split(ref_text, ' ')[1:len(string_split(ref_text, ' '))-1],
+               (x, i) -> x || ' ' || string_split(ref_text, ' ')[i + 1])) AS ref2,
+             list_distinct(list_transform(
+               string_split(cand_text, ' ')[1:len(string_split(cand_text, ' '))-1],
+               (x, i) -> x || ' ' || string_split(cand_text, ' ')[i + 1])) AS cand2
+      FROM pairs WHERE cand_text IS NOT NULL
+    )
+    SELECT source,
+           CAST(len(list_intersect(cand1, ref1)) AS BIGINT) AS r1_overlap,
+           CAST(len(ref1) AS BIGINT) AS r1_ref,
+           CASE WHEN len(ref1) > 0
+                THEN CAST(len(list_intersect(cand1, ref1)) AS DOUBLE)
+                     / CAST(len(ref1) AS DOUBLE) END AS rouge1,
+           CAST(len(list_intersect(cand2, ref2)) AS BIGINT) AS r2_overlap,
+           CAST(len(ref2) AS BIGINT) AS r2_ref,
+           CASE WHEN len(ref2) > 0
+                THEN CAST(len(list_intersect(cand2, ref2)) AS DOUBLE)
+                     / CAST(len(ref2) AS DOUBLE) END AS rouge2
+    FROM grams ORDER BY source
+    """,
+)
+def q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 / ROUGE-2 recall between a reference and candidate
+    document per source — the summarization/generation eval primitive
+    (how much of the reference's vocabulary and phrasing does the
+    candidate recover?). DISTINCT-GRAM variant: overlap and reference
+    size count unique grams (the clipped-multiset refinement changes
+    scores only on documents with repeated grams; distinct-gram recall
+    is the form whose counts are exact set arithmetic in both engines).
+
+    Pair construction is deterministic: per source, the two lowest
+    doc_ids are (reference, candidate) — selected via the two-phase
+    grouped top-k (map-side heap prune), NEVER a row_number window over
+    the full corpus partitioned by the handful of sources (the
+    celebrity-window rule; the oracle may window freely at fixture
+    scale). Overlaps via array_intersect on array_distinct grams ⇒
+    exact BIGINTs; each rouge score is one exact division, with
+    gram-free references (single-token docs for ROUGE-2) NULLed by
+    CASE on both sides.
+
+    100 TB: the top-k prune moves ≤ 2·|sources|·|input partitions| rows
+    into one tiny exchange; gram set arithmetic runs on the |sources|
+    surviving pairs only."""
+    from noaa_etl_spark.operators.topk import grouped_topk_twophase
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    top2 = grouped_topk_twophase(docs, ["source"], [("doc_id", True)], k=2)
+    pairs = (
+        top2.groupBy("source")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("text"))).alias("ref_text"),
+            F.min(F.when(F.col("rn") == 2, F.col("text"))).alias("cand_text"),
+        )
+        .filter(F.col("cand_text").isNotNull())
+    )
+    def g1(c):
+        return F.array_distinct(tokenize(F.col(c)))
+
+    def g2(c):
+        return F.array_distinct(ngrams(tokenize(F.col(c)), 2))
+
+    grams = pairs.select(
+        "source",
+        g1("ref_text").alias("ref1"), g1("cand_text").alias("cand1"),
+        g2("ref_text").alias("ref2"), g2("cand_text").alias("cand2"),
+    )
+    ov1 = F.size(F.array_intersect("cand1", "ref1")).cast("bigint")
+    n1 = F.size("ref1").cast("bigint")
+    ov2 = F.size(F.array_intersect("cand2", "ref2")).cast("bigint")
+    n2 = F.size("ref2").cast("bigint")
+    return grams.select(
+        "source",
+        ov1.alias("r1_overlap"), n1.alias("r1_ref"),
+        F.when(n1 > 0, ov1.cast("double") / n1.cast("double")).alias("rouge1"),
+        ov2.alias("r2_overlap"), n2.alias("r2_ref"),
+        F.when(n2 > 0, ov2.cast("double") / n2.cast("double")).alias("rouge2"),
+    ).orderBy("source")

@@ -406,6 +406,23 @@ AUDITED = [
     # rolling corr: day-grain reduction then bounded-spine window.
     "q_out_of_order_audit",
     "q_rolling_corr",
+    # Round-14 additions. Eval battery: one fact collapse to the s20
+    # grid + bounded-grid math (classification report adds only the
+    # 3-row broadcast); mcnemar is one scan-local agg. Correlation
+    # battery runs on the bounded day grain; kendall's pair join is
+    # calendar-bounded. Target encoding is agg + broadcast-back
+    # (deliberate two fact passes, never a 5-key window); kfold is one
+    # combinable agg; neyman collapses to |strata| rows; rouge's
+    # two-phase top-k moves ≤ 2·|sources|·|partitions| rows.
+    "q_classification_report",
+    "q_cohens_kappa",
+    "q_mcnemar_test",
+    "q_target_encode_loo",
+    "q_grouped_kfold",
+    "q_spearman_corr",
+    "q_kendall_tau",
+    "q_neyman_allocation",
+    "q_rouge_eval",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
