@@ -2562,3 +2562,305 @@ def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm.select(
         "n", "n_disc_a", "n_disc_b", chi2.alias("chi2"), reject.alias("reject_95")
     )
+
+
+@graded(
+    "q_covariate_balance",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) // 100 AS BIGINT) AS dollars,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000)
+                  AS BIGINT)) AS BIGINT) AS n_days
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    stacked AS (
+      SELECT arm, 'dollars' AS covariate, dollars AS x FROM u
+      UNION ALL SELECT arm, 'n_events', n_events FROM u
+      UNION ALL SELECT arm, 'n_days', n_days FROM u
+    ),
+    m AS (
+      SELECT covariate,
+             CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS n_b,
+             CAST(sum(x) FILTER (arm = 'A') AS BIGINT) AS s_a,
+             CAST(sum(x) FILTER (arm = 'B') AS BIGINT) AS s_b,
+             CAST(sum(x * x) FILTER (arm = 'A') AS BIGINT) AS q_a,
+             CAST(sum(x * x) FILTER (arm = 'B') AS BIGINT) AS q_b
+      FROM stacked GROUP BY covariate
+    )
+    SELECT covariate, n_a, n_b,
+           CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+           CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+           (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt(((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+                     / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                   + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+                     / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))) / 2.0)
+             AS smd,
+           abs((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt(((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+                         / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                       + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+                         / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))) / 2.0))
+             < 0.1 AS balanced
+    FROM m ORDER BY covariate
+    """,
+)
+def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-balance check for the 'ab:' experiment (battery #6):
+    standardized mean difference (SMD) of three PRE-TREATMENT user
+    covariates between arms — the randomization-health diagnostic run
+    before trusting any effect estimate (|SMD| < 0.1 is the standard
+    balance threshold; imbalance means the gate is broken or the unit
+    is wrong, the SRM check's distribution-level sibling).
+
+    The randomization unit is the USER (covariates are user-grain
+    aggregates: spend dollars, event count, active days), so moments
+    are over users, never events. Spend is quantized to DOLLARS so
+    Σx² survives 100× (the CUPED precedent — user cents totals hit the
+    ~3e9 moment-sum bound). SMD = (mean_a − mean_b)/√((s²_a + s²_b)/2)
+    is one token-identical double chain over exact BIGINT moments
+    (n·q products in DOUBLE per the finalize doctrine) ⇒ bit-equal,
+    and `balanced` compares the identical double to 0.1.
+
+    Plan: one user-grain agg (the only data-sized exchange), a 3-way
+    covariate stack on the user relation, one combinable moment agg."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    u = (
+        ev.select("user_id", arm.alias("arm"), day.alias("day"), cents.alias("cents"))
+        .groupBy("user_id", "arm")
+        .agg(
+            F.expr("sum(cents) div 100").cast("bigint").alias("dollars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("day").cast("bigint").alias("n_days"),
+        )
+    )
+    stacked = u.selectExpr(
+        "arm",
+        "stack(3, 'dollars', dollars, 'n_events', n_events, 'n_days', n_days)"
+        " AS (covariate, x)",
+    )
+    m = stacked.groupBy("covariate").agg(
+        F.count_if(F.col("arm") == "A").cast("bigint").alias("n_a"),
+        F.count_if(F.col("arm") == "B").cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("x"))).cast("bigint").alias("s_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("x"))).cast("bigint").alias("s_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("x") * F.col("x")))
+        .cast("bigint")
+        .alias("q_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("x") * F.col("x")))
+        .cast("bigint")
+        .alias("q_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    mean_a, mean_b = sa / na, sb / nb
+    va = (na * F.col("q_a") - sa * F.col("s_a")) / (na * (na - F.lit(1.0)))
+    vb = (nb * F.col("q_b") - sb * F.col("s_b")) / (nb * (nb - F.lit(1.0)))
+    smd = (mean_a - mean_b) / F.sqrt((va + vb) / F.lit(2.0))
+    return m.select(
+        "covariate", "n_a", "n_b",
+        mean_a.alias("mean_a"), mean_b.alias("mean_b"),
+        smd.alias("smd"), (F.abs(smd) < 0.1).alias("balanced"),
+    ).orderBy("covariate")
+
+
+@graded(
+    "q_power_mde",
+    oracle="""
+    WITH e AS (
+      SELECT CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS n_b,
+             CAST(sum(cents) FILTER (arm = 'A') AS BIGINT) AS s_a,
+             CAST(sum(cents) FILTER (arm = 'B') AS BIGINT) AS s_b,
+             CAST(sum(cents * cents) FILTER (arm = 'A') AS BIGINT) AS q_a,
+             CAST(sum(cents * cents) FILTER (arm = 'B') AS BIGINT) AS q_b
+      FROM e
+    ),
+    se AS (
+      SELECT n_a, n_b,
+             CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+             sqrt((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+                    / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                    / CAST(n_a AS DOUBLE)
+                  + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+                    / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+                    / CAST(n_b AS DOUBLE)) AS se
+      FROM m
+    )
+    SELECT n_a, n_b, se,
+           (1.959963984540054 + 0.8416212335729143) * se AS mde_abs_cents,
+           (1.959963984540054 + 0.8416212335729143) * se / mean_a AS mde_rel
+    FROM se
+    """,
+)
+def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at the CURRENT sample sizes
+    (experimentation battery #7): the pre-readout power check — with
+    these n's and this variance, the smallest true lift a
+    two-sided α=0.05 test detects with 80% power is
+    (z_{0.975} + z_{0.80})·SE. An observed effect below the MDE means
+    'underpowered', not 'no effect' — the report that prevents the
+    classic false-negative ship decision.
+
+    SE is the Welch standard error from the same exact BIGINT moments
+    as q_ab_test_report (one combinable FILTER-agg); the z quantiles
+    are LITERALS in both engines (no erf at query time — the
+    record-linkage precomputed-constant doctrine); mde_abs/mde_rel are
+    token-identical chains ⇒ bit-equal.
+
+    100 TB: one scan-local combinable agg; finalize on one row."""
+    m = ab_assigned(spark, sf_dir).agg(
+        F.count_if(F.col("arm") == "A").cast("bigint").alias("n_a"),
+        F.count_if(F.col("arm") == "B").cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("cents"))).cast("bigint").alias("s_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("cents"))).cast("bigint").alias("s_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("cents") * F.col("cents")))
+        .cast("bigint")
+        .alias("q_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("cents") * F.col("cents")))
+        .cast("bigint")
+        .alias("q_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    mean_a = sa / na
+    se = F.sqrt(
+        (na * F.col("q_a") - sa * F.col("s_a")) / (na * (na - F.lit(1.0))) / na
+        + (nb * F.col("q_b") - sb * F.col("s_b")) / (nb * (nb - F.lit(1.0))) / nb
+    )
+    z = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
+    out = m.select("n_a", "n_b", se.alias("se"), mean_a.alias("mean_a"))
+    return out.select(
+        "n_a", "n_b", "se",
+        (z * F.col("se")).alias("mde_abs_cents"),
+        (z * F.col("se") / F.col("mean_a")).alias("mde_rel"),
+    )
+
+
+@graded(
+    "q_jsd_drift",
+    oracle="""
+    WITH e AS (
+      SELECT CASE WHEN substr(md5('jsd:' || CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'ref' ELSE 'cur' END AS half,
+             CAST(least(floor(value / 25), 9) AS BIGINT) AS band
+      FROM events
+    ),
+    grid AS (
+      SELECT band,
+             CAST(count(*) FILTER (half = 'ref') AS BIGINT) AS a,
+             CAST(count(*) FILTER (half = 'cur') AS BIGINT) AS b
+      FROM e GROUP BY band
+    ),
+    tot AS (
+      SELECT band, a, b,
+             CAST(sum(a) OVER () AS BIGINT) AS na,
+             CAST(sum(b) OVER () AS BIGINT) AS nb
+      FROM grid
+    ),
+    terms AS (
+      SELECT band, na, nb,
+             0.5 * (CASE WHEN a > 0 THEN (CAST(a AS DOUBLE) / na)
+                      * ln((CAST(a AS DOUBLE) / na)
+                           / ((CAST(a AS DOUBLE) / na + CAST(b AS DOUBLE) / nb) / 2.0))
+                    ELSE 0.0 END)
+             + 0.5 * (CASE WHEN b > 0 THEN (CAST(b AS DOUBLE) / nb)
+                      * ln((CAST(b AS DOUBLE) / nb)
+                           / ((CAST(a AS DOUBLE) / na + CAST(b AS DOUBLE) / nb) / 2.0))
+                    ELSE 0.0 END) AS term
+      FROM tot
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_ref,
+           CAST(max(nb) AS BIGINT) AS n_cur,
+           round(sum(term ORDER BY band), 6) AS jsd_nats,
+           round(sum(term ORDER BY band), 6) > CAST(0.05 AS DOUBLE) AS drifted
+    FROM terms
+    """,
+)
+def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two md5-split halves of the
+    value distribution — the symmetric, bounded (≤ ln 2) member of the
+    drift battery (KS = max CDF gap, PSI = weighted log-odds, χ² =
+    count-scaled, JSD = information-theoretic and safe on empty bins
+    WITHOUT smoothing: a zero-probability side contributes exactly 0
+    via its p·ln(p/m) limit, handled by CASE on both engines, never an
+    add-one prior distorting small bins).
+
+    One combinable FILTER-agg collapses the fact to the ≤10-band grid;
+    totals ride two unbounded windows on the grid (bounded relation —
+    the mutual_information posture). Terms fold in band order (the
+    ln/PSI ordering doctrine), jsd graded ROUNDED 6dp with `drifted`
+    derived from the rounded value.
+
+    100 TB: fact → 10-row grid once; everything after is bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("jsd:"), F.col("event_id").cast("string"))), 1, 1
+        )
+        < "8",
+        F.lit("ref"),
+    ).otherwise(F.lit("cur"))
+    band = F.least(F.floor(F.col("value") / 25), F.lit(9)).cast("bigint")
+    grid = (
+        ev.select(half.alias("half"), band.alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count_if(F.col("half") == "ref").cast("bigint").alias("a"),
+            F.count_if(F.col("half") == "cur").cast("bigint").alias("b"),
+        )
+    )
+    w_all = Window.partitionBy()
+    tot = grid.select(
+        "band", "a", "b",
+        F.sum("a").over(w_all).cast("bigint").alias("na"),
+        F.sum("b").over(w_all).cast("bigint").alias("nb"),
+    )
+    p = F.col("a").cast("double") / F.col("na")
+    q = F.col("b").cast("double") / F.col("nb")
+    mid = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * F.when(F.col("a") > 0, p * F.log(p / mid)).otherwise(
+        F.lit(0.0)
+    ) + F.lit(0.5) * F.when(F.col("b") > 0, q * F.log(q / mid)).otherwise(F.lit(0.0))
+    terms = tot.select("band", "na", "nb", term.alias("term"))
+    jsd = F.round(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("band").alias("bd"), F.col("term").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    return terms.agg(
+        F.max("na").cast("bigint").alias("n_ref"),
+        F.max("nb").cast("bigint").alias("n_cur"),
+        jsd.alias("jsd_nats"),
+        (jsd > F.lit(0.05)).alias("drifted"),
+    )

@@ -3692,3 +3692,128 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "n_pairs", "n_conc", "n_disc", "n_tie_x", "n_tie_y", tau.alias("tau_b")
     )
+
+
+@graded(
+    "q_forecast_baseline_eval",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    daily AS (
+      SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS a
+      FROM e GROUP BY event_type, day
+    ),
+    mx AS (SELECT max(day) AS maxday FROM daily),
+    ev AS (
+      SELECT d.event_type, d.day, d.a, p.a AS p
+      FROM daily d
+      JOIN daily p ON p.event_type = d.event_type AND p.day = d.day - 7
+      CROSS JOIN mx WHERE d.day > mx.maxday - 28
+    ),
+    terms AS (
+      SELECT event_type, day, a, p,
+             abs(a - p) AS abs_err,
+             (a // 100 - p // 100) * (a // 100 - p // 100) AS sq_dollar,
+             CASE WHEN a + p > 0
+                  THEN 2.0 * CAST(abs(a - p) AS DOUBLE) / CAST(a + p AS DOUBLE)
+                  ELSE 0.0 END AS smape_t
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+           CAST(sum(abs_err) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mae_cents,
+           sqrt(CAST(sum(sq_dollar) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             AS rmse_dollars,
+           sum(smape_t ORDER BY day) / CAST(count(*) AS DOUBLE) AS smape
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_forecast_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest of the SEASONAL-NAIVE baseline (predict each
+    day with the value 7 days earlier) over the last 28 days —
+    MAE / RMSE / sMAPE per series. This is the eval the Holt /
+    Holt-Winters operators must beat before anyone trusts them: a
+    forecasting pipeline without a naive-baseline backtest is the
+    classic silent failure (the model can lose to last-week's value
+    and nobody notices).
+
+    Exactness: Σ|a−p| is an exact BIGINT (mae one division). The
+    squared-error sum is quantized to DOLLARS first — cents-grain
+    (a−p)² reaches 2.5e19 per term at 100× daily volume (the
+    covariance/chi² overflow class, pre-empted at design time); dollar
+    diffs keep Σd² < 2^63 to ~1000×. sMAPE terms are exact-integer
+    divisions folded in DAY order (sum ORDER BY / sorted-struct
+    aggregate — the ordered-fold doctrine for engine-arbitrary double
+    addition) ⇒ bit-equal, no rounding needed.
+
+    Plan: one (type, day) combinable agg collapses the fact; the
+    7-day-lag self-join and the 28-day filter run on the bounded,
+    localCheckpoint'd daily relation (it feeds the lag probe, the lag
+    build, and the max-day scalar — the multi-reader rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    daily = (
+        ev.select("event_type", day.alias("day"), cents.alias("cents"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("a"))
+        .localCheckpoint()
+    )
+    mx = daily.agg(F.max("day").alias("maxday"))
+    p = daily.select(
+        F.col("event_type").alias("et_p"),
+        (F.col("day") + 7).alias("day_p"),
+        F.col("a").alias("p"),
+    )
+    evl = (
+        daily.join(
+            p, (F.col("event_type") == F.col("et_p")) & (F.col("day") == F.col("day_p"))
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("day") > F.col("maxday") - 28)
+    )
+    abs_err = F.abs(F.col("a") - F.col("p"))
+    sq_dollar = (F.expr("a div 100") - F.expr("p div 100")) * (
+        F.expr("a div 100") - F.expr("p div 100")
+    )
+    smape_t = F.when(
+        F.col("a") + F.col("p") > 0,
+        F.lit(2.0) * abs_err.cast("double") / (F.col("a") + F.col("p")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    terms = evl.select(
+        "event_type", "day",
+        abs_err.alias("abs_err"), sq_dollar.alias("sq_dollar"), smape_t.alias("smape_t"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            n.cast("bigint").alias("n_days"),
+            F.sum("abs_err").cast("bigint").alias("sum_abs_err"),
+            (F.sum("abs_err").cast("double") / n.cast("double")).alias("mae_cents"),
+            F.sqrt(F.sum("sq_dollar").cast("double") / n.cast("double")).alias(
+                "rmse_dollars"
+            ),
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("day").alias("d"), F.col("smape_t").alias("t"))
+                            )
+                        ),
+                        lambda s: s["t"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                / n.cast("double")
+            ).alias("smape"),
+        )
+        .orderBy("event_type")
+    )

@@ -2936,3 +2936,115 @@ def q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ov2.alias("r2_overlap"), n2.alias("r2_ref"),
         F.when(n2 > 0, ov2.cast("double") / n2.cast("double")).alias("rouge2"),
     ).orderBy("source")
+
+
+@graded(
+    "q_log_odds_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    st AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY source, w
+    ),
+    uni AS (
+      SELECT w, CAST(sum(c) AS BIGINT) AS y_w
+      FROM st GROUP BY w ORDER BY sum(c) DESC, w ASC LIMIT 10
+    ),
+    ns AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY source
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st),
+    spine AS (
+      SELECT ns.source, ns.n_s, uni.w, uni.y_w FROM ns CROSS JOIN uni
+    ),
+    scored AS (
+      SELECT sp.source, sp.w AS term,
+             coalesce(st.c, CAST(0 AS BIGINT)) AS y_sw,
+             sp.n_s, sp.y_w, n.n
+      FROM spine sp
+      LEFT JOIN st ON st.source = sp.source AND st.w = sp.w
+      CROSS JOIN n
+    )
+    SELECT source, term, y_sw,
+           round(ln((CAST(y_sw AS DOUBLE) + 1.0)
+                    / (CAST(n_s AS DOUBLE) + 10.0 - CAST(y_sw AS DOUBLE) - 1.0))
+                 - ln((CAST(y_w AS DOUBLE) + 1.0)
+                      / (CAST(n AS DOUBLE) + 10.0 - CAST(y_w AS DOUBLE) - 1.0)), 6)
+             AS delta,
+           round((ln((CAST(y_sw AS DOUBLE) + 1.0)
+                     / (CAST(n_s AS DOUBLE) + 10.0 - CAST(y_sw AS DOUBLE) - 1.0))
+                  - ln((CAST(y_w AS DOUBLE) + 1.0)
+                       / (CAST(n AS DOUBLE) + 10.0 - CAST(y_w AS DOUBLE) - 1.0)))
+                 / sqrt(1.0 / (CAST(y_sw AS DOUBLE) + 1.0)
+                        + 1.0 / (CAST(y_w AS DOUBLE) + 1.0)), 6) AS z
+    FROM scored ORDER BY source, term
+    """,
+)
+def q_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-term analysis via Monroe et al.'s log-odds-ratio with
+    an informative Dirichlet prior (the 'Fightin' Words' statistic) —
+    which of the corpus's top terms does each source OVER- or
+    UNDER-use relative to the whole corpus, variance-stabilized so rare
+    terms don't dominate (the corpus-analysis companion to TF-IDF:
+    TF-IDF ranks within a document, log-odds z compares populations).
+
+    TERM SELECTION IS INTEGER-ORDERED: the universe is the top-10
+    global terms by (count DESC, term ASC) — the keyword-extraction
+    ordering doctrine; the ln-valued z is NEVER used to rank, only
+    graded per (source, term) cell ROUNDED 6dp (the ln adjudication).
+    delta = ln-odds(source) − ln-odds(corpus) with α_w = 1, α0 = 10;
+    z = delta/√(1/(y_sw+1) + 1/(y_w+1)). Sources missing a universe
+    term get real y_sw = 0 rows via the sources×universe spine (their
+    under-use z is exactly the signal).
+
+    Plan: one explode → (source, term) combinable agg,
+    localCheckpoint'd (it feeds the universe top-k, the per-source
+    totals, AND the scoring join — the multi-reader rule); the
+    universe is a TakeOrderedAndProject broadcast; the spine and
+    scoring run on |sources|×10 rows.
+
+    100 TB: token text crosses the wire once into the reduced
+    (source, term) relation; everything downstream is bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    uni = (
+        st.groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("y_w"))
+        .orderBy(F.desc("y_w"), F.asc("w"))
+        .limit(10)
+    )
+    ns = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    n = st.agg(F.sum("c").cast("bigint").alias("n"))
+    spine = ns.crossJoin(F.broadcast(uni))
+    scored = (
+        spine.join(
+            st.select(
+                F.col("source").alias("src_c"), F.col("w").alias("w_c"), "c"
+            ),
+            (F.col("source") == F.col("src_c")) & (F.col("w") == F.col("w_c")),
+            "left",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("y_sw"),
+            "n_s", "y_w", "n",
+        )
+    )
+    y = F.col("y_sw").cast("double")
+    d_own = F.log((y + 1.0) / (F.col("n_s").cast("double") + 10.0 - y - 1.0))
+    yw = F.col("y_w").cast("double")
+    d_all = F.log((yw + 1.0) / (F.col("n").cast("double") + 10.0 - yw - 1.0))
+    delta = d_own - d_all
+    z = delta / F.sqrt(1.0 / (y + 1.0) + 1.0 / (yw + 1.0))
+    return scored.select(
+        "source", "term", "y_sw",
+        F.round(delta, 6).alias("delta"), F.round(z, 6).alias("z"),
+    ).orderBy("source", "term")

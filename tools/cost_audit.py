@@ -423,6 +423,16 @@ AUDITED = [
     "q_kendall_tau",
     "q_neyman_allocation",
     "q_rouge_eval",
+    # Round-14 second batch: balance/power ride one combinable agg
+    # (user-grain for balance); JSD collapses to the 10-band grid;
+    # forecast backtest runs its lag join on the checkpointed bounded
+    # daily relation; log-odds on the checkpointed (source, term)
+    # reduced relation + broadcast universe.
+    "q_covariate_balance",
+    "q_power_mde",
+    "q_jsd_drift",
+    "q_forecast_baseline_eval",
+    "q_log_odds_terms",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
