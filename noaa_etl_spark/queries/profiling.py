@@ -2759,9 +2759,7 @@ def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_jsd_drift",
-    oracle="""
+JSD_DRIFT_ORACLE = """
     WITH e AS (
       SELECT CASE WHEN substr(md5('jsd:' || CAST(event_id AS VARCHAR)), 1, 1) < '8'
                   THEN 'ref' ELSE 'cur' END AS half,
@@ -2797,8 +2795,10 @@ def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(term ORDER BY band), 6) AS jsd_nats,
            round(sum(term ORDER BY band), 6) > CAST(0.05 AS DOUBLE) AS drifted
     FROM terms
-    """,
-)
+    """
+
+
+@graded("q_jsd_drift", oracle=JSD_DRIFT_ORACLE)
 def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence between two md5-split halves of the
     value distribution — the symmetric, bounded (≤ ln 2) member of the
@@ -2815,7 +2815,12 @@ def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from the rounded value.
 
     100 TB: fact → 10-row grid once; everything after is bounded."""
-    ev = load_table(spark, sf_dir, "events")
+    return jsd_report(jsd_grid(load_table(spark, sf_dir, "events")))
+
+
+def jsd_grid(ev: DataFrame) -> DataFrame:
+    """The (band, a, b) count grid — the sum-mergeable state of the JSD
+    drift report (the streaming twin folds these per micro-batch)."""
     half = F.when(
         F.substring(
             F.md5(F.concat(F.lit("jsd:"), F.col("event_id").cast("string"))), 1, 1
@@ -2824,7 +2829,7 @@ def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ref"),
     ).otherwise(F.lit("cur"))
     band = F.least(F.floor(F.col("value") / 25), F.lit(9)).cast("bigint")
-    grid = (
+    return (
         ev.select(half.alias("half"), band.alias("band"))
         .groupBy("band")
         .agg(
@@ -2832,6 +2837,12 @@ def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("half") == "cur").cast("bigint").alias("b"),
         )
     )
+
+
+def jsd_report(grid: DataFrame) -> DataFrame:
+    """Shared JSD finalize over the folded band grid (bounded
+    relation): totals via two unbounded windows, terms folded in band
+    order, jsd graded rounded 6dp."""
     w_all = Window.partitionBy()
     tot = grid.select(
         "band", "a", "b",
@@ -2863,4 +2874,62 @@ def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nb").cast("bigint").alias("n_cur"),
         jsd.alias("jsd_nats"),
         (jsd > F.lit(0.05)).alias("drifted"),
+    )
+
+
+@graded(
+    "q_brier_score",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(CAST('0x' || substr(md5('cal:' || CAST(user_id AS VARCHAR)), 1, 12)
+                  AS UBIGINT) AS BIGINT) // 274877906944 AS s10,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((s10 - y * 1024) * (s10 - y * 1024)) AS BIGINT) AS sum_sq
+      FROM scored
+    )
+    SELECT n, sum_sq,
+           CAST(sum_sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS brier
+    FROM agg
+    """,
+)
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the calibration-family classifier — mean squared
+    error of the predicted probability against the outcome, the proper
+    scoring rule that punishes BOTH miscalibration and low resolution
+    in one number (q_calibration_bins shows WHERE the probabilities
+    drift; Brier says HOW MUCH it costs overall).
+
+    ALL-INTEGER FORM: the probability is the 10-bit quantized score
+    p = s10/1024 (operator contract, the AUC bounded-grid discipline),
+    so (p − y)² = (s10 − 1024·y)²/2²⁰ and the sum is an EXACT BIGINT —
+    Σ(s10 − 1024y)² ≤ 2²⁰·n stays under 2⁶³ to ~8.8e12 events (the
+    10-bit width is chosen so even 1000× fixture volume has 1000×
+    headroom); brier is one division ⇒ bit-equal, no rounding, no
+    ordered fold (an unquantized double-sum form would need one).
+
+    100 TB: one scan-local combinable agg; nothing else."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    y = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    # integer floor-div via `div` — a double divide + cast would round,
+    # not floor, and shift grid-boundary scores.
+    scored = ev.select(
+        F.expr(
+            "cast(conv(substring(md5(concat('cal:', cast(user_id as string))), 1, 12), 16, 10) as bigint)"
+            " div 274877906944"
+        ).alias("s10"),
+        y.alias("y"),
+    )
+    d = F.col("s10") - F.col("y") * 1024
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d * d).cast("bigint").alias("sum_sq"),
+    )
+    return agg.select(
+        "n", "sum_sq",
+        (F.col("sum_sq").cast("double") / (F.col("n").cast("double") * F.lit(1048576.0)))
+        .alias("brier"),
     )

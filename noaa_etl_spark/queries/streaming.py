@@ -3342,3 +3342,66 @@ def q_stream_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rolling_corr_report(folded)
+
+
+from noaa_etl_spark.queries.profiling import JSD_DRIFT_ORACLE, jsd_grid, jsd_report
+
+
+@graded("q_stream_jsd_drift", oracle=JSD_DRIFT_ORACLE)
+def q_stream_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Jensen-Shannon drift monitor (twin #39):
+    per-batch (band, a, b) count grids are pure integer addition — the
+    chi-square/PSI additive-grid class — while the probability
+    normalization, the zero-side CASE limits, and the ordered ln fold
+    depend on the full totals and run only in the shared jsd_report
+    over the fold. Shares JSD_DRIFT_ORACLE verbatim. This is the
+    drift-battery member that needs NO smoothing prior as state grows:
+    empty bands contribute exactly 0 at any fold depth."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_jsd")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    gate = F.pmod(F.xxhash64(F.lit("sjsd"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = jsd_grid(batch_df)
+        record_foreach_batch_plan("stream_jsd_grid", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("event_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("band")
+        .agg(
+            F.sum("a").cast("bigint").alias("a"),
+            F.sum("b").cast("bigint").alias("b"),
+        )
+    )
+    return jsd_report(folded)

@@ -2114,6 +2114,37 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("pmi"), "x", "y").limit(50)
 
 
+def ranked_matches(docs: DataFrame) -> DataFrame:
+    """The stacked (term, doc_id, tf, rel, score_i) matched frame shared
+    by the ranking evals (NDCG, MRR): ONE corpus scan, terms as columns
+    via array HOFs (the BM25 contract, no explode), integer tf-density
+    ranker and integer labels."""
+    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(ws, _tf_term(t))).cast("bigint").alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stack_expr = "stack({n}, {args}) as (term, tf)".format(
+        n=len(BM25_TERMS),
+        args=", ".join(f"'{t}', tf_{t}" for t in BM25_TERMS),
+    )
+    return (
+        per_doc.select("doc_id", "dl", F.expr(stack_expr))
+        .filter(F.col("tf") > 0)
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            F.least(F.col("tf"), F.lit(3).cast("bigint")).alias("rel"),
+            F.expr("tf * 1000000 div dl").alias("score_i"),
+        )
+    )
+
+
 def _ndcg_oracle() -> str:
     stacked = "\n      UNION ALL\n".join(
         f"      SELECT '{t}' AS term, doc_id, tf_{t} AS tf, dl"
@@ -2179,31 +2210,7 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from noaa_etl_spark.operators.topk import grouped_topk_twophase
 
-    docs = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
-    per_doc = docs.select(
-        "doc_id",
-        F.size(ws).cast("bigint").alias("dl"),
-        *[
-            F.size(F.filter(ws, _tf_term(t))).cast("bigint").alias(f"tf_{t}")
-            for t in BM25_TERMS
-        ],
-    )
-    stack_expr = "stack({n}, {args}) as (term, tf)".format(
-        n=len(BM25_TERMS),
-        args=", ".join(f"'{t}', tf_{t}" for t in BM25_TERMS),
-    )
-    scored = (
-        per_doc.select("doc_id", "dl", F.expr(stack_expr))
-        .filter(F.col("tf") > 0)
-        .select(
-            "term",
-            "doc_id",
-            "tf",
-            F.least(F.col("tf"), F.lit(3).cast("bigint")).alias("rel"),
-            F.expr("tf * 1000000 div dl").alias("score_i"),
-        )
-    )
+    scored = ranked_matches(load_table(spark, sf_dir, "documents"))
 
     def fold_dcg(topk: DataFrame, out: str) -> DataFrame:
         term_val = F.col("rel").cast("double") / F.log2(F.col("rn") + F.lit(1.0))
@@ -3048,3 +3055,82 @@ def q_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "term", "y_sw",
         F.round(delta, 6).alias("delta"), F.round(z, 6).alias("z"),
     ).orderBy("source", "term")
+
+
+def _mrr_oracle() -> str:
+    stacked = "\n      UNION ALL\n".join(
+        f"      SELECT '{t}' AS term, doc_id, tf_{t} AS tf, dl"
+        f" FROM per_doc WHERE tf_{t} > 0"
+        for t in BM25_TERMS
+    )
+    return f"""
+    WITH {BM25_ORACLE_CTES},
+    stacked AS (
+{stacked}
+    ),
+    scored AS (
+      SELECT term, doc_id, tf, tf * 1000000 // dl AS score_i FROM stacked
+    ),
+    actual AS (
+      SELECT term, tf,
+             CAST(row_number() OVER (PARTITION BY term
+                                     ORDER BY score_i DESC, doc_id) AS BIGINT) AS rn
+      FROM scored QUALIFY rn <= 10
+    ),
+    firsts AS (
+      SELECT term, CAST(min(rn) AS BIGINT) AS first_rel_rank
+      FROM actual WHERE tf >= 2 GROUP BY term
+    ),
+    spine AS (
+      SELECT term,
+             CAST(count(*) FILTER (tf >= 2) AS BIGINT) AS n_rel
+      FROM scored GROUP BY term
+    )
+    SELECT s.term, s.n_rel, f.first_rel_rank,
+           CASE WHEN f.first_rel_rank IS NOT NULL
+                THEN 1.0 / CAST(f.first_rel_rank AS DOUBLE) ELSE 0.0 END AS rr
+    FROM spine s LEFT JOIN firsts f USING (term) ORDER BY s.term
+    """
+
+
+@graded("q_mrr_eval", oracle=_mrr_oracle())
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 — the rank of the FIRST strongly-relevant result (tf ≥ 2,
+    a stricter bar than the NDCG labels since every matched doc has
+    tf ≥ 1) under the shared tf-density ranker: the metric for
+    known-item retrieval where the user wants ONE right answer and
+    position 1 vs 3 is the whole game (NDCG grades the list, MRR
+    grades the first hit).
+
+    Deterministic end-to-end: the ranking is the integer
+    (score_i DESC, doc_id) order, first_rel_rank an exact BIGINT min
+    over the top-10 prune, rr one division (terms whose top-10 holds
+    no tf ≥ 2 doc report rank NULL / rr 0.0 on both sides — the
+    miss IS the finding).
+
+    100 TB: the shared ranked_matches frame (one corpus scan, no
+    explode) + the two-phase per-partition heap prune — never a
+    corpus-wide rank window; MRR math on ≤ |terms|×10 rows."""
+    from noaa_etl_spark.operators.topk import grouped_topk_twophase
+
+    scored = ranked_matches(load_table(spark, sf_dir, "documents")).localCheckpoint()
+    actual = grouped_topk_twophase(
+        scored, ["term"], [("score_i", False), ("doc_id", True)], 10, rank_col="rn"
+    )
+    firsts = (
+        actual.filter(F.col("tf") >= 2)
+        .groupBy("term")
+        .agg(F.min("rn").cast("bigint").alias("first_rel_rank"))
+    )
+    spine = scored.groupBy("term").agg(
+        F.count_if(F.col("tf") >= 2).cast("bigint").alias("n_rel")
+    )
+    rr = F.when(
+        F.col("first_rel_rank").isNotNull(),
+        F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        spine.join(F.broadcast(firsts), "term", "left")
+        .select("term", "n_rel", "first_rel_rank", rr.alias("rr"))
+        .orderBy("term")
+    )

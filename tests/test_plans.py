@@ -1218,3 +1218,90 @@ def test_line_dedup_no_window_no_join(spark):
     prod = plan_of(spark, "q_line_dedup_global")
     assert "Window" not in prod
     assert "Join" not in prod
+
+
+def test_classification_report_grid_broadcast_no_window(spark):
+    """Thresholds broadcast onto the bounded s20 grid — one fact
+    collapse, no window, no Python."""
+    plan = plan_of(spark, "q_classification_report")
+    assert "Window" not in plan
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cohens_kappa_and_mcnemar_agg_only(spark):
+    """Kappa rides the grid; McNemar is ONE scan-local combinable agg —
+    no window, no join in either."""
+    for name in ("q_cohens_kappa", "q_mcnemar_test"):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, name
+        assert "Join" not in plan.split("\n\n")[0], name
+
+
+def test_target_encode_broadcast_back_never_window(spark):
+    """LOO encoding enriches via BROADCAST of the 5-row category stats
+    and the 1-row global mean — never a window over the 5-value
+    category key (celebrity skew by construction)."""
+    plan = plan_of(spark, "q_target_encode_loo")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in plan
+    assert tree.count("BroadcastExchange") >= 2
+
+
+def test_correlation_battery_bounded_relation(spark):
+    """Spearman's rank windows and Kendall's pair join run on the
+    reduced day-grain relation, never the fact: exactly one data-sized
+    exchange (the day agg) feeds each."""
+    plan_s = plan_of(spark, "q_spearman_corr")
+    # two rank windows + two tie-count windows on the bounded relation
+    assert "Window" in plan_s
+    tree_k = plan_of(spark, "q_kendall_tau").split("\n\n")[0]
+    assert "Window" not in tree_k
+
+
+def test_rouge_topk_prune_no_corpus_window(spark):
+    """Pair selection is the two-phase grouped top-k: a map-side
+    ArrowEval prune precedes the only window, which therefore ranks
+    the pruned survivors, not the corpus."""
+    plan = plan_of(spark, "q_rouge_eval")
+    tree = plan.split("\n\n")[0]
+    assert "MapInPandas" in tree
+    # WindowGroupLimit nodes contain the substring "Window" — count
+    # actual Window operators only.
+    assert tree.count("Window (") == 1
+
+
+def test_jsd_windows_on_bounded_grid(spark):
+    """JSD's two total windows ride the ≤10-row band grid (the
+    mutual_information posture): the only data-sized exchange is the
+    grid agg."""
+    plan = plan_of(spark, "q_jsd_drift")
+    tree = plan.split("\n\n")[0]
+    assert "Window" in plan
+    assert tree.count("Exchange") <= 4
+
+
+def test_log_odds_checkpointed_counts_broadcast_universe(spark):
+    """Scoring joins the checkpointed (source, term) counts against the
+    broadcast 10-term universe — token text never re-exchanges (the
+    checkpoint truncates the explode subtree out of the plan)."""
+    plan = plan_of(spark, "q_log_odds_terms")
+    assert "Broadcast" in plan
+    assert "Generate" not in plan.split("\n\n")[0]  # explode behind the checkpoint
+
+
+def test_brier_single_agg_no_exchange_fanout(spark):
+    """Brier is one scan-local combinable agg — no window, no join."""
+    plan = plan_of(spark, "q_brier_score")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in plan and "Join" not in tree
+    assert tree.count("Exchange") <= 1
+
+
+def test_mrr_topk_prune_before_window(spark):
+    """MRR's only window ranks the map-side-pruned survivors (the
+    ndcg/rouge two-phase contract)."""
+    plan = plan_of(spark, "q_mrr_eval")
+    tree = plan.split("\n\n")[0]
+    assert "MapInPandas" in tree
+    assert tree.count("Window (") <= 1

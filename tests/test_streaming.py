@@ -457,3 +457,16 @@ def test_stream_rolling_corr_equals_batch(spark):
     s = {r["day"]: tuple(r[c] for c in cols)
          for r in QUERIES["q_stream_rolling_corr"](spark, SF_SMALL).collect()}
     assert b == s and b
+
+
+def test_stream_jsd_drift_equals_batch(spark):
+    """Per-batch band grids fold by integer addition, so the shared
+    normalize + ordered ln fold is bit-equal to the batch JSD."""
+    from noaa_etl_spark.queries import QUERIES
+
+    cols = ("n_ref", "n_cur", "jsd_nats", "drifted")
+    b = [tuple(r[c] for c in cols)
+         for r in QUERIES["q_jsd_drift"](spark, SF_SMALL).collect()]
+    s = [tuple(r[c] for c in cols)
+         for r in QUERIES["q_stream_jsd_drift"](spark, SF_SMALL).collect()]
+    assert b == s and b

@@ -433,6 +433,10 @@ AUDITED = [
     "q_jsd_drift",
     "q_forecast_baseline_eval",
     "q_log_odds_terms",
+    # MRR rides the shared ranked-matches frame + the two-phase top-k
+    # prune; Brier is one scan-local combinable agg.
+    "q_mrr_eval",
+    "q_brier_score",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
