@@ -3405,3 +3405,68 @@ def q_stream_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jsd_report(folded)
+
+
+from noaa_etl_spark.queries.temporal import SPEARMAN_ORACLE, spearman_report
+
+
+@graded("q_stream_spearman", oracle=SPEARMAN_ORACLE)
+def q_stream_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Spearman rank correlation (twin #40): the
+    maintained state is the SAME daily (day, x, y) cents relation as
+    twin #38 (rolling corr) — per-batch partials merge by integer
+    addition — while the doubled-midrank windows and the moment chain
+    run only in the shared spearman_report over the fold (RANKS of a
+    value that is itself a cross-batch SUM are meaningless per batch:
+    a day's rank can change every time a later batch adds to any day's
+    total, the strongest form of the non-mergeable-rank lesson).
+    Shares SPEARMAN_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries.temporal import rolling_corr_daily
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_spearman")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    gate = F.pmod(F.xxhash64(F.lit("sspear"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = rolling_corr_daily(batch_df)
+        record_foreach_batch_plan("stream_spearman_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("day")
+        .agg(
+            F.sum("x").cast("bigint").alias("x"),
+            F.sum("y").cast("bigint").alias("y"),
+        )
+    )
+    return spearman_report(folded)

@@ -3521,9 +3521,7 @@ def rolling_corr_report(daily: DataFrame) -> DataFrame:
     return win.select("day", "x", "y", "n", corr.alias("corr7"))
 
 
-@graded(
-    "q_spearman_corr",
-    oracle="""
+SPEARMAN_ORACLE = """
     WITH e AS (
       SELECT event_type,
              CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day,
@@ -3562,8 +3560,10 @@ def rolling_corr_report(daily: DataFrame) -> DataFrame:
                    * sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb))
            END AS rho
     FROM m
-    """,
-)
+    """
+
+
+@graded("q_spearman_corr", oracle=SPEARMAN_ORACLE)
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between the daily click and purchase
     revenue series — the monotonic-association companion to
@@ -3583,7 +3583,14 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the moment agg run on the bounded calendar relation
     (SinglePartition by design — the kaplan_meier posture)."""
     ev = load_table(spark, sf_dir, "events")
-    daily = rolling_corr_daily(ev)
+    return spearman_report(rolling_corr_daily(ev))
+
+
+def spearman_report(daily: DataFrame) -> DataFrame:
+    """Shared Spearman finalize over the folded daily (day, x, y)
+    relation: doubled-midrank windows + exact BIGINT moments + one
+    token-identical double chain — rank statistics do not merge, the
+    daily cents sums do."""
     r2x = (
         F.lit(2) * F.rank().over(Window.orderBy("x"))
         + F.count(F.lit(1)).over(Window.partitionBy("x"))

@@ -470,3 +470,16 @@ def test_stream_jsd_drift_equals_batch(spark):
     s = [tuple(r[c] for c in cols)
          for r in QUERIES["q_stream_jsd_drift"](spark, SF_SMALL).collect()]
     assert b == s and b
+
+
+def test_stream_spearman_equals_batch(spark):
+    """Daily partials fold by addition; ranks of cross-batch sums are
+    per-batch-meaningless, so the shared rank finalize over the fold
+    must be bit-equal to the batch Spearman."""
+    from noaa_etl_spark.queries import QUERIES
+
+    b = [(r["n_days"], r["rho"])
+         for r in QUERIES["q_spearman_corr"](spark, SF_SMALL).collect()]
+    s = [(r["n_days"], r["rho"])
+         for r in QUERIES["q_stream_spearman"](spark, SF_SMALL).collect()]
+    assert b == s and b
