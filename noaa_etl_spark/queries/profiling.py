@@ -2591,25 +2591,25 @@ def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(x * x) FILTER (arm = 'A') AS BIGINT) AS q_a,
              CAST(sum(x * x) FILTER (arm = 'B') AS BIGINT) AS q_b
       FROM stacked GROUP BY covariate
+    ),
+    g AS (
+      SELECT covariate, n_a, n_b,
+             CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+             CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+             CASE WHEN n_a > 1 AND n_b > 1 THEN
+               ((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+                  / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+                  / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))) / 2.0
+             END AS pooled
+      FROM m
     )
-    SELECT covariate, n_a, n_b,
-           CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
-           CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
-           (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-            - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-           / sqrt(((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
-                     / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
-                   + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
-                     / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))) / 2.0)
-             AS smd,
-           abs((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-                - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-               / sqrt(((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
-                         / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
-                       + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
-                         / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))) / 2.0))
-             < 0.1 AS balanced
-    FROM m ORDER BY covariate
+    SELECT covariate, n_a, n_b, mean_a, mean_b,
+           CASE WHEN pooled > 0.0
+                THEN (mean_a - mean_b) / sqrt(pooled) END AS smd,
+           CASE WHEN pooled > 0.0
+                THEN abs((mean_a - mean_b) / sqrt(pooled)) < 0.1 END AS balanced
+    FROM g ORDER BY covariate
     """,
 )
 def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2672,11 +2672,18 @@ def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_a, mean_b = sa / na, sb / nb
     va = (na * F.col("q_a") - sa * F.col("s_a")) / (na * (na - F.lit(1.0)))
     vb = (nb * F.col("q_b") - sb * F.col("s_b")) / (nb * (nb - F.lit(1.0)))
-    smd = (mean_a - mean_b) / F.sqrt((va + vb) / F.lit(2.0))
+    # singleton arms (n−1 = 0) and constant covariates (pooled var 0)
+    # would produce NaN/Inf whose cross-engine hash is undefined — NULL
+    # the degenerates by CASE on both sides (regen-proofing).
+    pooled = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1), (va + vb) / F.lit(2.0)
+    )
+    smd = F.when(pooled > 0.0, (mean_a - mean_b) / F.sqrt(pooled))
+    balanced = F.when(pooled > 0.0, F.abs((mean_a - mean_b) / F.sqrt(pooled)) < 0.1)
     return m.select(
         "covariate", "n_a", "n_b",
         mean_a.alias("mean_a"), mean_b.alias("mean_b"),
-        smd.alias("smd"), (F.abs(smd) < 0.1).alias("balanced"),
+        smd.alias("smd"), balanced.alias("balanced"),
     ).orderBy("covariate")
 
 
@@ -2701,17 +2708,21 @@ def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     se AS (
       SELECT n_a, n_b,
              CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
-             sqrt((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
-                    / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
-                    / CAST(n_a AS DOUBLE)
-                  + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
-                    / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
-                    / CAST(n_b AS DOUBLE)) AS se
+             CASE WHEN n_a > 1 AND n_b > 1 THEN
+               sqrt((CAST(n_a AS DOUBLE) * q_a - CAST(s_a AS DOUBLE) * s_a)
+                      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                      / CAST(n_a AS DOUBLE)
+                    + (CAST(n_b AS DOUBLE) * q_b - CAST(s_b AS DOUBLE) * s_b)
+                      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+                      / CAST(n_b AS DOUBLE))
+             END AS se
       FROM m
     )
     SELECT n_a, n_b, se,
            (1.959963984540054 + 0.8416212335729143) * se AS mde_abs_cents,
-           (1.959963984540054 + 0.8416212335729143) * se / mean_a AS mde_rel
+           CASE WHEN mean_a > 0.0
+                THEN (1.959963984540054 + 0.8416212335729143) * se / mean_a
+           END AS mde_rel
     FROM se
     """,
 )
@@ -2746,16 +2757,23 @@ def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
     mean_a = sa / na
-    se = F.sqrt(
-        (na * F.col("q_a") - sa * F.col("s_a")) / (na * (na - F.lit(1.0))) / na
-        + (nb * F.col("q_b") - sb * F.col("s_b")) / (nb * (nb - F.lit(1.0))) / nb
+    # singleton arms (n−1 = 0) → NaN se; all-zero arm-A revenue → Inf
+    # mde_rel — NULL both degenerates by CASE (regen-proofing).
+    se = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1),
+        F.sqrt(
+            (na * F.col("q_a") - sa * F.col("s_a")) / (na * (na - F.lit(1.0))) / na
+            + (nb * F.col("q_b") - sb * F.col("s_b")) / (nb * (nb - F.lit(1.0))) / nb
+        ),
     )
     z = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
     out = m.select("n_a", "n_b", se.alias("se"), mean_a.alias("mean_a"))
     return out.select(
         "n_a", "n_b", "se",
         (z * F.col("se")).alias("mde_abs_cents"),
-        (z * F.col("se") / F.col("mean_a")).alias("mde_rel"),
+        F.when(
+            F.col("mean_a") > 0.0, z * F.col("se") / F.col("mean_a")
+        ).alias("mde_rel"),
     )
 
 

@@ -1455,9 +1455,11 @@ def q_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT sum(CAST(n_h AS DOUBLE) * sd_h ORDER BY event_type) AS total FROM sd
     )
     SELECT sd.event_type, sd.n_h, sd.sd_h,
-           CAST(sd.n_h AS DOUBLE) * sd.sd_h / tot.total AS w_h,
-           CAST(floor(1000.0 * (CAST(sd.n_h AS DOUBLE) * sd.sd_h / tot.total))
-                AS BIGINT) AS alloc
+           CASE WHEN tot.total > 0.0
+                THEN CAST(sd.n_h AS DOUBLE) * sd.sd_h / tot.total END AS w_h,
+           CASE WHEN tot.total > 0.0
+                THEN CAST(floor(1000.0 * (CAST(sd.n_h AS DOUBLE) * sd.sd_h / tot.total))
+                     AS BIGINT) END AS alloc
     FROM sd CROSS JOIN tot ORDER BY sd.event_type
     """,
 )
@@ -1522,9 +1524,13 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total")
     )
     out = sd.crossJoin(F.broadcast(tot))
-    w_h = F.col("n_h").cast("double") * F.col("sd_h") / F.col("total")
+    # total == 0 (every stratum constant) would make w_h a 0/0 NaN whose
+    # cross-engine hash is undefined — NULL the degenerate by CASE.
+    w_raw = F.col("n_h").cast("double") * F.col("sd_h") / F.col("total")
+    w_h = F.when(F.col("total") > 0.0, w_raw)
+    alloc = F.when(
+        F.col("total") > 0.0, F.floor(F.lit(1000.0) * w_raw).cast("bigint")
+    )
     return out.select(
-        "event_type", "n_h", "sd_h",
-        w_h.alias("w_h"),
-        F.floor(F.lit(1000.0) * w_h).cast("bigint").alias("alloc"),
+        "event_type", "n_h", "sd_h", w_h.alias("w_h"), alloc.alias("alloc"),
     ).orderBy("event_type")
