@@ -2951,3 +2951,212 @@ def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_sq").cast("double") / (F.col("n").cast("double") * F.lit(1048576.0)))
         .alias("brier"),
     )
+
+
+@graded(
+    "q_isotonic_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(CAST('0x' || substr(md5('cal:' || CAST(user_id AS VARCHAR)), 1, 12)
+                  AS UBIGINT) AS BIGINT) // 274877906944 AS s10,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    grid AS (
+      SELECT s10, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS c
+      FROM scored GROUP BY s10
+    ),
+    pre AS (
+      SELECT s10, n, c,
+             CAST(sum(n) OVER w AS BIGINT) AS pn,
+             CAST(sum(c) OVER w AS BIGINT) AS pc,
+             CAST(sum(n) OVER w AS BIGINT) - n AS qn,
+             CAST(sum(c) OVER w AS BIGINT) - c AS qc
+      FROM grid
+      WINDOW w AS (ORDER BY s10 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    pairs AS (
+      SELECT a.s10 AS i, b.s10 AS j,
+             CAST(b.pc - a.qc AS DOUBLE) / CAST(b.pn - a.qn AS DOUBLE) AS av
+      FROM pre a JOIN pre b ON a.s10 <= b.s10
+    ),
+    mm AS (
+      SELECT i, j,
+             min(av) OVER (PARTITION BY i ORDER BY j DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      FROM pairs
+    ),
+    iso AS (
+      SELECT j AS s10, max(m) AS iso_rate FROM mm GROUP BY j
+    )
+    SELECT g.s10, g.n, g.c,
+           CAST(g.c AS DOUBLE) / CAST(g.n AS DOUBLE) AS raw_rate,
+           iso.iso_rate
+    FROM grid g JOIN iso USING (s10) ORDER BY g.s10
+    """,
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the md5-scored classifier — the
+    nonparametric recalibration map every platt-or-isotonic pipeline
+    fits on holdout data, completing the calibration battery
+    (calibration_bins = diagnosis, Brier = cost, isotonic = the fix).
+
+    NOT the sequential pool-adjacent-violators loop: the L2 isotonic
+    fit has the CLOSED minimax form iso(k) = max_{i≤k} min_{j≥k}
+    Av(i, j) (Robertson-Wright-Dykstra), and on the 10-bit-quantized
+    score grid (≤1024 buckets, the AUC bounded-grid contract) the full
+    (i, j) pair relation is ≤ 2^20 rows REGARDLESS of corpus size — so
+    an inherently iterative-looking operator becomes one bounded
+    self-join + one running-min window + one max agg, exactly
+    replayable in SQL. Av(i,j) is one division of exact BIGINT prefix
+    sums; min/max are SELECTIONS (no accumulation), so every output
+    double is bit-equal cross-engine — an ORACLE-PAIRED isotonic
+    regression, where a PAV loop would have been rows-only.
+
+    100 TB: the fact collapses to the grid once; everything after is
+    bounded-relation math (the chi-square posture). Monotonicity and
+    level-set mean preservation are tested against a reference PAV
+    implementation in tests/test_round14_ops.py."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    y = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    scored = ev.select(
+        F.expr(
+            "cast(conv(substring(md5(concat('cal:', cast(user_id as string))), 1, 12), 16, 10) as bigint)"
+            " div 274877906944"
+        ).alias("s10"),
+        y.alias("y"),
+    )
+    grid = (
+        scored.groupBy("s10")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    w = Window.orderBy("s10").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = grid.select(
+        "s10", "n", "c",
+        F.sum("n").over(w).cast("bigint").alias("pn"),
+        F.sum("c").over(w).cast("bigint").alias("pc"),
+        (F.sum("n").over(w) - F.col("n")).cast("bigint").alias("qn"),
+        (F.sum("c").over(w) - F.col("c")).cast("bigint").alias("qc"),
+    ).localCheckpoint()
+    a = pre.select(F.col("s10").alias("i"), F.col("qn").alias("qn"), F.col("qc").alias("qc"))
+    b = pre.select(F.col("s10").alias("j"), F.col("pn").alias("pn"), F.col("pc").alias("pc"))
+    pairs = a.join(b, F.col("i") <= F.col("j")).select(
+        "i", "j",
+        (
+            (F.col("pc") - F.col("qc")).cast("double")
+            / (F.col("pn") - F.col("qn")).cast("double")
+        ).alias("av"),
+    )
+    wm = (
+        Window.partitionBy("i")
+        .orderBy(F.desc("j"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mm = pairs.select("i", "j", F.min("av").over(wm).alias("m"))
+    iso = mm.groupBy("j").agg(F.max("m").alias("iso_rate"))
+    return (
+        grid.join(iso.withColumnRenamed("j", "s10"), "s10")
+        .select(
+            "s10", "n", "c",
+            (F.col("c").cast("double") / F.col("n").cast("double")).alias("raw_rate"),
+            "iso_rate",
+        )
+        .orderBy("s10")
+    )
+
+
+@graded(
+    "q_ece_score",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(CAST('0x' || substr(md5('cal:' || CAST(user_id AS VARCHAR)), 1, 12)
+                  AS UBIGINT) AS BIGINT) AS s48,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    binned AS (
+      SELECT CAST(s48 * 10 // 281474976710656 AS BIGINT) AS bin,
+             s48 // 1048576 AS s28, y
+      FROM scored
+    ),
+    b AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(s28) AS BIGINT) / (CAST(count(*) AS DOUBLE) * 268435456.0)
+               AS conf,
+             CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE) AS obs
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n FROM b)
+    SELECT tot.n,
+           sum((CAST(b.n_b AS DOUBLE) / tot.n) * abs(b.obs - b.conf)
+               ORDER BY b.bin) AS ece
+    FROM b CROSS JOIN tot GROUP BY tot.n
+    """,
+)
+def q_ece_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error — the headline calibration scalar
+    (the per-bin reliability table collapsed to one number): the
+    bin-weighted mean |observed rate − mean confidence| over the SAME
+    10 equal-width score bins as q_calibration_bins. Completes the
+    battery: bins = WHERE it drifts, Brier = total cost, isotonic =
+    the fix, ECE = the one-number tracking metric.
+
+    Per-bin obs/conf are exact divisions of BIGINTs; |obs − conf| and
+    the weight are single chains; the ≤10-term weighted sum folds in
+    BIN ORDER (sum ORDER BY / sorted-struct aggregate — engine-
+    arbitrary double addition otherwise) ⇒ bit-equal, no rounding.
+
+    100 TB: one combinable fact agg to the 10-bin grid; finalize on
+    ≤10 rows."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    y = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    # integer floor-div via `div` (a double divide + cast would round,
+    # shifting bin-boundary scores) — same binning as CALIBRATION_ORACLE.
+    binned = ev.select(
+        F.expr(
+            "cast(conv(substring(md5(concat('cal:', cast(user_id as string))), 1, 12), 16, 10) as bigint)"
+            " * 10 div 281474976710656"
+        ).alias("bin"),
+        F.expr(
+            "cast(conv(substring(md5(concat('cal:', cast(user_id as string))), 1, 12), 16, 10) as bigint)"
+            " div 1048576"
+        ).alias("s28"),
+        y.alias("y"),
+    )
+    b = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        (
+            F.sum("s28").cast("bigint")
+            / (F.count(F.lit(1)).cast("double") * F.lit(268435456.0))
+        ).alias("conf"),
+        (F.sum("y").cast("bigint") / F.count(F.lit(1)).cast("double")).alias("obs"),
+    )
+    # the 10-row bin frame feeds BOTH the total and the term projection —
+    # un-checkpointed, each reader re-plans the fact scan (the
+    # source_entropy 1-row-tot lesson).
+    b = b.localCheckpoint()
+    tot = b.agg(F.sum("n_b").cast("bigint").alias("n"))
+    terms = b.crossJoin(F.broadcast(tot)).select(
+        "n", "bin",
+        (
+            (F.col("n_b").cast("double") / F.col("n"))
+            * F.abs(F.col("obs") - F.col("conf"))
+        ).alias("t"),
+    )
+    return terms.groupBy("n").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("bin").alias("bd"), F.col("t").alias("v")))
+                ),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("ece")
+    )

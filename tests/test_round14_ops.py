@@ -259,3 +259,47 @@ def test_rouge_replay(spark):
         assert (r["r2_overlap"], r["r2_ref"]) == (len(cand2 & ref2), len(ref2))
         if ref2:
             assert r["rouge2"] == len(cand2 & ref2) / len(ref2)
+
+
+def test_isotonic_matches_reference_pav(spark):
+    """The minimax closed form must equal the classic sequential
+    pool-adjacent-violators fit (weighted), be monotone nondecreasing,
+    and preserve level-set weighted means."""
+    from noaa_etl_spark.queries.profiling import q_isotonic_calibration
+
+    rows = sorted(
+        q_isotonic_calibration(spark, SF_SMALL).collect(), key=lambda r: r["s10"]
+    )
+    assert rows
+    # reference weighted PAV
+    blocks = []  # (sum_c, sum_n)
+    for r in rows:
+        blocks.append([r["c"], r["n"]])
+        while len(blocks) > 1 and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]:
+            c2, n2 = blocks.pop()
+            blocks[-1][0] += c2
+            blocks[-1][1] += n2
+    # expand blocks back to per-bucket values
+    ref = []
+    it = iter(rows)
+    for c, n in blocks:
+        taken = 0
+        vals = []
+        while taken < n:
+            r = next(it)
+            taken += r["n"]
+            vals.append(r)
+        ref.extend([c / n] * len(vals))
+    got = [r["iso_rate"] for r in rows]
+    assert len(ref) == len(got)
+    for g, e in zip(got, ref):
+        assert abs(g - e) < 1e-12
+    # monotone
+    for a, b in zip(got, got[1:]):
+        assert a <= b + 1e-15
+    # global weighted mean preserved
+    tot_n = sum(r["n"] for r in rows)
+    assert abs(
+        sum(g * r["n"] for g, r in zip(got, rows)) / tot_n
+        - sum(r["c"] for r in rows) / tot_n
+    ) < 1e-12

@@ -437,6 +437,11 @@ AUDITED = [
     # prune; Brier is one scan-local combinable agg.
     "q_mrr_eval",
     "q_brier_score",
+    # Isotonic: fact -> bounded s10 grid once, pair join + windows on
+    # the checkpointed <=1024-row relation; ECE: one fact agg to the
+    # 10-bin grid + ordered fold.
+    "q_isotonic_calibration",
+    "q_ece_score",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
