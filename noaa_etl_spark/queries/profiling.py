@@ -3160,3 +3160,124 @@ def q_ece_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         ).alias("ece")
     )
+
+
+@graded(
+    "q_permutation_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CAST(sum(cents) FILTER (arm = 'A') AS DOUBLE)
+               / CAST(count(*) FILTER (arm = 'A') AS DOUBLE)
+             - CAST(sum(cents) FILTER (arm = 'B') AS DOUBLE)
+               / CAST(count(*) FILTER (arm = 'B') AS DOUBLE) AS obs_diff
+      FROM u
+    ),
+    reps AS (
+      SELECT r.r, u.cents,
+             CASE WHEN substr(md5('perm:' || CAST(r.r AS VARCHAR) || ':'
+                               || CAST(u.user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM u CROSS JOIN (SELECT unnest(range(0, 64)) AS r) r
+    ),
+    diffs AS (
+      SELECT r,
+             CAST(sum(cents) FILTER (arm = 'A') AS DOUBLE)
+               / CAST(count(*) FILTER (arm = 'A') AS DOUBLE)
+             - CAST(sum(cents) FILTER (arm = 'B') AS DOUBLE)
+               / CAST(count(*) FILTER (arm = 'B') AS DOUBLE) AS d
+      FROM reps GROUP BY r
+    )
+    SELECT obs.obs_diff,
+           CAST(64 AS BIGINT) AS b,
+           CAST(count(*) FILTER (abs(diffs.d) >= abs(obs.obs_diff)) AS BIGINT)
+             AS n_ge,
+           CAST(1 + count(*) FILTER (abs(diffs.d) >= abs(obs.obs_diff)) AS DOUBLE)
+             / 65.0 AS p_value
+    FROM diffs CROSS JOIN obs GROUP BY obs.obs_diff
+    """,
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the 'ab:' experiment (battery #8 — the
+    NONPARAMETRIC p-value): re-randomize the USER-grain assignment 64
+    times with md5-seeded gates (RNG-free, the bootstrap doctrine) and
+    count replicates whose |mean difference| meets the observed one;
+    p = (1 + n_ge)/(B + 1), the add-one Monte-Carlo estimator that can
+    never report 0. The Welch z (q_ab_test_report) assumes near-normal
+    means; this assumes ONLY exchangeability under the null — the
+    robustness cross-check when revenue is heavy-tailed.
+
+    Every replicate diff is the same token-identical chain over exact
+    BIGINT user sums as the observed diff, so the |d| ≥ |obs|
+    comparisons are deterministic cross-engine and n_ge is an exact
+    BIGINT; p is one division. Randomization is at the USER (the SRM
+    unit lesson), so the fact collapses to user grain once, and the
+    ×64 replicate expansion happens on the REDUCED relation — a
+    per-event expansion would be 64 fact scans' worth of shuffle.
+
+    100 TB: fact → user grain (the only data-sized exchange);
+    64·|users| rows through one combinable (r, arm) agg."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    u = (
+        ev.select("user_id", arm.alias("arm"), cents.alias("cents"))
+        .groupBy("user_id", "arm")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+        .localCheckpoint()
+    )
+    diff = (
+        F.sum(F.when(F.col("arm") == "A", F.col("cents"))).cast("double")
+        / F.count_if(F.col("arm") == "A").cast("double")
+        - F.sum(F.when(F.col("arm") == "B", F.col("cents"))).cast("double")
+        / F.count_if(F.col("arm") == "B").cast("double")
+    )
+    obs = u.agg(diff.alias("obs_diff"))
+    reps = u.select(
+        "user_id", "cents", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("r")
+    ).select(
+        "r",
+        "cents",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm:"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8",
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    )
+    diffs = reps.groupBy("r").agg(diff.alias("d"))
+    ge = F.count_if(F.abs(F.col("d")) >= F.abs(F.col("obs_diff"))).cast("bigint")
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .groupBy("obs_diff")
+        .agg(
+            F.lit(64).cast("bigint").alias("b"),
+            ge.alias("n_ge"),
+            ((F.lit(1) + ge).cast("double") / F.lit(65.0)).alias("p_value"),
+        )
+        .select("obs_diff", "b", "n_ge", "p_value")
+    )

@@ -3470,3 +3470,69 @@ def q_stream_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spearman_report(folded)
+
+
+from noaa_etl_spark.queries.temporal import (
+    FORECAST_BASELINE_ORACLE,
+    forecast_baseline_report,
+    forecast_eval_daily,
+)
+
+
+@graded("q_stream_forecast_backtest", oracle=FORECAST_BASELINE_ORACLE)
+def q_stream_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the seasonal-naive forecast backtest
+    (twin #41): per-batch (type, day) cents partials fold by integer
+    addition, while the 28-day eval window, the 7-day lag join, and
+    the MAE/RMSE/sMAPE chains run only in the shared
+    forecast_baseline_report over the fold — the eval horizon is
+    data-derived (max day over ALL batches), so a per-batch backtest
+    would score each batch against its own partial calendar (the
+    hist-quantiles data-derived-domain lesson applied to a forecast
+    horizon). Shares FORECAST_BASELINE_ORACLE verbatim — the live
+    "is the model still beating last week's value" monitor."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_fcbt")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    gate = F.pmod(F.xxhash64(F.lit("sfcbt"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = forecast_eval_daily(batch_df)
+        record_foreach_batch_plan("stream_fcbt_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("event_type", "day")
+        .agg(F.sum("a").cast("bigint").alias("a"))
+    )
+    return forecast_baseline_report(folded)

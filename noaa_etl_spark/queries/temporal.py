@@ -3701,9 +3701,7 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@graded(
-    "q_forecast_baseline_eval",
-    oracle="""
+FORECAST_BASELINE_ORACLE = """
     WITH e AS (
       SELECT event_type,
              CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day,
@@ -3738,8 +3736,10 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS rmse_dollars,
            sum(smape_t ORDER BY day) / CAST(count(*) AS DOUBLE) AS smape
     FROM terms GROUP BY event_type ORDER BY event_type
-    """,
-)
+    """
+
+
+@graded("q_forecast_baseline_eval", oracle=FORECAST_BASELINE_ORACLE)
 def q_forecast_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast backtest of the SEASONAL-NAIVE baseline (predict each
     day with the value 7 days earlier) over the last 28 days —
@@ -3763,14 +3763,26 @@ def q_forecast_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'd daily relation (it feeds the lag probe, the lag
     build, and the max-day scalar — the multi-reader rule)."""
     ev = load_table(spark, sf_dir, "events")
+    return forecast_baseline_report(forecast_eval_daily(ev))
+
+
+def forecast_eval_daily(ev: DataFrame) -> DataFrame:
+    """The per-(type, day) cents relation — the sum-mergeable state of
+    the backtest (the streaming twin folds these per micro-batch)."""
     day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
     cents = F.floor(F.col("value") * 100).cast("bigint")
-    daily = (
+    return (
         ev.select("event_type", day.alias("day"), cents.alias("cents"))
         .groupBy("event_type", "day")
         .agg(F.sum("cents").cast("bigint").alias("a"))
-        .localCheckpoint()
     )
+
+
+def forecast_baseline_report(daily: DataFrame) -> DataFrame:
+    """Shared seasonal-naive backtest finalize over the folded daily
+    relation (checkpointed here — it feeds the lag probe, the lag
+    build, and the max-day scalar)."""
+    daily = daily.localCheckpoint()
     mx = daily.agg(F.max("day").alias("maxday"))
     p = daily.select(
         F.col("event_type").alias("et_p"),

@@ -303,7 +303,7 @@ GRADED_WINDOW: list[str] = [
     "q_percentiles", "q_cogroup_merge", "q_conditional_case", "q_set_ops",
     "q_curriculum_order", "q_ghcn_pipeline", "q_variant_json",
     "q_sessionize",
-    # Round-15 staging FIRST: the 22 round-14 additions (all
+    # Round-15 staging FIRST: the 24 round-14 additions (all
     # oracle-paired, none driver-graded): q_stream_out_of_order
     # (twin #37 — the per-user prefix-max carry), q_stream_rolling_corr
     # (twin #38), q_stream_jsd_drift (twin #39), q_stream_spearman
@@ -314,7 +314,10 @@ GRADED_WINDOW: list[str] = [
     # q_forecast_baseline_eval, q_log_odds_terms, q_mrr_eval,
     # q_brier_score, q_isotonic_calibration (PAV via the bounded-grid
     # minimax identity — oracle-paired where a PAV loop would be
-    # rows-only), q_ece_score.
+    # rows-only), q_ece_score, q_permutation_test (battery #8 —
+    # md5-seeded user-grain re-randomization, exact p), 
+    # q_stream_forecast_backtest (twin #41 — shares
+    # FORECAST_BASELINE_ORACLE).
     # THEN rotate the remaining r7-stale cohort (34 left
     # after window_rank/join_left/jsonl/tpch_q7/agg_stats/percentiles/
     # cogroup_merge/conditional_case/variant_json/sessionize grade here:

@@ -83,6 +83,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_rolling_corr": ["fb_stream_rollcorr_partial"],
     "q_stream_jsd_drift": ["fb_stream_jsd_grid"],
     "q_stream_spearman": ["fb_stream_spearman_partial"],
+    "q_stream_forecast_backtest": ["fb_stream_fcbt_partial"],
 }
 
 

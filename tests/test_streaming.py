@@ -483,3 +483,17 @@ def test_stream_spearman_equals_batch(spark):
     s = [(r["n_days"], r["rho"])
          for r in QUERIES["q_stream_spearman"](spark, SF_SMALL).collect()]
     assert b == s and b
+
+
+def test_stream_forecast_backtest_equals_batch(spark):
+    """Per-batch daily partials fold by addition; the eval horizon and
+    lag join run only over the fold, so the twin is bit-equal to the
+    batch backtest."""
+    from noaa_etl_spark.queries import QUERIES
+
+    cols = ("n_days", "sum_abs_err", "mae_cents", "rmse_dollars", "smape")
+    b = {r["event_type"]: tuple(r[c] for c in cols)
+         for r in QUERIES["q_forecast_baseline_eval"](spark, SF_SMALL).collect()}
+    s = {r["event_type"]: tuple(r[c] for c in cols)
+         for r in QUERIES["q_stream_forecast_backtest"](spark, SF_SMALL).collect()}
+    assert b == s and b

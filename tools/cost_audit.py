@@ -442,6 +442,9 @@ AUDITED = [
     # 10-bin grid + ordered fold.
     "q_isotonic_calibration",
     "q_ece_score",
+    # Permutation test: fact -> user grain once; the x64 replicate
+    # explode runs on the REDUCED relation into one combinable agg.
+    "q_permutation_test",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
