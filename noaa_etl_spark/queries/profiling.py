@@ -2798,6 +2798,7 @@ JSD_DRIFT_ORACLE = """
     ),
     terms AS (
       SELECT band, na, nb,
+             CASE WHEN na > 0 AND nb > 0 THEN
              0.5 * (CASE WHEN a > 0 THEN (CAST(a AS DOUBLE) / na)
                       * ln((CAST(a AS DOUBLE) / na)
                            / ((CAST(a AS DOUBLE) / na + CAST(b AS DOUBLE) / nb) / 2.0))
@@ -2805,13 +2806,17 @@ JSD_DRIFT_ORACLE = """
              + 0.5 * (CASE WHEN b > 0 THEN (CAST(b AS DOUBLE) / nb)
                       * ln((CAST(b AS DOUBLE) / nb)
                            / ((CAST(a AS DOUBLE) / na + CAST(b AS DOUBLE) / nb) / 2.0))
-                    ELSE 0.0 END) AS term
+                    ELSE 0.0 END)
+             ELSE 0.0 END AS term
       FROM tot
     )
     SELECT CAST(max(na) AS BIGINT) AS n_ref,
            CAST(max(nb) AS BIGINT) AS n_cur,
-           round(sum(term ORDER BY band), 6) AS jsd_nats,
-           round(sum(term ORDER BY band), 6) > CAST(0.05 AS DOUBLE) AS drifted
+           CASE WHEN max(na) > 0 AND max(nb) > 0
+                THEN round(sum(term ORDER BY band), 6) END AS jsd_nats,
+           CASE WHEN max(na) > 0 AND max(nb) > 0
+                THEN round(sum(term ORDER BY band), 6) > CAST(0.05 AS DOUBLE)
+                END AS drifted
     FROM terms
     """
 
@@ -2870,9 +2875,17 @@ def jsd_report(grid: DataFrame) -> DataFrame:
     p = F.col("a").cast("double") / F.col("na")
     q = F.col("b").cast("double") / F.col("nb")
     mid = (p + q) / F.lit(2.0)
-    term = F.lit(0.5) * F.when(F.col("a") > 0, p * F.log(p / mid)).otherwise(
-        F.lit(0.0)
-    ) + F.lit(0.5) * F.when(F.col("b") > 0, q * F.log(q / mid)).otherwise(F.lit(0.0))
+    # Degenerate guard (ADVICE r14): an empty half (na=0 or nb=0) makes
+    # p or q a 0/0 = NaN double — double division does NOT abort under
+    # ANSI, and NaN's fold/hash is cross-engine-undefined. Same doctrine
+    # as q_neyman_allocation / q_covariate_balance / q_power_mde;
+    # mirrored CASE in JSD_DRIFT_ORACLE. ~2^-n on real fixtures.
+    term = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.lit(0.5) * F.when(F.col("a") > 0, p * F.log(p / mid)).otherwise(F.lit(0.0))
+        + F.lit(0.5)
+        * F.when(F.col("b") > 0, q * F.log(q / mid)).otherwise(F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
     terms = tot.select("band", "na", "nb", term.alias("term"))
     jsd = F.round(
         F.aggregate(
@@ -2887,11 +2900,15 @@ def jsd_report(grid: DataFrame) -> DataFrame:
         ),
         6,
     )
+    # Empty-grid / empty-half mirror: the oracle's guarded CASE yields
+    # NULL where an unguarded Spark fold over zero collected rows would
+    # yield 0.0 — make both NULL (the hash must agree on degenerates).
+    ok = (F.max("na") > 0) & (F.max("nb") > 0)
     return terms.agg(
         F.max("na").cast("bigint").alias("n_ref"),
         F.max("nb").cast("bigint").alias("n_cur"),
-        jsd.alias("jsd_nats"),
-        (jsd > F.lit(0.05)).alias("drifted"),
+        F.when(ok, jsd).alias("jsd_nats"),
+        F.when(ok, jsd > F.lit(0.05)).alias("drifted"),
     )
 
 

@@ -281,70 +281,59 @@ GRADED_WINDOW: list[str] = [
     # E += sessionize_auto, H += array_functions (§2.H HOF row),
     # K += fuzzy_rank (§2.K Jaro-Winkler row), J += the r13 stream
     # twins + the r6 stream sketch/drift members.
-    # --- (a) never-driver-graded round-13 additions (14) ---
-    "q_sessionize_auto", "q_logrank_test", "q_sorted_neighborhood_dedup",
-    "q_ewma_irregular", "q_stream_ewma_irregular", "q_source_entropy",
-    "q_stream_source_entropy", "q_stream_session_funnel",
-    "q_audio_resample", "q_cuped_adjustment", "q_stream_cuped",
-    "q_line_dedup_global", "q_out_of_order_audit", "q_rolling_corr",
-    # --- (b) sort-drop plan re-grades (2) ---
-    "q_window_rank", "q_join_left",
-    # --- (c) the complete r6-stale cohort (23) ---
-    "q_interval_merge", "q_funnel", "q_cohort_retention",
-    "q_resample_interpolate", "q_dedup_survivor_policy",
-    "q_gopher_quality", "q_fuzzy_match_q3", "q_cms_frequencies",
-    "q_bpe_train", "q_bpe_tokenize", "q_knn_ivf", "q_partition_overwrite",
-    "q_array_functions", "q_fuzzy_rank", "q_stream_drift_monitor",
-    "q_stream_cms_frequencies", "q_table_diff", "q_profile_columns",
-    "q_k_anonymity", "q_mixture_epochs", "q_corpus_shuffle_shard",
-    "q_weighted_sample", "q_doc_similarity",
-    # --- (d) oldest-signal family fills (11) ---
-    "q_jsonl_roundtrip", "q_tpch_q7_volume", "q_agg_stats",
-    "q_percentiles", "q_cogroup_merge", "q_conditional_case", "q_set_ops",
-    "q_curriculum_order", "q_ghcn_pipeline", "q_variant_json",
-    "q_sessionize",
-    # Round-15 staging FIRST: the 24 round-14 additions (all
-    # oracle-paired, none driver-graded): q_stream_out_of_order
-    # (twin #37 — the per-user prefix-max carry), q_stream_rolling_corr
-    # (twin #38), q_stream_jsd_drift (twin #39), q_stream_spearman
-    # (twin #40), q_classification_report, q_cohens_kappa,
-    # q_mcnemar_test, q_target_encode_loo, q_grouped_kfold,
-    # q_spearman_corr, q_kendall_tau, q_neyman_allocation,
-    # q_rouge_eval, q_covariate_balance, q_power_mde, q_jsd_drift,
-    # q_forecast_baseline_eval, q_log_odds_terms, q_mrr_eval,
-    # q_brier_score, q_isotonic_calibration (PAV via the bounded-grid
-    # minimax identity — oracle-paired where a PAV loop would be
-    # rows-only), q_ece_score, q_permutation_test (battery #8 —
-    # md5-seeded user-grain re-randomization, exact p), 
-    # q_stream_forecast_backtest (twin #41 — shares
-    # FORECAST_BASELINE_ORACLE).
-    # THEN rotate the remaining r7-stale cohort (34 left
-    # after window_rank/join_left/jsonl/tpch_q7/agg_stats/percentiles/
-    # cogroup_merge/conditional_case/variant_json/sessionize grade here:
-    # minmax_by, agg_filtered, rollup, null_handling, distinct_rows,
-    # join3_topk, join5_region, join_cross, join_range, bool_aggs,
-    # string_agg, window_running_total, window_moving_avg,
-    # window_first_last, record_tracking, window_range_numeric,
-    # ntile_cume, tumbling_window, sliding_window, unpivot, date_spine,
+    # Round 15: CORRECTNESS_r14 went 50/50 (ninth consecutive all-green
+    # window). This window grades (a) the 24 round-14 additions, none of
+    # which has driver signal (all oracle-paired: the threshold-metric
+    # eval battery on the shared s20 grid, rank correlations with
+    # doubled midranks, experimentation batteries #6-#8, isotonic/ECE
+    # calibration, and stream twins #37-#41); (b) 7 oldest-signal
+    # family fills for the families with no member in either the new
+    # cohort or the r7-stale rotation: q_orc_roundtrip (A, r8),
+    # q_sort_null_ordering (F, r11), q_union_distinct (G, r10),
+    # q_grouped_zscore (K applyInPandas, r8), q_tpch_q8_share (tpch,
+    # r8), q_ghcn_daily_wide (noaa, r13), q_math_haversine (H, r8);
+    # (c) 19 of the 34 remaining r7-stale cohort (headline joins +
+    # the §2.D/E agg/window block). Rep sets extended with genuine
+    # new-cohort members: I += rouge/mrr/log_odds evals, J += twins
+    # #37-#41, etl += target_encode_loo. All 50 are oracle-paired, so
+    # ROWS_ONLY_WINDOW is empty this round.
+    # --- (a) never-driver-graded round-14 additions (24) ---
+    "q_stream_out_of_order", "q_stream_rolling_corr", "q_stream_jsd_drift",
+    "q_stream_spearman", "q_classification_report", "q_cohens_kappa",
+    "q_mcnemar_test", "q_target_encode_loo", "q_grouped_kfold",
+    "q_spearman_corr", "q_kendall_tau", "q_neyman_allocation",
+    "q_rouge_eval", "q_covariate_balance", "q_power_mde", "q_jsd_drift",
+    "q_forecast_baseline_eval", "q_log_odds_terms", "q_mrr_eval",
+    "q_brier_score", "q_isotonic_calibration", "q_ece_score",
+    "q_permutation_test", "q_stream_forecast_backtest",
+    # --- (b) oldest-signal family fills (7) ---
+    "q_orc_roundtrip", "q_sort_null_ordering", "q_union_distinct",
+    "q_grouped_zscore", "q_tpch_q8_share", "q_ghcn_daily_wide",
+    "q_math_haversine",
+    # --- (c) r7-stale rotation (19 of 34) ---
+    "q_join3_topk", "q_join5_region", "q_minmax_by", "q_agg_filtered",
+    "q_rollup", "q_null_handling", "q_distinct_rows", "q_join_cross",
+    "q_join_range", "q_bool_aggs", "q_string_agg",
+    "q_window_running_total", "q_window_moving_avg",
+    "q_window_first_last", "q_record_tracking", "q_window_range_numeric",
+    "q_ntile_cume", "q_tumbling_window", "q_sliding_window",
+    # Round-16 staging: the remaining 15 r7-stale (unpivot, date_spine,
     # lang_stats, quality_filter, perplexity_filter, bm25_rank,
     # feature_hashing, regexp_extract, incremental_agg,
     # incremental_stats_merge, linear_trend, stream_stats_merge,
     # stream_feature_pit, connected_components, token_budget_select)
-    # plus any round-14 additions, families per the any-of guard.
+    # + any round-15 additions + the r8-stale cohort next,
+    # families per the any-of guard.
 ]
 
 # The deliberate rows-only subset of the window (no oracle by design:
 # engine-specific hashes/sketches/ANN, streaming state, custom source).
 # test_graded_window_spans_every_family pins window∩rows-only == this.
-ROWS_ONLY_WINDOW: set[str] = {
-    # round 14: the r6-stale rows-only rotation — BPE legs (iterative
-    # merge training, not SQL-expressible), the ANN/IVF pipelines
-    # (engine-defined clustering), and the foreachBatch drift monitor
-    # (custom streaming state). All last signaled r6; rows-only by
-    # design per SURVEY §3.1.
-    "q_bpe_train", "q_bpe_tokenize", "q_knn_ivf", "q_doc_similarity",
-    "q_stream_drift_monitor",
-}
+ROWS_ONLY_WINDOW: set[str] = set()
+# round 15: every window entry is oracle-paired (the 24 round-14
+# additions all carry oracles; the fills and the r7-stale rotation are
+# all oracle-paired). The 24 genuinely rows-only queries (ANN/LSH/
+# sketch/BPE/iterative/custom-state classes) all have r11-r14 signal.
 
 
 def load_all_queries() -> None:

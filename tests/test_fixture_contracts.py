@@ -55,8 +55,11 @@ def test_ngram_jaccard_cap_never_binds(spark, sf):
         .collect()[0]["m"]
     )
     deepest = deepest or 0
-    assert deepest < 64, (
-        f"{sf}: deepest per-doc candidate list is {deepest} >= the "
+    # ADVICE r14: the cap (filter crk <= 64) only BINDS when depth
+    # EXCEEDS 64 — at exactly 64 the capped query still equals the
+    # uncapped oracle, so <= is the correct non-binding condition.
+    assert deepest <= 64, (
+        f"{sf}: deepest per-doc candidate list is {deepest} > the "
         f"production cap 64 — the capped query would diverge from the "
         f"shared uncapped oracle on this fixture"
     )

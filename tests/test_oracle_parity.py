@@ -154,8 +154,8 @@ def test_graded_window_spans_every_family():
         "F_sort": {"q_topk_global", "q_sort_offset", "q_sort_null_ordering", "q_curriculum_order"},
         "G_setops": {"q_set_ops", "q_set_ops_all", "q_union_all_yearly", "q_dedup_keyed", "q_union_distinct"},
         "H_scalars": {"q_json_extract", "q_date_functions", "q_date_arithmetic", "q_string_functions", "q_map_functions", "q_math_haversine", "q_variant_json", "q_spatial_nearest", "q_geohash_encode", "q_activity_bitmask", "q_array_functions"},
-        "I_llm": {"q_dedup_exact", "q_dedup_hash", "q_wordcount", "q_token_stats", "q_tfidf", "q_knn_cosine", "q_semantic_dedup", "q_perplexity_filter", "q_bpe_train", "q_bpe_tokenize", "q_containment_lsh", "q_pq_encode", "q_ngram_novelty", "q_keyword_extraction", "q_entity_resolution", "q_dsir_select", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_temperature_mix"},
-        "J_streaming": {"q_stream_tumbling", "q_stream_interval_join", "q_stream_sessionize", "q_stream_sliding", "q_stream_dedup", "q_stream_stats_merge", "q_stream_feature_pit", "q_stream_ab_test", "q_stream_psi_drift", "q_stream_user_ltv", "q_stream_cdc_apply", "q_stream_dedup_watermark", "q_stream_covariance", "q_stream_rolling_median", "q_stream_funnel", "q_stream_hist_quantiles", "q_stream_mime_sniff", "q_stream_session_funnel", "q_stream_ewma_irregular", "q_stream_cuped", "q_stream_source_entropy", "q_stream_drift_monitor", "q_stream_cms_frequencies"},
+        "I_llm": {"q_dedup_exact", "q_dedup_hash", "q_wordcount", "q_token_stats", "q_tfidf", "q_knn_cosine", "q_semantic_dedup", "q_perplexity_filter", "q_bpe_train", "q_bpe_tokenize", "q_containment_lsh", "q_pq_encode", "q_ngram_novelty", "q_keyword_extraction", "q_entity_resolution", "q_dsir_select", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_temperature_mix", "q_rouge_eval", "q_mrr_eval", "q_log_odds_terms"},
+        "J_streaming": {"q_stream_tumbling", "q_stream_interval_join", "q_stream_sessionize", "q_stream_sliding", "q_stream_dedup", "q_stream_stats_merge", "q_stream_feature_pit", "q_stream_ab_test", "q_stream_psi_drift", "q_stream_user_ltv", "q_stream_cdc_apply", "q_stream_dedup_watermark", "q_stream_covariance", "q_stream_rolling_median", "q_stream_funnel", "q_stream_hist_quantiles", "q_stream_mime_sniff", "q_stream_session_funnel", "q_stream_ewma_irregular", "q_stream_cuped", "q_stream_source_entropy", "q_stream_drift_monitor", "q_stream_cms_frequencies", "q_stream_out_of_order", "q_stream_rolling_corr", "q_stream_jsd_drift", "q_stream_spearman", "q_stream_forecast_backtest"},
         "K_udfs": {"q_udaf_trimmed_mean", "q_grouped_zscore", "q_cogroup_merge", "q_udtf_tokens", "q_pandas_udf_scalar", "q_udtf_dynamic_schema", "q_multimodal_decode", "q_wav_decode", "q_mapinarrow_hist", "q_applyinarrow_stats", "q_udtf_table_arg", "q_observed_metrics", "q_fuzzy_rank"},
         "tpch": {
             "q_tpch_q7_volume", "q_tpch_q8_share", "q_tpch_q10_returns",
@@ -174,6 +174,7 @@ def test_graded_window_spans_every_family():
             "q_incremental_stats_merge", "q_cdc_apply",
             "q_proration_largest_remainder", "q_entity_resolution",
             "q_gdpr_erasure", "q_quantile_normalize", "q_dq_checks", "q_record_linkage_fs",
+            "q_target_encode_loo",
         },
         "noaa": {"q_ghcn_pipeline", "q_ghcn_daily_wide"},
     }
