@@ -238,6 +238,121 @@ def minhash_lsh_dedup(
     return labeled.withColumn("keep", F.col("id") == F.col("component"))
 
 
+def minhash_sketch_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    hot_band_cap: int | None = None,
+) -> DataFrame:
+    """Sketch-verified near-dup dedup → (id, component, keep): MinHash
+    banding for candidates + SIGNATURE-AGREEMENT Jaccard estimation for
+    verification — gram arrays NEVER re-attach to pairs. This is the
+    gear for the boilerplate-pathology corpus class (SCALING.md r11/r13:
+    the exact gears die either re-attaching/intersecting gram arrays on
+    millions of true pairs, or in the candidate DISTINCT before a cap
+    can rank): here the verify payload is a CONSTANT 8·num_perm bytes
+    per doc regardless of document length or pair count, and the
+    hot-band star cap bounds the pair space itself.
+
+    Estimator: P(min-hash match) = J per permutation (the classic
+    MinHash unbiasedness), so est = matches/num_perm has
+    sd = sqrt(J(1−J)/num_perm) ≤ 0.09 at num_perm=32 — a THRESHOLDING
+    estimate, not an exact similarity (exact gears stay the graded
+    reference; tests pin planted exact-dups to est = 1.0 and recall vs
+    the exact pairs on planted corpora).
+
+    Scale: one signature pass (localCheckpoint'd, feeds banding AND
+    both pair-side signature re-attachments), banding identical to
+    minhash_lsh_candidates (star-capped), pair verify = one zip_with
+    over two 32-long arrays per candidate."""
+    if hot_band_cap is None:
+        hot_band_cap = HOT_BAND_CAP
+    rows_per_band = num_perm // bands
+    grams = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
+    g = df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    sig = g.select(
+        "id",
+        F.array(*[_perm_min(F.col("grams"), i) for i in range(num_perm)]).alias(
+            "sig"
+        ),
+    ).localCheckpoint()
+
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col("sig")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    wb = Window.partitionBy("bk").orderBy("id")
+    banded = (
+        sig.select("id", F.explode(band_keys).alias("bk"))
+        .select(
+            "id",
+            "bk",
+            F.row_number().over(wb).alias("rk"),
+            F.min("id").over(Window.partitionBy("bk")).alias("hub"),
+        )
+        .localCheckpoint()
+    )
+    head = banded.filter(F.col("rk") <= hot_band_cap)
+    left = head.select(F.col("bk").alias("bk"), F.col("id").alias("id_a"))
+    right = head.select(F.col("bk").alias("bk2"), F.col("id").alias("id_b"))
+    star = banded.filter(F.col("rk") > hot_band_cap).select(
+        F.col("hub").alias("id_a"), F.col("id").alias("id_b")
+    )
+    pairs = (
+        left.join(right, (left.bk == right.bk2) & (left.id_a < right.id_b))
+        .select("id_a", "id_b")
+        .unionByName(star)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y
+                ),
+                lambda v: v,
+            )
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    scored = (
+        pairs.join(
+            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
+    edges = scored.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b"
+    )
+    comps = connected_components(edges)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    labeled = all_ids.join(comps, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    return labeled.withColumn("keep", F.col("id") == F.col("component"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -642,6 +642,122 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_report_from_moments(ab_moments(ab_assigned(spark, sf_dir)))
 
 
+SEQUENTIAL_MSPT_ORACLE = """
+    WITH assigned AS (
+      SELECT event_type,
+             CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    moments AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (arm = 'A') AS BIGINT)          AS n_a,
+             CAST(count(*) FILTER (arm = 'B') AS BIGINT)          AS n_b,
+             CAST(sum(cents)  FILTER (arm = 'A') AS BIGINT)       AS s_a,
+             CAST(sum(cents)  FILTER (arm = 'B') AS BIGINT)       AS s_b,
+             CAST(sum(cents * cents) FILTER (arm = 'A') AS BIGINT) AS q_a,
+             CAST(sum(cents * cents) FILTER (arm = 'B') AS BIGINT) AS q_b
+      FROM assigned GROUP BY event_type
+    ),
+    stat AS (
+      SELECT event_type, n_a, n_b,
+             CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a AS delta,
+             (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1) / n_a
+             + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) / n_b
+               AS v
+      FROM moments
+    ),
+    lam AS (
+      SELECT event_type, n_a, n_b, delta,
+             CASE WHEN n_a > 1 AND n_b > 1 AND v > 0 THEN
+               round(0.5 * ln(v / (v + 10000.0))
+                     + 10000.0 * delta * delta / (2.0 * v * (v + 10000.0)), 6)
+             END AS ln_lambda
+      FROM stat
+    )
+    SELECT event_type, n_a, n_b, delta, ln_lambda,
+           CASE WHEN ln_lambda IS NULL THEN NULL
+                ELSE round(least(1.0, exp(-ln_lambda)), 6) END AS p_always_valid,
+           CASE WHEN ln_lambda IS NULL THEN NULL
+                ELSE ln_lambda > 2.995732273553991 END AS reject_av
+    FROM lam
+    """
+
+
+@graded("q_sequential_mspt", oracle=SEQUENTIAL_MSPT_ORACLE)
+def q_sequential_mspt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid inference (experimentation battery #9): the mixture
+    sequential probability ratio test (mSPRT) of Johari/Pekelis/Walsh —
+    the statistic that lets an experimenter PEEK at a running A/B test
+    without inflating false positives (the fixed-n Welch z of
+    q_ab_test_report is only valid at one pre-registered look; peeking
+    at it daily multiplies alpha).
+
+    Normal-mixture form with mixture variance tau^2 = 10000 cents^2
+    (tau = $1 on the metric scale): with delta the arm-mean difference
+    and V its Welch variance,
+      ln(Lambda) = 0.5 ln(V/(V+tau^2)) + tau^2 delta^2/(2 V (V+tau^2)),
+    always-valid p = min(1, exp(-ln Lambda)); reject at alpha=0.05 when
+    ln Lambda > ln 20 = 2.995732... (literal).
+
+    Exactness: the six arm moments are exact BIGINTs in ONE combinable
+    FILTER-agg (the AB_TEST machinery, ab_moments); delta and V are
+    token-identical double chains (bit-equal); ln/exp are the 1-ulp
+    cross-engine class, so ln_lambda is graded ROUNDED 6dp with BOTH
+    p_always_valid and reject_av derived from the ROUNDED value (the
+    ln-ordering doctrine). Degenerates (arm < 2 or V <= 0) grade NULL.
+
+    Scale: one map-side-combinable agg over the fact; the sequential
+    statistic is a finalize over the moment row — a streaming
+    deployment folds the same additive moments per micro-batch (the
+    stream_ab_test precedent)."""
+    m = ab_moments(ab_assigned(spark, sf_dir))
+    mean_a = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    delta = mean_b - mean_a
+    va = (
+        (
+            F.col("q_a").cast("double")
+            - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
+        )
+        / (F.col("n_a") - 1)
+        / F.col("n_a")
+    )
+    vb = (
+        (
+            F.col("q_b").cast("double")
+            - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+        )
+        / (F.col("n_b") - 1)
+        / F.col("n_b")
+    )
+    v = va + vb
+    tau2 = F.lit(10000.0)
+    lnl = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (v > 0),
+        F.round(
+            F.lit(0.5) * F.log(v / (v + tau2))
+            + tau2 * delta * delta / (F.lit(2.0) * v * (v + tau2)),
+            6,
+        ),
+    )
+    st = m.select(
+        "event_type", "n_a", "n_b", delta.alias("delta"),
+        lnl.alias("ln_lambda"),
+    )
+    p = F.when(
+        F.col("ln_lambda").isNull(), F.lit(None).cast("double")
+    ).otherwise(F.round(F.least(F.lit(1.0), F.exp(-F.col("ln_lambda"))), 6))
+    rej = F.when(
+        F.col("ln_lambda").isNull(), F.lit(None).cast("boolean")
+    ).otherwise(F.col("ln_lambda") > 2.995732273553991)
+    return st.select(
+        "event_type", "n_a", "n_b", "delta", "ln_lambda",
+        p.alias("p_always_valid"), rej.alias("reject_av"),
+    )
+
+
 PSI_DRIFT_ORACLE = """
     WITH binned AS (
       SELECT source, least(n_chars // 100, 9) AS bin,
@@ -1219,11 +1335,11 @@ def mannwhitney_grid(docs: DataFrame) -> DataFrame:
     )
 
 
-def mannwhitney_finalize(grid: DataFrame) -> DataFrame:
-    """Tie-corrected rank-sum report from the (source, value, c) count
-    grid — shared verbatim by the batch query and the streaming twin.
-    Callers pass a localCheckpoint'd grid (two readers: the ref split
-    and the current split)."""
+def mw_rank_agg(grid: DataFrame) -> DataFrame:
+    """The per-source doubled-rank aggregate (source, na, nb, r2b,
+    tie_t) over the (source, value, c) count grid — the exact-BIGINT
+    rank machinery shared by the Mann-Whitney test and the Cliff's
+    delta effect size (u2 = 2U derives from r2b in both)."""
     ref = grid.filter(F.col("source") == "src0").select(
         "v", F.col("c").alias("a")
     )
@@ -1250,7 +1366,7 @@ def mannwhitney_finalize(grid: DataFrame) -> DataFrame:
         "b",
         (F.sum(t).over(w_run) - t).alias("cum_prev"),
     )
-    agg = cums.groupBy("source").agg(
+    return cums.groupBy("source").agg(
         F.sum("a").cast("bigint").alias("na"),
         F.sum("b").cast("bigint").alias("nb"),
         F.sum(
@@ -1260,6 +1376,14 @@ def mannwhitney_finalize(grid: DataFrame) -> DataFrame:
         .alias("r2b"),
         F.sum(t * t * t - t).cast("bigint").alias("tie_t"),
     )
+
+
+def mannwhitney_finalize(grid: DataFrame) -> DataFrame:
+    """Tie-corrected rank-sum report from the (source, value, c) count
+    grid — shared verbatim by the batch query and the streaming twin.
+    Callers pass a localCheckpoint'd grid (two readers: the ref split
+    and the current split)."""
+    agg = mw_rank_agg(grid)
     nn = F.col("na") + F.col("nb")
     u2 = (F.col("r2b") - F.col("nb") * (F.col("nb") + 1)).cast("bigint")
     var_num = nn * nn * nn - nn - F.col("tie_t")
@@ -1288,6 +1412,107 @@ def mannwhitney_finalize(grid: DataFrame) -> DataFrame:
         F.when(F.col("z").isNull(), F.lit(None).cast("boolean"))
         .otherwise(F.abs(F.col("z")) > 1.959964)
         .alias("reject_95"),
+    )
+
+
+CLIFFS_DELTA_ORACLE = """
+    WITH ref AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS a
+      FROM documents WHERE source = 'src0' GROUP BY 1
+    ),
+    oth AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS b
+      FROM documents WHERE source <> 'src0' GROUP BY 1, 2
+    ),
+    srcs AS (SELECT DISTINCT source FROM oth),
+    refrep AS (SELECT s.source, r.v, r.a FROM srcs s CROSS JOIN ref r),
+    pooled AS (
+      SELECT coalesce(rr.source, o.source) AS source,
+             coalesce(rr.v, o.v) AS v,
+             coalesce(rr.a, CAST(0 AS BIGINT)) AS a,
+             coalesce(o.b, CAST(0 AS BIGINT)) AS b
+      FROM refrep rr FULL OUTER JOIN oth o
+        ON rr.source = o.source AND rr.v = o.v
+    ),
+    cums AS (
+      SELECT source, a, b,
+             CAST(sum(a + b) OVER (PARTITION BY source ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - (a + b) AS cum_prev
+      FROM pooled
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(a) AS BIGINT) AS na,
+             CAST(sum(b) AS BIGINT) AS nb,
+             CAST(sum(b * (2 * cum_prev + a + b + 1)) AS BIGINT) AS r2b
+      FROM cums GROUP BY source
+    ),
+    d AS (
+      SELECT source, na, nb,
+             CAST(r2b - nb * (nb + 1) AS BIGINT) AS u2,
+             CASE WHEN na > 0 AND nb > 0 THEN
+               round(CAST(r2b - nb * (nb + 1) AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 6)
+             END AS delta
+      FROM agg
+    )
+    SELECT source, na, nb, u2, delta,
+           CASE WHEN delta IS NULL THEN NULL
+                WHEN abs(delta) < 0.147 THEN 'negligible'
+                WHEN abs(delta) < 0.33  THEN 'small'
+                WHEN abs(delta) < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM d
+"""
+
+
+@graded("q_cliffs_delta", oracle=CLIFFS_DELTA_ORACLE)
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta — the ORDINAL effect size that accompanies the
+    Mann-Whitney test: delta = P(X_b > X_a) - P(X_b < X_a) of every
+    source's document-length distribution against reference src0.
+    MW's z says a shift is STATISTICALLY detectable (which at corpus
+    scale is always, n being huge); delta says whether it is LARGE —
+    the standard Romano magnitude bands (0.147/0.33/0.474) make the
+    report actionable where a p-value saturates.
+
+    Exactness: delta derives from the SAME doubled-rank BIGINT
+    machinery as MW (mw_rank_agg): 2U = r2b - nb(nb+1) is exact, and
+    delta = 2U/(na*nb) - 1 is evaluated as a DOUBLE chain over the
+    exact integers (na*nb as a BIGINT product would overflow at
+    na,nb > ~3e9 — the finalize-product doctrine), token-identical in
+    both engines, graded ROUNDED 6dp with the magnitude label derived
+    from the ROUNDED value (never from an unrounded float ordering).
+    Empty sides grade NULL (regen-proofing doctrine).
+
+    Scale: identical to q_mannwhitney_u — one combinable agg collapses
+    the corpus to the per-(source, value) grid, ranks run per source
+    over the reduced relation, ref counts broadcast-replicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = mw_rank_agg(mannwhitney_grid(docs).localCheckpoint())
+    u2 = (F.col("r2b") - F.col("nb") * (F.col("nb") + 1)).cast("bigint")
+    delta = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.round(
+            u2.cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            - F.lit(1.0),
+            6,
+        ),
+    )
+    with_d = agg.select(
+        "source", "na", "nb", u2.alias("u2"), delta.alias("delta")
+    )
+    mag = (
+        F.when(F.col("delta").isNull(), F.lit(None).cast("string"))
+        .when(F.abs(F.col("delta")) < 0.147, F.lit("negligible"))
+        .when(F.abs(F.col("delta")) < 0.33, F.lit("small"))
+        .when(F.abs(F.col("delta")) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return with_d.select(
+        "source", "na", "nb", "u2", "delta", mag.alias("magnitude")
     )
 
 
@@ -2482,6 +2707,137 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("n", "tp", "fp", "fn", "tn", "po", "pe", kappa.alias("kappa"))
 
 
+FLEISS_KAPPA_ORACLE = """
+    WITH rated AS (
+      SELECT d.doc_id,
+             CASE WHEN substr(md5('fk:' || CAST(r.r AS VARCHAR) || ':'
+                                  || CAST(d.doc_id AS VARCHAR)), 1, 2) < '40'
+                  THEN CAST((strpos('0123456789abcdef',
+                              substr(md5('fk:' || CAST(r.r AS VARCHAR) || ':'
+                                         || CAST(d.doc_id AS VARCHAR)), 3, 1))
+                             - 1) % 4 AS BIGINT)
+                  ELSE CAST(least(n_chars // 500, 3) AS BIGINT)
+             END AS label
+      FROM documents d CROSS JOIN (VALUES (1), (2), (3)) r(r)
+    ),
+    counts AS (
+      SELECT doc_id, label, CAST(count(*) AS BIGINT) AS nij
+      FROM rated GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items,
+             CAST(sum(nij * nij) AS BIGINT) AS s_sq
+      FROM counts
+    ),
+    cats AS (
+      SELECT label, CAST(sum(nij) AS BIGINT) AS cj FROM counts GROUP BY 1
+    ),
+    pe AS (
+      SELECT sum((CAST(cj AS DOUBLE) / (t.n_items * 3))
+                 * (CAST(cj AS DOUBLE) / (t.n_items * 3))
+                 ORDER BY label) AS p_e
+      FROM cats, tot t
+    )
+    SELECT t.n_items, t.s_sq,
+           CAST(t.s_sq - t.n_items * 3 AS DOUBLE)
+             / CAST(t.n_items * 6 AS DOUBLE) AS p_bar,
+           pe.p_e AS p_e,
+           CASE WHEN 1.0 - pe.p_e <> 0 THEN
+             round((CAST(t.s_sq - t.n_items * 3 AS DOUBLE)
+                      / CAST(t.n_items * 6 AS DOUBLE) - pe.p_e)
+                   / (1.0 - pe.p_e), 6)
+           END AS kappa
+    FROM tot t, pe
+    """
+
+
+@graded("q_fleiss_kappa", oracle=FLEISS_KAPPA_ORACLE)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa — MULTI-rater chance-corrected agreement (Cohen's
+    kappa generalized past two raters), the standard QA statistic for
+    labeling crews and LLM-judge ensembles: n=3 raters assign each
+    document one of k=4 length-band categories.
+
+    Rater labels are md5-PLANTED (the logrank/out-of-order doctrine —
+    the fixture has no rater structure): each rater reports the true
+    band least(n_chars div 500, 3) but with 25% probability (first two
+    digest hex chars < '40') replaces it with a digest-derived random
+    category (3rd hex char mod 4) — so the statistic measures a real
+    ~0.56 planted agreement, and BOTH engines generate identical
+    ratings from the shared formula (integer/md5 arithmetic only).
+
+    Exactness: per-(doc, category) counts nij <= 3 so S = sum(nij^2) is
+    an exact BIGINT; P_bar = (S - 3N)/(6N) is one division of exact
+    integers. P_e sums category-share SQUARES — shares as doubles, a
+    label-ORDERED fold (sum ORDER BY label vs array_sort+aggregate;
+    marginal-count products C_j^2 would overflow BIGINT at N*3 > ~3e9,
+    the cohens_kappa share doctrine). kappa graded ROUNDED 6dp; the
+    p_e = 1 degenerate NULLs by CASE.
+
+    Scale: one explode-by-3 over the corpus scan, one combinable
+    (doc, label) agg, then everything is bounded (k=4 categories; the
+    counts frame is localCheckpoint'd — two readers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rated = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("r"),
+    )
+    digest = F.md5(
+        F.concat(
+            F.lit("fk:"), F.col("r").cast("string"), F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    noise_cat = (F.conv(F.substring(digest, 3, 1), 16, 10).cast("bigint") % 4)
+    true_cat = F.expr("least(n_chars div 500, 3)").cast("bigint")
+    label = F.when(F.substring(digest, 1, 2) < "40", noise_cat).otherwise(true_cat)
+    counts = (
+        rated.select("doc_id", label.alias("label"))
+        .groupBy("doc_id", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+        .localCheckpoint()
+    )
+    tot = counts.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_items"),
+        F.sum(F.col("nij") * F.col("nij")).cast("bigint").alias("s_sq"),
+    ).localCheckpoint()
+    cats = counts.groupBy("label").agg(F.sum("nij").cast("bigint").alias("cj"))
+    share = F.col("cj").cast("double") / (F.col("n_items") * 3)
+    pe = (
+        cats.crossJoin(F.broadcast(tot))
+        .select("label", (share * share).alias("term"))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("label").alias("lb"), F.col("term").alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("p_e")
+        )
+    )
+    base = pe.crossJoin(F.broadcast(tot))
+    p_bar = (F.col("s_sq") - F.col("n_items") * 3).cast("double") / (
+        F.col("n_items") * 6
+    ).cast("double")
+    out = base.select(
+        "n_items", "s_sq", p_bar.alias("p_bar"), "p_e"
+    )
+    kappa = F.when(
+        F.lit(1.0) - F.col("p_e") != 0,
+        F.round(
+            (F.col("p_bar") - F.col("p_e")) / (F.lit(1.0) - F.col("p_e")), 6
+        ),
+    )
+    return out.select("n_items", "s_sq", "p_bar", "p_e", kappa.alias("kappa"))
+
+
 @graded(
     "q_mcnemar_test",
     oracle="""
@@ -3297,4 +3653,174 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.lit(1) + ge).cast("double") / F.lit(65.0)).alias("p_value"),
         )
         .select("obs_diff", "b", "n_ge", "p_value")
+    )
+
+
+CONFORMAL_ORACLE = """
+    WITH grid AS (
+      SELECT event_type,
+             substr(md5('conf:' || CAST(event_id AS VARCHAR)), 1, 1) < '8' AS is_cal,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ),
+    calstats AS (
+      SELECT event_type,
+             CAST(sum(cnt) AS BIGINT) AS n_cal,
+             CAST(sum(cents * cnt) AS BIGINT) // CAST(sum(cnt) AS BIGINT) AS pred_cents,
+             (9 * (CAST(sum(cnt) AS BIGINT) + 1) + 9) // 10 AS k
+      FROM grid WHERE is_cal GROUP BY 1
+    ),
+    scores AS (
+      SELECT g.event_type, abs(g.cents - c.pred_cents) AS s,
+             CAST(sum(g.cnt) AS BIGINT) AS cnt
+      FROM grid g JOIN calstats c ON g.event_type = c.event_type
+      WHERE g.is_cal GROUP BY 1, 2
+    ),
+    cums AS (
+      SELECT event_type, s,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY s
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM scores
+    ),
+    qhat AS (
+      SELECT c.event_type,
+             CASE WHEN c.k <= c.n_cal
+                  THEN (SELECT min(u.s) FROM cums u
+                        WHERE u.event_type = c.event_type AND u.cum >= c.k)
+             END AS q_hat
+      FROM calstats c
+    ),
+    test AS (
+      SELECT g.event_type,
+             CAST(sum(g.cnt) AS BIGINT) AS n_test,
+             CAST(coalesce(sum(g.cnt)
+                    FILTER (abs(g.cents - c.pred_cents) <= q.q_hat), 0)
+                  AS BIGINT) AS covered
+      FROM grid g
+      JOIN calstats c ON g.event_type = c.event_type
+      JOIN qhat q ON g.event_type = q.event_type
+      WHERE NOT g.is_cal GROUP BY 1
+    )
+    SELECT c.event_type, c.n_cal, t.n_test, c.pred_cents, c.k, q.q_hat,
+           t.covered,
+           CASE WHEN q.q_hat IS NOT NULL AND t.n_test > 0
+                THEN CAST(t.covered AS DOUBLE) / t.n_test END AS coverage
+    FROM calstats c
+    JOIN qhat q ON c.event_type = q.event_type
+    JOIN test t ON c.event_type = t.event_type
+    """
+
+
+@graded("q_conformal_interval", oracle=CONFORMAL_ORACLE)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction calibration — the distribution-free
+    coverage guarantee every model-serving pipeline should ship with:
+    events md5-split 50/50 into calibration/test, the per-type
+    predictor is the calibration integer-cents mean (s_sum div n_cal),
+    the nonconformity score is |cents - pred|, and the conformal radius
+    q_hat is the k-th smallest calibration score with
+    k = ceil(0.9 (n_cal+1)) — guaranteeing P(|v - pred| <= q_hat) >=
+    0.9 on exchangeable test points. The report measures realized test
+    coverage.
+
+    Exactness: conformal calibration is an ORDER STATISTIC, not an
+    interpolated quantile — and order statistics over an INTEGER score
+    domain are exactly SQL-expressible: scores are exact BIGINTs
+    (integer-div predictor keeps them so), k is pure integer arithmetic
+    (ceil(9(n+1)/10) = (9(n+1)+9) div 10), and q_hat is min(s) over
+    cum >= k on the cumulative-BIGINT grid (the weighted_median
+    selection pattern). coverage is one exact division.
+
+    Scale: ONE fact scan collapses to the (type, is_cal, cents) count
+    grid (combinable agg; localCheckpoint'd — cal and test legs both
+    read it); every later step runs on the reduced bounded-domain
+    relation: score grid, per-type cumsum window (rides the type
+    partitioning), broadcast joins of the |types|-row stats."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            "event_type",
+            (
+                F.substring(
+                    F.md5(F.concat(F.lit("conf:"), F.col("event_id").cast("string"))),
+                    1,
+                    1,
+                )
+                < "8"
+            ).alias("is_cal"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "is_cal", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    cal = grid.filter(F.col("is_cal"))
+    n_cal = F.sum("cnt").cast("bigint")
+    calstats = cal.groupBy("event_type").agg(
+        n_cal.alias("n_cal"),
+        F.expr(
+            "CAST(sum(cents * cnt) AS BIGINT) div CAST(sum(cnt) AS BIGINT)"
+        ).alias("pred_cents"),
+        F.expr("(9 * (CAST(sum(cnt) AS BIGINT) + 1) + 9) div 10").alias("k"),
+    )
+    scores = (
+        cal.join(F.broadcast(calstats), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("pred_cents")).alias("s"),
+            "cnt",
+        )
+        .groupBy("event_type", "s")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = scores.select(
+        "event_type", "s", F.sum("cnt").over(w_cum).cast("bigint").alias("cum")
+    )
+    qhat_sel = (
+        cums.join(F.broadcast(calstats.select("event_type", "k", "n_cal")), "event_type")
+        .filter((F.col("cum") >= F.col("k")) & (F.col("k") <= F.col("n_cal")))
+        .groupBy("event_type")
+        .agg(F.min("s").alias("q_hat"))
+    )
+    qhat = calstats.select("event_type").join(
+        F.broadcast(qhat_sel), "event_type", "left"
+    )
+    test = (
+        grid.filter(~F.col("is_cal"))
+        .join(F.broadcast(calstats.select("event_type", "pred_cents")), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_test"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("cents") - F.col("pred_cents"))
+                        <= F.col("q_hat"),
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    out = (
+        calstats.join(F.broadcast(qhat), "event_type")
+        .join(F.broadcast(test), "event_type")
+    )
+    coverage = F.when(
+        F.col("q_hat").isNotNull() & (F.col("n_test") > 0),
+        F.col("covered").cast("double") / F.col("n_test"),
+    )
+    return out.select(
+        "event_type", "n_cal", "n_test", "pred_cents", "k", "q_hat",
+        "covered", coverage.alias("coverage"),
     )

@@ -1060,3 +1060,96 @@ def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "latq", "lonq", F.expr(f"CAST({morton} AS BIGINT)").alias("morton")
     )
     return m.select("c_custkey", "latq", "lonq", "morton", F.expr(gh).alias("geohash"))
+
+
+def _hilbert_rounds(div: str) -> list[tuple[str, str, str]]:
+    """Unrolled Hilbert xy→d rounds (order 8, 256×256 grid) as pure
+    integer SQL: per round (d_expr, x_expr, y_expr) in terms of the
+    PREVIOUS round's column names x{i}/y{i}/d{i}. Shared verbatim by
+    both engines — only the integer-div token differs (Spark `div`,
+    DuckDB `//`). The XOR in the canonical quadrant code collapses to
+    arithmetic on {0,1} bits: (3·rx) ^ ry = 3·rx + ry − 2·rx·ry."""
+    rounds = []
+    px, py, pd = "x0", "y0", "CAST(0 AS BIGINT)"
+    for i, s in enumerate([128, 64, 32, 16, 8, 4, 2, 1]):
+        rx = f"((({px}) {div} {s}) % 2)"
+        ry = f"((({py}) {div} {s}) % 2)"
+        d_expr = f"({pd}) + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        x_expr = (
+            f"CASE WHEN {ry} = 1 THEN ({px}) "
+            f"WHEN {rx} = 1 THEN 255 - ({py}) ELSE ({py}) END"
+        )
+        y_expr = (
+            f"CASE WHEN {ry} = 1 THEN ({py}) "
+            f"WHEN {rx} = 1 THEN 255 - ({px}) ELSE ({px}) END"
+        )
+        rounds.append((d_expr, x_expr, y_expr))
+        px, py, pd = f"x{i + 1}", f"y{i + 1}", f"d{i + 1}"
+    return rounds
+
+
+_HILBERT_X0 = "CAST(c_custkey % 256 AS BIGINT)"
+_HILBERT_Y0 = "CAST((c_custkey * 7919) % 256 AS BIGINT)"
+
+
+def _hilbert_oracle() -> str:
+    rounds = _hilbert_rounds("//")
+    ctes = [
+        f"q AS (SELECT c_custkey, {_HILBERT_X0} AS x0, {_HILBERT_Y0} AS y0"
+        " FROM customer)"
+    ]
+    prev = "q"
+    for i, (d_expr, x_expr, y_expr) in enumerate(rounds):
+        cur = f"h{i + 1}"
+        ctes.append(
+            f"{cur} AS (SELECT c_custkey, x0, y0, {d_expr} AS d{i + 1}, "
+            f"{x_expr} AS x{i + 1}, {y_expr} AS y{i + 1} FROM {prev})"
+        )
+        prev = cur
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT c_custkey, x0 AS x, y0 AS y, CAST(d8 AS BIGINT) AS h"
+        f" FROM {prev}"
+    )
+
+
+@graded("q_hilbert_order", oracle=_hilbert_oracle())
+def q_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout index (order 8, 256×256 grid) over the
+    customer lattice — the data-layout key that BEATS Morton/z-order
+    for multi-dimensional skipping: consecutive Hilbert indexes are
+    always grid-NEIGHBORS (no z-order diagonal jumps), so
+    repartitionByRange(h) + per-file min/max stats gives tighter
+    2-D range pruning (the zorder_bench/stats_skipping story's next
+    gear). x = custkey % 256, y = custkey·7919 % 256 (deterministic
+    scatter).
+
+    The canonical iterative xy→d walk (8 rounds of quadrant
+    classification + rotate/flip) is UNROLLED into a fixed integer
+    expression chain generated ONCE and shared verbatim by both
+    engines (_hilbert_rounds; the geohash doctrine — only the int-div
+    token differs). Verified against a classic Python Hilbert encoder
+    + the adjacency theorem in tests.
+
+    Scale: scan-local projection — zero exchanges, zero UDFs; the
+    index is a free column riding any pass, and the layout write is
+    one repartitionByRange on it."""
+    cust = load_table(spark, sf_dir, "customer")
+    df = cust.select(
+        "c_custkey",
+        F.expr(_HILBERT_X0).alias("x0"),
+        F.expr(_HILBERT_Y0).alias("y0"),
+    )
+    for i, (d_expr, x_expr, y_expr) in enumerate(_hilbert_rounds("div")):
+        df = df.select(
+            "*",
+            F.expr(d_expr).alias(f"d{i + 1}"),
+            F.expr(x_expr).alias(f"x{i + 1}"),
+            F.expr(y_expr).alias(f"y{i + 1}"),
+        )
+    return df.select(
+        "c_custkey",
+        F.col("x0").alias("x"),
+        F.col("y0").alias("y"),
+        F.expr("CAST(d8 AS BIGINT)").alias("h"),
+    )

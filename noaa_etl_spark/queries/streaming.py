@@ -3536,3 +3536,72 @@ def q_stream_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("a").cast("bigint").alias("a"))
     )
     return forecast_baseline_report(folded)
+
+
+from noaa_etl_spark.queries.temporal import THEIL_SEN_ORACLE, theil_sen_finalize
+
+
+@graded("q_stream_theil_sen", oracle=THEIL_SEN_ORACLE)
+def q_stream_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #42 — the robust-trend monitor: orders arrive as
+    three micro-batches; each batch writes its own (day, count) daily
+    partial (batch_id-keyed overwrite, restart-idempotent). Daily counts
+    are pure integer addition, so the fold reproduces the one-pass
+    rollup exactly, and the shared median-of-pairwise-slopes finalize
+    (theil_sen_finalize) emits the identical estimate — shares
+    THEIL_SEN_ORACLE verbatim. Pairwise slopes are per-batch
+    MEANINGLESS (a pair's two days usually land in different batches,
+    and a day's count is only final after every batch contributes),
+    which is why the state is the daily relation and the O(|days|^2)
+    enumeration runs only at finalize — the spearman/rolling-corr
+    non-mergeable-statistic posture applied to a robust regression.
+
+    100 TB: per-trigger work is one map-side-combined daily agg over
+    the batch; the maintained state is |batches|x|days| rows; each
+    re-estimate costs one broadcast self-join over the bounded
+    calendar, never a history rescan."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_theil_sen")
+    src = os.path.join(root, "src")
+    partials = os.path.join(root, "partials")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, partials, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    gate = F.pmod(F.xxhash64(F.lit("sts"), F.col("o_orderkey")), F.lit(3))
+    for i in range(3):
+        orders.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        part = changepoint_daily(batch_df)
+        record_foreach_batch_plan("stream_theil_sen_partial", part)
+        part.write.mode("overwrite").parquet(f"{partials}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(partials)
+        .groupBy("d")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    return theil_sen_finalize(folded)

@@ -2430,9 +2430,7 @@ def ltv_from_user_weeks(e: DataFrame) -> DataFrame:
     )
 
 
-@graded(
-    "q_theil_sen",
-    oracle="""
+THEIL_SEN_ORACLE = """
     WITH daily AS (
       SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                   AS BIGINT) AS d,
@@ -2447,8 +2445,10 @@ def ltv_from_user_weeks(e: DataFrame) -> DataFrame:
            CAST(count(*) AS BIGINT)                     AS n_pairs,
            quantile_cont(slope, 0.5)                    AS slope_med
     FROM pairs
-    """,
-)
+    """
+
+
+@graded("q_theil_sen", oracle=THEIL_SEN_ORACLE)
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend: the MEDIAN of all pairwise slopes of the
     daily order-volume series — the breakdown-point-29% sibling of
@@ -2468,18 +2468,18 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of row count, so the O(n²) lives where n is the
     calendar, never the data."""
     orders = load_table(spark, sf_dir, "orders")
-    daily = (
-        orders.select(
-            F.datediff(
-                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
-            )
-            .cast("bigint")
-            .alias("d")
-        )
-        .groupBy("d")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
-        .localCheckpoint()
-    )
+    return theil_sen_finalize(changepoint_daily(orders))
+
+
+def theil_sen_finalize(daily: DataFrame) -> DataFrame:
+    """Median-of-pairwise-slopes report over a (d, y) daily count table
+    — shared verbatim by the batch query and streaming twin #42 (daily
+    counts are pure integer addition, so the folded per-batch partials
+    reproduce the one-pass rollup exactly and this finalize emits the
+    identical slopes). Caller's frame is localCheckpoint'd here: two
+    readers (the pair join's both sides + n_days) over a tiny bounded
+    relation — the multi-reader double-plan rule."""
+    daily = daily.localCheckpoint()
     a = daily.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
     b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
     pairs = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(

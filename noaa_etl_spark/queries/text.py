@@ -24,6 +24,7 @@ from noaa_etl_spark.operators.dedup import (
     exact_dedup,
     jaccard,
     minhash_lsh_dedup,
+    minhash_sketch_dedup,
     simhash_near_dup,
 )
 from noaa_etl_spark.registry import graded
@@ -431,6 +432,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidate pairs at hamming ≤ 3."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@graded("q_dedup_ngram_sketch")  # rows-only: minhash estimate is engine state
+def q_dedup_ngram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH gear of the n-gram Jaccard dedup family (VERDICT r14
+    item 7c): MinHash banding + signature-agreement estimation, gram
+    arrays never re-attached — the gear that survives the
+    boilerplate-pathology corpus class where BOTH exact gears die
+    (SCALING.md: q_dedup_ngram_jaccard's PPJoin verify OOMs on the
+    quadratic true-pair space; the capped gear's candidate DISTINCT is
+    hit before ranking). Verify payload is a constant 8·32 bytes/doc.
+    Planted-corpus equality/recall tests in tests/test_dedup.py;
+    graded rows-only (minhash estimates are engine-defined state,
+    SURVEY §3.1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_sketch_dedup(docs, threshold=0.6)
 
 
 def _lang_id_oracle() -> str:

@@ -3104,3 +3104,75 @@ def test_record_linkage_block_cap_refuses_degenerate_blocks(spark):
         assert loose.count() == n_base
     finally:
         etl_mod.FS_BLOCK_CAP = old
+
+
+def test_minhash_sketch_dedup_planted(spark):
+    """The sketch gear (signature-agreement verify, no gram arrays):
+    (a) planted exact-dup cliques must merge (identical grams =>
+    identical signatures => est = 1.0 in every band); (b) unrelated
+    docs must stay singletons; (c) output is total + survivor = min id
+    (the minhash_lsh_dedup contract)."""
+    from noaa_etl_spark.operators.dedup import minhash_sketch_dedup
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet cyan magenta",
+        "north south east west up down left right forward backward",
+    ]
+    rows = []
+    did = 0
+    for g, text in enumerate(base):
+        for _ in range(3):  # clique of 3 exact dups per group
+            rows.append((did, text))
+            did += 1
+    # distinct singletons
+    rows.append((did, "lorem ipsum dolor sit amet consectetur adipiscing"))
+    rows.append((did + 1, "pack my box with five dozen liquor jugs quickly"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    labeled = {r["id"]: r for r in minhash_sketch_dedup(docs, threshold=0.6).collect()}
+    assert len(labeled) == len(rows)
+    for g in range(len(base)):
+        ids = [3 * g, 3 * g + 1, 3 * g + 2]
+        comps = {labeled[i]["component"] for i in ids}
+        assert comps == {min(ids)}, f"clique {g} not merged: {comps}"
+        assert [labeled[i]["keep"] for i in ids] == [True, False, False]
+    for i in (did, did + 1):
+        assert labeled[i]["component"] == i and labeled[i]["keep"]
+
+
+def test_minhash_sketch_recall_vs_exact(spark):
+    """On a corpus of high-overlap near-dup pairs (one word substituted
+    in 24 kills 3 of 22 3-gram shingles => J = 19/25 = 0.76, confirmed
+    per pair via the exact operator at threshold 0.7), the sketch gear
+    at threshold 0.5 must recover >= 80% of the exact pairs (banding
+    capture at 32/8 for J = 0.76 is ~0.96; est sd ~0.075 => the 0.26
+    margin to the 0.5 cut makes estimate flips negligible)."""
+    from noaa_etl_spark.operators.dedup import (
+        minhash_sketch_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    ).split()
+    rows = []
+    for i in range(20):
+        # pair 2i/2i+1: same 24 words, one substituted -> J ~ 0.76
+        w = [f"{x}{i}" for x in words]
+        rows.append((2 * i, " ".join(w)))
+        w2 = list(w)
+        w2[11] = "SUBST"
+        rows.append((2 * i + 1, " ".join(w2)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    assert len(exact) == 20, f"planted corpus: expected 20 exact pairs, {exact}"
+    labeled = {r["id"]: r["component"] for r in minhash_sketch_dedup(
+        docs, threshold=0.5
+    ).collect()}
+    got = sum(1 for a, b in exact if labeled[a] == labeled[b])
+    assert got / len(exact) >= 0.8, f"sketch recall {got}/{len(exact)}"
