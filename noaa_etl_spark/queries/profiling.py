@@ -1490,7 +1490,16 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus to the per-(source, value) grid, ranks run per source
     over the reduced relation, ref counts broadcast-replicate."""
     docs = load_table(spark, sf_dir, "documents")
-    agg = mw_rank_agg(mannwhitney_grid(docs).localCheckpoint())
+    return cliffs_delta_report(mannwhitney_grid(docs).localCheckpoint())
+
+
+def cliffs_delta_report(grid: DataFrame) -> DataFrame:
+    """Shared Cliff's-delta finalize over the (source, value, c) count
+    grid — the grid is the SAME sum-mergeable Mann-Whitney state, so
+    the streaming twin folds per-batch grids and shares
+    CLIFFS_DELTA_ORACLE verbatim. Callers pass a localCheckpoint'd
+    grid (mw_rank_agg reads it twice)."""
+    agg = mw_rank_agg(grid)
     u2 = (F.col("r2b") - F.col("nb") * (F.col("nb") + 1)).cast("bigint")
     delta = F.when(
         (F.col("na") > 0) & (F.col("nb") > 0),
@@ -3738,7 +3747,15 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation: score grid, per-type cumsum window (rides the type
     partitioning), broadcast joins of the |types|-row stats."""
     ev = load_table(spark, sf_dir, "events")
-    grid = (
+    return conformal_report(conformal_grid(ev))
+
+
+def conformal_grid(ev: DataFrame) -> DataFrame:
+    """The (event_type, is_cal, cents) count grid — the sum-mergeable
+    conformal state (per-micro-batch grids fold by addition; the md5
+    split is row-deterministic, so the union of batch grids IS the
+    one-pass grid and the streaming twin shares CONFORMAL_ORACLE)."""
+    return (
         ev.select(
             "event_type",
             (
@@ -3753,8 +3770,15 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "is_cal", "cents")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .localCheckpoint()
     )
+
+
+def conformal_report(grid: DataFrame) -> DataFrame:
+    """Shared conformal finalize over the folded (type, is_cal, cents)
+    grid: calibration order statistic + realized test coverage. The
+    grid is localCheckpoint'd here — the cal and test legs both read
+    it (multi-reader rule)."""
+    grid = grid.localCheckpoint()
     cal = grid.filter(F.col("is_cal"))
     n_cal = F.sum("cnt").cast("bigint")
     calstats = cal.groupBy("event_type").agg(
@@ -3823,4 +3847,260 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n_cal", "n_test", "pred_cents", "k", "q_hat",
         "covered", coverage.alias("coverage"),
+    )
+
+
+COCHRAN_Q_ORACLE = """
+    WITH e AS (
+      SELECT CASE WHEN CAST(CAST('0x' || substr(md5('cal:' || CAST(user_id AS VARCHAR)), 1, 12)
+                       AS UBIGINT) AS BIGINT) >= 140737488355328 THEN 1 ELSE 0 END AS c1,
+             CASE WHEN CAST(floor(value * 100) AS BIGINT) >= 5000 THEN 1 ELSE 0 END AS c2,
+             CASE WHEN CAST(floor(value * 100) AS BIGINT) >= 2000 THEN 1 ELSE 0 END AS c3,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    x AS (
+      SELECT CASE WHEN c1 = y THEN 1 ELSE 0 END AS x1,
+             CASE WHEN c2 = y THEN 1 ELSE 0 END AS x2,
+             CASE WHEN c3 = y THEN 1 ELSE 0 END AS x3
+      FROM e
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS cc1,
+             CAST(sum(x2) AS BIGINT) AS cc2,
+             CAST(sum(x3) AS BIGINT) AS cc3,
+             CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sum_r2
+      FROM x
+    ),
+    q AS (
+      SELECT n, cc1, cc2, cc3, sum_r2,
+             CASE WHEN 3.0 * (CAST(cc1 AS DOUBLE) + cc2 + cc3) - sum_r2 > 0 THEN
+               2.0 * (3.0 * (CAST(cc1 AS DOUBLE) * cc1
+                             + CAST(cc2 AS DOUBLE) * cc2
+                             + CAST(cc3 AS DOUBLE) * cc3)
+                      - (CAST(cc1 AS DOUBLE) + cc2 + cc3)
+                        * (CAST(cc1 AS DOUBLE) + cc2 + cc3))
+               / (3.0 * (CAST(cc1 AS DOUBLE) + cc2 + cc3) - sum_r2)
+             END AS q_stat
+      FROM agg
+    )
+    SELECT n, cc1, cc2, cc3, sum_r2, q_stat,
+           CASE WHEN q_stat IS NULL THEN NULL
+                ELSE q_stat > 5.991464547107979 END AS reject_95
+    FROM q
+    """
+
+
+@graded("q_cochran_q", oracle=COCHRAN_Q_ORACLE)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (experimentation battery #10) — McNemar generalized
+    to k=3 paired classifiers scored on the SAME events: the md5-score
+    midpoint rule, the cents >= 5000 business rule, and a looser
+    cents >= 2000 rule, each judged correct/incorrect against the
+    click label. Q ~ chi^2_{k-1} under the null that all classifiers
+    share one accuracy; it is the gate before pairwise McNemar tests
+    (the ANOVA-before-t-tests discipline for paired binary outcomes).
+
+    Q = (k-1)(k * sum C_j^2 - T^2) / (k*T - sum R_i^2) with C_j the
+    per-classifier correct counts, R_i the per-event row sums, T = sum.
+    All inputs are exact BIGINTs from ONE combinable FILTER-free agg
+    (row sums are 0..3 so sum R_i^2 <= 9n stays BIGINT); the finalize
+    runs entirely in DOUBLES (C_j^2 and T^2 are n-proportional squares
+    — the round-11 overflow doctrine), one token-identical chain ⇒
+    bit-equal, graded raw with reject vs the chi^2_2 0.95 literal.
+    The all-agree degenerate (denominator 0) NULLs both sides.
+
+    100 TB: one scan-local agg; no grid, no window, no join."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    s48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cal:"), F.col("user_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    y = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    c1 = F.when(s48 >= F.lit(140737488355328), 1).otherwise(0)
+    c2 = F.when(cents >= 5000, 1).otherwise(0)
+    c3 = F.when(cents >= 2000, 1).otherwise(0)
+    x1 = F.when(c1 == y, 1).otherwise(0)
+    x2 = F.when(c2 == y, 1).otherwise(0)
+    x3 = F.when(c3 == y, 1).otherwise(0)
+    e = ev.select(x1.alias("x1"), x2.alias("x2"), x3.alias("x3"))
+    r = F.col("x1") + F.col("x2") + F.col("x3")
+    agg = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("cc1"),
+        F.sum("x2").cast("bigint").alias("cc2"),
+        F.sum("x3").cast("bigint").alias("cc3"),
+        F.sum(r * r).cast("bigint").alias("sum_r2"),
+    )
+    t = F.col("cc1").cast("double") + F.col("cc2") + F.col("cc3")
+    sum_c2 = (
+        F.col("cc1").cast("double") * F.col("cc1")
+        + F.col("cc2").cast("double") * F.col("cc2")
+        + F.col("cc3").cast("double") * F.col("cc3")
+    )
+    den = F.lit(3.0) * t - F.col("sum_r2")
+    q_stat = F.when(den > 0, F.lit(2.0) * (F.lit(3.0) * sum_c2 - t * t) / den)
+    withq = agg.select("n", "cc1", "cc2", "cc3", "sum_r2", q_stat.alias("q_stat"))
+    rej = F.when(
+        F.col("q_stat").isNull(), F.lit(None).cast("boolean")
+    ).otherwise(F.col("q_stat") > 5.991464547107979)
+    return withq.select(
+        "n", "cc1", "cc2", "cc3", "sum_r2", "q_stat", rej.alias("reject_95")
+    )
+
+
+POST_STRAT_ORACLE = """
+    WITH assigned AS (
+      SELECT event_type AS stratum,
+             CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    moments AS (
+      SELECT stratum,
+             CAST(count(*) FILTER (arm = 'A') AS BIGINT)          AS n_a,
+             CAST(count(*) FILTER (arm = 'B') AS BIGINT)          AS n_b,
+             CAST(sum(cents)  FILTER (arm = 'A') AS BIGINT)       AS s_a,
+             CAST(sum(cents)  FILTER (arm = 'B') AS BIGINT)       AS s_b,
+             CAST(sum(cents * cents) FILTER (arm = 'A') AS BIGINT) AS q_a,
+             CAST(sum(cents * cents) FILTER (arm = 'B') AS BIGINT) AS q_b
+      FROM assigned GROUP BY stratum
+    ),
+    tot AS (SELECT CAST(sum(n_a + n_b) AS BIGINT) AS n FROM moments),
+    terms AS (
+      SELECT m.stratum, m.n_a, m.n_b, t.n,
+             CASE WHEN m.n_a > 0 AND m.n_b > 0 THEN
+               (CAST(m.n_a + m.n_b AS DOUBLE) / t.n)
+               * (CAST(m.s_b AS DOUBLE) / m.n_b - CAST(m.s_a AS DOUBLE) / m.n_a)
+             END AS w_diff,
+             CASE WHEN m.n_a > 1 AND m.n_b > 1 THEN
+               (CAST(m.n_a + m.n_b AS DOUBLE) / t.n)
+               * (CAST(m.n_a + m.n_b AS DOUBLE) / t.n)
+               * ((CAST(m.q_a AS DOUBLE) - CAST(m.s_a AS DOUBLE) * m.s_a / m.n_a)
+                  / (m.n_a - 1) / m.n_a
+                  + (CAST(m.q_b AS DOUBLE) - CAST(m.s_b AS DOUBLE) * m.s_b / m.n_b)
+                  / (m.n_b - 1) / m.n_b)
+             END AS w_var
+      FROM moments m, tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(max(n) AS BIGINT) AS n,
+           CASE WHEN count(*) = count(w_diff)
+                THEN round(sum(w_diff ORDER BY stratum), 6) END AS ate_ps,
+           CASE WHEN count(*) = count(w_var)
+                THEN round(sqrt(sum(w_var ORDER BY stratum)), 6) END AS se_ps
+    FROM terms
+    """
+
+
+@graded("q_post_stratification", oracle=POST_STRAT_ORACLE)
+def q_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified treatment-effect estimate (experimentation
+    battery #11, the third variance-reduction tool beside CUPED and
+    the delta method): strata = event_type, arms = the shared 'ab:'
+    md5 assignment; ATE_ps = sum_s w_s (mean_B,s - mean_A,s) with
+    w_s = n_s/n, SE_ps = sqrt(sum_s w_s^2 (var_A,s/n_A,s +
+    var_B,s/n_B,s)) — removing the between-strata component a pooled
+    Welch z pays for.
+
+    Exactness: the per-(stratum, arm) moments are exact BIGINTs in ONE
+    combinable FILTER-agg; per-stratum terms are token-identical
+    double chains; the cross-strata sums fold in STRATUM order (sum
+    ORDER BY vs array_sort+aggregate — engine-arbitrary double
+    addition), graded ROUNDED 6dp. A stratum with an empty (or
+    singleton, for SE) arm NULLs the whole estimate by the
+    count(*) = count(term) guard on both sides — mirrored degenerates.
+
+    Scale: one map-side-combinable agg over the fact; strata terms and
+    folds run on the |strata|-row relation (1-row tot checkpointed —
+    the source_entropy lesson)."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    assigned = ev.select(
+        F.col("event_type").alias("stratum"), arm.alias("arm"), cents.alias("cents")
+    )
+    is_a, is_b = F.col("arm") == "A", F.col("arm") == "B"
+    m = assigned.groupBy("stratum").agg(
+        F.count_if(is_a).cast("bigint").alias("n_a"),
+        F.count_if(is_b).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, F.col("cents"))).cast("bigint").alias("s_a"),
+        F.sum(F.when(is_b, F.col("cents"))).cast("bigint").alias("s_b"),
+        F.sum(F.when(is_a, F.col("cents") * F.col("cents"))).cast("bigint").alias("q_a"),
+        F.sum(F.when(is_b, F.col("cents") * F.col("cents"))).cast("bigint").alias("q_b"),
+    ).localCheckpoint()
+    tot = m.agg(
+        F.sum(F.col("n_a") + F.col("n_b")).cast("bigint").alias("n")
+    ).localCheckpoint()
+    w = (F.col("n_a") + F.col("n_b")).cast("double") / F.col("n")
+    diff = F.col("s_b").cast("double") / F.col("n_b") - F.col(
+        "s_a"
+    ).cast("double") / F.col("n_a")
+    var_term = (
+        (
+            F.col("q_a").cast("double")
+            - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
+        )
+        / (F.col("n_a") - 1)
+        / F.col("n_a")
+        + (
+            F.col("q_b").cast("double")
+            - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+        )
+        / (F.col("n_b") - 1)
+        / F.col("n_b")
+    )
+    terms = m.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), w * diff).alias("w_diff"),
+        F.when((F.col("n_a") > 1) & (F.col("n_b") > 1), w * w * var_term).alias(
+            "w_var"
+        ),
+    )
+
+    def _sfold(col, name):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("stratum").alias("st"), col.alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias(name)
+
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.max("n").cast("bigint").alias("n"),
+        F.count("w_diff").alias("c_diff"),
+        F.count("w_var").alias("c_var"),
+        _sfold(F.col("w_diff"), "sum_diff"),
+        _sfold(F.col("w_var"), "sum_var"),
+    )
+    return agg.select(
+        "n_strata",
+        "n",
+        F.when(
+            F.col("n_strata") == F.col("c_diff"), F.round(F.col("sum_diff"), 6)
+        ).alias("ate_ps"),
+        F.when(
+            F.col("n_strata") == F.col("c_var"),
+            F.round(F.sqrt(F.col("sum_var")), 6),
+        ).alias("se_ps"),
     )

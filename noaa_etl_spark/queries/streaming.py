@@ -3605,3 +3605,203 @@ def q_stream_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("y").cast("bigint").alias("y"))
     )
     return theil_sen_finalize(folded)
+
+
+from noaa_etl_spark.queries.temporal import KENDALL_TAU_ORACLE, kendall_report
+
+
+@graded("q_stream_kendall", oracle=KENDALL_TAU_ORACLE)
+def q_stream_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of Kendall's tau-b (twin #43): the maintained
+    state is the SAME daily (day, x, y) cents relation as twins
+    #38/#40 — per-batch partials merge by integer addition — while the
+    pairwise concordance classification runs only in the shared
+    kendall_report over the fold. Pair classes are per-batch
+    MEANINGLESS twice over: a pair's two days usually straddle batch
+    boundaries, AND each day's (x, y) is a cross-batch sum whose
+    comparisons are only final after every batch contributes (the
+    spearman non-mergeable-rank lesson, strengthened to pairwise
+    comparisons). Shares KENDALL_TAU_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries.temporal import rolling_corr_daily
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_kendall")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    gate = F.pmod(F.xxhash64(F.lit("sken"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = rolling_corr_daily(batch_df)
+        record_foreach_batch_plan("stream_kendall_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("day")
+        .agg(
+            F.sum("x").cast("bigint").alias("x"),
+            F.sum("y").cast("bigint").alias("y"),
+        )
+    )
+    return kendall_report(folded)
+
+
+from noaa_etl_spark.queries.profiling import (
+    CLIFFS_DELTA_ORACLE,
+    cliffs_delta_report,
+    mannwhitney_grid,
+)
+
+
+@graded("q_stream_cliffs_delta", oracle=CLIFFS_DELTA_ORACLE)
+def q_stream_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of Cliff's delta (twin #44): the maintained state
+    is the SAME per-(source, value) count grid as the Mann-Whitney twin
+    #25 — additive BIGINTs, fold == one-pass grid — while the
+    doubled-rank machinery and the delta chain run only in the shared
+    cliffs_delta_report over the fold (ranks of the pooled distribution
+    are per-batch meaningless; the effect size inherits the test
+    statistic's merge discipline). Shares CLIFFS_DELTA_ORACLE
+    verbatim — the live "is the shift still LARGE" monitor beside the
+    significance monitor."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_cliffs")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    gate = F.pmod(F.xxhash64(F.lit("sclf"), F.col("doc_id")), F.lit(3))
+    for i in range(3):
+        docs.filter(gate == i).drop("doc_id").coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = mannwhitney_grid(batch_df)
+        record_foreach_batch_plan("stream_cliffs_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("source string, n_chars bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("source", "v")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return cliffs_delta_report(folded.localCheckpoint())
+
+
+from noaa_etl_spark.queries.profiling import (
+    CONFORMAL_ORACLE,
+    conformal_grid,
+    conformal_report,
+)
+
+
+@graded("q_stream_conformal", oracle=CONFORMAL_ORACLE)
+def q_stream_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the split-conformal calibration (twin #45):
+    the maintained state is the (type, is_cal, cents) count grid —
+    additive BIGINTs, and the md5 cal/test split is row-deterministic
+    so the fold IS the one-pass grid — while the calibration order
+    statistic, the conformal radius, and the realized-coverage report
+    run only in the shared conformal_report over the fold (an order
+    statistic is the canonical non-mergeable statistic: q_hat after
+    batch k says nothing about q_hat after batch k+1, the
+    rolling-median lesson; and the PREDICTOR itself — the calibration
+    mean — shifts with every batch, re-scoring every historical
+    nonconformity, which only a grid-state twin survives). Shares
+    CONFORMAL_ORACLE verbatim — the live model-serving coverage
+    monitor."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_conformal")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    gate = F.pmod(F.xxhash64(F.lit("sconf"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = conformal_grid(batch_df)
+        record_foreach_batch_plan("stream_conformal_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("event_id bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("event_type", "is_cal", "cents")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return conformal_report(folded)

@@ -3618,9 +3618,7 @@ def spearman_report(daily: DataFrame) -> DataFrame:
     return m.select(F.col("n").alias("n_days"), rho.alias("rho"))
 
 
-@graded(
-    "q_kendall_tau",
-    oracle="""
+KENDALL_TAU_ORACLE = """
     WITH e AS (
       SELECT event_type,
              CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day,
@@ -3652,8 +3650,10 @@ def spearman_report(daily: DataFrame) -> DataFrame:
                    * sqrt(CAST(n_conc + n_disc + n_tie_y AS DOUBLE)))
            END AS tau_b
     FROM pairs
-    """,
-)
+    """
+
+
+@graded("q_kendall_tau", oracle=KENDALL_TAU_ORACLE)
 def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall's tau-b between the daily click and purchase revenue
     series — pairwise concordance with the tie correction, completing
@@ -3673,7 +3673,17 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture, ~6.7e10 at a millennium of days; beyond that, subsample
     the calendar or fall back to Spearman (computable in O(n log n))."""
     ev = load_table(spark, sf_dir, "events")
-    daily = rolling_corr_daily(ev).localCheckpoint()
+    return kendall_report(rolling_corr_daily(ev))
+
+
+def kendall_report(daily: DataFrame) -> DataFrame:
+    """Shared tau-b finalize over the folded daily (day, x, y) relation
+    — pair concordance classes do not merge across batches (a pair's
+    two days' sums are only final after every batch contributes), the
+    daily cents sums do; the streaming twin folds those and shares
+    KENDALL_TAU_ORACLE verbatim. The daily frame is localCheckpoint'd
+    here (both pair-join sides read it)."""
+    daily = daily.localCheckpoint()
     a = daily.select(
         F.col("day").alias("day_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
     )

@@ -3151,3 +3151,108 @@ def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "n_rel", "first_rel_rank", rr.alias("rr"))
         .orderBy("term")
     )
+
+
+ZIPF_FIT_ORACLE = """
+    WITH counts AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT word, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS r
+      FROM counts
+    ),
+    top AS (
+      SELECT r, cnt, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+      FROM ranked WHERE r <= 100
+    ),
+    folds AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(x ORDER BY r) AS sx,
+             sum(y ORDER BY r) AS sy,
+             sum(x * y ORDER BY r) AS sxy,
+             sum(x * x ORDER BY r) AS sxx
+      FROM top
+    )
+    SELECT k AS n_terms,
+           CASE WHEN k > 1 AND k * sxx - sx * sx <> 0 THEN
+             round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+           END AS slope,
+           CASE WHEN k > 1 AND k * sxx - sx * sx <> 0 THEN
+             round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+           END AS intercept
+    FROM folds
+    """
+
+
+@graded("q_zipf_fit", oracle=ZIPF_FIT_ORACLE)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency distribution: least-
+    squares slope of ln(freq) on ln(rank) over the TOP-100 terms — the
+    corpus-health diagnostic (natural language reads slope ~ -1;
+    boilerplate/template corpora flatten the head, spam/generated text
+    steepens it; a drifting slope between crawl snapshots is a
+    composition alarm).
+
+    Ranking is by the INTEGER surrogate (cnt DESC, word) — the
+    keyword_extraction doctrine: never rank on an engine-computed
+    float. ln values are the cross-engine 1-ulp class, so ALL four
+    regression sums fold in RANK order (sum ORDER BY r vs
+    array_sort + aggregate) and slope/intercept are graded ROUNDED 6dp.
+
+    Scale: the corpus collapses to the (word, cnt) relation in one
+    combinable agg; top-100 is a rank window on that reduced relation
+    (SinglePartition over ~vocab rows is the bounded-relation posture —
+    at true web-corpus vocab sizes swap in grouped_topk_twophase's
+    heap prune); the regression runs on 100 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    top = (
+        counts.select(
+            "word", "cnt", F.row_number().over(w_rank).cast("bigint").alias("r")
+        )
+        .filter(F.col("r") <= 100)
+        .select(
+            "r",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+
+    def _fold(expr, name):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("r").alias("rk"), expr.alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias(name)
+
+    folds = top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        _fold(F.col("x"), "sx"),
+        _fold(F.col("y"), "sy"),
+        _fold(F.col("x") * F.col("y"), "sxy"),
+        _fold(F.col("x") * F.col("x"), "sxx"),
+    )
+    kd = F.col("k").cast("double")
+    det = kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (kd * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    ok = (F.col("k") > 1) & (det != 0)
+    return folds.select(
+        F.col("k").alias("n_terms"),
+        F.when(ok, F.round(slope, 6)).alias("slope"),
+        F.when(
+            ok, F.round((F.col("sy") - slope * F.col("sx")) / kd, 6)
+        ).alias("intercept"),
+    )
