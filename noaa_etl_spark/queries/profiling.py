@@ -709,10 +709,17 @@ def q_sequential_mspt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln-ordering doctrine). Degenerates (arm < 2 or V <= 0) grade NULL.
 
     Scale: one map-side-combinable agg over the fact; the sequential
-    statistic is a finalize over the moment row — a streaming
-    deployment folds the same additive moments per micro-batch (the
-    stream_ab_test precedent)."""
-    m = ab_moments(ab_assigned(spark, sf_dir))
+    statistic is a finalize over the moment row — the streaming twin
+    folds the same additive moments per micro-batch and re-issues the
+    always-valid p after every batch (the statistic's whole point)."""
+    return mspt_report(ab_moments(ab_assigned(spark, sf_dir)))
+
+
+def mspt_report(m: DataFrame) -> DataFrame:
+    """mSPRT finalize over a per-type arm-moment table — shared
+    verbatim by the batch query and streaming twin #46 (the six
+    moments are additive BIGINTs; always-valid p is exactly the
+    statistic you recompute after every fold)."""
     mean_a = F.col("s_a").cast("double") / F.col("n_a")
     mean_b = F.col("s_b").cast("double") / F.col("n_b")
     delta = mean_b - mean_a

@@ -3805,3 +3805,145 @@ def q_stream_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     return conformal_report(folded)
+
+
+from noaa_etl_spark.queries.profiling import SEQUENTIAL_MSPT_ORACLE, mspt_report
+
+
+@graded("q_stream_mspt", oracle=SEQUENTIAL_MSPT_ORACLE)
+def q_stream_mspt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the mSPRT always-valid test (twin #46) — and
+    the statistic's NATIVE deployment: mSPRT exists precisely so an
+    experimenter can peek after every micro-batch without alpha
+    inflation, so the stream that re-issues ln_lambda after each fold
+    IS the product. State = the six per-type arm moments (additive
+    BIGINTs, the stream_ab_test machinery); the mixture-LR chain runs
+    only in the shared mspt_report over the fold. Shares
+    SEQUENTIAL_MSPT_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries.profiling import ab_moments
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_mspt")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    gate = F.pmod(F.xxhash64(F.lit("smspt"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+
+    def absorb(batch_df, batch_id: int) -> None:
+        assigned = batch_df.select(
+            "event_type", arm.alias("arm"), cents.alias("cents")
+        )
+        partial = ab_moments(assigned)
+        record_foreach_batch_plan("stream_mspt_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_a").cast("bigint").alias("n_a"),
+            F.sum("n_b").cast("bigint").alias("n_b"),
+            F.sum("s_a").cast("bigint").alias("s_a"),
+            F.sum("s_b").cast("bigint").alias("s_b"),
+            F.sum("q_a").cast("bigint").alias("q_a"),
+            F.sum("q_b").cast("bigint").alias("q_b"),
+        )
+    )
+    return mspt_report(folded)
+
+
+from noaa_etl_spark.queries.text import ZIPF_FIT_ORACLE, zipf_counts, zipf_report
+
+
+@graded("q_stream_zipf", oracle=ZIPF_FIT_ORACLE)
+def q_stream_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Zipf fit (twin #47) — the live corpus-
+    composition monitor (a drifting slope between crawl batches is the
+    generated-text / template-flood alarm). State = the (word, cnt)
+    relation (additive BIGINTs); rank and the ln-regression run only
+    in the shared zipf_report over the fold, because a word's RANK is
+    meaningless until every batch has contributed (the spearman
+    non-mergeable-rank lesson on the frequency axis). Shares
+    ZIPF_FIT_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_zipf")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    gate = F.pmod(F.xxhash64(F.lit("szipf"), F.col("doc_id")), F.lit(3))
+    for i in range(3):
+        docs.filter(gate == i).drop("doc_id").coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = zipf_counts(batch_df)
+        record_foreach_batch_plan("stream_zipf_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("word")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return zipf_report(folded)

@@ -3208,11 +3208,24 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     at true web-corpus vocab sizes swap in grouped_topk_twophase's
     heap prune); the regression runs on 100 rows."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = (
+    return zipf_report(zipf_counts(docs))
+
+
+def zipf_counts(docs: DataFrame) -> DataFrame:
+    """The (word, cnt) relation — the sum-mergeable Zipf state (per-
+    micro-batch counts fold by addition; the streaming twin shares
+    ZIPF_FIT_ORACLE verbatim because rank and fit run only at
+    finalize: a word's rank is meaningless until every batch has
+    contributed its counts)."""
+    return (
         docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+def zipf_report(counts: DataFrame) -> DataFrame:
+    """Shared Zipf finalize over the folded (word, cnt) relation."""
     w_rank = Window.orderBy(F.desc("cnt"), F.asc("word"))
     top = (
         counts.select(

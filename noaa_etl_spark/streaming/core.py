@@ -84,6 +84,12 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_jsd_drift": ["fb_stream_jsd_grid"],
     "q_stream_spearman": ["fb_stream_spearman_partial"],
     "q_stream_forecast_backtest": ["fb_stream_fcbt_partial"],
+    "q_stream_theil_sen": ["fb_stream_theil_sen_partial"],
+    "q_stream_kendall": ["fb_stream_kendall_partial"],
+    "q_stream_cliffs_delta": ["fb_stream_cliffs_partial"],
+    "q_stream_conformal": ["fb_stream_conformal_partial"],
+    "q_stream_mspt": ["fb_stream_mspt_partial"],
+    "q_stream_zipf": ["fb_stream_zipf_partial"],
 }
 
 

@@ -445,6 +445,23 @@ AUDITED = [
     # Permutation test: fact -> user grain once; the x64 replicate
     # explode runs on the REDUCED relation into one combinable agg.
     "q_permutation_test",
+    # Round-15 additions. Cliff's delta rides the Mann-Whitney grid
+    # shape; mSPRT / Cochran's Q / post-stratification are ONE
+    # combinable fact agg each (post-strat adds only the |strata|-row
+    # fold); Fleiss is explode(3) -> one (doc,label) agg -> bounded
+    # category math; conformal is ONE fact collapse to the
+    # (type,is_cal,cents) grid then bounded-domain selection; Hilbert
+    # is scan-local integer projection (any exchange/UDF is the
+    # regression); Zipf reduces to the (word,cnt) relation before its
+    # rank window.
+    "q_cliffs_delta",
+    "q_sequential_mspt",
+    "q_fleiss_kappa",
+    "q_conformal_interval",
+    "q_hilbert_order",
+    "q_cochran_q",
+    "q_zipf_fit",
+    "q_post_stratification",
 ]
 
 # Streaming queries whose drain-time plans are auditable via
