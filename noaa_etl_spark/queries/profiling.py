@@ -3788,13 +3788,18 @@ def conformal_report(grid: DataFrame) -> DataFrame:
     grid = grid.localCheckpoint()
     cal = grid.filter(F.col("is_cal"))
     n_cal = F.sum("cnt").cast("bigint")
+    # calstats has FOUR readers (score join, q_hat selection, the left
+    # join spine, the test leg) and qhat two — un-checkpointed, each
+    # reader re-plans the aggregate subtree (first audit read 20
+    # executed exchanges / 17 broadcasts for a ~8-exchange shape; the
+    # DSIR multi-reader lesson). Both are |types|-row frames.
     calstats = cal.groupBy("event_type").agg(
         n_cal.alias("n_cal"),
         F.expr(
             "CAST(sum(cents * cnt) AS BIGINT) div CAST(sum(cnt) AS BIGINT)"
         ).alias("pred_cents"),
         F.expr("(9 * (CAST(sum(cnt) AS BIGINT) + 1) + 9) div 10").alias("k"),
-    )
+    ).localCheckpoint()
     scores = (
         cal.join(F.broadcast(calstats), "event_type")
         .select(
@@ -3819,8 +3824,10 @@ def conformal_report(grid: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(F.min("s").alias("q_hat"))
     )
-    qhat = calstats.select("event_type").join(
-        F.broadcast(qhat_sel), "event_type", "left"
+    qhat = (
+        calstats.select("event_type")
+        .join(F.broadcast(qhat_sel), "event_type", "left")
+        .localCheckpoint()
     )
     test = (
         grid.filter(~F.col("is_cal"))

@@ -662,3 +662,45 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM partition_summary(TABLE(udtf_orders_v) "
         "PARTITION BY o_orderstatus)"
     )
+
+
+SQL_UDF_ORACLE = """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS tier,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer GROUP BY 1
+    """
+
+
+@graded("q_sql_udf", oracle=SQL_UDF_ORACLE)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF (Spark 4 CREATE FUNCTION ... RETURN <expr>) — the
+    §2.K surface that is NOT an escape hatch: unlike every Python UDF
+    variant, a SQL UDF's body is INLINED by Catalyst into the calling
+    plan, so it optimizes like any expression (predicate pushdown
+    through it, whole-stage codegen, no serialization boundary) — at
+    100 TB this is the form a reusable business rule should take, with
+    Python UDFs reserved for logic SQL cannot express. The sibling
+    TABLE form (RETURNS TABLE ... RETURN SELECT) is exercised in
+    tests/test_round15_ops.py.
+
+    The oracle replays the CASE body inline — which is exactly the
+    inlining contract being graded: calling the function must equal
+    writing its body."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("sqludf_customer_v")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION balance_tier(b DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN b < 0 THEN 'debt' "
+        "WHEN b < 5000 THEN 'low' ELSE 'high' END"
+    )
+    return spark.sql(
+        "SELECT balance_tier(c_acctbal) AS tier, "
+        "CAST(count(*) AS BIGINT) AS n_cust, "
+        "CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+        "AS bal_cents "
+        "FROM sqludf_customer_v GROUP BY balance_tier(c_acctbal)"
+    )

@@ -317,14 +317,15 @@ GRADED_WINDOW: list[str] = [
     "q_window_running_total", "q_window_moving_avg",
     "q_window_first_last", "q_record_tracking", "q_window_range_numeric",
     "q_ntile_cume", "q_tumbling_window", "q_sliding_window",
-    # Round-16 staging FIRST: the 15 round-15 additions (14
+    # Round-16 staging FIRST: the 16 round-15 additions (15
     # oracle-paired + q_dedup_ngram_sketch rows-only): q_stream_theil_sen
     # (twin #42), q_cliffs_delta, q_sequential_mspt (battery #9),
     # q_fleiss_kappa, q_conformal_interval, q_hilbert_order,
     # q_dedup_ngram_sketch, q_stream_kendall (twin #43),
     # q_stream_cliffs_delta (twin #44), q_stream_conformal (twin #45),
     # q_cochran_q (battery #10), q_zipf_fit, q_post_stratification
-    # (battery #11), q_stream_mspt (twin #46), q_stream_zipf (twin #47). THEN the remaining 15 r7-stale (unpivot,
+    # (battery #11), q_stream_mspt (twin #46), q_stream_zipf (twin #47),
+    # q_sql_udf (the Spark 4 SQL-UDF §2.K surface, Catalyst-inlined). THEN the remaining 15 r7-stale (unpivot,
     # date_spine, lang_stats, quality_filter, perplexity_filter,
     # bm25_rank, feature_hashing, regexp_extract, incremental_agg,
     # incremental_stats_merge, linear_trend, stream_stats_merge,

@@ -87,3 +87,53 @@ def test_zorder_preserves_rows(spark, tmp_dir):
     z = zorder_by(li, ["l_partkey", "l_suppkey"])
     assert z.count() == li.count()
     assert sorted(z.columns) == sorted(li.columns)
+
+
+def test_hilbert_shrinks_file_spans_on_both_keys(spark, tmp_dir):
+    """Same layout property for the Hilbert gear: per-file spans must
+    shrink on BOTH keys vs natural — and hold the same < 0.6x bar the
+    Morton layout meets (adjacency makes its boxes tighter still; the
+    EFFECT measurement lives in tools/zorder_bench.py's hilbert_xy
+    leg)."""
+    from noaa_etl_spark.operators.zorder import hilbert_by
+
+    cols = ["l_partkey", "l_suppkey"]
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", *cols)
+
+    natural_path = os.path.join(tmp_dir, "h_natural")
+    hilbert_path = os.path.join(tmp_dir, "hilberted")
+    per_file = 4000
+
+    (
+        li.orderBy("l_orderkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", per_file)
+        .parquet(natural_path)
+    )
+    (
+        hilbert_by(li, cols)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", per_file)
+        .parquet(hilbert_path)
+    )
+
+    natural = _mean_span(natural_path, cols)
+    hilberted = _mean_span(hilbert_path, cols)
+    for c in cols:
+        assert hilberted[c] < 0.6 * natural[c], (
+            f"{c}: hilbert span {hilberted[c]:.3f} not < 0.6x natural "
+            f"{natural[c]:.3f}"
+        )
+
+
+def test_hilbert_preserves_rows(spark, tmp_dir):
+    from noaa_etl_spark.operators.zorder import hilbert_by
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    h = hilbert_by(li, ["l_partkey", "l_suppkey"])
+    assert h.count() == li.count()
+    assert sorted(h.columns) == sorted(li.columns)

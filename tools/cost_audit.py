@@ -462,6 +462,9 @@ AUDITED = [
     "q_cochran_q",
     "q_zipf_fit",
     "q_post_stratification",
+    # SQL UDF: the body INLINES (one hash-agg, no Python stage) — a
+    # BatchEvalPython node appearing is the regression.
+    "q_sql_udf",
 ]
 
 # Streaming queries whose drain-time plans are auditable via

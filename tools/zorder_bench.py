@@ -8,6 +8,7 @@ shrink on every keyed column); this measures the EFFECT — a selective
     natural    insertion order (random in both keys)
     sorted_x   single-column sort — the "just sort by the hot key" rival
     zorder_xy  Morton-interleaved (x, y)
+    hilbert_xy Hilbert-curve (x, y) — no diagonal jumps, tighter boxes
     zorder_xyz Morton over three keys — the dimensionality tax demo
 
 For each layout: median-of-3 wall for the box count, plus the fraction
@@ -44,7 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
-from noaa_etl_spark.operators.zorder import zorder_by
+from noaa_etl_spark.operators.zorder import hilbert_by, zorder_by
 from noaa_etl_spark.session import get_spark
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -110,6 +111,7 @@ def main() -> None:
         "natural": base,
         "sorted_x": base.orderBy("x"),
         "zorder_xy": zorder_by(base, ["x", "y"]),
+        "hilbert_xy": hilbert_by(base, ["x", "y"]),
         "zorder_xyz": zorder_by(base, ["x", "y", "w"]),
     }
     for name, df in layouts.items():
