@@ -1442,3 +1442,129 @@ def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "cat", "cents",
         te_loo.alias("te_loo"), te_smooth.alias("te_smooth"),
     )
+
+
+def _ols3_finalize_sql() -> dict:
+    """Shared 2-feature OLS finalize fragments (Cramer's rule on the
+    3x3 normal equations), generated ONCE and consumed verbatim by BOTH
+    engines (Spark selectExpr and the DuckDB oracle) - the geohash
+    shared-expression doctrine, so every double chain is token-
+    identical by construction. Inputs are the named BIGINT moment
+    columns n, sx1, sx2, sy, sx11, sx22, sx12, sx1y, sx2y, syy."""
+    d = {c: f"CAST({c} AS DOUBLE)" for c in
+         ("n", "sx1", "sx2", "sy", "sx11", "sx22", "sx12", "sx1y", "sx2y", "syy")}
+
+    def det3(c1, c2, c3):
+        # expansion along the first row; each c is a (top, mid, bot) triple
+        return (
+            f"({c1[0]} * ({c2[1]} * {c3[2]} - {c2[2]} * {c3[1]})"
+            f" - {c2[0]} * ({c1[1]} * {c3[2]} - {c1[2]} * {c3[1]})"
+            f" + {c3[0]} * ({c1[1]} * {c2[2]} - {c1[2]} * {c2[1]}))"
+        )
+
+    c1 = (d["n"], d["sx1"], d["sx2"])
+    c2 = (d["sx1"], d["sx11"], d["sx12"])
+    c3 = (d["sx2"], d["sx12"], d["sx22"])
+    r = (d["sy"], d["sx1y"], d["sx2y"])
+    det = det3(c1, c2, c3)
+    b0 = f"({det3(r, c2, c3)} / {det})"
+    b1 = f"({det3(c1, r, c3)} / {det})"
+    b2 = f"({det3(c1, c2, r)} / {det})"
+    sst = f"({d['syy']} - {d['sy']} * {d['sy']} / {d['n']})"
+    sse = (
+        f"({d['syy']} - {b0} * {d['sy']} - {b1} * {d['sx1y']}"
+        f" - {b2} * {d['sx2y']})"
+    )
+    ok = f"(n > 2 AND {det} <> 0)"
+    return {
+        "det": det,
+        "b0": f"CASE WHEN {ok} THEN round({b0}, 6) END",
+        "b1": f"CASE WHEN {ok} THEN round({b1}, 6) END",
+        "b2": f"CASE WHEN {ok} THEN round({b2}, 6) END",
+        "r2": (
+            f"CASE WHEN {ok} AND {sst} > 0"
+            f" THEN round(1.0 - {sse} / {sst}, 6) END"
+        ),
+    }
+
+
+_OLS3 = _ols3_finalize_sql()
+
+MULTI_REG_ORACLE = f"""
+    WITH obs AS (
+      SELECT CAST(floor(l_quantity + 0.5) AS BIGINT)        AS x1,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT)  AS x2,
+             CAST(floor(l_extendedprice) AS BIGINT)         AS y
+      FROM lineitem
+    ),
+    moments AS (
+      SELECT CAST(count(*) AS BIGINT)      AS n,
+             CAST(sum(x1) AS BIGINT)       AS sx1,
+             CAST(sum(x2) AS BIGINT)       AS sx2,
+             CAST(sum(y) AS BIGINT)        AS sy,
+             CAST(sum(x1 * x1) AS BIGINT)  AS sx11,
+             CAST(sum(x2 * x2) AS BIGINT)  AS sx22,
+             CAST(sum(x1 * x2) AS BIGINT)  AS sx12,
+             CAST(sum(x1 * y) AS BIGINT)   AS sx1y,
+             CAST(sum(x2 * y) AS BIGINT)   AS sx2y,
+             CAST(sum(y * y) AS BIGINT)    AS syy
+      FROM obs
+    )
+    SELECT n,
+           {_OLS3['b0']} AS b0,
+           {_OLS3['b1']} AS b1,
+           {_OLS3['b2']} AS b2,
+           {_OLS3['r2']} AS r2
+    FROM moments
+    """
+
+
+@graded("q_multiple_regression", oracle=MULTI_REG_ORACLE)
+def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature multiple linear regression by the closed-form normal
+    equations: price_dollars ~ b0 + b1*quantity + b2*discount_pts over
+    lineitem - the exact-moment generalization of q_linear_trend (and
+    the op DuckDB's regr_slope cannot express: it is single-feature
+    only). Cramer's rule on the 3x3 system needs only the ten
+    sufficient statistics, so 100 TB collapses to ONE combinable agg
+    row and the solve runs driver-free on that row.
+
+    Exactness: predictors quantize integer-exact (quantity is integral;
+    discount via floor(d*100 + 0.5) - the quantize_int8 rounding
+    contract, since 0.06*100 = 5.9999... floors wrong raw); y in
+    DOLLARS so sum(y^2) stays BIGINT to n ~ 8e8 rows (the covariance
+    dollars-quantization precedent; cents-grain would abort at ~60M).
+    The ENTIRE finalize - three 3x3 determinants, coefficients, and
+    R^2 = 1 - SSE/SST with SSE from the fitted-moments identity - is
+    generated as ONE shared SQL fragment consumed verbatim by Spark
+    selectExpr AND the DuckDB oracle (the geohash doctrine), making
+    every double chain token-identical by construction; graded ROUNDED
+    6dp. Singular design (det = 0) or n <= 2 NULLs the coefficients,
+    SST = 0 NULLs r2 - mirrored in the shared fragment.
+
+    Replay-tested against numpy lstsq (tests/test_round15b_ops.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("x2"),
+        F.floor(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+    m = obs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("sx11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("sx22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("sx12"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.selectExpr(
+        "n",
+        f"{_OLS3['b0']} AS b0",
+        f"{_OLS3['b1']} AS b1",
+        f"{_OLS3['b2']} AS b2",
+        f"{_OLS3['r2']} AS r2",
+    )

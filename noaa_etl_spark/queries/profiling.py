@@ -4118,3 +4118,566 @@ def q_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.col("sum_var")), 6),
         ).alias("se_ps"),
     )
+
+
+ANOVA_ORACLE = """
+    WITH assigned AS (
+      SELECT event_type AS grp, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    moments AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT)          AS n_g,
+             CAST(sum(cents) AS BIGINT)        AS s_g,
+             CAST(sum(cents * cents) AS BIGINT) AS q_g
+      FROM assigned GROUP BY grp
+    ),
+    terms AS (
+      SELECT grp, n_g, s_g, q_g,
+             CAST(s_g AS DOUBLE) * s_g / n_g                        AS ssb_t,
+             CAST(q_g AS DOUBLE) - CAST(s_g AS DOUBLE) * s_g / n_g  AS ssw_t
+      FROM moments
+    ),
+    folds AS (
+      SELECT CAST(count(*) AS BIGINT)   AS k,
+             CAST(sum(n_g) AS BIGINT)   AS n,
+             CAST(sum(s_g) AS BIGINT)   AS s,
+             sum(ssb_t ORDER BY grp)    AS sum_ssb,
+             sum(ssw_t ORDER BY grp)    AS sum_ssw
+      FROM terms
+    ),
+    fin AS (
+      SELECT k, n,
+             sum_ssb - CAST(s AS DOUBLE) * s / n AS ssb,
+             sum_ssw                             AS ssw
+      FROM folds
+    )
+    SELECT k, n,
+           CASE WHEN k > 1 AND n > k THEN round(ssb, 6) END AS ssb,
+           CASE WHEN k > 1 AND n > k THEN round(ssw, 6) END AS ssw,
+           CASE WHEN k > 1 AND n > k AND ssw > 0
+                THEN round((ssb / (k - 1)) / (ssw / (n - k)), 6) END AS f_stat,
+           CASE WHEN k = 5 AND n - k > 1000 AND ssw > 0
+                THEN round((ssb / (k - 1)) / (ssw / (n - k)), 6) > 2.371932
+           END AS reject_95
+    FROM fin
+    """
+
+
+@graded("q_one_way_anova", oracle=ANOVA_ORACLE)
+def q_one_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types (experimentation battery #12):
+    does mean spend differ across the K = 5 event-type groups? F =
+    (SSB/(K-1)) / (SSW/(N-K)) with SSB = sum_g s_g^2/n_g - S^2/N and
+    SSW = sum_g (q_g - s_g^2/n_g) - the K-sample generalization of the
+    Welch/t machinery in q_ab_test_report.
+
+    Exactness: per-group (n, sum, sum-of-squares) moments are exact
+    BIGINTs in ONE combinable agg; each group's SSB/SSW term is a
+    token-identical double chain (s_g^2 computed as DOUBLE*BIGINT -
+    two aggregated BIGINTs multiplied raw overflow long before the
+    per-row contract suggests, the covariance-finalize doctrine); the
+    cross-group sums fold in GROUP order (sum ORDER BY grp vs
+    array_sort+aggregate). f_stat graded ROUNDED 6dp; reject_95 derives
+    from the ROUNDED value against the F(4, inf) = chi2_0.95(4)/4 =
+    2.371932 asymptotic critical point, emitted only when the
+    denominator dof exceeds 1000 (the finite-dof correction is < 1e-3
+    there) and NULL otherwise - mirrored CASE both engines.
+
+    Degenerates (regen-proof): k <= 1 or n <= k or ssw = 0 NULL every
+    statistic on both sides.
+
+    Scale: one map-side-combinable agg over the fact reduces 100 TB to
+    K rows; all finalize arithmetic runs on the K-row relation."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    m = (
+        ev.select(F.col("event_type").alias("grp"), cents.alias("cents"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum("cents").cast("bigint").alias("s_g"),
+            F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("q_g"),
+        )
+    )
+    s_d = F.col("s_g").cast("double")
+    ssb_t = (s_d * F.col("s_g") / F.col("n_g")).alias("ssb_t")
+    ssw_t = (
+        F.col("q_g").cast("double") - s_d * F.col("s_g") / F.col("n_g")
+    ).alias("ssw_t")
+    terms = m.select("grp", "n_g", "s_g", "q_g", ssb_t, ssw_t)
+
+    def _gfold(col, name):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("grp").alias("g"), col.alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias(name)
+
+    folds = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        _gfold(F.col("ssb_t"), "sum_ssb"),
+        _gfold(F.col("ssw_t"), "sum_ssw"),
+    )
+    ssb = F.col("sum_ssb") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("sum_ssw")
+    fin = folds.select("k", "n", ssb.alias("ssb"), ssw.alias("ssw"))
+    ok = (F.col("k") > 1) & (F.col("n") > F.col("k"))
+    f_stat = (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k")))
+    return fin.select(
+        "k",
+        "n",
+        F.when(ok, F.round(F.col("ssb"), 6)).alias("ssb"),
+        F.when(ok, F.round(F.col("ssw"), 6)).alias("ssw"),
+        F.when(ok & (F.col("ssw") > 0), F.round(f_stat, 6)).alias("f_stat"),
+        F.when(
+            (F.col("k") == 5) & (F.col("n") - F.col("k") > 1000) & (F.col("ssw") > 0),
+            F.round(f_stat, 6) > 2.371932,
+        ).alias("reject_95"),
+    )
+
+
+KRUSKAL_ORACLE = """
+    WITH grid AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY grp, v
+    ),
+    ranked AS (
+      SELECT grp, v, c,
+             CAST(coalesce(sum(c) OVER (
+               ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_prev,
+             CAST(sum(c) OVER (
+               ORDER BY v RANGE BETWEEN CURRENT ROW AND CURRENT ROW
+             ) AS BIGINT) AS t
+      FROM grid
+    ),
+    gsums AS (
+      SELECT grp,
+             CAST(sum(c) AS BIGINT) AS n_g,
+             CAST(sum(c * (2 * cum_prev + t + 1)) AS BIGINT) AS r2_g
+      FROM ranked GROUP BY grp
+    ),
+    ties AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tt
+      FROM (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM grid GROUP BY v)
+    ),
+    folds AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             sum(CAST(r2_g AS DOUBLE) * r2_g / n_g ORDER BY grp) AS sum_t
+      FROM gsums
+    ),
+    fin AS (
+      SELECT f.k, f.n, t.tt,
+             3.0 * f.sum_t / (CAST(f.n AS DOUBLE) * (CAST(f.n AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(f.n AS DOUBLE) + 1.0) AS h,
+             1.0 - CAST(t.tt AS DOUBLE)
+               / (CAST(f.n AS DOUBLE) * CAST(f.n AS DOUBLE) * CAST(f.n AS DOUBLE)
+                  - CAST(f.n AS DOUBLE)) AS corr
+      FROM folds f, ties t
+    )
+    SELECT k, n,
+           CASE WHEN k > 1 AND n > 1 THEN round(h, 6) END AS h,
+           CASE WHEN k > 1 AND n > 1 AND corr > 0
+                THEN round(h / corr, 6) END AS h_adj,
+           CASE WHEN k = 5 AND n > 1 AND corr > 0
+                THEN round(h / corr, 6) > 9.487729
+           END AS reject_95
+    FROM fin
+    """
+
+
+@graded("q_kruskal_wallis", oracle=KRUSKAL_ORACLE)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis K-sample rank test (experimentation battery #13):
+    the nonparametric sibling of q_one_way_anova - do the K = 5
+    event-type spend distributions share a location? H =
+    12/(N(N+1)) sum_g R_g^2/n_g - 3(N+1), tie-corrected by
+    C = 1 - sum_v (t_v^3 - t_v)/(N^3 - N).
+
+    The Mann-Whitney DOUBLED-midrank discipline generalized to K
+    samples: on the (grp, cents, count) grid, the doubled midrank of
+    every member at value v is 2*cum_prev + t + 1 (cum_prev/t via two
+    RANGE windows over the pooled value axis - no join-back), so the
+    per-group doubled rank sum R2_g is an exact BIGINT through
+    arbitrary tie blocks; sum R_g^2/n_g = sum R2_g^2/(4 n_g) folds in
+    GROUP order as a double chain (R2_g^2 as DOUBLE*BIGINT - the
+    finalize-product doctrine; raw BIGINT R2_g^2 ~ 4N^4 overflows at
+    ~50k rows), and N^3 - N runs in doubles (N^3 overflows BIGINT past
+    ~2M rows). h/h_adj graded ROUNDED 6dp; reject_95 from the ROUNDED
+    h_adj vs chi2_0.95(4) = 9.487729, NULL at other K - mirrored CASE.
+    Per-value tie cubes t^3 - t stay BIGINT (bound: largest tie block
+    <= 2M rows; cents spread over the [0, 49003) domain keeps real
+    blocks ~N/5e4).
+
+    Scale: the fact collapses to the (grp, v) grid in one combinable
+    agg; the rank windows run on the grid (SinglePartition over a
+    DOMAIN-bounded <= K*49003-row relation, the auc/isotonic posture);
+    group sums and the fold run on K rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    grid = (
+        ev.select(F.col("event_type").alias("grp"), cents.alias("v"))
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    w_prev = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, -1)
+    w_cur = Window.orderBy("v").rangeBetween(0, 0)
+    ranked = grid.select(
+        "grp",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).cast("bigint").alias("cum_prev"),
+        F.sum("c").over(w_cur).cast("bigint").alias("t"),
+    )
+    gsums = ranked.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n_g"),
+        F.sum(
+            F.col("c") * (F.lit(2) * F.col("cum_prev") + F.col("t") + 1)
+        )
+        .cast("bigint")
+        .alias("r2_g"),
+    )
+    vals = grid.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
+    ties = vals.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tt")
+    )
+    folds = gsums.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("grp").alias("g"),
+                            (
+                                F.col("r2_g").cast("double")
+                                * F.col("r2_g")
+                                / F.col("n_g")
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("sum_t"),
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(3.0) * F.col("sum_t") / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tt").cast("double") / (nd * nd * nd - nd)
+    fin = folds.crossJoin(F.broadcast(ties)).select(
+        "k", "n", "tt", h.alias("h"), corr.alias("corr")
+    )
+    ok = (F.col("k") > 1) & (F.col("n") > 1)
+    return fin.select(
+        "k",
+        "n",
+        F.when(ok, F.round(F.col("h"), 6)).alias("h"),
+        F.when(ok & (F.col("corr") > 0), F.round(F.col("h") / F.col("corr"), 6)).alias(
+            "h_adj"
+        ),
+        F.when(
+            (F.col("k") == 5) & (F.col("n") > 1) & (F.col("corr") > 0),
+            F.round(F.col("h") / F.col("corr"), 6) > 9.487729,
+        ).alias("reject_95"),
+    )
+
+
+DID_ORACLE = """
+    WITH assigned AS (
+      SELECT CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN epoch_us(ts) < 1705363200000000 THEN 0 ELSE 1 END AS post,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cells AS (
+      SELECT
+        CAST(count(*) FILTER (arm = 'A' AND post = 0) AS BIGINT) AS n_a0,
+        CAST(count(*) FILTER (arm = 'A' AND post = 1) AS BIGINT) AS n_a1,
+        CAST(count(*) FILTER (arm = 'B' AND post = 0) AS BIGINT) AS n_b0,
+        CAST(count(*) FILTER (arm = 'B' AND post = 1) AS BIGINT) AS n_b1,
+        CAST(sum(cents) FILTER (arm = 'A' AND post = 0) AS BIGINT) AS s_a0,
+        CAST(sum(cents) FILTER (arm = 'A' AND post = 1) AS BIGINT) AS s_a1,
+        CAST(sum(cents) FILTER (arm = 'B' AND post = 0) AS BIGINT) AS s_b0,
+        CAST(sum(cents) FILTER (arm = 'B' AND post = 1) AS BIGINT) AS s_b1,
+        CAST(sum(cents * cents) FILTER (arm = 'A' AND post = 0) AS BIGINT) AS q_a0,
+        CAST(sum(cents * cents) FILTER (arm = 'A' AND post = 1) AS BIGINT) AS q_a1,
+        CAST(sum(cents * cents) FILTER (arm = 'B' AND post = 0) AS BIGINT) AS q_b0,
+        CAST(sum(cents * cents) FILTER (arm = 'B' AND post = 1) AS BIGINT) AS q_b1
+      FROM assigned
+    ),
+    fin AS (
+      SELECT *,
+        (CAST(s_b1 AS DOUBLE) / n_b1 - CAST(s_b0 AS DOUBLE) / n_b0)
+          - (CAST(s_a1 AS DOUBLE) / n_a1 - CAST(s_a0 AS DOUBLE) / n_a0) AS did,
+        (CAST(q_a0 AS DOUBLE) - CAST(s_a0 AS DOUBLE) * s_a0 / n_a0)
+          / (n_a0 - 1) / n_a0
+        + (CAST(q_a1 AS DOUBLE) - CAST(s_a1 AS DOUBLE) * s_a1 / n_a1)
+          / (n_a1 - 1) / n_a1
+        + (CAST(q_b0 AS DOUBLE) - CAST(s_b0 AS DOUBLE) * s_b0 / n_b0)
+          / (n_b0 - 1) / n_b0
+        + (CAST(q_b1 AS DOUBLE) - CAST(s_b1 AS DOUBLE) * s_b1 / n_b1)
+          / (n_b1 - 1) / n_b1 AS var_sum
+      FROM cells
+    )
+    SELECT n_a0, n_a1, n_b0, n_b1,
+           CASE WHEN n_a0 > 1 AND n_a1 > 1 AND n_b0 > 1 AND n_b1 > 1
+                THEN round(did, 6) END AS did,
+           CASE WHEN n_a0 > 1 AND n_a1 > 1 AND n_b0 > 1 AND n_b1 > 1
+                AND var_sum > 0 THEN round(sqrt(var_sum), 6) END AS se,
+           CASE WHEN n_a0 > 1 AND n_a1 > 1 AND n_b0 > 1 AND n_b1 > 1
+                AND var_sum > 0 THEN round(did / sqrt(var_sum), 6) END AS z,
+           CASE WHEN n_a0 > 1 AND n_a1 > 1 AND n_b0 > 1 AND n_b1 > 1
+                AND var_sum > 0
+                THEN abs(round(did / sqrt(var_sum), 6)) > 1.959964
+           END AS reject_95
+    FROM fin
+    """
+
+
+@graded("q_diff_in_diff", oracle=DID_ORACLE)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate (experimentation battery
+    #14): the quasi-experimental workhorse when treatment switches on
+    at a known date - DiD = (mean_B_post - mean_B_pre) -
+    (mean_A_post - mean_A_pre) cancels both the arm-level baseline
+    difference and the common time trend; SE = sqrt of the four cell
+    variance-of-mean terms (the Welch machinery on a 2x2 design).
+
+    Arms are the shared 'ab:' md5 assignment; the period cut is the
+    FIXED epoch-micros literal 1705363200000000 (2024-01-16 UTC,
+    mid-fixture) on unix_micros(ts) - all-integer, never a data-derived
+    float quantile. Cell moments are exact BIGINTs in ONE combinable
+    FILTER-agg (12 columns); did/se/z are token-identical double chains
+    (s_c^2 as DOUBLE*BIGINT per the finalize-product doctrine; the four
+    variance terms ADD IN FIXED WRITTEN ORDER - a 4-term literal chain,
+    not an engine-ordered fold), graded ROUNDED 6dp with reject_95
+    derived from the ROUNDED z vs 1.959964. Any cell with n <= 1 NULLs
+    every statistic - mirrored CASE (regen-proof).
+
+    Scale: one map-side-combinable aggregate over the fact; finalize on
+    one row. Note the per-event grain deliberately mirrors
+    q_ab_test_report; the user-grain ratio-metric variant is
+    q_ratio_metric_delta's territory."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    post = F.when(F.unix_micros("ts") < 1705363200000000, F.lit(0)).otherwise(F.lit(1))
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    assigned = ev.select(arm.alias("arm"), post.alias("post"), cents.alias("cents"))
+
+    def cell(a, p):
+        return (F.col("arm") == a) & (F.col("post") == p)
+
+    aggs = []
+    for pref, fn in (
+        ("n", lambda cond: F.count_if(cond)),
+        ("s", lambda cond: F.sum(F.when(cond, F.col("cents")))),
+        ("q", lambda cond: F.sum(F.when(cond, F.col("cents") * F.col("cents")))),
+    ):
+        for a in ("a", "b"):
+            for p in (0, 1):
+                aggs.append(
+                    fn(cell(a.upper(), p)).cast("bigint").alias(f"{pref}_{a}{p}")
+                )
+    cells = assigned.agg(*aggs)
+
+    def mean(c):
+        return F.col(f"s_{c}").cast("double") / F.col(f"n_{c}")
+
+    def vterm(c):
+        return (
+            (
+                F.col(f"q_{c}").cast("double")
+                - F.col(f"s_{c}").cast("double") * F.col(f"s_{c}") / F.col(f"n_{c}")
+            )
+            / (F.col(f"n_{c}") - 1)
+            / F.col(f"n_{c}")
+        )
+
+    did = (mean("b1") - mean("b0")) - (mean("a1") - mean("a0"))
+    var_sum = vterm("a0") + vterm("a1") + vterm("b0") + vterm("b1")
+    fin = cells.select("n_a0", "n_a1", "n_b0", "n_b1", did.alias("did"), var_sum.alias("var_sum"))
+    ok = (
+        (F.col("n_a0") > 1)
+        & (F.col("n_a1") > 1)
+        & (F.col("n_b0") > 1)
+        & (F.col("n_b1") > 1)
+    )
+    okv = ok & (F.col("var_sum") > 0)
+    z = F.round(F.col("did") / F.sqrt(F.col("var_sum")), 6)
+    return fin.select(
+        "n_a0",
+        "n_a1",
+        "n_b0",
+        "n_b1",
+        F.when(ok, F.round(F.col("did"), 6)).alias("did"),
+        F.when(okv, F.round(F.sqrt(F.col("var_sum")), 6)).alias("se"),
+        F.when(okv, z).alias("z"),
+        F.when(okv, F.abs(z) > 1.959964).alias("reject_95"),
+    )
+
+
+def _ent_sql(n: str, p: str) -> str:
+    """Binary-entropy SQL fragment H(p/n) with 0*ln(0) = 0 by CASE -
+    generated ONCE and shared by the oracle so both engines run the
+    token-identical chain (the geohash shared-expression doctrine)."""
+    return (
+        f"- (CASE WHEN {p} > 0 THEN (CAST({p} AS DOUBLE) / {n})"
+        f" * ln(CAST({p} AS DOUBLE) / {n}) ELSE 0.0 END)"
+        f" - (CASE WHEN {n} - {p} > 0 THEN (CAST({n} - {p} AS DOUBLE) / {n})"
+        f" * ln(CAST({n} - {p} AS DOUBLE) / {n}) ELSE 0.0 END)"
+    )
+
+
+STUMP_ORACLE = f"""
+    WITH grid AS (
+      SELECT least(CAST(floor(value * 100) AS BIGINT) // 50, 1023) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS pos
+      FROM events GROUP BY bucket
+    ),
+    cums AS (
+      SELECT bucket,
+             CAST(sum(n) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+             CAST(sum(pos) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pl,
+             CAST(sum(n) OVER () AS BIGINT) AS nn,
+             CAST(sum(pos) OVER () AS BIGINT) AS pp
+      FROM grid
+    ),
+    cands AS (
+      SELECT bucket, nl, pl, nn - nl AS nr, pp - pl AS pr, nn, pp
+      FROM cums WHERE nl > 0 AND nn - nl > 0
+    ),
+    gains AS (
+      SELECT bucket, nl, pl, nr, pr,
+             round(({_ent_sql('nn', 'pp')})
+               - (CAST(nl AS DOUBLE) / nn * ({_ent_sql('nl', 'pl')})
+                  + CAST(nr AS DOUBLE) / nn * ({_ent_sql('nr', 'pr')})), 6) AS gain
+      FROM cands
+    )
+    SELECT bucket AS split_bucket,
+           (bucket + 1) * 50 AS threshold_cents,
+           nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right, gain
+    FROM gains ORDER BY gain DESC, bucket LIMIT 1
+    """
+
+
+@graded("q_decision_stump", oracle=STUMP_ORACLE)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-feature split by information gain - the decision-
+    stump / tree-node primitive (the inner loop of every gradient-
+    boosting and random-forest trainer, and the classic weak learner):
+    which spend threshold best separates purchase events from the
+    rest? gain(k) = H(parent) - (nL/N) H(left) - (nR/N) H(right) over
+    left = {bucket <= k}.
+
+    The isotonic-grid discipline: spend quantizes to a FIXED
+    1024-bucket grid (50-cent buckets over [0, $512), least-capped -
+    domain-bounded, never data-derived), per-bucket (n, pos) counts are
+    exact BIGINTs from ONE combinable agg, and prefix sums via a rows
+    window on the bucket axis give every candidate split's confusion
+    counts without a self-join. Entropy terms are ln (the 1-ulp class),
+    so the gain is ROUNDED 6dp BEFORE the argmax and the winner is
+    ORDER BY (rounded gain DESC, bucket ASC) LIMIT 1 - the
+    keyword_extraction doctrine: never argmax on a raw float. The
+    entropy chain is generated from ONE shared fragment (_ent_sql) so
+    both engines run token-identical arithmetic.
+
+    Scale: 100 TB collapses to <= 1024 grid rows in one map-side-
+    combinable agg; windows + argmax run SinglePartition on the
+    bounded grid (the auc/isotonic posture)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.expr("CAST(floor(value * 100) AS BIGINT) div 50"), F.lit(1023)
+    )
+    grid = (
+        ev.select(
+            bucket.alias("bucket"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cums = grid.select(
+        "bucket",
+        F.sum("n").over(w_cum).cast("bigint").alias("nl"),
+        F.sum("pos").over(w_cum).cast("bigint").alias("pl"),
+        F.sum("n").over(w_all).cast("bigint").alias("nn"),
+        F.sum("pos").over(w_all).cast("bigint").alias("pp"),
+    )
+    cands = cums.filter((F.col("nl") > 0) & (F.col("nn") - F.col("nl") > 0)).select(
+        "bucket",
+        "nl",
+        "pl",
+        (F.col("nn") - F.col("nl")).alias("nr"),
+        (F.col("pp") - F.col("pl")).alias("pr"),
+        "nn",
+        "pp",
+    )
+
+    def ent(n, p):
+        nc, pc = F.col(n), F.col(p)
+        t1 = F.when(
+            pc > 0, (pc.cast("double") / nc) * F.log(pc.cast("double") / nc)
+        ).otherwise(F.lit(0.0))
+        t2 = F.when(
+            nc - pc > 0,
+            ((nc - pc).cast("double") / nc) * F.log((nc - pc).cast("double") / nc),
+        ).otherwise(F.lit(0.0))
+        return -t1 - t2
+
+    gain = F.round(
+        ent("nn", "pp")
+        - (
+            F.col("nl").cast("double") / F.col("nn") * ent("nl", "pl")
+            + F.col("nr").cast("double") / F.col("nn") * ent("nr", "pr")
+        ),
+        6,
+    )
+    gains = cands.select(
+        "bucket", "nl", "pl", "nr", "pr", gain.alias("gain")
+    )
+    return gains.orderBy(F.desc("gain"), F.asc("bucket")).limit(1).select(
+        F.col("bucket").alias("split_bucket"),
+        ((F.col("bucket") + 1) * 50).alias("threshold_cents"),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        F.col("nr").alias("n_right"),
+        F.col("pr").alias("pos_right"),
+        "gain",
+    )

@@ -3846,3 +3846,99 @@ def forecast_baseline_report(daily: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+GAP_REGULARITY_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             (t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id))
+               // 1000000 AS g
+      FROM ordered
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT)     AS n,
+             CAST(sum(g) AS BIGINT)       AS sg,
+             CAST(sum(g * g) AS BIGINT)   AS qg
+      FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+    ),
+    fin AS (
+      SELECT user_id, n, sg,
+             CAST(sg AS DOUBLE) / n AS mean_g,
+             greatest((CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / n)
+                      / (n - 1), 0.0) AS var_g
+      FROM m
+    )
+    SELECT user_id,
+           n AS n_gaps,
+           round(mean_g, 6) AS mean_gap_s,
+           CASE WHEN n > 1 AND sg > 0
+                THEN round(sqrt(var_g) / mean_g, 6) END AS cv,
+           CASE WHEN n > 1 AND sg > 0
+                THEN n >= 20 AND round(sqrt(var_g) / mean_g, 6) < 0.5
+           END AS is_regular
+    FROM fin
+    """
+
+
+@graded("q_gap_regularity", oracle=GAP_REGULARITY_ORACLE)
+def q_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap regularity per user — the bot / scripted-traffic
+    detector: human activity has bursty, high-variance gaps
+    (CV = std/mean well above 1); schedulers and scrapers fire on
+    near-constant intervals (CV -> 0). Flag users with >= 20 gaps and
+    CV < 0.5 as suspiciously regular — the per-user companion to
+    q_out_of_order_audit's arrival census.
+
+    Exactness: gaps quantize to integer SECONDS (micros div 1e6 — the
+    micros-squared sum would overflow BIGINT at ~2e5 events/user;
+    seconds-grain is safe past 1e9), ordered by (t, event_id) so tied
+    timestamps cannot flip gap attribution between engines; per-user
+    (n, sum, sum-of-squares) moments are exact BIGINTs; mean/cv are
+    token-identical double chains with the variance FLOORED AT ZERO via
+    greatest(var, 0.0) — an all-equal-gaps user's exact-zero variance
+    lands as a tiny NEGATIVE double on both engines and sqrt would NaN
+    (the q_jsd degenerate class, caught at design time). cv graded
+    ROUNDED 6dp, is_regular derived from the ROUNDED value; n <= 1 or
+    zero-sum gaps NULL cv/flag on both sides.
+
+    Scale: ONE user-partitioned window (the sessionize exchange) + one
+    combinable agg; output is user-grain. Skewed users route through
+    the same salting gear as sessionize_auto if a celebrity user ever
+    dominates."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("t") - F.lag("t").over(w)).alias("dt")
+    )
+    gaps = gaps.filter(F.col("dt").isNotNull()).select(
+        "user_id", F.expr("dt div 1000000").alias("g")
+    )
+    m = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("qg"),
+    )
+    mean_g = F.col("sg").cast("double") / F.col("n")
+    var_g = F.greatest(
+        (F.col("qg").cast("double") - F.col("sg").cast("double") * F.col("sg") / F.col("n"))
+        / (F.col("n") - 1),
+        F.lit(0.0),
+    )
+    fin = m.select(
+        "user_id", "n", "sg", mean_g.alias("mean_g"), var_g.alias("var_g")
+    )
+    ok = (F.col("n") > 1) & (F.col("sg") > 0)
+    cv = F.round(F.sqrt(F.col("var_g")) / F.col("mean_g"), 6)
+    return fin.select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.round(F.col("mean_g"), 6).alias("mean_gap_s"),
+        F.when(ok, cv).alias("cv"),
+        F.when(ok, (F.col("n") >= 20) & (cv < 0.5)).alias("is_regular"),
+    )

@@ -3269,3 +3269,159 @@ def zipf_report(counts: DataFrame) -> DataFrame:
             ok, F.round((F.col("sy") - slope * F.col("sx")) / kd, 6)
         ).alias("intercept"),
     )
+
+
+HEAPS_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    tokens AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM toks
+    ),
+    firsts AS (
+      SELECT w, CAST(min(doc_id) AS BIGINT) AS fd
+      FROM (SELECT doc_id, unnest(list_distinct(tk)) AS w FROM toks)
+      GROUP BY w
+    ),
+    newt AS (
+      SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv
+      FROM firsts GROUP BY fd
+    ),
+    cums AS (
+      SELECT t.doc_id,
+             CAST(sum(t.n_tok) OVER (ORDER BY t.doc_id) AS BIGINT) AS cn,
+             CAST(sum(coalesce(n.nv, 0)) OVER (ORDER BY t.doc_id) AS BIGINT) AS cv
+      FROM tokens t LEFT JOIN newt n USING (doc_id)
+    ),
+    pts AS (
+      SELECT doc_id,
+             ln(CAST(cn AS DOUBLE)) AS x,
+             ln(CAST(cv AS DOUBLE)) AS y
+      FROM cums WHERE doc_id % 7 = 0 AND cn > 0 AND cv > 0
+    ),
+    folds AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(x ORDER BY doc_id) AS sx,
+             sum(y ORDER BY doc_id) AS sy,
+             sum(x * y ORDER BY doc_id) AS sxy,
+             sum(x * x ORDER BY doc_id) AS sxx
+      FROM pts
+    )
+    SELECT k AS n_points,
+           CASE WHEN k > 1 AND k * sxx - sx * sx <> 0 THEN
+             round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+           END AS beta,
+           CASE WHEN k > 1 AND k * sxx - sx * sx <> 0 THEN
+             round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+           END AS ln_k
+    FROM folds
+    """
+
+
+def heaps_tokenized(docs: DataFrame) -> DataFrame:
+    """The (doc_id, tokens-array) frame, localCheckpoint'd because BOTH
+    Heaps inputs (per-doc token counts AND word first-occurrences)
+    derive from it — one corpus scan, not two (the multi-reader
+    double-plan lesson)."""
+    return docs.select(
+        "doc_id", tokenize(F.col("text")).alias("tk")
+    ).localCheckpoint()
+
+
+def heaps_word_firsts(toks: DataFrame) -> DataFrame:
+    """The (word, first_doc) relation — the MIN-mergeable Heaps state
+    (the streaming twin folds per-batch firsts by min, exactly the
+    activity-bitmask class but on the vocabulary axis).
+    array_distinct-before-explode keeps the shuffle at one row per
+    distinct (doc, word), the decontaminate trick."""
+    return (
+        toks.select("doc_id", F.explode(F.array_distinct(F.col("tk"))).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").cast("bigint").alias("fd"))
+    )
+
+
+def heaps_report(tokens: DataFrame, firsts: DataFrame) -> DataFrame:
+    """Shared Heaps finalize: cumulative (tokens, vocab) over doc order,
+    ln-ln least squares on the doc_id % 7 lattice."""
+    newt = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    joined = tokens.join(newt, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("nv"), F.lit(0).cast("bigint")).alias("nv"),
+    )
+    w_cum = Window.orderBy("doc_id")
+    cums = joined.select(
+        "doc_id",
+        F.sum("n_tok").over(w_cum).cast("bigint").alias("cn"),
+        F.sum("nv").over(w_cum).cast("bigint").alias("cv"),
+    )
+    pts = cums.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("cn") > 0) & (F.col("cv") > 0)
+    ).select(
+        "doc_id",
+        F.log(F.col("cn").cast("double")).alias("x"),
+        F.log(F.col("cv").cast("double")).alias("y"),
+    )
+
+    def _fold(expr, name):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("doc_id").alias("d"), expr.alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias(name)
+
+    folds = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        _fold(F.col("x"), "sx"),
+        _fold(F.col("y"), "sy"),
+        _fold(F.col("x") * F.col("y"), "sxy"),
+        _fold(F.col("x") * F.col("x"), "sxx"),
+    )
+    kd = F.col("k").cast("double")
+    det = kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (kd * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    ok = (F.col("k") > 1) & (det != 0)
+    return folds.select(
+        F.col("k").alias("n_points"),
+        F.when(ok, F.round(slope, 6)).alias("beta"),
+        F.when(ok, F.round((F.col("sy") - slope * F.col("sx")) / kd, 6)).alias("ln_k"),
+    )
+
+
+@graded("q_heaps_law", oracle=HEAPS_ORACLE)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: least-squares of
+    ln(vocab-so-far) on ln(tokens-so-far) over document order — the
+    companion corpus-health law to q_zipf_fit (natural corpora read
+    beta ~ 0.4-0.6; near-duplicate floods flatten the curve because new
+    docs stop contributing new types; OCR noise / random text push
+    beta toward 1). The slope drifting between crawl snapshots is the
+    vocabulary-composition alarm.
+
+    Construction: per-doc token counts and word first-occurrence docs
+    (min doc_id per word — a MIN-mergeable state, so the streaming twin
+    shares this oracle) come from ONE checkpointed tokenized scan;
+    cumulative (N_i, V_i) via a doc-ordered window on the doc-grain
+    relation; the regression samples the FIXED doc_id % 7 lattice
+    (deterministic, never a data-derived quantile). ln values are the
+    1-ulp class: all four sums fold in doc order, beta/ln_k graded
+    ROUNDED 6dp; k <= 1 or a singular design NULLs the fit (mirrored).
+
+    Scale: the corpus collapses to doc-grain (doc_id, n_tok, nv) rows;
+    the global cum window is the documented bounded-relation posture
+    (swap in order_index range-partitioned prefix sums past ~1e8
+    docs); the fold runs on |lattice| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = heaps_tokenized(docs)
+    tokens = toks.select("doc_id", F.size("tk").cast("bigint").alias("n_tok"))
+    return heaps_report(tokens, heaps_word_firsts(toks))
