@@ -4297,41 +4297,23 @@ KRUSKAL_ORACLE = """
     """
 
 
-@graded("q_kruskal_wallis", oracle=KRUSKAL_ORACLE)
-def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kruskal-Wallis K-sample rank test (experimentation battery #13):
-    the nonparametric sibling of q_one_way_anova - do the K = 5
-    event-type spend distributions share a location? H =
-    12/(N(N+1)) sum_g R_g^2/n_g - 3(N+1), tie-corrected by
-    C = 1 - sum_v (t_v^3 - t_v)/(N^3 - N).
-
-    The Mann-Whitney DOUBLED-midrank discipline generalized to K
-    samples: on the (grp, cents, count) grid, the doubled midrank of
-    every member at value v is 2*cum_prev + t + 1 (cum_prev/t via two
-    RANGE windows over the pooled value axis - no join-back), so the
-    per-group doubled rank sum R2_g is an exact BIGINT through
-    arbitrary tie blocks; sum R_g^2/n_g = sum R2_g^2/(4 n_g) folds in
-    GROUP order as a double chain (R2_g^2 as DOUBLE*BIGINT - the
-    finalize-product doctrine; raw BIGINT R2_g^2 ~ 4N^4 overflows at
-    ~50k rows), and N^3 - N runs in doubles (N^3 overflows BIGINT past
-    ~2M rows). h/h_adj graded ROUNDED 6dp; reject_95 from the ROUNDED
-    h_adj vs chi2_0.95(4) = 9.487729, NULL at other K - mirrored CASE.
-    Per-value tie cubes t^3 - t stay BIGINT (bound: largest tie block
-    <= 2M rows; cents spread over the [0, 49003) domain keeps real
-    blocks ~N/5e4).
-
-    Scale: the fact collapses to the (grp, v) grid in one combinable
-    agg; the rank windows run on the grid (SinglePartition over a
-    DOMAIN-bounded <= K*49003-row relation, the auc/isotonic posture);
-    group sums and the fold run on K rows."""
-    ev = load_table(spark, sf_dir, "events")
+def kruskal_grid(ev: DataFrame) -> DataFrame:
+    """The (grp, cents, count) grid — the SUM-mergeable Kruskal-Wallis
+    state (per-micro-batch grids fold by addition; ranks are computed
+    only at finalize because a value's pooled rank is meaningless until
+    every batch has contributed — the stream_mannwhitney precedent)."""
     cents = F.floor(F.col("value") * 100).cast("bigint")
-    grid = (
+    return (
         ev.select(F.col("event_type").alias("grp"), cents.alias("v"))
         .groupBy("grp", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint()
     )
+
+
+def kruskal_report(grid: DataFrame) -> DataFrame:
+    """Shared Kruskal-Wallis finalize over the (grp, v, c) grid; the
+    caller localCheckpoints the grid (it feeds BOTH the rank path and
+    the tie path — the multi-reader double-plan lesson)."""
     w_prev = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, -1)
     w_cur = Window.orderBy("v").rangeBetween(0, 0)
     ranked = grid.select(
@@ -4402,6 +4384,37 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@graded("q_kruskal_wallis", oracle=KRUSKAL_ORACLE)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis K-sample rank test (experimentation battery #13):
+    the nonparametric sibling of q_one_way_anova - do the K = 5
+    event-type spend distributions share a location? H =
+    12/(N(N+1)) sum_g R_g^2/n_g - 3(N+1), tie-corrected by
+    C = 1 - sum_v (t_v^3 - t_v)/(N^3 - N).
+
+    The Mann-Whitney DOUBLED-midrank discipline generalized to K
+    samples: on the (grp, cents, count) grid, the doubled midrank of
+    every member at value v is 2*cum_prev + t + 1 (cum_prev/t via two
+    RANGE windows over the pooled value axis - no join-back), so the
+    per-group doubled rank sum R2_g is an exact BIGINT through
+    arbitrary tie blocks; sum R_g^2/n_g = sum R2_g^2/(4 n_g) folds in
+    GROUP order as a double chain (R2_g^2 as DOUBLE*BIGINT - the
+    finalize-product doctrine; raw BIGINT R2_g^2 ~ 4N^4 overflows at
+    ~50k rows), and N^3 - N runs in doubles (N^3 overflows BIGINT past
+    ~2M rows). h/h_adj graded ROUNDED 6dp; reject_95 from the ROUNDED
+    h_adj vs chi2_0.95(4) = 9.487729, NULL at other K - mirrored CASE.
+    Per-value tie cubes t^3 - t stay BIGINT (bound: largest tie block
+    <= 2M rows; cents spread over the [0, 49003) domain keeps real
+    blocks ~N/5e4).
+
+    Scale: the fact collapses to the (grp, v) grid in one combinable
+    agg; the rank windows run on the grid (SinglePartition over a
+    DOMAIN-bounded <= K*49003-row relation, the auc/isotonic posture);
+    group sums and the fold run on K rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return kruskal_report(kruskal_grid(ev).localCheckpoint())
+
+
 DID_ORACLE = """
     WITH assigned AS (
       SELECT CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
@@ -4455,6 +4468,85 @@ DID_ORACLE = """
     """
 
 
+def did_assign(ev):
+    """The (arm, post, cents) projection shared by the batch query and
+    the streaming twin's per-batch absorb."""
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    post = F.when(F.unix_micros("ts") < 1705363200000000, F.lit(0)).otherwise(F.lit(1))
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    return ev.select(arm.alias("arm"), post.alias("post"), cents.alias("cents"))
+
+
+def did_cells(assigned: DataFrame) -> DataFrame:
+    """The 12-column 2x2 cell-moment row — the SUM-mergeable DiD state
+    (per-micro-batch cell rows fold by column-wise addition; an
+    all-batches-empty cell folds to NULL exactly as the batch agg
+    reports it, since sum() skips NULLs on both paths)."""
+
+    def cell(a, p):
+        return (F.col("arm") == a) & (F.col("post") == p)
+
+    aggs = []
+    for pref, fn in (
+        ("n", lambda cond: F.count_if(cond)),
+        ("s", lambda cond: F.sum(F.when(cond, F.col("cents")))),
+        ("q", lambda cond: F.sum(F.when(cond, F.col("cents") * F.col("cents")))),
+    ):
+        for a in ("a", "b"):
+            for p in (0, 1):
+                aggs.append(
+                    fn(cell(a.upper(), p)).cast("bigint").alias(f"{pref}_{a}{p}")
+                )
+    return assigned.agg(*aggs)
+
+
+def did_report(cells: DataFrame) -> DataFrame:
+    """Shared DiD finalize over the folded cell-moment row."""
+
+    def mean(c):
+        return F.col(f"s_{c}").cast("double") / F.col(f"n_{c}")
+
+    def vterm(c):
+        return (
+            (
+                F.col(f"q_{c}").cast("double")
+                - F.col(f"s_{c}").cast("double") * F.col(f"s_{c}") / F.col(f"n_{c}")
+            )
+            / (F.col(f"n_{c}") - 1)
+            / F.col(f"n_{c}")
+        )
+
+    did = (mean("b1") - mean("b0")) - (mean("a1") - mean("a0"))
+    var_sum = vterm("a0") + vterm("a1") + vterm("b0") + vterm("b1")
+    fin = cells.select(
+        "n_a0", "n_a1", "n_b0", "n_b1", did.alias("did"), var_sum.alias("var_sum")
+    )
+    ok = (
+        (F.col("n_a0") > 1)
+        & (F.col("n_a1") > 1)
+        & (F.col("n_b0") > 1)
+        & (F.col("n_b1") > 1)
+    )
+    okv = ok & (F.col("var_sum") > 0)
+    z = F.round(F.col("did") / F.sqrt(F.col("var_sum")), 6)
+    return fin.select(
+        "n_a0",
+        "n_a1",
+        "n_b0",
+        "n_b1",
+        F.when(ok, F.round(F.col("did"), 6)).alias("did"),
+        F.when(okv, F.round(F.sqrt(F.col("var_sum")), 6)).alias("se"),
+        F.when(okv, z).alias("z"),
+        F.when(okv, F.abs(z) > 1.959964).alias("reject_95"),
+    )
+
+
 @graded("q_diff_in_diff", oracle=DID_ORACLE)
 def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences estimate (experimentation battery
@@ -4480,67 +4572,7 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ab_test_report; the user-grain ratio-metric variant is
     q_ratio_metric_delta's territory."""
     ev = load_table(spark, sf_dir, "events")
-    arm = F.when(
-        F.substring(
-            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
-        )
-        < "8",
-        F.lit("A"),
-    ).otherwise(F.lit("B"))
-    post = F.when(F.unix_micros("ts") < 1705363200000000, F.lit(0)).otherwise(F.lit(1))
-    cents = F.floor(F.col("value") * 100).cast("bigint")
-    assigned = ev.select(arm.alias("arm"), post.alias("post"), cents.alias("cents"))
-
-    def cell(a, p):
-        return (F.col("arm") == a) & (F.col("post") == p)
-
-    aggs = []
-    for pref, fn in (
-        ("n", lambda cond: F.count_if(cond)),
-        ("s", lambda cond: F.sum(F.when(cond, F.col("cents")))),
-        ("q", lambda cond: F.sum(F.when(cond, F.col("cents") * F.col("cents")))),
-    ):
-        for a in ("a", "b"):
-            for p in (0, 1):
-                aggs.append(
-                    fn(cell(a.upper(), p)).cast("bigint").alias(f"{pref}_{a}{p}")
-                )
-    cells = assigned.agg(*aggs)
-
-    def mean(c):
-        return F.col(f"s_{c}").cast("double") / F.col(f"n_{c}")
-
-    def vterm(c):
-        return (
-            (
-                F.col(f"q_{c}").cast("double")
-                - F.col(f"s_{c}").cast("double") * F.col(f"s_{c}") / F.col(f"n_{c}")
-            )
-            / (F.col(f"n_{c}") - 1)
-            / F.col(f"n_{c}")
-        )
-
-    did = (mean("b1") - mean("b0")) - (mean("a1") - mean("a0"))
-    var_sum = vterm("a0") + vterm("a1") + vterm("b0") + vterm("b1")
-    fin = cells.select("n_a0", "n_a1", "n_b0", "n_b1", did.alias("did"), var_sum.alias("var_sum"))
-    ok = (
-        (F.col("n_a0") > 1)
-        & (F.col("n_a1") > 1)
-        & (F.col("n_b0") > 1)
-        & (F.col("n_b1") > 1)
-    )
-    okv = ok & (F.col("var_sum") > 0)
-    z = F.round(F.col("did") / F.sqrt(F.col("var_sum")), 6)
-    return fin.select(
-        "n_a0",
-        "n_a1",
-        "n_b0",
-        "n_b1",
-        F.when(ok, F.round(F.col("did"), 6)).alias("did"),
-        F.when(okv, F.round(F.sqrt(F.col("var_sum")), 6)).alias("se"),
-        F.when(okv, z).alias("z"),
-        F.when(okv, F.abs(z) > 1.959964).alias("reject_95"),
-    )
+    return did_report(did_cells(did_assign(ev)))
 
 
 def _ent_sql(n: str, p: str) -> str:

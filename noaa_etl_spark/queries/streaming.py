@@ -3947,3 +3947,198 @@ def q_stream_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     return zipf_report(folded)
+
+
+from noaa_etl_spark.queries.profiling import (
+    DID_ORACLE,
+    KRUSKAL_ORACLE,
+    did_assign,
+    did_cells,
+    did_report,
+    kruskal_grid,
+    kruskal_report,
+)
+
+
+@graded("q_stream_diff_in_diff", oracle=DID_ORACLE)
+def q_stream_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the difference-in-differences estimate (twin
+    #48) — the live quasi-experiment monitor: each micro-batch absorbs
+    its events into the 12-column 2x2 cell-moment row, and the fold is
+    pure column-wise BIGINT addition (the stats-merge discipline on a
+    2x2 design); did/se/z run only in the shared finalize. Arms and the
+    period cut are batch-independent pure functions of (user_id, ts),
+    so state rows merge regardless of arrival order. Shares DID_ORACLE
+    verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_did")
+    src, states, ckpt = (os.path.join(root, d) for d in ("src", "states", "ckpt"))
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    gate = F.pmod(F.xxhash64(F.lit("sdid"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = did_cells(did_assign(batch_df))
+        record_foreach_batch_plan("stream_did_cells", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    cols = [f"{p}_{a}{t}" for p in ("n", "s", "q") for a in ("a", "b") for t in (0, 1)]
+    folded = spark.read.parquet(states).agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in cols]
+    )
+    return did_report(folded)
+
+
+@graded("q_stream_kruskal", oracle=KRUSKAL_ORACLE)
+def q_stream_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Kruskal-Wallis K-sample test (twin #49) —
+    the stream_mannwhitney lesson generalized: RANKS are per-batch
+    meaningless (a value's pooled rank shifts with every arriving
+    batch), so the maintained state is the additive (grp, cents, count)
+    grid and the doubled-midrank machinery runs only in the shared
+    finalize over the fold. Shares KRUSKAL_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_kruskal")
+    src, states, ckpt = (os.path.join(root, d) for d in ("src", "states", "ckpt"))
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    gate = F.pmod(F.xxhash64(F.lit("skw"), F.col("event_id")), F.lit(3))
+    for i in range(3):
+        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = kruskal_grid(batch_df)
+        record_foreach_batch_plan("stream_kruskal_grid", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("grp", "v")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    return kruskal_report(folded)
+
+
+from noaa_etl_spark.queries.text import (
+    HEAPS_ORACLE,
+    heaps_report,
+    heaps_word_firsts,
+)
+from noaa_etl_spark.functions.text import tokenize as _heaps_tokenize
+
+
+@graded("q_stream_heaps", oracle=HEAPS_ORACLE)
+def q_stream_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Heaps'-law vocabulary-growth fit (twin
+    #50) — the live corpus-composition monitor beside q_stream_zipf.
+    TWO mergeable states per batch: the doc-grain (doc_id, n_tok) rows
+    (each doc arrives exactly once, so the union IS the batch relation)
+    and the (word, first-doc) relation, which folds by MIN — the
+    activity-bitmask merge class on the vocabulary axis: a later batch
+    can only LOWER a word's first-occurrence doc, never unsee it. The
+    cumulative curve and ln-ln fit run only in the shared finalize
+    because vocab-so-far at doc i depends on every batch's firsts.
+    Shares HEAPS_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_heaps")
+    src, st_tok, st_first, ckpt = (
+        os.path.join(root, d) for d in ("src", "tokens", "firsts", "ckpt")
+    )
+    for d in (src, st_tok, st_first, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    gate = F.pmod(F.xxhash64(F.lit("sheaps"), F.col("doc_id")), F.lit(3))
+    for i in range(3):
+        docs.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        toks = batch_df.select(
+            "doc_id", _heaps_tokenize(F.col("text")).alias("tk")
+        )
+        tokens = toks.select(
+            "doc_id", F.size("tk").cast("bigint").alias("n_tok")
+        )
+        firsts = heaps_word_firsts(toks)
+        record_foreach_batch_plan("stream_heaps_tokens", tokens)
+        record_foreach_batch_plan("stream_heaps_firsts", firsts)
+        tokens.write.mode("overwrite").parquet(f"{st_tok}/batch_id={batch_id}")
+        firsts.write.mode("overwrite").parquet(f"{st_first}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    tokens = spark.read.parquet(st_tok).select("doc_id", "n_tok")
+    firsts = (
+        spark.read.parquet(st_first)
+        .groupBy("w")
+        .agg(F.min("fd").cast("bigint").alias("fd"))
+    )
+    return heaps_report(tokens, firsts)

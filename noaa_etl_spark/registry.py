@@ -325,7 +325,13 @@ GRADED_WINDOW: list[str] = [
     # q_stream_cliffs_delta (twin #44), q_stream_conformal (twin #45),
     # q_cochran_q (battery #10), q_zipf_fit, q_post_stratification
     # (battery #11), q_stream_mspt (twin #46), q_stream_zipf (twin #47),
-    # q_sql_udf (the Spark 4 SQL-UDF §2.K surface, Catalyst-inlined). THEN the remaining 15 r7-stale (unpivot,
+    # q_sql_udf (the Spark 4 SQL-UDF §2.K surface, Catalyst-inlined),
+    # PLUS the 10 round-15 second-session additions (all oracle-paired):
+    # q_one_way_anova (battery #12), q_kruskal_wallis (battery #13),
+    # q_diff_in_diff (battery #14), q_decision_stump,
+    # q_multiple_regression, q_heaps_law, q_gap_regularity,
+    # q_stream_diff_in_diff (twin #48), q_stream_kruskal (twin #49),
+    # q_stream_heaps (twin #50). THEN the remaining 15 r7-stale (unpivot,
     # date_spine, lang_stats, quality_filter, perplexity_filter,
     # bm25_rank, feature_hashing, regexp_extract, incremental_agg,
     # incremental_stats_merge, linear_trend, stream_stats_merge,

@@ -90,6 +90,9 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_conformal": ["fb_stream_conformal_partial"],
     "q_stream_mspt": ["fb_stream_mspt_partial"],
     "q_stream_zipf": ["fb_stream_zipf_partial"],
+    "q_stream_diff_in_diff": ["fb_stream_did_cells"],
+    "q_stream_kruskal": ["fb_stream_kruskal_grid"],
+    "q_stream_heaps": ["fb_stream_heaps_tokens", "fb_stream_heaps_firsts"],
 }
 
 

@@ -1,0 +1,253 @@
+"""Round-15 second-session operator tests: independent Python replays
+for the new battery / ML-primitive / corpus-law queries (ANOVA,
+Kruskal-Wallis, diff-in-diff, decision stump, 2-feature OLS, Heaps'
+law, gap regularity) plus batch==stream equality for twins #48-#50 —
+beyond the oracle parity the driver checks."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_SMALL
+
+
+def _events_pdf():
+    return pd.read_parquet(f"{SF_SMALL}/events.parquet")
+
+
+def _arm(user_id) -> str:
+    return (
+        "A"
+        if hashlib.md5(f"ab:{user_id}".encode()).hexdigest()[0] < "8"
+        else "B"
+    )
+
+
+# ---------------------------------------------------------------- OLS
+
+
+def test_multiple_regression_matches_numpy(spark):
+    from noaa_etl_spark.queries.etl import q_multiple_regression
+
+    row = q_multiple_regression(spark, SF_SMALL).collect()[0]
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    x1 = np.floor(li.l_quantity + 0.5)
+    x2 = np.floor(li.l_discount * 100 + 0.5)
+    y = np.floor(li.l_extendedprice)
+    X = np.column_stack([np.ones(len(li)), x1, x2])
+    b, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row["n"] == len(li)
+    assert abs(row["b0"] - b[0]) < 1e-4
+    assert abs(row["b1"] - b[1]) < 1e-6
+    assert abs(row["b2"] - b[2]) < 1e-6
+    yhat = X @ b
+    r2 = 1 - ((y - yhat) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert abs(row["r2"] - r2) < 1e-5
+
+
+# ---------------------------------------------------------------- ANOVA
+
+
+def test_anova_matches_numpy(spark):
+    from noaa_etl_spark.queries.profiling import q_one_way_anova
+
+    row = q_one_way_anova(spark, SF_SMALL).collect()[0]
+    ev = _events_pdf()
+    cents = np.floor(ev.value * 100)
+    g = ev.event_type
+    grand = cents.mean()
+    ssb = sum(
+        len(cents[g == t]) * (cents[g == t].mean() - grand) ** 2
+        for t in g.unique()
+    )
+    ssw = sum(
+        ((cents[g == t] - cents[g == t].mean()) ** 2).sum() for t in g.unique()
+    )
+    k, n = g.nunique(), len(ev)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k"] == k and row["n"] == n
+    assert abs(row["ssb"] - ssb) < max(1e-3, abs(ssb) * 1e-9)
+    assert abs(row["ssw"] - ssw) < max(1e-3, abs(ssw) * 1e-9)
+    assert abs(row["f_stat"] - f) < 1e-5
+
+
+# ---------------------------------------------------------------- KW
+
+
+def test_kruskal_matches_midrank_replay(spark):
+    from noaa_etl_spark.queries.profiling import q_kruskal_wallis
+
+    row = q_kruskal_wallis(spark, SF_SMALL).collect()[0]
+    ev = _events_pdf()
+    cents = np.floor(ev.value * 100).astype(np.int64)
+    ranks = pd.Series(cents).rank(method="average").values
+    n = len(cents)
+    groups = ev.event_type.values
+    h = 12.0 / (n * (n + 1)) * sum(
+        ranks[groups == t].sum() ** 2 / (groups == t).sum()
+        for t in np.unique(groups)
+    ) - 3 * (n + 1)
+    _, t_counts = np.unique(cents, return_counts=True)
+    c = 1 - (t_counts**3 - t_counts).sum() / (n**3 - n)
+    assert row["n"] == n
+    assert abs(row["h"] - h) < 1e-6
+    assert abs(row["h_adj"] - h / c) < 1e-6
+    assert row["reject_95"] == (round(h / c, 6) > 9.487729)
+
+
+# ---------------------------------------------------------------- DiD
+
+
+def test_did_matches_replay(spark):
+    from noaa_etl_spark.queries.profiling import q_diff_in_diff
+
+    row = q_diff_in_diff(spark, SF_SMALL).collect()[0]
+    ev = _events_pdf()
+    cents = np.floor(ev.value * 100)
+    arm = ev.user_id.map(_arm).values
+    t_us = ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    post = t_us >= 1705363200000000
+    cells = {}
+    for a in ("A", "B"):
+        for p in (0, 1):
+            m = (arm == a) & (post.values == bool(p))
+            cells[f"{a}{p}"] = cents[m]
+    did = (cells["B1"].mean() - cells["B0"].mean()) - (
+        cells["A1"].mean() - cells["A0"].mean()
+    )
+    var_sum = sum(c.var(ddof=1) / len(c) for c in cells.values())
+    assert row["n_a0"] == len(cells["A0"]) and row["n_b1"] == len(cells["B1"])
+    assert abs(row["did"] - did) < 1e-6
+    assert abs(row["z"] - did / math.sqrt(var_sum)) < 1e-5
+
+
+# ---------------------------------------------------------------- stump
+
+
+def test_stump_matches_bruteforce(spark):
+    from noaa_etl_spark.queries.profiling import q_decision_stump
+
+    row = q_decision_stump(spark, SF_SMALL).collect()[0]
+    ev = _events_pdf()
+    bucket = np.minimum(np.floor(ev.value * 100).astype(np.int64) // 50, 1023)
+    y = (ev.event_type == "purchase").astype(int).values
+
+    def ent(n, p):
+        if n == 0:
+            return 0.0
+        out = 0.0
+        for q in (p, n - p):
+            if q > 0:
+                out -= (q / n) * math.log(q / n)
+        return out
+
+    n_tot, p_tot = len(y), int(y.sum())
+    best = None
+    for k in sorted(set(bucket)):
+        left = bucket <= k
+        nl, pl = int(left.sum()), int(y[left].sum())
+        nr, pr = n_tot - nl, p_tot - pl
+        if nl == 0 or nr == 0:
+            continue
+        gain = round(
+            ent(n_tot, p_tot)
+            - (nl / n_tot) * ent(nl, pl)
+            - (nr / n_tot) * ent(nr, pr),
+            6,
+        )
+        if best is None or gain > best[0] or (gain == best[0] and k < best[1]):
+            best = (gain, k, nl, pl, nr, pr)
+    assert row["split_bucket"] == best[1]
+    assert row["n_left"] == best[2] and row["pos_left"] == best[3]
+    assert row["n_right"] == best[4] and row["pos_right"] == best[5]
+    assert abs(row["gain"] - best[0]) < 2e-6
+
+
+# ---------------------------------------------------------------- heaps
+
+
+def test_heaps_matches_replay(spark):
+    from noaa_etl_spark.queries.text import q_heaps_law
+
+    row = q_heaps_law(spark, SF_SMALL).collect()[0]
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet").sort_values("doc_id")
+    seen, pts = set(), []
+    cn = 0
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        cn += len(toks)
+        seen.update(toks)
+        if r["doc_id"] % 7 == 0 and cn > 0 and len(seen) > 0:
+            pts.append((math.log(cn), math.log(len(seen))))
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    k = len(pts)
+    slope = (k * (xs * ys).sum() - xs.sum() * ys.sum()) / (
+        k * (xs * xs).sum() - xs.sum() ** 2
+    )
+    intercept = (ys.sum() - slope * xs.sum()) / k
+    assert row["n_points"] == k
+    assert abs(row["beta"] - slope) < 1e-5
+    assert abs(row["ln_k"] - intercept) < 1e-4
+    # natural-language-ish corpus: sublinear vocabulary growth
+    assert 0.0 < row["beta"] < 1.0
+
+
+# ---------------------------------------------------------------- gaps
+
+
+def test_gap_regularity_matches_replay(spark):
+    from noaa_etl_spark.queries.temporal import q_gap_regularity
+
+    rows = {r["user_id"]: r for r in q_gap_regularity(spark, SF_SMALL).collect()}
+    ev = _events_pdf().sort_values(["user_id", "ts", "event_id"])
+    checked = 0
+    for uid, grp in ev.groupby("user_id"):
+        t = grp.ts.astype("datetime64[ns]").astype("int64").values // 1000  # micros
+        if len(t) < 2:
+            assert uid not in rows
+            continue
+        g = np.diff(t) // 1_000_000
+        r = rows[uid]
+        assert r["n_gaps"] == len(g)
+        mean = g.sum() / len(g)
+        assert abs(r["mean_gap_s"] - mean) < 1e-6
+        if len(g) > 1 and g.sum() > 0:
+            cv = math.sqrt(max(g.var(ddof=1), 0.0)) / mean
+            assert abs(r["cv"] - cv) < 1e-5
+            assert r["is_regular"] == (len(g) >= 20 and round(cv, 6) < 0.5)
+        checked += 1
+        if checked >= 25:
+            break
+
+
+# ---------------------------------------------------------------- twins
+
+
+def test_stream_kruskal_equals_batch(spark):
+    from noaa_etl_spark.queries.profiling import q_kruskal_wallis
+    from noaa_etl_spark.queries.streaming import q_stream_kruskal
+
+    b = q_kruskal_wallis(spark, SF_SMALL).collect()[0].asDict()
+    s = q_stream_kruskal(spark, SF_SMALL).collect()[0].asDict()
+    assert b == s
+
+
+def test_stream_did_equals_batch(spark):
+    from noaa_etl_spark.queries.profiling import q_diff_in_diff
+    from noaa_etl_spark.queries.streaming import q_stream_diff_in_diff
+
+    b = q_diff_in_diff(spark, SF_SMALL).collect()[0].asDict()
+    s = q_stream_diff_in_diff(spark, SF_SMALL).collect()[0].asDict()
+    assert b == s
+
+
+def test_stream_heaps_equals_batch(spark):
+    from noaa_etl_spark.queries.streaming import q_stream_heaps
+    from noaa_etl_spark.queries.text import q_heaps_law
+
+    b = q_heaps_law(spark, SF_SMALL).collect()[0].asDict()
+    s = q_stream_heaps(spark, SF_SMALL).collect()[0].asDict()
+    assert b == s
