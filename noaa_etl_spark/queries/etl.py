@@ -1519,6 +1519,46 @@ MULTI_REG_ORACLE = f"""
     """
 
 
+def ols_obs(li: DataFrame) -> DataFrame:
+    """The integer-quantized (x1, x2, y) observation projection shared
+    by the batch query and the streaming twin's per-batch absorb."""
+    return li.select(
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("x2"),
+        F.floor(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+
+
+def ols_moments(obs: DataFrame) -> DataFrame:
+    """The ten-column sufficient-statistic row — the SUM-mergeable OLS
+    state (per-micro-batch rows fold by column-wise addition: the
+    normal equations depend on the data only through these sums, so
+    incremental regression is exact)."""
+    return obs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("sx11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("sx22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("sx12"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+
+
+def ols_report(m: DataFrame) -> DataFrame:
+    """Shared OLS finalize: the verbatim _OLS3 fragments via selectExpr."""
+    return m.selectExpr(
+        "n",
+        f"{_OLS3['b0']} AS b0",
+        f"{_OLS3['b1']} AS b1",
+        f"{_OLS3['b2']} AS b2",
+        f"{_OLS3['r2']} AS r2",
+    )
+
+
 @graded("q_multiple_regression", oracle=MULTI_REG_ORACLE)
 def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-feature multiple linear regression by the closed-form normal
@@ -1544,27 +1584,4 @@ def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Replay-tested against numpy lstsq (tests/test_round15b_ops.py)."""
     li = load_table(spark, sf_dir, "lineitem")
-    obs = li.select(
-        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("x1"),
-        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("x2"),
-        F.floor(F.col("l_extendedprice")).cast("bigint").alias("y"),
-    )
-    m = obs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x1").cast("bigint").alias("sx1"),
-        F.sum("x2").cast("bigint").alias("sx2"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("sx11"),
-        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("sx22"),
-        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("sx12"),
-        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("sx1y"),
-        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("sx2y"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-    )
-    return m.selectExpr(
-        "n",
-        f"{_OLS3['b0']} AS b0",
-        f"{_OLS3['b1']} AS b1",
-        f"{_OLS3['b2']} AS b2",
-        f"{_OLS3['r2']} AS r2",
-    )
+    return ols_report(ols_moments(ols_obs(li)))

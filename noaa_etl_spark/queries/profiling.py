@@ -4200,6 +4200,17 @@ def q_one_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("q_g"),
         )
     )
+    return anova_report(m)
+
+
+def anova_report(m: DataFrame) -> DataFrame:
+    """Shared one-way-ANOVA finalize over a (grp, n_g, s_g, q_g) moment
+    relation — consumed by q_one_way_anova (response = cents) and
+    q_levene_test (response = absolute deviation from the group
+    median, the Brown-Forsythe transform): SSB/SSW terms as
+    token-identical double chains, cross-group sums folded in GROUP
+    order, F rounded 6dp, reject vs the F(4, inf) asymptotic literal
+    gated on denominator dof > 1000."""
     s_d = F.col("s_g").cast("double")
     ssb_t = (s_d * F.col("s_g") / F.col("n_g")).alias("ssb_t")
     ssw_t = (
@@ -4647,10 +4658,18 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable agg; windows + argmax run SinglePartition on the
     bounded grid (the auc/isotonic posture)."""
     ev = load_table(spark, sf_dir, "events")
+    return stump_report(stump_grid(ev))
+
+
+def stump_grid(ev: DataFrame) -> DataFrame:
+    """The (bucket, n, pos) grid — the SUM-mergeable decision-stump
+    state (per-micro-batch grids fold by addition; the gain scan runs
+    only at finalize because every candidate split's confusion counts
+    depend on the full prefix sums)."""
     bucket = F.least(
         F.expr("CAST(floor(value * 100) AS BIGINT) div 50"), F.lit(1023)
     )
-    grid = (
+    return (
         ev.select(
             bucket.alias("bucket"),
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
@@ -4661,6 +4680,10 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("bigint").alias("pos"),
         )
     )
+
+
+def stump_report(grid: DataFrame) -> DataFrame:
+    """Shared decision-stump finalize over the folded bucket grid."""
     w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -4712,4 +4735,893 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nr").alias("n_right"),
         F.col("pr").alias("pos_right"),
         "gain",
+    )
+
+
+WILCOXON_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN epoch_us(ts) < 1705363200000000
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN epoch_us(ts) >= 1705363200000000
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS post
+      FROM events GROUP BY user_id
+    ),
+    diffs AS (
+      SELECT user_id, post - pre AS d FROM per_user WHERE post - pre <> 0
+    ),
+    grid AS (
+      SELECT abs(d) AS v,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(count(*) FILTER (d > 0) AS BIGINT) AS cpos
+      FROM diffs GROUP BY abs(d)
+    ),
+    ranked AS (
+      SELECT v, c, cpos,
+             CAST(coalesce(sum(c) OVER (
+               ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_prev
+      FROM grid
+    ),
+    sums AS (
+      SELECT CAST(sum(c) AS BIGINT)  AS n,
+             CAST(sum(cpos * (2 * cum_prev + c + 1)) AS BIGINT) AS w2_plus,
+             CAST(sum(c * c * c - c) AS BIGINT) AS tt
+      FROM ranked
+    ),
+    fin AS (
+      SELECT n, w2_plus,
+             CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0 AS mean2,
+             CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+               * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0
+               - CAST(tt AS DOUBLE) / 12.0 AS var2
+      FROM sums
+    )
+    SELECT n AS n_nonzero, w2_plus,
+           CASE WHEN n > 1 AND var2 > 0
+                THEN round((CAST(w2_plus AS DOUBLE) - mean2) / sqrt(var2), 6)
+           END AS z,
+           CASE WHEN n > 1 AND var2 > 0
+                THEN abs(round((CAST(w2_plus AS DOUBLE) - mean2)
+                               / sqrt(var2), 6)) > 1.959964
+           END AS reject_95
+    FROM fin
+    """
+
+
+@graded("q_wilcoxon_signed_rank", oracle=WILCOXON_ORACLE)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (experimentation battery #15): the
+    PAIRED nonparametric test — did per-user spend shift between the
+    pre and post periods (same fixed epoch cut as q_diff_in_diff)?
+    Pairs are the user's own (pre, post) cent totals, so each user is
+    their own control; zero differences are excluded per the standard
+    procedure.
+
+    The doubled-midrank discipline on the |d| axis: the (|d|, count,
+    positive-count) grid is value-grain, so the doubled midrank of
+    every member at |d| = v is 2*cum_prev + c + 1 (one RANGE window),
+    and W2+ = sum over positive diffs is an exact BIGINT through tie
+    blocks. Normal approximation with tie correction in DOUBLES at
+    finalize (mean2 = n(n+1)/2, var2 = n(n+1)(2n+1)/6 - T/12 on the
+    DOUBLED scale; T = sum(c^3 - c) stays BIGINT under the documented
+    tie-block bound); z graded ROUNDED 6dp, reject from the rounded
+    value; n <= 1 or var2 = 0 NULLs inference (mirrored).
+
+    Scale: fact -> user grain in one combinable agg (the ratio-metric
+    randomization-unit discipline); the rank machinery runs on the
+    |distinct nonzero diffs|-row grid."""
+    ev = load_table(spark, sf_dir, "events")
+    return wilcoxon_report(wilcoxon_user_state(ev))
+
+
+def wilcoxon_user_state(ev: DataFrame) -> DataFrame:
+    """The per-user (pre, post) cent totals — the SUM-mergeable
+    Wilcoxon state: a user's events may span micro-batches, but the
+    paired totals fold by per-user addition; the diff/rank machinery
+    runs only at finalize (ranks of |d| are per-batch meaningless, the
+    stream_mannwhitney lesson on the paired axis)."""
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    t_us = F.unix_micros("ts")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(t_us < 1705363200000000, cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("pre"),
+        F.sum(F.when(t_us >= 1705363200000000, cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("post"),
+    )
+
+
+def wilcoxon_report(per_user: DataFrame) -> DataFrame:
+    """Shared signed-rank finalize over the folded per-user totals."""
+    diffs = per_user.select(
+        (F.col("post") - F.col("pre")).alias("d")
+    ).filter(F.col("d") != 0)
+    grid = diffs.groupBy(F.abs(F.col("d")).alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.count_if(F.col("d") > 0).cast("bigint").alias("cpos"),
+    )
+    w_prev = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, -1)
+    ranked = grid.select(
+        "v",
+        "c",
+        "cpos",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).cast("bigint").alias("cum_prev"),
+    )
+    sums = ranked.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("cpos") * (F.lit(2) * F.col("cum_prev") + F.col("c") + 1))
+        .cast("bigint")
+        .alias("w2_plus"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("tt"),
+    )
+    nd = F.col("n").cast("double")
+    mean2 = nd * (nd + F.lit(1.0)) / F.lit(2.0)
+    var2 = (
+        nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0)) / F.lit(6.0)
+        - F.col("tt").cast("double") / F.lit(12.0)
+    )
+    fin = sums.select(
+        "n", "w2_plus", mean2.alias("mean2"), var2.alias("var2")
+    )
+    ok = (F.col("n") > 1) & (F.col("var2") > 0)
+    z = F.round(
+        (F.col("w2_plus").cast("double") - F.col("mean2")) / F.sqrt(F.col("var2")), 6
+    )
+    return fin.select(
+        F.col("n").alias("n_nonzero"),
+        "w2_plus",
+        F.when(ok, z).alias("z"),
+        F.when(ok, F.abs(z) > 1.959964).alias("reject_95"),
+    )
+
+
+PAIRWISE_ARMS_ORACLE = """
+    WITH moments AS (
+      SELECT event_type AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)
+                      * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS q
+      FROM events GROUP BY grp
+    ),
+    ks AS (SELECT CAST(count(*) AS BIGINT) AS k FROM moments),
+    pairs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b,
+             a.n AS na, b.n AS nb, a.s AS sa, b.s AS sb, a.q AS qa, b.q AS qb
+      FROM moments a JOIN moments b ON a.grp < b.grp
+    ),
+    fin AS (
+      SELECT grp_a, grp_b, na, nb, k,
+             (CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+               / sqrt((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+                        / (na - 1) / na
+                      + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb)
+                        / (nb - 1) / nb) AS z
+      FROM pairs CROSS JOIN ks
+    )
+    SELECT grp_a, grp_b, na, nb,
+           CASE WHEN na > 1 AND nb > 1 THEN round(z, 6) END AS z,
+           CASE WHEN na > 1 AND nb > 1 AND k = 5
+                THEN abs(round(z, 6)) > 2.807034
+           END AS reject_bonf
+    FROM fin ORDER BY grp_a, grp_b
+    """
+
+
+@graded("q_pairwise_arms_bonferroni", oracle=PAIRWISE_ARMS_ORACLE)
+def q_pairwise_arms_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Welch comparisons with Bonferroni correction
+    (experimentation battery #16) — the multiple-comparison follow-up
+    q_one_way_anova demands: after the omnibus F, WHICH of the
+    K(K-1)/2 = 10 group pairs differ? Each pair's Welch z from the
+    shared exact-BIGINT moments; the family-wise error rate is held at
+    0.05 by the Bonferroni critical z = Phi^-1(1 - 0.025/10) =
+    2.807034 — a PRECOMPUTED literal (the record_linkage_fs doctrine:
+    ln/Phi never run at query time), emitted only when K = 5 (the m
+    the literal encodes; any other K grades NULL, mirrored CASE — the
+    chi-square dof-CASE discipline).
+
+    Scale: ONE combinable agg collapses the fact to K rows; the pair
+    self-join and z chains run on the K-row relation (checkpointed —
+    it feeds both the pair join's two sides and the k count, the
+    multi-reader rule). z graded ROUNDED 6dp; singleton arms NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    m = (
+        ev.select(F.col("event_type").alias("grp"), cents.alias("cents"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("q"),
+        )
+        .localCheckpoint()
+    )
+    ks = m.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    a = m.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("q").alias("qa"),
+    )
+    b = m.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("q").alias("qb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b")).crossJoin(
+        F.broadcast(ks)
+    )
+    z = (
+        F.col("sb").cast("double") / F.col("nb")
+        - F.col("sa").cast("double") / F.col("na")
+    ) / F.sqrt(
+        (F.col("qa").cast("double") - F.col("sa").cast("double") * F.col("sa") / F.col("na"))
+        / (F.col("na") - 1)
+        / F.col("na")
+        + (F.col("qb").cast("double") - F.col("sb").cast("double") * F.col("sb") / F.col("nb"))
+        / (F.col("nb") - 1)
+        / F.col("nb")
+    )
+    fin = pairs.select("grp_a", "grp_b", "na", "nb", "k", z.alias("z"))
+    ok = (F.col("na") > 1) & (F.col("nb") > 1)
+    zr = F.round(F.col("z"), 6)
+    return fin.select(
+        "grp_a",
+        "grp_b",
+        "na",
+        "nb",
+        F.when(ok, zr).alias("z"),
+        F.when(ok & (F.col("k") == 5), F.abs(zr) > 2.807034).alias("reject_bonf"),
+    )
+
+
+CRAMERS_V_ORACLE = """
+    WITH grid AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50), 4) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT t.event_type, b.band
+      FROM (SELECT DISTINCT event_type FROM grid) t
+      CROSS JOIN (SELECT DISTINCT band FROM grid) b
+    ),
+    filled AS (
+      SELECT s.event_type, s.band, coalesce(g.o, CAST(0 AS BIGINT)) AS o
+      FROM spine s LEFT JOIN grid g USING (event_type, band)
+    ),
+    tot AS (
+      SELECT event_type, band, o,
+             CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+             CAST(sum(o) OVER (PARTITION BY band) AS BIGINT)       AS c,
+             CAST(sum(o) OVER () AS BIGINT)                        AS nn
+      FROM filled
+    ),
+    terms AS (
+      SELECT event_type, band, nn,
+             ((CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+               - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+              * (CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+                 - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+               / (CAST(nn AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+               AS term
+      FROM tot
+    ),
+    fin AS (
+      SELECT CAST(max(nn) AS BIGINT) AS n_total,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT band) AS BIGINT)       AS n_cols,
+             round(sum(term ORDER BY event_type, band), 6) AS chi2
+      FROM terms
+    )
+    SELECT n_total, n_rows, n_cols, chi2,
+           CASE WHEN n_total > 0 AND least(n_rows - 1, n_cols - 1) > 0
+                THEN round(sqrt(chi2 / (CAST(n_total AS DOUBLE)
+                     * least(n_rows - 1, n_cols - 1))), 6)
+           END AS v
+    FROM fin
+    """
+
+
+@graded("q_cramers_v", oracle=CRAMERS_V_ORACLE)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V — the EFFECT SIZE for the chi-square association
+    (the cliffs_delta lesson on the contingency axis: at corpus n the
+    chi-square p-value saturates and every association "rejects"; V =
+    sqrt(chi2 / (N * min(r-1, c-1))) in [0, 1] says whether the
+    association is LARGE). Reuses the shared chi_square_grid state and
+    the same exact-integer (o*N - r*c)^2/(N*r*c) term rendering; V is
+    derived from the ROUNDED chi2 (one sqrt of one division — the
+    derived-from-rounded doctrine, so the grade can never split from
+    the chi2 grade). Degenerate 1-row/1-column tables NULL v
+    (mirrored).
+
+    Scale: identical to q_chi_square_independence — the fact collapses
+    to the |types|x|bands| grid (checkpointed, three readers), all
+    finalize on the bounded relation."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = chi_square_grid(ev).localCheckpoint()
+    types = grid.select("event_type").distinct()
+    bands = grid.select("band").distinct()
+    spine = types.crossJoin(F.broadcast(bands))
+    filled = spine.join(grid, ["event_type", "band"], "left").select(
+        "event_type",
+        "band",
+        F.coalesce(F.col("o"), F.lit(0).cast("bigint")).alias("o"),
+    )
+    w_t = Window.partitionBy("event_type")
+    w_b = Window.partitionBy("band")
+    w_all = Window.partitionBy()
+    tot = filled.select(
+        "event_type",
+        "band",
+        "o",
+        F.sum("o").over(w_t).cast("bigint").alias("r"),
+        F.sum("o").over(w_b).cast("bigint").alias("c"),
+        F.sum("o").over(w_all).cast("bigint").alias("nn"),
+    )
+    o_d, r_d = F.col("o").cast("double"), F.col("r").cast("double")
+    c_d, nn_d = F.col("c").cast("double"), F.col("nn").cast("double")
+    num_d = o_d * nn_d - r_d * c_d
+    terms = tot.select(
+        "event_type",
+        "band",
+        "nn",
+        ((num_d * num_d) / (nn_d * r_d * c_d)).alias("term"),
+    )
+    fin = terms.agg(
+        F.max("nn").cast("bigint").alias("n_total"),
+        F.countDistinct("event_type").cast("bigint").alias("n_rows"),
+        F.countDistinct("band").cast("bigint").alias("n_cols"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("event_type").alias("e"),
+                                F.col("band").alias("bd"),
+                                F.col("term").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("chi2"),
+    )
+    minrc = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    return fin.select(
+        "n_total",
+        "n_rows",
+        "n_cols",
+        "chi2",
+        F.when(
+            (F.col("n_total") > 0) & (minrc > 0),
+            F.round(
+                F.sqrt(F.col("chi2") / (F.col("n_total").cast("double") * minrc)), 6
+            ),
+        ).alias("v"),
+    )
+
+
+LEVENE_ORACLE = """
+    WITH assigned AS (
+      SELECT event_type AS grp, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    deviations AS (
+      SELECT grp,
+             CAST(abs(2 * cents - 2 * quantile_cont(cents, 0.5)
+                      OVER (PARTITION BY grp)) AS BIGINT) AS z
+      FROM assigned
+    ),
+    moments AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT)      AS n_g,
+             CAST(sum(z) AS BIGINT)        AS s_g,
+             CAST(sum(z * z) AS BIGINT)    AS q_g
+      FROM deviations GROUP BY grp
+    ),
+    terms AS (
+      SELECT grp, n_g, s_g, q_g,
+             CAST(s_g AS DOUBLE) * s_g / n_g                        AS ssb_t,
+             CAST(q_g AS DOUBLE) - CAST(s_g AS DOUBLE) * s_g / n_g  AS ssw_t
+      FROM moments
+    ),
+    folds AS (
+      SELECT CAST(count(*) AS BIGINT)   AS k,
+             CAST(sum(n_g) AS BIGINT)   AS n,
+             CAST(sum(s_g) AS BIGINT)   AS s,
+             sum(ssb_t ORDER BY grp)    AS sum_ssb,
+             sum(ssw_t ORDER BY grp)    AS sum_ssw
+      FROM terms
+    ),
+    fin AS (
+      SELECT k, n,
+             sum_ssb - CAST(s AS DOUBLE) * s / n AS ssb,
+             sum_ssw                             AS ssw
+      FROM folds
+    )
+    SELECT k, n,
+           CASE WHEN k > 1 AND n > k THEN round(ssb, 6) END AS ssb,
+           CASE WHEN k > 1 AND n > k THEN round(ssw, 6) END AS ssw,
+           CASE WHEN k > 1 AND n > k AND ssw > 0
+                THEN round((ssb / (k - 1)) / (ssw / (n - k)), 6) END AS f_stat,
+           CASE WHEN k = 5 AND n - k > 1000 AND ssw > 0
+                THEN round((ssb / (k - 1)) / (ssw / (n - k)), 6) > 2.371932
+           END AS reject_95
+    FROM fin
+    """
+
+
+@graded("q_levene_test", oracle=LEVENE_ORACLE)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (experimentation
+    battery #17): do the K event-type groups share a SPREAD? — the
+    diagnostic q_one_way_anova's equal-variance reading quietly
+    assumes, and the robust (median-centred) Levene form every modern
+    package defaults to. F_BF = one-way ANOVA on z = |x - median_g|.
+
+    THE EXACT-INTEGER TRICK: quantile_cont(0.5) is either a data value
+    or the midpoint of two, so 2*median is ALWAYS an integer (exact in
+    IEEE: (a+b)/2 then *2 reconstructs a+b) - the deviations are
+    computed on the DOUBLED scale, z = |2x - 2med|, and land as exact
+    BIGINTs: the whole Brown-Forsythe transform never leaves integer
+    arithmetic (an undoubled |x - med| would be a .5-valued double and
+    its sum-of-squares accumulation-order-sensitive). After that the
+    shared anova_report machinery applies verbatim (group-ordered
+    folds, F(4, inf) literal; SSB/SSW here are on the doubled-z scale,
+    which scales F by exactly 1 - both engines identically).
+
+    Scale: one window exchange on event_type (the anomaly_mad
+    percentile posture) + one combinable moment agg on the same key;
+    finalize on K rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("grp")
+    assigned = ev.select(F.col("event_type").alias("grp"), cents.alias("cents"))
+    med2 = F.percentile("cents", F.lit(0.5)).over(w) * 2
+    z = F.abs(F.lit(2) * F.col("cents") - med2).cast("bigint")
+    devs = assigned.select("grp", z.alias("z"))
+    m = devs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z").cast("bigint").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("q_g"),
+    )
+    return anova_report(m)
+
+
+MANN_KENDALL_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY d
+    ),
+    pairs AS (
+      SELECT CAST(count(*) FILTER (b.y > a.y) AS BIGINT) AS conc,
+             CAST(count(*) FILTER (b.y < a.y) AS BIGINT) AS disc
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+      FROM (SELECT y, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y)
+    ),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    fin AS (
+      SELECT n, conc - disc AS s_stat,
+             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                * (2.0 * CAST(n AS DOUBLE) + 5.0)
+              - CAST(tt AS DOUBLE)) / 18.0 AS var_s
+      FROM pairs CROSS JOIN ties CROSS JOIN ns
+    )
+    SELECT n AS n_days, s_stat,
+           CASE WHEN n > 1 AND var_s > 0 THEN
+             round(CASE WHEN s_stat > 0
+                        THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                        WHEN s_stat < 0
+                        THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                        ELSE 0.0 END, 6)
+           END AS z,
+           CASE WHEN n > 1 AND var_s > 0 THEN
+             abs(round(CASE WHEN s_stat > 0
+                        THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                        WHEN s_stat < 0
+                        THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                        ELSE 0.0 END, 6)) > 1.959964
+           END AS reject_95
+    FROM fin
+    """
+
+
+@graded("q_mann_kendall", oracle=MANN_KENDALL_ORACLE)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST on the daily order-count series — the
+    inference companion to q_theil_sen's slope ESTIMATE (the standard
+    pairing in environmental/ops monitoring: MK decides IF there is a
+    monotone trend, Theil-Sen says how steep). S = sum over day pairs
+    of sign(y_j - y_i), rendered as pure COMPARISONS (concordant minus
+    discordant counts — the kendall_tau doctrine: never sign() of a
+    BIGINT product), exact through ties; var(S) with the tie
+    correction sum t(t-1)(2t+5) in doubles; the continuity-corrected
+    z = (S -/+ 1)/sqrt(var) graded ROUNDED 6dp, reject from the
+    rounded value; n <= 1 or zero variance NULLs inference.
+
+    Scale: the fact collapses to the BOUNDED day calendar (the
+    theil_sen contract) in one combinable agg; the O(n^2) pair join,
+    tie grid, and finalize all run on that checkpointed ~|days|-row
+    relation (multi-reader rule)."""
+    from noaa_etl_spark.queries.temporal import changepoint_daily
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = changepoint_daily(orders).localCheckpoint()
+    return mann_kendall_finalize(daily)
+
+
+def mann_kendall_finalize(daily: DataFrame) -> DataFrame:
+    """Shared MK finalize over the (checkpointed) folded (d, y) daily
+    relation: pure-comparison S, tie-corrected variance, continuity-
+    corrected z."""
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).agg(
+        F.count_if(F.col("yb") > F.col("ya")).cast("bigint").alias("conc"),
+        F.count_if(F.col("yb") < F.col("ya")).cast("bigint").alias("disc"),
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    ns = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nd = F.col("n").cast("double")
+    var_s = (
+        nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+        - F.col("tt").cast("double")
+    ) / F.lit(18.0)
+    fin = (
+        pairs.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "n",
+            (F.col("conc") - F.col("disc")).alias("s_stat"),
+            var_s.alias("var_s"),
+        )
+    )
+    s_d = F.col("s_stat").cast("double")
+    zc = (
+        F.when(F.col("s_stat") > 0, (s_d - F.lit(1.0)) / F.sqrt(F.col("var_s")))
+        .when(F.col("s_stat") < 0, (s_d + F.lit(1.0)) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    ok = (F.col("n") > 1) & (F.col("var_s") > 0)
+    return fin.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.when(ok, F.round(zc, 6)).alias("z"),
+        F.when(ok, F.abs(F.round(zc, 6)) > 1.959964).alias("reject_95"),
+    )
+
+
+CRONBACH_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(floor(value) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x1,
+             CAST(sum(CASE WHEN event_type = 'view'
+                           THEN CAST(floor(value) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x2,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(value) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x3
+      FROM events GROUP BY user_id
+    ),
+    moments AS (
+      SELECT CAST(count(*) AS BIGINT)                       AS n,
+             CAST(sum(x1) AS BIGINT)                        AS s1,
+             CAST(sum(x2) AS BIGINT)                        AS s2,
+             CAST(sum(x3) AS BIGINT)                        AS s3,
+             CAST(sum(x1 * x1) AS BIGINT)                   AS q1,
+             CAST(sum(x2 * x2) AS BIGINT)                   AS q2,
+             CAST(sum(x3 * x3) AS BIGINT)                   AS q3,
+             CAST(sum(x1 + x2 + x3) AS BIGINT)              AS st,
+             CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS qt
+      FROM per_user
+    ),
+    fin AS (
+      SELECT n,
+             (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS v1,
+             (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1) AS v2,
+             (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n) / (n - 1) AS v3,
+             (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n) / (n - 1) AS vt
+      FROM moments
+    )
+    SELECT n AS n_users,
+           CASE WHEN n > 1 THEN round(v1, 6) END AS var_item1,
+           CASE WHEN n > 1 THEN round(v2, 6) END AS var_item2,
+           CASE WHEN n > 1 THEN round(v3, 6) END AS var_item3,
+           CASE WHEN n > 1 THEN round(vt, 6) END AS var_total,
+           CASE WHEN n > 1 AND vt > 0
+                THEN round(3.0 / 2.0 * (1.0 - (v1 + v2 + v3) / vt), 6)
+           END AS alpha
+    FROM fin
+    """
+
+
+@graded("q_cronbach_alpha", oracle=CRONBACH_ORACLE)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the three per-user spend items (click /
+    view / purchase dollar totals) — the internal-consistency
+    coefficient for any multi-item score (labeling rubrics, LLM-judge
+    ensembles, survey scales): alpha = k/(k-1) * (1 - sum var_i /
+    var_total) says whether the items measure one construct.
+
+    Exactness: items are user-grain DOLLAR totals (the covariance
+    dollars-quantization precedent — the TOTAL's square q_t must stay
+    BIGINT: cents-grain would overflow at ~1e4x replication) from ONE
+    combinable agg; all five variances are token-identical double
+    chains over the nine exact moments; the item-variance sum is the
+    FIXED literal chain v1 + v2 + v3 (fixed written order, the DiD
+    four-term precedent — items are named columns, not an
+    engine-ordered fold). alpha graded ROUNDED 6dp; n <= 1 or zero
+    total variance NULLs (mirrored).
+
+    Scale: fact -> user grain -> one moment row; finalize on one row."""
+    ev = load_table(spark, sf_dir, "events")
+    return cronbach_report(cronbach_user_state(ev))
+
+
+def levene_report_from_grid(grid: DataFrame) -> DataFrame:
+    """Brown-Forsythe finalize from the folded (grp, v, c) count grid —
+    the streaming twin's path: the group median comes by CUMULATIVE
+    SELECTION on the grid (2*med = v@rank((n+1) div 2) +
+    v@rank((n+2) div 2), the weighted_median machinery — identical to
+    quantile_cont(0.5) by the odd/even midpoint identity), and the
+    deviation moments come from the grid itself (sum c*z, c*z^2), so
+    the whole transform equals the per-event batch form exactly."""
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("grp")
+    cums = grid.select(
+        "grp",
+        "v",
+        "c",
+        F.sum("c").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("c").over(w_all).cast("bigint").alias("n_g"),
+    )
+    r1 = F.expr("(n_g + 1) div 2")
+    r2 = F.expr("(n_g + 2) div 2")
+    med2 = cums.groupBy("grp").agg(
+        (
+            F.min(F.when(F.col("cum") >= r1, F.col("v")))
+            + F.min(F.when(F.col("cum") >= r2, F.col("v")))
+        )
+        .cast("bigint")
+        .alias("med2")
+    )
+    z = F.abs(F.lit(2) * F.col("v") - F.col("med2")).cast("bigint")
+    devs = grid.join(F.broadcast(med2), "grp").select(
+        "grp", "c", z.alias("z")
+    )
+    m = devs.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n_g"),
+        F.sum(F.col("c") * F.col("z")).cast("bigint").alias("s_g"),
+        F.sum(F.col("c") * F.col("z") * F.col("z")).cast("bigint").alias("q_g"),
+    )
+    return anova_report(m)
+
+
+def cronbach_user_state(ev: DataFrame) -> DataFrame:
+    """Per-user (x1, x2, x3) item dollar totals — the SUM-mergeable
+    Cronbach state (a user's events span batches; item totals fold by
+    user-grain addition)."""
+    dollars = F.floor(F.col("value")).cast("bigint")
+
+    def item(t):
+        return (
+            F.sum(F.when(F.col("event_type") == t, dollars).otherwise(F.lit(0)))
+            .cast("bigint")
+        )
+
+    return ev.groupBy("user_id").agg(
+        item("click").alias("x1"),
+        item("view").alias("x2"),
+        item("purchase").alias("x3"),
+    )
+
+
+def cronbach_report(per_user: DataFrame) -> DataFrame:
+    """Shared Cronbach finalize over the folded per-user item totals."""
+    tot = F.col("x1") + F.col("x2") + F.col("x3")
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("x3").cast("bigint").alias("s3"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("q1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("q2"),
+        F.sum(F.col("x3") * F.col("x3")).cast("bigint").alias("q3"),
+        F.sum(tot).cast("bigint").alias("st"),
+        F.sum(tot * tot).cast("bigint").alias("qt"),
+    )
+
+    def var(q, sv):
+        return (
+            (F.col(q).cast("double") - F.col(sv).cast("double") * F.col(sv) / F.col("n"))
+            / (F.col("n") - 1)
+        )
+
+    fin = m.select(
+        "n",
+        var("q1", "s1").alias("v1"),
+        var("q2", "s2").alias("v2"),
+        var("q3", "s3").alias("v3"),
+        var("qt", "st").alias("vt"),
+    )
+    ok = F.col("n") > 1
+    alpha = F.lit(3.0) / F.lit(2.0) * (
+        F.lit(1.0) - (F.col("v1") + F.col("v2") + F.col("v3")) / F.col("vt")
+    )
+    return fin.select(
+        F.col("n").alias("n_users"),
+        F.when(ok, F.round(F.col("v1"), 6)).alias("var_item1"),
+        F.when(ok, F.round(F.col("v2"), 6)).alias("var_item2"),
+        F.when(ok, F.round(F.col("v3"), 6)).alias("var_item3"),
+        F.when(ok, F.round(F.col("vt"), 6)).alias("var_total"),
+        F.when(ok & (F.col("vt") > 0), F.round(alpha, 6)).alias("alpha"),
+    )
+
+
+FRIEDMAN_ORACLE = """
+    WITH cell AS (
+      SELECT user_id, event_type,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY user_id, event_type
+    ),
+    complete AS (
+      SELECT user_id FROM cell GROUP BY user_id HAVING count(*) = 5
+    ),
+    blocks AS (
+      SELECT c.user_id, c.event_type, c.x
+      FROM cell c JOIN complete u USING (user_id)
+    ),
+    ranked AS (
+      SELECT user_id, event_type,
+             CAST(2 * coalesce(count(*) OVER (PARTITION BY user_id
+                    ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0)
+                  + count(*) OVER (PARTITION BY user_id
+                    ORDER BY x RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                  + 1 AS BIGINT) AS r2
+      FROM blocks
+    ),
+    rsums AS (
+      SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2_j FROM ranked
+      GROUP BY event_type
+    ),
+    a2s AS (
+      SELECT CAST(sum(r2 * r2) AS BIGINT) AS a2,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n
+      FROM ranked
+    ),
+    fin AS (
+      SELECT a.n,
+             CAST(sum(r.r2_j * r.r2_j) AS BIGINT) AS sr2,
+             CAST(max(a.a2) AS BIGINT) AS a2
+      FROM rsums r CROSS JOIN a2s a GROUP BY a.n
+    )
+    SELECT n AS n_blocks,
+           CASE WHEN n > 0 AND a2 - 180 * n <> 0 THEN
+             round(4.0 * (CAST(sr2 AS DOUBLE) - 180.0 * n * n)
+                   / (CAST(a2 AS DOUBLE) - 180.0 * n), 6)
+           END AS chi2,
+           CASE WHEN n > 0 AND a2 - 180 * n <> 0 THEN
+             round(4.0 * (CAST(sr2 AS DOUBLE) - 180.0 * n * n)
+                   / (CAST(a2 AS DOUBLE) - 180.0 * n), 6) > 9.487729
+           END AS reject_95
+    FROM fin
+    """
+
+
+@graded("q_friedman_test", oracle=FRIEDMAN_ORACLE)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (experimentation battery #18): the K-related-
+    samples rank test over COMPLETE BLOCKS — does per-user spend rank
+    the five event types consistently? Each user is a block (their own
+    control, the Wilcoxon pairing generalized to K = 5 treatments);
+    users missing any type are excluded (the complete-block
+    requirement), ranks are computed WITHIN each user.
+
+    Doubled midranks within blocks via two per-user RANGE windows on
+    the (user, type, total) relation (k = 5 rows per user — no grid
+    needed); with ranks sum-constrained per block the tie-corrected
+    statistic collapses to chi2 = (k-1)(sum_j R_j^2 - n^2 k(k+1)^2/4)
+    / (A - nk(k+1)^2/4), which on the DOUBLED scale is the all-BIGINT
+    ratio 4*(sum R2_j^2 - 180 n^2)/(A2 - 180 n) — exact integers into
+    ONE division, bit-equal cross-engine (rounded 6dp anyway; reject
+    vs chi2_0.95(4) from the rounded value). All-tied blocks
+    everywhere (A2 = 180n) NULL the statistic (mirrored). Overflow:
+    sum R2_j^2 <= k(2k+1)^2 n^2 -> n safe to ~8e7 blocks; doubled
+    ranks are <= 11 so A2 is tiny.
+
+    Scale: fact -> (user, type) grain in one combinable agg; block
+    windows ride the user partitioning; finalize on K + 1 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    cell = ev.groupBy("user_id", "event_type").agg(
+        F.sum(cents).cast("bigint").alias("x")
+    )
+    complete = cell.groupBy("user_id").agg(F.count(F.lit(1)).alias("ct")).filter(
+        F.col("ct") == 5
+    ).select("user_id")
+    blocks = cell.join(complete, "user_id")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_cur = Window.partitionBy("user_id").orderBy("x").rangeBetween(0, 0)
+    ranked = blocks.select(
+        "user_id",
+        "event_type",
+        (
+            F.lit(2) * F.coalesce(F.count(F.lit(1)).over(w_prev), F.lit(0))
+            + F.count(F.lit(1)).over(w_cur)
+            + 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    rsums = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("bigint").alias("r2_j")
+    )
+    a2s = ranked.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("a2"),
+        F.countDistinct("user_id").cast("bigint").alias("n"),
+    )
+    fin = (
+        rsums.crossJoin(F.broadcast(a2s))
+        .groupBy("n")
+        .agg(
+            F.sum(F.col("r2_j") * F.col("r2_j")).cast("bigint").alias("sr2"),
+            F.max("a2").cast("bigint").alias("a2"),
+        )
+    )
+    ok = (F.col("n") > 0) & (F.col("a2") - 180 * F.col("n") != 0)
+    chi2 = F.round(
+        F.lit(4.0)
+        * (F.col("sr2").cast("double") - F.lit(180.0) * F.col("n") * F.col("n"))
+        / (F.col("a2").cast("double") - F.lit(180.0) * F.col("n")),
+        6,
+    )
+    return fin.select(
+        F.col("n").alias("n_blocks"),
+        F.when(ok, chi2).alias("chi2"),
+        F.when(ok, chi2 > 9.487729).alias("reject_95"),
     )

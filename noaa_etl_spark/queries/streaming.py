@@ -4142,3 +4142,467 @@ def q_stream_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("fd").cast("bigint").alias("fd"))
     )
     return heaps_report(tokens, firsts)
+
+
+from noaa_etl_spark.queries.etl import (
+    MULTI_REG_ORACLE,
+    ols_moments,
+    ols_obs,
+    ols_report,
+)
+from noaa_etl_spark.queries.profiling import (
+    STUMP_ORACLE,
+    WILCOXON_ORACLE,
+    stump_grid,
+    stump_report,
+    wilcoxon_report,
+    wilcoxon_user_state,
+)
+
+
+def _drain_batches(spark, root, source_df, order_cols, schema, absorb, n_batches=3, gate_seed="g"):
+    """Shared twin scaffolding: write source_df as n_batches hash-gated
+    parquet files, drain them one per micro-batch through foreachBatch
+    absorb(batch_df, batch_id), availableNow + fresh checkpoint."""
+    import os
+    import shutil
+
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    gate = F.pmod(F.xxhash64(F.lit(gate_seed), F.col(order_cols)), F.lit(n_batches))
+    for i in range(n_batches):
+        source_df.filter(gate == i).drop(order_cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+@graded("q_stream_multiple_regression", oracle=MULTI_REG_ORACLE)
+def q_stream_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the 2-feature OLS (twin #51) — INCREMENTAL
+    regression done right: the normal equations depend on the data only
+    through the ten sufficient-statistic sums, so each micro-batch's
+    moment row folds by column-wise BIGINT addition and the Cramer
+    solve runs only at finalize over the fold — the model is exactly
+    re-fit on all data after every batch at O(1) state. Shares
+    MULTI_REG_ORACLE verbatim."""
+    import os
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_ols")
+    states = os.path.join(root, "states")
+    import shutil
+
+    shutil.rmtree(states, ignore_errors=True)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount", "l_extendedprice"
+    )
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = ols_moments(ols_obs(batch_df))
+        record_foreach_batch_plan("stream_ols_moments", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    _drain_batches(
+        spark,
+        root,
+        li,
+        "l_orderkey",
+        "l_quantity double, l_discount double, l_extendedprice double",
+        absorb,
+        gate_seed="sols",
+    )
+    cols = ["n", "sx1", "sx2", "sy", "sx11", "sx22", "sx12", "sx1y", "sx2y", "syy"]
+    folded = spark.read.parquet(states).agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in cols]
+    )
+    return ols_report(folded)
+
+
+@graded("q_stream_decision_stump", oracle=STUMP_ORACLE)
+def q_stream_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the information-gain decision stump (twin
+    #52) — the online weak learner: per-batch (bucket, n, pos) grids
+    fold by addition (the fixed 1024-bucket domain makes the state
+    O(1)); the prefix-sum gain scan and rounded-gain argmax run only at
+    finalize, because every candidate split's counts depend on all
+    batches. Shares STUMP_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_stump")
+    states = os.path.join(root, "states")
+    shutil.rmtree(states, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = stump_grid(batch_df)
+        record_foreach_batch_plan("stream_stump_grid", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    _drain_batches(
+        spark,
+        root,
+        ev,
+        "event_id",
+        "event_type string, value double",
+        absorb,
+        gate_seed="sstump",
+    )
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("pos"),
+        )
+    )
+    return stump_report(folded)
+
+
+@graded("q_stream_wilcoxon", oracle=WILCOXON_ORACLE)
+def q_stream_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Wilcoxon signed-rank test (twin #53) — a
+    user's paired (pre, post) totals may arrive across many batches, so
+    the state is the per-user partial-sum relation folded by USER-GRAIN
+    addition; diffs, the |d| grid, and the doubled-midrank machinery
+    run only at finalize (per-batch diffs would pair a user's pre
+    events against an incomplete post — the first PAIRED-design merge).
+    Shares WILCOXON_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_wilcoxon")
+    states = os.path.join(root, "states")
+    shutil.rmtree(states, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = wilcoxon_user_state(batch_df)
+        record_foreach_batch_plan("stream_wilcoxon_user", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    _drain_batches(
+        spark,
+        root,
+        ev,
+        "event_id",
+        "user_id bigint, ts timestamp, value double",
+        absorb,
+        gate_seed="swsr",
+    )
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("user_id")
+        .agg(
+            F.sum("pre").cast("bigint").alias("pre"),
+            F.sum("post").cast("bigint").alias("post"),
+        )
+    )
+    return wilcoxon_report(folded)
+
+
+from noaa_etl_spark.queries.profiling import (
+    CRONBACH_ORACLE,
+    LEVENE_ORACLE,
+    MANN_KENDALL_ORACLE,
+    cronbach_report,
+    cronbach_user_state,
+    levene_report_from_grid,
+)
+from noaa_etl_spark.queries.temporal import changepoint_daily as _mk_daily
+
+
+@graded("q_stream_levene", oracle=LEVENE_ORACLE)
+def q_stream_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Brown-Forsythe variance test (twin #54) —
+    the deepest non-mergeable-statistic case so far: the group MEDIAN
+    (an order statistic) anchors every deviation, so neither medians
+    nor deviation moments can fold across batches. The state is the
+    additive (grp, cents, count) grid (kruskal_grid — shared with twin
+    #49), and the finalize recovers 2*median EXACTLY by cumulative
+    selection on the folded grid (v@rank((n+1) div 2) +
+    v@rank((n+2) div 2) == quantile_cont's odd/even midpoint identity)
+    before building the deviation moments FROM THE GRID. Shares
+    LEVENE_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_levene")
+    states = os.path.join(root, "states")
+    shutil.rmtree(states, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = kruskal_grid(batch_df)
+        record_foreach_batch_plan("stream_levene_grid", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    _drain_batches(
+        spark,
+        root,
+        ev,
+        "event_id",
+        "event_type string, value double",
+        absorb,
+        gate_seed="slev",
+    )
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("grp", "v")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    return levene_report_from_grid(folded)
+
+
+@graded("q_stream_mann_kendall", oracle=MANN_KENDALL_ORACLE)
+def q_stream_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Mann-Kendall trend test (twin #55) — the
+    live is-the-trend-real monitor beside twin #42's Theil-Sen slope:
+    both maintain the SAME additive daily-count state (changepoint_
+    daily), and MK's pair comparisons are per-batch meaningless twice
+    over (pairs straddle batches AND each day's count is a cross-batch
+    sum — the stream_kendall lesson on the calendar axis). Pair scan,
+    tie correction, and the continuity-corrected z run only at
+    finalize. Shares MANN_KENDALL_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries.profiling import mann_kendall_finalize
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_mk")
+    states = os.path.join(root, "states")
+    shutil.rmtree(states, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = _mk_daily(batch_df)
+        record_foreach_batch_plan("stream_mk_daily", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    _drain_batches(
+        spark,
+        root,
+        orders,
+        "o_orderkey",
+        "o_orderdate timestamp",
+        absorb,
+        gate_seed="smk",
+    )
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("d")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+        .localCheckpoint()
+    )
+    return mann_kendall_finalize(folded)
+
+
+@graded("q_stream_cronbach", oracle=CRONBACH_ORACLE)
+def q_stream_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of Cronbach's alpha (twin #56) — the live
+    labeling-crew / judge-ensemble consistency monitor: per-user item
+    totals fold by user-grain addition (a user's click/view/purchase
+    events arrive across batches; per-batch alphas would correlate
+    incomplete items), variances and alpha only at finalize. Shares
+    CRONBACH_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_cronbach")
+    states = os.path.join(root, "states")
+    shutil.rmtree(states, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = cronbach_user_state(batch_df)
+        record_foreach_batch_plan("stream_cronbach_user", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    _drain_batches(
+        spark,
+        root,
+        ev,
+        "event_id",
+        "user_id bigint, event_type string, value double",
+        absorb,
+        gate_seed="scron",
+    )
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("user_id")
+        .agg(
+            F.sum("x1").cast("bigint").alias("x1"),
+            F.sum("x2").cast("bigint").alias("x2"),
+            F.sum("x3").cast("bigint").alias("x3"),
+        )
+    )
+    return cronbach_report(folded)
+
+
+from noaa_etl_spark.queries.temporal import GAP_REGULARITY_ORACLE, gap_report
+
+
+@graded("q_stream_gap_regularity", oracle=GAP_REGULARITY_ORACLE)
+def q_stream_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the gap-regularity bot detector (twin #57) —
+    a genuinely NEW merge shape: SEGMENT-BOUNDARY RECONSTRUCTION. A
+    user's inter-event gaps cannot fold as plain moments because the
+    gap straddling two micro-batches exists in NEITHER batch. Batching
+    by EVENT-TIME RANGES (the stream_out_of_order construction) makes
+    each per-(user, range) state carry its internal gap moments PLUS
+    its first/last event timestamps; the finalize lag-joins adjacent
+    non-empty segments per user, reconstructs each boundary gap as
+    (first_t_next - last_t_prev) div 1e6 — exactly the gap the batch
+    window would have computed, since time-ranged segments preserve
+    the per-user event order — and adds the boundary (count, sum,
+    sum-of-squares) contribution to the folded internal moments: the
+    interval-merge discipline applied to MOMENT state. Shares
+    GAP_REGULARITY_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_gapreg")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    b = ev.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * ((hi - lo) // 3)
+    g = (
+        F.when(F.col("t") < F.lit(cut1), F.lit(0))
+        .when(F.col("t") < F.lit(cut2), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    evg = ev.withColumn("g", g.cast("int"))
+    for i in range(3):
+        evg.filter(F.col("g") == i).drop("g").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        gaps = batch_df.select(
+            "user_id",
+            "t",
+            (F.col("t") - F.lag("t").over(w)).alias("dt"),
+        )
+        seg = gaps.groupBy("user_id").agg(
+            F.count_if(F.col("dt").isNotNull()).cast("bigint").alias("n_g"),
+            F.coalesce(
+                F.sum(F.expr("dt div 1000000")), F.lit(0)
+            ).cast("bigint").alias("sg"),
+            F.coalesce(
+                F.sum(F.expr("(dt div 1000000) * (dt div 1000000)")), F.lit(0)
+            ).cast("bigint").alias("qg"),
+            F.min("t").cast("bigint").alias("first_t"),
+            F.max("t").cast("bigint").alias("last_t"),
+        )
+        record_foreach_batch_plan("stream_gapreg_segments", seg)
+        seg.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("user_id bigint, t bigint, event_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    segs = spark.read.parquet(states)
+    with_bg = segs.select(
+        "user_id",
+        "n_g",
+        "sg",
+        "qg",
+        F.expr(
+            "(first_t - lag(last_t) OVER"
+            " (PARTITION BY user_id ORDER BY batch_id)) div 1000000"
+        ).alias("bg"),
+    )
+    m = with_bg.groupBy("user_id").agg(
+        (F.sum("n_g") + F.count_if(F.col("bg").isNotNull()))
+        .cast("bigint")
+        .alias("n"),
+        (F.sum("sg") + F.coalesce(F.sum("bg"), F.lit(0)))
+        .cast("bigint")
+        .alias("sg"),
+        (F.sum("qg") + F.coalesce(F.sum(F.col("bg") * F.col("bg")), F.lit(0)))
+        .cast("bigint")
+        .alias("qg"),
+    )
+    return gap_report(m.filter(F.col("n") > 0))

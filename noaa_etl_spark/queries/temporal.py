@@ -3924,6 +3924,13 @@ def q_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g").cast("bigint").alias("sg"),
         F.sum(F.col("g") * F.col("g")).cast("bigint").alias("qg"),
     )
+    return gap_report(m)
+
+
+def gap_report(m: DataFrame) -> DataFrame:
+    """Shared gap-CV finalize over the per-user (n, sg, qg) gap
+    moments — consumed by the batch query and the streaming twin's
+    boundary-reconstructing fold."""
     mean_g = F.col("sg").cast("double") / F.col("n")
     var_g = F.greatest(
         (F.col("qg").cast("double") - F.col("sg").cast("double") * F.col("sg") / F.col("n"))

@@ -790,3 +790,84 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("event_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("d_users")
     )
+
+
+TUKEY_FENCES_ORACLE = """
+    WITH s AS (
+      SELECT event_type, value,
+             quantile_cont(value, 0.25)
+                 OVER (PARTITION BY event_type) AS q1,
+             quantile_cont(value, 0.75)
+                 OVER (PARTITION BY event_type) AS q3
+      FROM events
+    ),
+    f AS (
+      SELECT event_type, value, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM s
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                 AS n,
+           round(min(q1), 6)                        AS q1,
+           round(min(q3), 6)                        AS q3,
+           round(min(q3) - min(q1), 6)              AS iqr,
+           round(min(lo), 6)                        AS lo,
+           round(min(hi), 6)                        AS hi,
+           CAST(count(*) FILTER (value < lo) AS BIGINT) AS n_low,
+           CAST(count(*) FILTER (value > hi) AS BIGINT) AS n_high
+    FROM f GROUP BY event_type ORDER BY event_type
+    """
+
+
+@graded("q_tukey_fences", oracle=TUKEY_FENCES_ORACLE)
+def q_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's-fences outlier census per event type — the boxplot rule
+    (outlier = outside [Q1 - 1.5*IQR, Q3 + 1.5*IQR]): the classical
+    companion to q_anomaly_mad's median/MAD rule, and the form every
+    BI boxplot and data-profiling report uses.
+
+    Plan shape: the anomaly_mad posture — exact windowed percentiles on
+    the per-type partition key (ONE exchange, unbounded frames, no
+    agg + join-back), then the fence comparison per row and ONE
+    grouped census on the SAME key (no second shuffle). Exact
+    percentile interpolation is bit-equal to DuckDB quantile_cont (the
+    established parity), the fence chain q1 - 1.5*(q3-q1) is one fixed
+    IEEE expression, so the per-row comparisons — and therefore the
+    outlier COUNTS — are exact cross-engine; the reported bounds are
+    rounded 6dp for display only.
+
+    100 TB: one shuffle on event_type; per-key exact percentiles
+    materialize each partition on one reducer (bounded per-key
+    cardinality; the sketch swap is operators/histogram's grid
+    quantiles, same as anomaly_mad documents)."""
+    w = Window.partitionBy("event_type")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    s = ev.select(
+        "event_type",
+        "value",
+        F.percentile("value", F.lit(0.25)).over(w).alias("q1"),
+        F.percentile("value", F.lit(0.75)).over(w).alias("q3"),
+    )
+    f = s.select(
+        "event_type",
+        "value",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("q1"), 6).alias("q1"),
+            F.round(F.min("q3"), 6).alias("q3"),
+            F.round(F.min("q3") - F.min("q1"), 6).alias("iqr"),
+            F.round(F.min("lo"), 6).alias("lo"),
+            F.round(F.min("hi"), 6).alias("hi"),
+            F.count_if(F.col("value") < F.col("lo")).cast("bigint").alias("n_low"),
+            F.count_if(F.col("value") > F.col("hi")).cast("bigint").alias("n_high"),
+        )
+        .orderBy("event_type")
+    )

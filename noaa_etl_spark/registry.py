@@ -331,7 +331,15 @@ GRADED_WINDOW: list[str] = [
     # q_diff_in_diff (battery #14), q_decision_stump,
     # q_multiple_regression, q_heaps_law, q_gap_regularity,
     # q_stream_diff_in_diff (twin #48), q_stream_kruskal (twin #49),
-    # q_stream_heaps (twin #50). THEN the remaining 15 r7-stale (unpivot,
+    # q_stream_heaps (twin #50), q_wilcoxon_signed_rank (battery #15),
+    # q_pairwise_arms_bonferroni (battery #16), q_cramers_v,
+    # q_tukey_fences, q_stream_multiple_regression (twin #51),
+    # q_stream_decision_stump (twin #52), q_stream_wilcoxon (twin #53),
+    # q_levene_test (battery #17), q_mann_kendall, q_cronbach_alpha,
+    # q_stream_levene (twin #54), q_stream_mann_kendall (twin #55),
+    # q_stream_cronbach (twin #56), q_friedman_test (battery #18),
+    # q_stream_gap_regularity (twin #57 — segment-boundary merge).
+    # THEN the remaining 15 r7-stale (unpivot,
     # date_spine, lang_stats, quality_filter, perplexity_filter,
     # bm25_rank, feature_hashing, regexp_extract, incremental_agg,
     # incremental_stats_merge, linear_trend, stream_stats_merge,

@@ -93,6 +93,13 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_diff_in_diff": ["fb_stream_did_cells"],
     "q_stream_kruskal": ["fb_stream_kruskal_grid"],
     "q_stream_heaps": ["fb_stream_heaps_tokens", "fb_stream_heaps_firsts"],
+    "q_stream_multiple_regression": ["fb_stream_ols_moments"],
+    "q_stream_decision_stump": ["fb_stream_stump_grid"],
+    "q_stream_wilcoxon": ["fb_stream_wilcoxon_user"],
+    "q_stream_levene": ["fb_stream_levene_grid"],
+    "q_stream_mann_kendall": ["fb_stream_mk_daily"],
+    "q_stream_cronbach": ["fb_stream_cronbach_user"],
+    "q_stream_gap_regularity": ["fb_stream_gapreg_segments"],
 }
 
 

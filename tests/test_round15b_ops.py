@@ -251,3 +251,288 @@ def test_stream_heaps_equals_batch(spark):
     b = q_heaps_law(spark, SF_SMALL).collect()[0].asDict()
     s = q_stream_heaps(spark, SF_SMALL).collect()[0].asDict()
     assert b == s
+
+
+# ---------------------------------------------------------------- wilcoxon
+
+
+def test_wilcoxon_matches_midrank_replay(spark):
+    from noaa_etl_spark.queries.profiling import q_wilcoxon_signed_rank
+
+    row = q_wilcoxon_signed_rank(spark, SF_SMALL).collect()[0]
+    ev = _events_pdf()
+    cents = np.floor(ev.value * 100).astype(np.int64)
+    t_us = ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    pre = pd.Series(np.where(t_us < 1705363200000000, cents, 0)).groupby(
+        ev.user_id.values
+    ).sum()
+    post = pd.Series(np.where(t_us >= 1705363200000000, cents, 0)).groupby(
+        ev.user_id.values
+    ).sum()
+    d = (post - pre)[lambda s: s != 0]
+    ranks = d.abs().rank(method="average")
+    n = len(d)
+    w_plus = ranks[d > 0].sum()
+    assert row["n_nonzero"] == n
+    assert row["w2_plus"] == int(round(2 * w_plus))
+    _, t_counts = np.unique(d.abs().values, return_counts=True)
+    mean = n * (n + 1) / 4
+    var = n * (n + 1) * (2 * n + 1) / 24 - (t_counts**3 - t_counts).sum() / 48
+    z = (w_plus - mean) / math.sqrt(var)
+    assert abs(row["z"] - z) < 1e-5
+    assert row["reject_95"] == (abs(round(z, 6)) > 1.959964)
+
+
+# ---------------------------------------------------------------- bonferroni
+
+
+def test_pairwise_bonferroni_matches_welch_replay(spark):
+    from noaa_etl_spark.queries.profiling import q_pairwise_arms_bonferroni
+
+    rows = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in q_pairwise_arms_bonferroni(spark, SF_SMALL).collect()
+    }
+    ev = _events_pdf()
+    cents = np.floor(ev.value * 100)
+    groups = sorted(ev.event_type.unique())
+    assert len(rows) == len(groups) * (len(groups) - 1) // 2
+    for i, a in enumerate(groups):
+        for b in groups[i + 1 :]:
+            xa, xb = cents[ev.event_type == a], cents[ev.event_type == b]
+            z = (xb.mean() - xa.mean()) / math.sqrt(
+                xa.var(ddof=1) / len(xa) + xb.var(ddof=1) / len(xb)
+            )
+            r = rows[(a, b)]
+            assert abs(r["z"] - z) < 1e-5
+            assert r["reject_bonf"] == (abs(round(z, 6)) > 2.807034)
+
+
+# ---------------------------------------------------------------- cramers v
+
+
+def test_cramers_v_consistent_with_chi_square(spark):
+    """V must equal sqrt(chi2_rounded / (N*min(r-1,c-1))) with the chi2
+    matching q_chi_square_independence's grid statistic exactly (same
+    grid, same term rendering)."""
+    from noaa_etl_spark.queries.profiling import (
+        q_chi_square_independence,
+        q_cramers_v,
+    )
+
+    v_row = q_cramers_v(spark, SF_SMALL).collect()[0]
+    chi_row = q_chi_square_independence(spark, SF_SMALL).collect()[0]
+    assert v_row["chi2"] == chi_row["chi2"]
+    expect = math.sqrt(
+        v_row["chi2"]
+        / (v_row["n_total"] * min(v_row["n_rows"] - 1, v_row["n_cols"] - 1))
+    )
+    assert abs(v_row["v"] - expect) < 1e-6
+    assert 0.0 <= v_row["v"] <= 1.0
+
+
+# ---------------------------------------------------------------- tukey
+
+
+def test_tukey_fences_matches_replay(spark):
+    from noaa_etl_spark.queries.windows import q_tukey_fences
+
+    rows = {r["event_type"]: r for r in q_tukey_fences(spark, SF_SMALL).collect()}
+    ev = _events_pdf()
+    for t, grp in ev.groupby("event_type"):
+        v = grp.value.values
+        q1, q3 = np.quantile(v, 0.25), np.quantile(v, 0.75)
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        r = rows[t]
+        assert r["n"] == len(v)
+        assert abs(r["q1"] - q1) < 1e-5 and abs(r["q3"] - q3) < 1e-5
+        assert r["n_low"] == int((v < lo).sum())
+        assert r["n_high"] == int((v > hi).sum())
+
+
+# ---------------------------------------------------------------- twins 51-53
+
+
+def test_stream_ols_equals_batch(spark):
+    from noaa_etl_spark.queries.etl import q_multiple_regression
+    from noaa_etl_spark.queries.streaming import q_stream_multiple_regression
+
+    b = q_multiple_regression(spark, SF_SMALL).collect()[0].asDict()
+    s = q_stream_multiple_regression(spark, SF_SMALL).collect()[0].asDict()
+    assert b == s
+
+
+def test_stream_stump_equals_batch(spark):
+    from noaa_etl_spark.queries.profiling import q_decision_stump
+    from noaa_etl_spark.queries.streaming import q_stream_decision_stump
+
+    b = q_decision_stump(spark, SF_SMALL).collect()[0].asDict()
+    s = q_stream_decision_stump(spark, SF_SMALL).collect()[0].asDict()
+    assert b == s
+
+
+def test_stream_wilcoxon_equals_batch(spark):
+    from noaa_etl_spark.queries.profiling import q_wilcoxon_signed_rank
+    from noaa_etl_spark.queries.streaming import q_stream_wilcoxon
+
+    b = q_wilcoxon_signed_rank(spark, SF_SMALL).collect()[0].asDict()
+    s = q_stream_wilcoxon(spark, SF_SMALL).collect()[0].asDict()
+    assert b == s
+
+
+# ---------------------------------------------------------------- levene
+
+
+def test_levene_matches_brown_forsythe_replay(spark):
+    """F is scale-invariant, so the doubled-z rendering must reproduce
+    the classic Brown-Forsythe F on |x - median_g| exactly."""
+    from noaa_etl_spark.queries.profiling import q_levene_test
+
+    row = q_levene_test(spark, SF_SMALL).collect()[0]
+    ev = _events_pdf()
+    cents = np.floor(ev.value * 100)
+    g = ev.event_type
+    z = pd.Series(index=ev.index, dtype=float)
+    for t in g.unique():
+        z[g == t] = (cents[g == t] - cents[g == t].median()).abs()
+    grand = z.mean()
+    ssb = sum(len(z[g == t]) * (z[g == t].mean() - grand) ** 2 for t in g.unique())
+    ssw = sum(((z[g == t] - z[g == t].mean()) ** 2).sum() for t in g.unique())
+    k, n = g.nunique(), len(ev)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k"] == k and row["n"] == n
+    assert abs(row["f_stat"] - f) < 1e-5
+    # doubled-z scale: reported SS are exactly 4x the classic ones
+    assert abs(row["ssb"] - 4 * ssb) < max(1e-2, 4 * ssb * 1e-9)
+    assert abs(row["ssw"] - 4 * ssw) < max(1e-2, 4 * ssw * 1e-9)
+
+
+# ---------------------------------------------------------------- MK
+
+
+def test_mann_kendall_matches_pairwise_replay(spark):
+    from noaa_etl_spark.queries.profiling import q_mann_kendall
+
+    row = q_mann_kendall(spark, SF_SMALL).collect()[0]
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    days = (
+        orders.o_orderdate.astype("datetime64[ns]").dt.floor("D").value_counts().sort_index()
+    )
+    y = days.values
+    n = len(y)
+    s = sum(
+        np.sign(y[j] - y[i]) for i in range(n) for j in range(i + 1, n)
+    )
+    _, t_counts = np.unique(y, return_counts=True)
+    var = (
+        n * (n - 1) * (2 * n + 5) - (t_counts * (t_counts - 1) * (2 * t_counts + 5)).sum()
+    ) / 18
+    if s > 0:
+        zz = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        zz = (s + 1) / math.sqrt(var)
+    else:
+        zz = 0.0
+    assert row["n_days"] == n
+    assert row["s_stat"] == int(s)
+    assert abs(row["z"] - zz) < 1e-5
+    assert row["reject_95"] == (abs(round(zz, 6)) > 1.959964)
+
+
+# ---------------------------------------------------------------- cronbach
+
+
+def test_cronbach_matches_numpy(spark):
+    from noaa_etl_spark.queries.profiling import q_cronbach_alpha
+
+    row = q_cronbach_alpha(spark, SF_SMALL).collect()[0]
+    ev = _events_pdf()
+    dollars = np.floor(ev.value)
+    items = []
+    for t in ("click", "view", "purchase"):
+        x = pd.Series(np.where(ev.event_type == t, dollars, 0)).groupby(
+            ev.user_id.values
+        ).sum()
+        items.append(x)
+    X = pd.concat(items, axis=1).fillna(0)
+    k = 3
+    vi = X.var(ddof=1)
+    vt = X.sum(axis=1).var(ddof=1)
+    alpha = k / (k - 1) * (1 - vi.sum() / vt)
+    assert row["n_users"] == len(X)
+    assert abs(row["alpha"] - alpha) < 1e-6
+    assert abs(row["var_total"] - vt) < max(1e-3, vt * 1e-9)
+
+
+# ---------------------------------------------------------------- twins 54-56
+
+
+def test_stream_levene_equals_batch(spark):
+    from noaa_etl_spark.queries.profiling import q_levene_test
+    from noaa_etl_spark.queries.streaming import q_stream_levene
+
+    b = q_levene_test(spark, SF_SMALL).collect()[0].asDict()
+    s = q_stream_levene(spark, SF_SMALL).collect()[0].asDict()
+    assert b == s
+
+
+def test_stream_mann_kendall_equals_batch(spark):
+    from noaa_etl_spark.queries.profiling import q_mann_kendall
+    from noaa_etl_spark.queries.streaming import q_stream_mann_kendall
+
+    b = q_mann_kendall(spark, SF_SMALL).collect()[0].asDict()
+    s = q_stream_mann_kendall(spark, SF_SMALL).collect()[0].asDict()
+    assert b == s
+
+
+def test_stream_cronbach_equals_batch(spark):
+    from noaa_etl_spark.queries.profiling import q_cronbach_alpha
+    from noaa_etl_spark.queries.streaming import q_stream_cronbach
+
+    b = q_cronbach_alpha(spark, SF_SMALL).collect()[0].asDict()
+    s = q_stream_cronbach(spark, SF_SMALL).collect()[0].asDict()
+    assert b == s
+
+
+# ---------------------------------------------------------------- friedman
+
+
+def test_friedman_matches_replay(spark):
+    from noaa_etl_spark.queries.profiling import q_friedman_test
+
+    row = q_friedman_test(spark, SF_SMALL).collect()[0]
+    ev = _events_pdf()
+    cents = np.floor(ev.value * 100).astype(np.int64)
+    cell = (
+        pd.DataFrame({"u": ev.user_id, "t": ev.event_type, "x": cents})
+        .groupby(["u", "t"])
+        .x.sum()
+        .unstack()
+    )
+    complete = cell.dropna()
+    n, k = len(complete), 5
+    ranks = complete.rank(axis=1, method="average")
+    rj = ranks.sum(axis=0)
+    a1 = (ranks**2).values.sum()
+    c1 = n * k * (k + 1) ** 2 / 4
+    chi2 = (k - 1) * ((rj**2).sum() - n * n * k * (k + 1) ** 2 / 4) / (a1 - c1)
+    assert row["n_blocks"] == n
+    assert abs(row["chi2"] - chi2) < 1e-5
+    assert row["reject_95"] == (round(chi2, 6) > 9.487729)
+
+
+# ---------------------------------------------------------------- twin 57
+
+
+def test_stream_gap_regularity_equals_batch(spark):
+    """The segment-boundary reconstruction must reproduce the batch
+    per-user gap census EXACTLY (every row, every moment)."""
+    from noaa_etl_spark.queries.streaming import q_stream_gap_regularity
+    from noaa_etl_spark.queries.temporal import q_gap_regularity
+
+    b = {r["user_id"]: r.asDict() for r in q_gap_regularity(spark, SF_SMALL).collect()}
+    s = {
+        r["user_id"]: r.asDict()
+        for r in q_stream_gap_regularity(spark, SF_SMALL).collect()
+    }
+    assert b == s
