@@ -948,3 +948,68 @@ def q_mutual_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ba,
         (F.col("a_id") == F.col("r_a_id")) & (F.col("b_id") == F.col("r_b_id")),
     ).select("a_id", "b_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+NORM_AUDIT_ORACLE = """
+    WITH norms AS (
+      SELECT label,
+             CAST(floor(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[])))
+                        * 1000000 + 0.5) AS BIGINT) AS qn
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(qn) AS BIGINT)  AS min_norm_u,
+           CAST(max(qn) AS BIGINT)  AS max_norm_u,
+           round(CAST(sum(qn) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS mean_norm,
+           CAST(count(*) FILTER (qn = 0) AS BIGINT) AS n_zero,
+           CAST(count(*) FILTER (qn BETWEEN 990000 AND 1010000) AS BIGINT)
+             AS n_unit
+    FROM norms GROUP BY label ORDER BY label
+    """
+
+
+@graded("q_embedding_norm_audit", oracle=NORM_AUDIT_ORACLE)
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding NORM audit per label — the vector-quality gate every
+    embedding pipeline needs before ANN indexing: zero-norm vectors
+    (failed encoder calls) poison cosine math, and a mix of unit and
+    non-unit norms means someone skipped normalization and dot-product
+    ranking is silently magnitude-biased. Reports per-label count,
+    min/max/mean norm, zero-norm count, and the near-unit census
+    (norm in [0.99, 1.01]).
+
+    Exactness: each vector's norm is the established bit-equal chain
+    (sequential double fold == list_inner_product over DOUBLE[], the
+    functions/vectors contract), then QUANTIZED to micro-units via
+    floor(norm*1e6 + 0.5) — an exact BIGINT per vector, so every
+    downstream aggregate (sums, extrema, range counts) is exact
+    integer arithmetic and the mean is one division (the quantize_int8
+    doctrine applied to audit statistics: never sum raw doubles in an
+    engine-arbitrary order).
+
+    Scale: scan-local norms + one combinable agg; output is
+    |labels| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qn = F.floor(l2_norm(F.col("embedding")) * 1000000 + 0.5).cast("bigint")
+    norms = emb.select("label", qn.alias("qn"))
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("qn").cast("bigint").alias("min_norm_u"),
+            F.max("qn").cast("bigint").alias("max_norm_u"),
+            F.round(
+                F.sum("qn").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+            ).alias("mean_norm"),
+            F.count_if(F.col("qn") == 0).cast("bigint").alias("n_zero"),
+            F.count_if(
+                (F.col("qn") >= 990000) & (F.col("qn") <= 1010000)
+            )
+            .cast("bigint")
+            .alias("n_unit"),
+        )
+        .orderBy("label")
+    )

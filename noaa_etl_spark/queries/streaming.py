@@ -4606,3 +4606,134 @@ def q_stream_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qg"),
     )
     return gap_report(m.filter(F.col("n") > 0))
+
+
+from noaa_etl_spark.queries.similarity import NORM_AUDIT_ORACLE
+from noaa_etl_spark.queries.temporal import PAGE_HINKLEY_ORACLE
+
+
+@graded("q_stream_page_hinkley", oracle=PAGE_HINKLEY_ORACLE)
+def q_stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Page-Hinkley monitor (twin #58) — like
+    mSPRT, sequential drift detection is the statistic's NATIVE
+    deployment: the maintained state is the additive daily-count
+    relation (shared with twins #55/#15), and the full PH fold re-runs
+    over the day-ordered series at every report — the running mean
+    x-bar_t depends on the whole prefix, so no per-batch partial of
+    the fold itself can merge (the holt-recurrence lesson). Shares
+    PAGE_HINKLEY_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.queries.temporal import page_hinkley_finalize
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_ph")
+    states = os.path.join(root, "states")
+    shutil.rmtree(states, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = _mk_daily(batch_df)
+        record_foreach_batch_plan("stream_ph_daily", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    _drain_batches(
+        spark,
+        root,
+        orders,
+        "o_orderkey",
+        "o_orderdate timestamp",
+        absorb,
+        gate_seed="sph",
+    )
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("d")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    return page_hinkley_finalize(folded)
+
+
+@graded("q_stream_norm_audit", oracle=NORM_AUDIT_ORACLE)
+def q_stream_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the embedding norm audit (twin #59) — the
+    live encoder-health monitor (a batch of zero-norm vectors = the
+    encoder endpoint started failing): per-vector quantized norms are
+    exact BIGINTs, so the per-(label, batch) state (n, min, max, sum,
+    zero-count, unit-count) folds by min/min, max/max, sum/sum — all
+    exact integer merges; the mean is derived from the folded sum at
+    report time (never fold per-batch means). Shares NORM_AUDIT_ORACLE
+    verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.functions.vectors import l2_norm
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_norms")
+    states = os.path.join(root, "states")
+    shutil.rmtree(states, ignore_errors=True)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+
+    def absorb(batch_df, batch_id: int) -> None:
+        qn = F.floor(l2_norm(F.col("embedding")) * 1000000 + 0.5).cast("bigint")
+        partial = (
+            batch_df.select("label", qn.alias("qn"))
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("qn").cast("bigint").alias("min_u"),
+                F.max("qn").cast("bigint").alias("max_u"),
+                F.sum("qn").cast("bigint").alias("sum_qn"),
+                F.count_if(F.col("qn") == 0).cast("bigint").alias("n_zero"),
+                F.count_if(
+                    (F.col("qn") >= 990000) & (F.col("qn") <= 1010000)
+                )
+                .cast("bigint")
+                .alias("n_unit"),
+            )
+        )
+        record_foreach_batch_plan("stream_norms_partial", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    _drain_batches(
+        spark,
+        root,
+        emb,
+        "vec_id",
+        "label int, embedding array<float>",
+        absorb,
+        gate_seed="snorm",
+    )
+    folded = spark.read.parquet(states).groupBy("label").agg(
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.min("min_u").cast("bigint").alias("min_norm_u"),
+        F.max("max_u").cast("bigint").alias("max_norm_u"),
+        F.sum("sum_qn").cast("bigint").alias("sum_qn"),
+        F.sum("n_zero").cast("bigint").alias("n_zero"),
+        F.sum("n_unit").cast("bigint").alias("n_unit"),
+    )
+    return folded.select(
+        "label",
+        "n_vecs",
+        "min_norm_u",
+        "max_norm_u",
+        F.round(
+            F.col("sum_qn").cast("double") / F.col("n_vecs") / F.lit(1000000.0), 6
+        ).alias("mean_norm"),
+        "n_zero",
+        "n_unit",
+    )

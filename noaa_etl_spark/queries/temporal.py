@@ -3949,3 +3949,125 @@ def gap_report(m: DataFrame) -> DataFrame:
         F.when(ok, cv).alias("cv"),
         F.when(ok, (F.col("n") >= 20) & (cv < 0.5)).alias("is_regular"),
     )
+
+
+PAGE_HINKLEY_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY d
+    ),
+    series AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             list(CAST(y AS DOUBLE) ORDER BY d) AS ys
+      FROM daily
+    ),
+    folded AS (
+      -- accumulator is a 5-list [t, cum, m, minm, ph], NOT a struct
+      -- (the DuckDB struct-lambda aliasing gotcha); list_reduce seeds
+      -- from the first element, so the zero state is list_prepend'ed
+      SELECT n_days,
+             list_reduce(
+               list_prepend(
+                 [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE)],
+                 list_transform(ys, v -> [v, CAST(0.0 AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE)])
+               ),
+               (acc, x) -> [
+                 acc[1] + 1.0,
+                 acc[2] + x[1],
+                 acc[3] + (x[1] - (acc[2] + x[1]) / (acc[1] + 1.0)),
+                 least(acc[4],
+                       acc[3] + (x[1] - (acc[2] + x[1]) / (acc[1] + 1.0))),
+                 greatest(acc[5],
+                          acc[3] + (x[1] - (acc[2] + x[1]) / (acc[1] + 1.0))
+                          - least(acc[4],
+                                  acc[3] + (x[1] - (acc[2] + x[1])
+                                            / (acc[1] + 1.0))))
+               ]
+             ) AS st
+      FROM series
+    )
+    SELECT n_days,
+           round(st[3], 6) AS final_m,
+           round(st[5], 6) AS ph_stat,
+           round(st[5], 6) > 100.0 AS alarm
+    FROM folded
+    """
+
+
+@graded("q_page_hinkley", oracle=PAGE_HINKLEY_ORACLE)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift monitor over the daily order-count
+    series — the classic SEQUENTIAL drift detector (the online sibling
+    of q_changepoint_detect's offline argmax): m_T = sum_t (x_t -
+    xbar_t), M_T = min m_t, PH = max_T (m_T - M_T); an upward mean
+    shift makes m climb away from its historical minimum. delta = 0,
+    demo threshold lambda = 100 (daily-count units, mirrored literal).
+
+    A running-mean recurrence is inherently SEQUENTIAL (xbar_t depends
+    on t), so the graded contract is the FOLD itself — the forecast_
+    holt doctrine: both engines run the token-identical recurrence over
+    the day-ordered list (Spark F.aggregate with a struct accumulator;
+    DuckDB list_reduce with a 5-LIST accumulator [t, cum, m, minm, ph]
+    — the struct-lambda aliasing gotcha — and a list_prepend'ed zero
+    state since list_reduce seeds from the first element). Every
+    division cum/t is exact-int-to-double, every step deterministic,
+    so the fold is bit-equal; graded ROUNDED 6dp anyway, alarm from
+    the rounded value.
+
+    Scale: the fact collapses to the bounded day calendar in one
+    combinable agg; the fold runs on ~|days| values driver-free."""
+    from noaa_etl_spark.queries.temporal import changepoint_daily
+
+    orders = load_table(spark, sf_dir, "orders")
+    return page_hinkley_finalize(changepoint_daily(orders))
+
+
+def page_hinkley_finalize(daily: DataFrame) -> DataFrame:
+    """Shared PH finalize: the token-identical sequential fold over the
+    day-ordered (d, y) relation."""
+    series = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))),
+            lambda s: s["y"].cast("double"),
+        ).alias("ys"),
+    )
+
+    def step(acc, x):
+        newt = acc["t"] + F.lit(1.0)
+        newcum = acc["cum"] + x
+        m2 = acc["m"] + (x - newcum / newt)
+        minm2 = F.least(acc["minm"], m2)
+        ph2 = F.greatest(acc["ph"], m2 - minm2)
+        return F.struct(
+            newt.alias("t"),
+            newcum.alias("cum"),
+            m2.alias("m"),
+            minm2.alias("minm"),
+            ph2.alias("ph"),
+        )
+
+    acc0 = F.struct(
+        F.lit(0.0).alias("t"),
+        F.lit(0.0).alias("cum"),
+        F.lit(0.0).alias("m"),
+        F.lit(0.0).alias("minm"),
+        F.lit(0.0).alias("ph"),
+    )
+    folded = series.select(
+        "n_days", F.aggregate("ys", acc0, step).alias("st")
+    )
+    ph_r = F.round(F.col("st.ph"), 6)
+    return folded.select(
+        "n_days",
+        F.round(F.col("st.m"), 6).alias("final_m"),
+        ph_r.alias("ph_stat"),
+        (ph_r > 100.0).alias("alarm"),
+    )

@@ -100,6 +100,8 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_mann_kendall": ["fb_stream_mk_daily"],
     "q_stream_cronbach": ["fb_stream_cronbach_user"],
     "q_stream_gap_regularity": ["fb_stream_gapreg_segments"],
+    "q_stream_page_hinkley": ["fb_stream_ph_daily"],
+    "q_stream_norm_audit": ["fb_stream_norms_partial"],
 }
 
 

@@ -536,3 +536,99 @@ def test_stream_gap_regularity_equals_batch(spark):
         for r in q_stream_gap_regularity(spark, SF_SMALL).collect()
     }
     assert b == s
+
+
+# ---------------------------------------------------------------- page-hinkley
+
+
+def test_page_hinkley_matches_replay(spark):
+    from noaa_etl_spark.queries.temporal import q_page_hinkley
+
+    row = q_page_hinkley(spark, SF_SMALL).collect()[0]
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    days = (
+        orders.o_orderdate.astype("datetime64[ns]").dt.floor("D").value_counts().sort_index()
+    )
+    y = days.values.astype(float)
+    t = cum = m = minm = ph = 0.0
+    for v in y:
+        t += 1.0
+        cum += v
+        m += v - cum / t
+        minm = min(minm, m)
+        ph = max(ph, m - minm)
+    assert row["n_days"] == len(y)
+    assert abs(row["final_m"] - m) < 1e-6
+    assert abs(row["ph_stat"] - ph) < 1e-6
+    assert row["alarm"] == (round(ph, 6) > 100.0)
+
+
+# ---------------------------------------------------------------- local cc
+
+
+def test_clustering_coefficient_matches_bruteforce(spark):
+    from noaa_etl_spark.queries.scale import q_clustering_coefficient
+
+    rows = q_clustering_coefficient(spark, SF_SMALL).collect()
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    li = li[li.l_quantity >= 45]
+    adj = {}
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp.l_partkey))
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+    for r in rows:
+        node = r["node"]
+        nb = adj[node]
+        d = len(nb)
+        tri = sum(
+            1
+            for x in nb
+            for y_ in nb
+            if x < y_ and y_ in adj.get(x, set())
+        )
+        assert r["degree"] == d
+        assert r["n_triangles"] == tri, node
+        assert abs(r["local_cc"] - 2 * tri / (d * (d - 1))) < 1e-6
+    # output deterministically ordered by (degree desc, node)
+    keys = [(-r["degree"], r["node"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------- norms
+
+
+def test_embedding_norm_audit_matches_numpy(spark):
+    from noaa_etl_spark.queries.similarity import q_embedding_norm_audit
+
+    rows = {r["label"]: r for r in q_embedding_norm_audit(spark, SF_SMALL).collect()}
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    for label, grp in emb.groupby("label"):
+        V = np.stack(grp.embedding.values).astype(np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        qn = np.floor(norms * 1e6 + 0.5).astype(np.int64)
+        r = rows[label]
+        assert r["n_vecs"] == len(grp)
+        assert abs(r["min_norm_u"] - qn.min()) <= 1
+        assert abs(r["max_norm_u"] - qn.max()) <= 1
+        assert abs(r["mean_norm"] - qn.mean() / 1e6) < 1e-5
+
+
+def test_stream_page_hinkley_equals_batch(spark):
+    from noaa_etl_spark.queries.streaming import q_stream_page_hinkley
+    from noaa_etl_spark.queries.temporal import q_page_hinkley
+
+    b = q_page_hinkley(spark, SF_SMALL).collect()[0].asDict()
+    s = q_stream_page_hinkley(spark, SF_SMALL).collect()[0].asDict()
+    assert b == s
+
+
+def test_stream_norm_audit_equals_batch(spark):
+    from noaa_etl_spark.queries.similarity import q_embedding_norm_audit
+    from noaa_etl_spark.queries.streaming import q_stream_norm_audit
+
+    b = {r["label"]: r.asDict() for r in q_embedding_norm_audit(spark, SF_SMALL).collect()}
+    s = {r["label"]: r.asDict() for r in q_stream_norm_audit(spark, SF_SMALL).collect()}
+    assert b == s
