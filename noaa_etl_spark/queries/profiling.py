@@ -5625,3 +5625,172 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, chi2).alias("chi2"),
         F.when(ok, chi2 > 9.487729).alias("reject_95"),
     )
+
+
+SIMPSON_ORACLE = """
+    WITH assigned AS (
+      SELECT event_type AS stratum,
+             CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT stratum,
+             CAST(count(*) FILTER (arm = 'A') AS BIGINT)    AS n_a,
+             CAST(count(*) FILTER (arm = 'B') AS BIGINT)    AS n_b,
+             CAST(sum(cents) FILTER (arm = 'A') AS BIGINT)  AS s_a,
+             CAST(sum(cents) FILTER (arm = 'B') AS BIGINT)  AS s_b
+      FROM assigned GROUP BY stratum
+    ),
+    strata AS (
+      SELECT stratum, n_a, n_b,
+             CASE WHEN n_a > 0 AND n_b > 0 THEN
+               round(CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a, 6)
+             END AS diff_s,
+             CASE WHEN n_a > 0 AND n_b > 0 THEN
+               (CAST(n_a + n_b AS DOUBLE)
+                  / (SELECT sum(n_a + n_b) FROM m))
+               * (CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a)
+             END AS w_diff
+      FROM m
+    ),
+    pooled AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS na, CAST(sum(n_b) AS BIGINT) AS nb,
+             CAST(sum(s_a) AS BIGINT) AS sa, CAST(sum(s_b) AS BIGINT) AS sb
+      FROM m
+    ),
+    fin AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM strata)                AS n_strata,
+        (SELECT CAST(count(diff_s) AS BIGINT) FROM strata)           AS n_ok,
+        (SELECT CAST(count(*) FILTER (diff_s > 0) AS BIGINT)
+         FROM strata)                                                AS n_pos,
+        (SELECT CAST(count(*) FILTER (diff_s < 0) AS BIGINT)
+         FROM strata)                                                AS n_neg,
+        (SELECT CASE WHEN na > 0 AND nb > 0 THEN
+           round(CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na, 6) END
+         FROM pooled)                                                AS pooled_diff,
+        (SELECT round(sum(w_diff ORDER BY stratum), 6) FROM strata)  AS ate_ps_raw
+    )
+    SELECT n_strata, n_pos, n_neg, pooled_diff,
+           CASE WHEN n_strata = n_ok THEN ate_ps_raw END AS ate_ps,
+           CASE WHEN n_strata = n_ok AND pooled_diff IS NOT NULL THEN
+             (pooled_diff > 0 AND ate_ps_raw < 0)
+             OR (pooled_diff < 0 AND ate_ps_raw > 0)
+           END AS reversal
+    FROM fin
+    """
+
+
+@graded("q_simpson_check", oracle=SIMPSON_ORACLE)
+def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox guardrail (experimentation battery #19): does
+    the POOLED treatment effect disagree in SIGN with the
+    stratum-adjusted (post-stratified) effect? The classic aggregation
+    trap every metrics review should run before shipping a 'win' — a
+    pooled lift driven by stratum mix, not by any stratum improving,
+    reverses here. Reports the pooled B-A cent-mean difference, the
+    post-stratified ATE (the q_post_stratification estimator), the
+    per-stratum sign census, and the reversal flag.
+
+    Exactness: one (stratum x arm) FILTER-agg; per-stratum and pooled
+    diffs are token-identical double chains graded ROUNDED 6dp; the
+    cross-strata weighted sum folds in stratum order; sign counts and
+    the reversal flag derive from the ROUNDED values (mirrored CASE).
+    Any stratum with an empty arm NULLs ate_ps/reversal, an empty
+    pooled arm NULLs pooled_diff (regen-proof).
+
+    Scale: one combinable agg to K rows; everything after runs on the
+    K-row relation (tot checkpointed via broadcast of the 1-row sum -
+    the source_entropy lesson)."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    rows = ev.select(
+        F.col("event_type").alias("stratum"), arm.alias("arm"), cents.alias("cents")
+    )
+    is_a, is_b = F.col("arm") == "A", F.col("arm") == "B"
+    m = rows.groupBy("stratum").agg(
+        F.count_if(is_a).cast("bigint").alias("n_a"),
+        F.count_if(is_b).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, F.col("cents"))).cast("bigint").alias("s_a"),
+        F.sum(F.when(is_b, F.col("cents"))).cast("bigint").alias("s_b"),
+    ).localCheckpoint()
+    tot = m.agg(
+        F.sum(F.col("n_a") + F.col("n_b")).cast("bigint").alias("n"),
+        F.sum("n_a").cast("bigint").alias("na"),
+        F.sum("n_b").cast("bigint").alias("nb"),
+        F.sum("s_a").cast("bigint").alias("sa"),
+        F.sum("s_b").cast("bigint").alias("sb"),
+    ).localCheckpoint()
+    ok_s = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    diff = F.col("s_b").cast("double") / F.col("n_b") - F.col(
+        "s_a"
+    ).cast("double") / F.col("n_a")
+    w = (F.col("n_a") + F.col("n_b")).cast("double") / F.col("n")
+    strata = m.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n",
+        "na",
+        "nb",
+        "sa",
+        "sb",
+        F.when(ok_s, F.round(diff, 6)).alias("diff_s"),
+        F.when(ok_s, w * diff).alias("w_diff"),
+    )
+    fin = strata.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.count("diff_s").cast("bigint").alias("n_ok"),
+        F.count_if(F.col("diff_s") > 0).cast("bigint").alias("n_pos"),
+        F.count_if(F.col("diff_s") < 0).cast("bigint").alias("n_neg"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max("sa").alias("sa"),
+        F.max("sb").alias("sb"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("stratum").alias("st"),
+                                F.col("w_diff").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        ).alias("ate_ps_raw"),
+    )
+    pooled = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.round(
+            F.col("sb").cast("double") / F.col("nb")
+            - F.col("sa").cast("double") / F.col("na"),
+            6,
+        ),
+    )
+    ok_all = F.col("n_strata") == F.col("n_ok")
+    return fin.select(
+        "n_strata",
+        "n_pos",
+        "n_neg",
+        pooled.alias("pooled_diff"),
+        F.when(ok_all, F.col("ate_ps_raw")).alias("ate_ps"),
+        F.when(
+            ok_all & pooled.isNotNull(),
+            ((pooled > 0) & (F.col("ate_ps_raw") < 0))
+            | ((pooled < 0) & (F.col("ate_ps_raw") > 0)),
+        ).alias("reversal"),
+    )

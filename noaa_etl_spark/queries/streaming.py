@@ -4737,3 +4737,58 @@ def q_stream_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_zero",
         "n_unit",
     )
+
+
+from noaa_etl_spark.queries.windows import (
+    TUKEY_FENCES_ORACLE,
+    tukey_grid,
+    tukey_report_from_grid,
+)
+
+
+@graded("q_stream_tukey", oracle=TUKEY_FENCES_ORACLE)
+def q_stream_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Tukey-fences outlier census (twin #60) —
+    the order-statistic-from-grid family extended past the median
+    (twin #54's Levene selection): Q1/Q3 are interpolated quantiles,
+    reconstructed from the additive (type, value, count) grid by
+    cumulative selection at ranks floor(h)+1 / floor(h)+2 plus the
+    linear blend v_lo + (v_hi - v_lo)*frac at h = p*(n-1) — verified
+    bit-equal to the batch windowed-percentile form, so the twin
+    shares TUKEY_FENCES_ORACLE verbatim. Quantiles and fence counts
+    run only at finalize (every batch shifts every rank)."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_tukey")
+    states = os.path.join(root, "states")
+    shutil.rmtree(states, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = tukey_grid(batch_df)
+        record_foreach_batch_plan("stream_tukey_grid", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    _drain_batches(
+        spark,
+        root,
+        ev,
+        "event_id",
+        "event_type string, value double",
+        absorb,
+        gate_seed="stuk",
+    )
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("event_type", "value")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return tukey_report_from_grid(folded)

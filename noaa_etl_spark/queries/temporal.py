@@ -4071,3 +4071,86 @@ def page_hinkley_finalize(daily: DataFrame) -> DataFrame:
         ph_r.alias("ph_stat"),
         (ph_r > 100.0).alias("alarm"),
     )
+
+
+TIME_TO_CONVERT_ORACLE = """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)     AS t_view,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)    AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    lat AS (
+      SELECT stage, lat_s FROM (
+        SELECT 'view_to_click' AS stage,
+               (t_click - t_view) // 1000000 AS lat_s
+        FROM firsts WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click >= t_view
+        UNION ALL
+        SELECT 'click_to_purchase' AS stage,
+               (t_purchase - t_click) // 1000000 AS lat_s
+        FROM firsts WHERE t_click IS NOT NULL AND t_purchase IS NOT NULL
+                      AND t_purchase >= t_click
+      )
+    )
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(lat_s, 0.5), 6) AS median_s,
+           round(quantile_cont(lat_s, 0.9), 6) AS p90_s
+    FROM lat GROUP BY stage ORDER BY stage
+    """
+
+
+@graded("q_funnel_time_to_convert", oracle=TIME_TO_CONVERT_ORACLE)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel stage — the latency
+    companion to q_funnel's conversion COUNTS (product teams tune the
+    step whose p90 latency blows up, not just the step where users
+    drop): per user the FIRST occurrence of each stage, the
+    view->click and click->purchase latencies in integer seconds
+    (micros div 1e6 — first-touch ordering only counts forward
+    progressions), then exact median/p90 per stage.
+
+    Exactness: first-touch timestamps are exact min-aggregates;
+    latencies are integer seconds; F.percentile over integers is
+    bit-equal to quantile_cont (the established parity), rounded 6dp
+    for display. Users missing a stage (or converting out of order)
+    are excluded by mirrored NULL/ordering guards.
+
+    Scale: fact -> user grain in one combinable FILTER-min agg (the
+    funnel posture); latencies stack to a (stage, lat) relation and
+    the exact percentile runs per stage (two groups)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", t)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", t)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_purchase"),
+    )
+    vc = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & (F.col("t_click") >= F.col("t_view"))
+    ).select(
+        F.lit("view_to_click").alias("stage"),
+        F.expr("(t_click - t_view) div 1000000").alias("lat_s"),
+    )
+    cp = firsts.filter(
+        F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_click"))
+    ).select(
+        F.lit("click_to_purchase").alias("stage"),
+        F.expr("(t_purchase - t_click) div 1000000").alias("lat_s"),
+    )
+    lat = vc.unionByName(cp)
+    return (
+        lat.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+            F.round(F.percentile("lat_s", F.lit(0.5)), 6).alias("median_s"),
+            F.round(F.percentile("lat_s", F.lit(0.9)), 6).alias("p90_s"),
+        )
+        .orderBy("stage")
+    )

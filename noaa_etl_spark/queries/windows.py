@@ -871,3 +871,91 @@ def q_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def tukey_grid(ev: DataFrame) -> DataFrame:
+    """The (event_type, value, count) grid — the SUM-mergeable Tukey
+    state (the kruskal/levene grid discipline on the raw value axis:
+    exact doubles are valid group-by keys)."""
+    return ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+
+def tukey_report_from_grid(grid: DataFrame) -> DataFrame:
+    """Tukey-fences finalize from the folded value grid — the
+    streaming twin's path: Q1/Q3 are reconstructed by CUMULATIVE
+    SELECTION + linear interpolation (v_lo + (v_hi - v_lo) * frac at
+    h = p*(n-1), quantile_cont's definition — the levene median
+    selection generalized to arbitrary quartiles), and the outlier
+    census comes from the grid counts. Equals the per-event windowed
+    percentile form exactly (the established percentile parity)."""
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    base = grid.select(
+        "event_type",
+        "value",
+        "c",
+        F.sum("c").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("c").over(w_all).cast("bigint").alias("n_g"),
+    )
+
+    def hcols(p, tag):
+        h = F.lit(p) * (F.col("n_g") - 1).cast("double")
+        return [
+            F.floor(h).cast("bigint").alias(f"k{tag}"),
+            (h - F.floor(h)).alias(f"frac{tag}"),
+        ]
+
+    cums = base.select(
+        "*", *hcols(0.25, "25"), *hcols(0.75, "75")
+    ).localCheckpoint()
+
+    def qsel(tag, name):
+        v_lo = F.min(
+            F.when(F.col("cum") >= F.col(f"k{tag}") + 1, F.col("value"))
+        )
+        v_hi = F.min(
+            F.when(
+                F.col("cum") >= F.least(F.col(f"k{tag}") + 2, F.col("n_g")),
+                F.col("value"),
+            )
+        )
+        return (v_lo + (v_hi - v_lo) * F.max(F.col(f"frac{tag}"))).alias(name)
+
+    qs = cums.groupBy("event_type").agg(
+        F.max("n_g").cast("bigint").alias("n"),
+        qsel("25", "q1"),
+        qsel("75", "q3"),
+    )
+    fences = qs.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    joined = grid.join(F.broadcast(fences), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(F.min("q1"), 6).alias("q1"),
+            F.round(F.min("q3"), 6).alias("q3"),
+            F.round(F.min("q3") - F.min("q1"), 6).alias("iqr"),
+            F.round(F.min("lo"), 6).alias("lo"),
+            F.round(F.min("hi"), 6).alias("hi"),
+            F.sum(F.when(F.col("value") < F.col("lo"), F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .orderBy("event_type")
+    )

@@ -102,6 +102,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_gap_regularity": ["fb_stream_gapreg_segments"],
     "q_stream_page_hinkley": ["fb_stream_ph_daily"],
     "q_stream_norm_audit": ["fb_stream_norms_partial"],
+    "q_stream_tukey": ["fb_stream_tukey_grid"],
 }
 
 

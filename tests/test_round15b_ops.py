@@ -632,3 +632,63 @@ def test_stream_norm_audit_equals_batch(spark):
     b = {r["label"]: r.asDict() for r in q_embedding_norm_audit(spark, SF_SMALL).collect()}
     s = {r["label"]: r.asDict() for r in q_stream_norm_audit(spark, SF_SMALL).collect()}
     assert b == s
+
+
+# ---------------------------------------------------------------- ttc
+
+
+def test_time_to_convert_matches_replay(spark):
+    from noaa_etl_spark.queries.temporal import q_funnel_time_to_convert
+
+    rows = {r["stage"]: r for r in q_funnel_time_to_convert(spark, SF_SMALL).collect()}
+    ev = _events_pdf()
+    t_us = ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    firsts = (
+        pd.DataFrame({"u": ev.user_id, "t": t_us, "ty": ev.event_type})
+        .groupby(["u", "ty"])
+        .t.min()
+        .unstack()
+    )
+    for stage, a, b in (
+        ("view_to_click", "view", "click"),
+        ("click_to_purchase", "click", "purchase"),
+    ):
+        f = firsts.dropna(subset=[a, b])
+        lat = ((f[b] - f[a]) // 1_000_000)[lambda s: s >= 0]
+        r = rows[stage]
+        assert r["n_converted"] == len(lat)
+        assert abs(r["median_s"] - np.quantile(lat, 0.5)) < 1e-5
+        assert abs(r["p90_s"] - np.quantile(lat, 0.9)) < 1e-5
+
+
+# ---------------------------------------------------------------- simpson
+
+
+def test_simpson_check_consistent_with_post_strat(spark):
+    """ate_ps must equal q_post_stratification's estimate and the
+    reversal flag must be the sign disagreement of the two rounded
+    estimates."""
+    from noaa_etl_spark.queries.profiling import (
+        q_post_stratification,
+        q_simpson_check,
+    )
+
+    s_row = q_simpson_check(spark, SF_SMALL).collect()[0]
+    ps_row = q_post_stratification(spark, SF_SMALL).collect()[0]
+    assert s_row["ate_ps"] == ps_row["ate_ps"]
+    assert s_row["n_strata"] == ps_row["n_strata"]
+    p, a = s_row["pooled_diff"], s_row["ate_ps"]
+    assert s_row["reversal"] == ((p > 0 and a < 0) or (p < 0 and a > 0))
+    assert s_row["n_pos"] + s_row["n_neg"] <= s_row["n_strata"]
+
+
+# ---------------------------------------------------------------- twin 60
+
+
+def test_stream_tukey_equals_batch(spark):
+    from noaa_etl_spark.queries.streaming import q_stream_tukey
+    from noaa_etl_spark.queries.windows import q_tukey_fences
+
+    b = {r["event_type"]: r.asDict() for r in q_tukey_fences(spark, SF_SMALL).collect()}
+    s = {r["event_type"]: r.asDict() for r in q_stream_tukey(spark, SF_SMALL).collect()}
+    assert b == s
