@@ -5705,6 +5705,13 @@ def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     K-row relation (tot checkpointed via broadcast of the 1-row sum -
     the source_entropy lesson)."""
     ev = load_table(spark, sf_dir, "events")
+    return simpson_report(simpson_cells(ev).localCheckpoint())
+
+
+def simpson_cells(ev: DataFrame) -> DataFrame:
+    """The (stratum, n_a, n_b, s_a, s_b) moment relation — the
+    SUM-mergeable Simpson state (per-micro-batch rows fold by
+    stratum-grain addition)."""
     arm = F.when(
         F.substring(
             F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
@@ -5717,12 +5724,16 @@ def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("stratum"), arm.alias("arm"), cents.alias("cents")
     )
     is_a, is_b = F.col("arm") == "A", F.col("arm") == "B"
-    m = rows.groupBy("stratum").agg(
+    return rows.groupBy("stratum").agg(
         F.count_if(is_a).cast("bigint").alias("n_a"),
         F.count_if(is_b).cast("bigint").alias("n_b"),
         F.sum(F.when(is_a, F.col("cents"))).cast("bigint").alias("s_a"),
         F.sum(F.when(is_b, F.col("cents"))).cast("bigint").alias("s_b"),
-    ).localCheckpoint()
+    )
+
+
+def simpson_report(m: DataFrame) -> DataFrame:
+    """Shared Simpson finalize over the (checkpointed) folded cells."""
     tot = m.agg(
         F.sum(F.col("n_a") + F.col("n_b")).cast("bigint").alias("n"),
         F.sum("n_a").cast("bigint").alias("na"),

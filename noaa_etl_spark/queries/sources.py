@@ -900,3 +900,58 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(plan["n_files_out"] < plan["n_files"])).alias("fewer_files"),
         (F.col("n_overlap") == 0).alias("files_disjoint"),
     )
+
+
+@graded(
+    "q_csv_multichar_delim",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                                  AS n_cust,
+           CAST(sum(floor(c_acctbal)) AS BIGINT)     AS floor_bal,
+           min(c_acctbal)                            AS min_bal,
+           max(c_acctbal)                            AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_csv_multichar_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-CHARACTER delimiter CSV roundtrip ('||' separator) — the
+    legacy-feed reality check: mainframe and EDI extracts routinely use
+    multi-char separators precisely because field text may contain
+    commas/pipes, and Spark 3+'s sep option accepts arbitrary strings
+    (a univocity-parser surface single-char-only readers lack). Write
+    customer as '||'-separated text, re-read with a declared schema,
+    aggregate; the oracle reads the ORIGINAL table — the roundtrip
+    identity IS the grade (doubles survive text round-trips parse-exact
+    per the csv_roundtrip contract).
+
+    Scale: sink + scan are both splittable text; schema declared (no
+    inference pass); aggregation is one combinable agg."""
+    path = _tmp("csv_multidelim", sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    (
+        cust.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("sep", "||")
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(
+            "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING"
+        )
+        .option("header", "true")
+        .option("sep", "||")
+        .csv(path)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.floor("c_acctbal").cast("bigint")).alias("floor_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

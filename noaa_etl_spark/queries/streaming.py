@@ -4792,3 +4792,64 @@ def q_stream_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
     return tukey_report_from_grid(folded)
+
+
+from noaa_etl_spark.queries.profiling import (
+    SIMPSON_ORACLE,
+    simpson_cells,
+    simpson_report,
+)
+
+
+@graded("q_stream_simpson", oracle=SIMPSON_ORACLE)
+def q_stream_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Simpson's-paradox guardrail (twin #61) —
+    the live aggregation-trap monitor for a running experiment: the
+    (stratum, arm-moment) cells fold by stratum-grain addition, and
+    BOTH estimands (pooled and post-stratified) plus the reversal flag
+    are recomputed from the fold at every report — a per-batch reversal
+    flag would compare effects of different populations. Shares
+    SIMPSON_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_simpson")
+    states = os.path.join(root, "states")
+    shutil.rmtree(states, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = simpson_cells(batch_df)
+        record_foreach_batch_plan("stream_simpson_cells", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    _drain_batches(
+        spark,
+        root,
+        ev,
+        "event_id",
+        "user_id bigint, event_type string, value double",
+        absorb,
+        gate_seed="ssimp",
+    )
+    folded = (
+        spark.read.parquet(states)
+        .groupBy("stratum")
+        .agg(
+            F.sum("n_a").cast("bigint").alias("n_a"),
+            F.sum("n_b").cast("bigint").alias("n_b"),
+            F.sum("s_a").cast("bigint").alias("s_a"),
+            F.sum("s_b").cast("bigint").alias("s_b"),
+        )
+        .localCheckpoint()
+    )
+    return simpson_report(folded)

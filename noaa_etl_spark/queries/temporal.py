@@ -4154,3 +4154,73 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+SLO_BURN_ORACLE = """
+    WITH hourly AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_idx,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_err
+      FROM events GROUP BY hour_idx
+    ),
+    windows AS (
+      SELECT hour_idx, n, n_err,
+             CAST(sum(n) OVER (ORDER BY hour_idx
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)   AS n_6h,
+             CAST(sum(n_err) OVER (ORDER BY hour_idx
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)   AS err_6h
+      FROM hourly
+    )
+    SELECT hour_idx, n, n_err,
+           round(CAST(n_err AS DOUBLE) / n / 0.22, 6)       AS burn_1h,
+           round(CAST(err_6h AS DOUBLE) / n_6h / 0.22, 6)   AS burn_6h,
+           round(CAST(n_err AS DOUBLE) / n / 0.22, 6) > 1.0
+             AND round(CAST(err_6h AS DOUBLE) / n_6h / 0.22, 6) > 1.0
+             AS page_alert
+    FROM windows ORDER BY hour_idx
+    """
+
+
+@graded("q_error_budget_slo", oracle=SLO_BURN_ORACLE)
+def q_error_budget_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn-rate alerting — the Google-SRE multiwindow
+    pattern: page only when BOTH the fast (1h) and slow (6h trailing)
+    burn rates exceed 1.0x of the 22% error budget, so a one-hour blip
+    doesn't page but a sustained burn does. The standard production
+    alerting shape for any availability SLO.
+
+    Exactness: hourly (n, n_err) counts are exact BIGINTs from one
+    combinable agg on the integer hour index (epoch-micros div 3.6e9);
+    the 6h trailing sums are RANGE windows over the hour axis (hour
+    gaps handled by value-range, not row-count); burn rates are one
+    division each graded ROUNDED 6dp, and the page flag derives from
+    the ROUNDED burns on both sides.
+
+    Scale: fact -> bounded hour calendar in one agg; windows on the
+    ~|hours| relation."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = F.expr("unix_micros(ts) div 3600000000")
+    hourly = ev.groupBy(hour_idx.alias("hour_idx")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("event_type") == "error").cast("bigint").alias("n_err"),
+    )
+    w6 = Window.orderBy("hour_idx").rangeBetween(-5, 0)
+    windows = hourly.select(
+        "hour_idx",
+        "n",
+        "n_err",
+        F.sum("n").over(w6).cast("bigint").alias("n_6h"),
+        F.sum("n_err").over(w6).cast("bigint").alias("err_6h"),
+    )
+    burn1 = F.round(F.col("n_err").cast("double") / F.col("n") / F.lit(0.22), 6)
+    burn6 = F.round(
+        F.col("err_6h").cast("double") / F.col("n_6h") / F.lit(0.22), 6
+    )
+    return windows.select(
+        "hour_idx",
+        "n",
+        "n_err",
+        burn1.alias("burn_1h"),
+        burn6.alias("burn_6h"),
+        ((burn1 > 1.0) & (burn6 > 1.0)).alias("page_alert"),
+    ).orderBy("hour_idx")

@@ -342,7 +342,9 @@ GRADED_WINDOW: list[str] = [
     # q_page_hinkley, q_clustering_coefficient, q_embedding_norm_audit,
     # q_stream_page_hinkley (twin #58), q_stream_norm_audit (twin #59),
     # q_funnel_time_to_convert, q_simpson_check (battery #19),
-    # q_stream_tukey (twin #60 — interpolated-quantile grid selection).
+    # q_stream_tukey (twin #60 — interpolated-quantile grid selection),
+    # q_csv_multichar_delim (A), q_error_budget_slo (SRE burn rate),
+    # q_stream_simpson (twin #61).
     # THEN the remaining 15 r7-stale (unpivot,
     # date_spine, lang_stats, quality_filter, perplexity_filter,
     # bm25_rank, feature_hashing, regexp_extract, incremental_agg,

@@ -103,6 +103,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_page_hinkley": ["fb_stream_ph_daily"],
     "q_stream_norm_audit": ["fb_stream_norms_partial"],
     "q_stream_tukey": ["fb_stream_tukey_grid"],
+    "q_stream_simpson": ["fb_stream_simpson_cells"],
 }
 
 

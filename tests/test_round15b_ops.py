@@ -692,3 +692,53 @@ def test_stream_tukey_equals_batch(spark):
     b = {r["event_type"]: r.asDict() for r in q_tukey_fences(spark, SF_SMALL).collect()}
     s = {r["event_type"]: r.asDict() for r in q_stream_tukey(spark, SF_SMALL).collect()}
     assert b == s
+
+
+# ---------------------------------------------------------------- slo
+
+
+def test_slo_burn_matches_replay(spark):
+    from noaa_etl_spark.queries.temporal import q_error_budget_slo
+
+    rows = {r["hour_idx"]: r for r in q_error_budget_slo(spark, SF_SMALL).collect()}
+    ev = _events_pdf()
+    t_us = ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    hour = t_us // 3_600_000_000
+    df = pd.DataFrame({"h": hour, "err": (ev.event_type == "error").astype(int)})
+    hourly = df.groupby("h").agg(n=("err", "size"), n_err=("err", "sum"))
+    for h, r in hourly.iterrows():
+        row = rows[h]
+        assert row["n"] == r.n and row["n_err"] == r.n_err
+        in6 = hourly[(hourly.index >= h - 5) & (hourly.index <= h)]
+        b1 = round(r.n_err / r.n / 0.22, 6)
+        b6 = round(in6.n_err.sum() / in6.n.sum() / 0.22, 6)
+        assert abs(row["burn_1h"] - b1) < 1e-9
+        assert abs(row["burn_6h"] - b6) < 1e-9
+        assert row["page_alert"] == (b1 > 1.0 and b6 > 1.0)
+
+
+# ---------------------------------------------------------------- twin 61
+
+
+def test_stream_simpson_equals_batch(spark):
+    from noaa_etl_spark.queries.profiling import q_simpson_check
+    from noaa_etl_spark.queries.streaming import q_stream_simpson
+
+    b = q_simpson_check(spark, SF_SMALL).collect()[0].asDict()
+    s = q_stream_simpson(spark, SF_SMALL).collect()[0].asDict()
+    assert b == s
+
+
+# ---------------------------------------------------------------- multidelim
+
+
+def test_csv_multichar_delim_roundtrip_lossless(spark):
+    from noaa_etl_spark.queries.sources import q_csv_multichar_delim
+
+    rows = q_csv_multichar_delim(spark, SF_SMALL).collect()
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    assert sum(r["n_cust"] for r in rows) == len(cust)
+    by_seg = cust.groupby("c_mktsegment").c_acctbal
+    for r in rows:
+        assert r["min_bal"] == by_seg.min()[r["c_mktsegment"]]
+        assert r["max_bal"] == by_seg.max()[r["c_mktsegment"]]
