@@ -1585,3 +1585,85 @@ def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replay-tested against numpy lstsq (tests/test_round15b_ops.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     return ols_report(ols_moments(ols_obs(li)))
+
+
+METRIC_WATERFALL_ORACLE = """
+    WITH assigned AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) < 1705363200000000 THEN 0 ELSE 1 END AS post,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (post = 0) AS BIGINT)   AS n0,
+             CAST(count(*) FILTER (post = 1) AS BIGINT)   AS n1,
+             CAST(sum(cents) FILTER (post = 0) AS BIGINT) AS r0,
+             CAST(sum(cents) FILTER (post = 1) AS BIGINT) AS r1
+      FROM assigned GROUP BY event_type
+    )
+    SELECT event_type, n0, n1, r0, r1,
+           r1 - r0 AS delta_cents,
+           CASE WHEN n0 > 0 THEN
+             round((CAST(n1 AS DOUBLE) - n0) * (CAST(r0 AS DOUBLE) / n0), 6)
+           END AS volume_effect,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+             round(CAST(n0 AS DOUBLE)
+                   * (CAST(r1 AS DOUBLE) / n1 - CAST(r0 AS DOUBLE) / n0), 6)
+           END AS rate_effect,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+             round((CAST(n1 AS DOUBLE) - n0)
+                   * (CAST(r1 AS DOUBLE) / n1 - CAST(r0 AS DOUBLE) / n0), 6)
+           END AS mix_effect
+    FROM m ORDER BY event_type
+    """
+
+
+@graded("q_metric_waterfall", oracle=METRIC_WATERFALL_ORACLE)
+def q_metric_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-change waterfall decomposition — the 'why did revenue
+    move' bridge every metrics review draws: between the pre and post
+    periods (the shared epoch cut), the revenue delta decomposes
+    EXACTLY as delta = volume_effect + rate_effect + mix_effect with
+    volume = (n1-n0)*rate0, rate = n0*(rate1-rate0), and the
+    interaction (n1-n0)*(rate1-rate0) — per event type, so the
+    waterfall attributes the move to traffic vs per-event value vs
+    their interaction.
+
+    Exactness: four BIGINT cell aggregates per type in ONE combinable
+    FILTER-agg; delta_cents is exact integer; the three effects are
+    token-identical double chains graded ROUNDED 6dp (their unrounded
+    sum telescopes to the exact delta — asserted in tests); empty
+    periods NULL the affected effects (mirrored).
+
+    Scale: one map-side-combinable agg; finalize on K rows."""
+    ev = load_table(spark, sf_dir, "events")
+    post = F.when(F.unix_micros("ts") < 1705363200000000, F.lit(0)).otherwise(F.lit(1))
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    rows = ev.select(
+        "event_type", post.alias("post"), cents.alias("cents")
+    )
+    m = rows.groupBy("event_type").agg(
+        F.count_if(F.col("post") == 0).cast("bigint").alias("n0"),
+        F.count_if(F.col("post") == 1).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("post") == 0, F.col("cents"))).cast("bigint").alias("r0"),
+        F.sum(F.when(F.col("post") == 1, F.col("cents"))).cast("bigint").alias("r1"),
+    )
+    rate0 = F.col("r0").cast("double") / F.col("n0")
+    rate1 = F.col("r1").cast("double") / F.col("n1")
+    dn = F.col("n1").cast("double") - F.col("n0")
+    ok0 = F.col("n0") > 0
+    ok01 = ok0 & (F.col("n1") > 0)
+    return m.select(
+        "event_type",
+        "n0",
+        "n1",
+        "r0",
+        "r1",
+        (F.col("r1") - F.col("r0")).alias("delta_cents"),
+        F.when(ok0, F.round(dn * rate0, 6)).alias("volume_effect"),
+        F.when(ok01, F.round(F.col("n0").cast("double") * (rate1 - rate0), 6)).alias(
+            "rate_effect"
+        ),
+        F.when(ok01, F.round(dn * (rate1 - rate0), 6)).alias("mix_effect"),
+    ).orderBy("event_type")

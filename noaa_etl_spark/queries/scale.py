@@ -1200,9 +1200,29 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: co-partitioned equi-joins over (node, node) rows;
     orientation caps wedge fan-out at O(sqrt(m)); explode is 3 rows
     per triangle."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
-    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    li = load_table(spark, sf_dir, "lineitem")
+    return cc_report_from_items(cc_items(li))
+
+
+def cc_items(li: DataFrame) -> DataFrame:
+    """The distinct (orderkey, part) high-quantity item relation — the
+    UNION-DISTINCT-mergeable clustering state: co-purchase EDGES are
+    NOT per-batch computable when an order's lines split across
+    micro-batches (the cross-batch pairs exist in neither), but the
+    item set folds by distinct union and pairs are derived at
+    finalize — the gap-regularity boundary lesson on the graph axis."""
+    return (
+        li.filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+
+
+def cc_report_from_items(items: DataFrame) -> DataFrame:
+    """Shared local-clustering finalize: pairs from the folded item
+    relation, degree-oriented wedges, per-node triangle counts."""
+    a = items.select("l_orderkey", F.col("part").alias("u"))
+    b = items.select("l_orderkey", F.col("part").alias("v"))
     pairs = (
         a.join(b, ["l_orderkey"])
         .filter(F.col("u") < F.col("v"))

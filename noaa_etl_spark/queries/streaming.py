@@ -4853,3 +4853,64 @@ def q_stream_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return simpson_report(folded)
+
+
+from noaa_etl_spark.queries.scale import (
+    LOCAL_CC_ORACLE,
+    cc_items,
+    cc_report_from_items,
+)
+
+
+@graded("q_stream_clustering_coefficient", oracle=LOCAL_CC_ORACLE)
+def q_stream_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the local clustering coefficient (twin #62 —
+    the graph family's FIRST stream twin): co-purchase EDGES are not
+    per-batch computable, because an order whose line items split
+    across micro-batches forms pairs that exist in NEITHER batch (the
+    gap-regularity boundary lesson on the graph axis). The mergeable
+    state is the distinct (order, part) ITEM relation — folded by
+    union-distinct — and the pair derivation, orientation, wedge
+    enumeration, and per-node triangle counts all run at finalize.
+    Batches are deliberately split by line hash (not order hash) so
+    cross-batch orders actually occur. Shares LOCAL_CC_ORACLE
+    verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_cc")
+    states = os.path.join(root, "states")
+    shutil.rmtree(states, ignore_errors=True)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_linenumber", "l_orderkey", "l_partkey", "l_quantity"
+    )
+    li = li.withColumn(
+        "line_id",
+        F.xxhash64(F.lit("scc"), F.col("l_orderkey"), F.col("l_partkey")),
+    )
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = cc_items(batch_df)
+        record_foreach_batch_plan("stream_cc_items", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    _drain_batches(
+        spark,
+        root,
+        li.drop("l_linenumber"),
+        "line_id",
+        "l_orderkey bigint, l_partkey bigint, l_quantity double",
+        absorb,
+        gate_seed="scc2",
+    )
+    folded = (
+        spark.read.parquet(states).select("l_orderkey", "part").distinct()
+    )
+    return cc_report_from_items(folded)

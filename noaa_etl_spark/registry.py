@@ -344,7 +344,9 @@ GRADED_WINDOW: list[str] = [
     # q_funnel_time_to_convert, q_simpson_check (battery #19),
     # q_stream_tukey (twin #60 — interpolated-quantile grid selection),
     # q_csv_multichar_delim (A), q_error_budget_slo (SRE burn rate),
-    # q_stream_simpson (twin #61).
+    # q_stream_simpson (twin #61), q_metric_waterfall,
+    # q_seasonality_strength, q_stream_clustering_coefficient (twin #62
+    # — the union-distinct item-relation merge).
     # THEN the remaining 15 r7-stale (unpivot,
     # date_spine, lang_stats, quality_filter, perplexity_filter,
     # bm25_rank, feature_hashing, regexp_extract, incremental_agg,

@@ -104,6 +104,7 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_norm_audit": ["fb_stream_norms_partial"],
     "q_stream_tukey": ["fb_stream_tukey_grid"],
     "q_stream_simpson": ["fb_stream_simpson_cells"],
+    "q_stream_clustering_coefficient": ["fb_stream_cc_items"],
 }
 
 

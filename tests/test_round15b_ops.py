@@ -742,3 +742,60 @@ def test_csv_multichar_delim_roundtrip_lossless(spark):
     for r in rows:
         assert r["min_bal"] == by_seg.min()[r["c_mktsegment"]]
         assert r["max_bal"] == by_seg.max()[r["c_mktsegment"]]
+
+
+# ---------------------------------------------------------------- waterfall
+
+
+def test_metric_waterfall_telescopes(spark):
+    """volume + rate + mix (unrounded identity) must reconstruct the
+    exact integer delta for every type."""
+    from noaa_etl_spark.queries.etl import q_metric_waterfall
+
+    for r in q_metric_waterfall(spark, SF_SMALL).collect():
+        if r["volume_effect"] is None or r["rate_effect"] is None:
+            continue
+        rate0 = r["r0"] / r["n0"]
+        rate1 = r["r1"] / r["n1"]
+        dn = r["n1"] - r["n0"]
+        total = dn * rate0 + r["n0"] * (rate1 - rate0) + dn * (rate1 - rate0)
+        assert abs(total - r["delta_cents"]) < 1e-6 * max(1, abs(r["delta_cents"]))
+        assert abs(r["volume_effect"] - dn * rate0) < 1e-5
+
+
+# ---------------------------------------------------------------- twin 62
+
+
+def test_stream_clustering_equals_batch(spark):
+    from noaa_etl_spark.queries.scale import q_clustering_coefficient
+    from noaa_etl_spark.queries.streaming import q_stream_clustering_coefficient
+
+    b = [r.asDict() for r in q_clustering_coefficient(spark, SF_SMALL).collect()]
+    s = [r.asDict() for r in q_stream_clustering_coefficient(spark, SF_SMALL).collect()]
+    assert b == s
+
+
+# ---------------------------------------------------------------- strength
+
+
+def test_seasonality_strength_matches_replay(spark):
+    from noaa_etl_spark.queries.temporal import q_seasonality_strength
+
+    rows = {r["event_type"]: r for r in q_seasonality_strength(spark, SF_SMALL).collect()}
+    ev = _events_pdf()
+    t_us = ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    day = t_us // 86_400_000_000
+    cents = np.floor(ev.value * 100).astype(np.int64)
+    df = pd.DataFrame({"ty": ev.event_type, "d": day, "c": cents})
+    daily = df.groupby(["ty", "d"]).c.sum().reset_index()
+    for ty, grp in daily.groupby("ty"):
+        y = grp.c.values.astype(float)
+        dow = (grp.d.values + 4) % 7
+        smean = pd.Series(y).groupby(dow).transform("mean").values
+        r_ = y - smean
+        vd = y.var()
+        vr = ((r_ - r_.mean()) ** 2).mean()
+        row = rows[ty]
+        assert row["n_days"] == len(y)
+        assert abs(row["var_daily"] - vd) < max(0.02, vd * 1e-9)
+        assert abs(row["strength"] - max(0.0, 1 - vr / vd)) < 1e-5
