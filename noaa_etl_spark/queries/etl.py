@@ -1638,17 +1638,27 @@ def q_metric_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combinable agg; finalize on K rows."""
     ev = load_table(spark, sf_dir, "events")
+    return waterfall_report(waterfall_cells(ev))
+
+
+def waterfall_cells(ev: DataFrame) -> DataFrame:
+    """The per-type 2-period (n, revenue) cells — the SUM-mergeable
+    waterfall state."""
     post = F.when(F.unix_micros("ts") < 1705363200000000, F.lit(0)).otherwise(F.lit(1))
     cents = F.floor(F.col("value") * 100).cast("bigint")
     rows = ev.select(
         "event_type", post.alias("post"), cents.alias("cents")
     )
-    m = rows.groupBy("event_type").agg(
+    return rows.groupBy("event_type").agg(
         F.count_if(F.col("post") == 0).cast("bigint").alias("n0"),
         F.count_if(F.col("post") == 1).cast("bigint").alias("n1"),
         F.sum(F.when(F.col("post") == 0, F.col("cents"))).cast("bigint").alias("r0"),
         F.sum(F.when(F.col("post") == 1, F.col("cents"))).cast("bigint").alias("r1"),
     )
+
+
+def waterfall_report(m: DataFrame) -> DataFrame:
+    """Shared waterfall finalize over the folded cells."""
     rate0 = F.col("r0").cast("double") / F.col("n0")
     rate1 = F.col("r1").cast("double") / F.col("n1")
     dn = F.col("n1").cast("double") - F.col("n0")

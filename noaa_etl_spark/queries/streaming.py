@@ -4914,3 +4914,119 @@ def q_stream_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFra
         spark.read.parquet(states).select("l_orderkey", "part").distinct()
     )
     return cc_report_from_items(folded)
+
+
+from noaa_etl_spark.queries.etl import (
+    METRIC_WATERFALL_ORACLE,
+    waterfall_cells,
+    waterfall_report,
+)
+from noaa_etl_spark.queries.temporal import (
+    SEASONALITY_STRENGTH_ORACLE,
+    TIME_TO_CONVERT_ORACLE,
+    seasonality_daily,
+    seasonality_report,
+    ttc_firsts,
+    ttc_report,
+)
+
+
+def _simple_fb_twin(spark, sf_dir, name, src_cols, src_schema, key_col,
+                    table, state_fn, plan_key, fold_fn, report_fn, gate_seed):
+    """Shared scaffolding for additive/min-mergeable foreachBatch twins:
+    write the source in 3 hash-gated files, absorb per-batch state via
+    state_fn, fold all batch states with fold_fn, report."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), name)
+    states = os.path.join(root, "states")
+    shutil.rmtree(states, ignore_errors=True)
+
+    src_df = load_table(spark, sf_dir, table).select(key_col, *src_cols)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        partial = state_fn(batch_df)
+        record_foreach_batch_plan(plan_key, partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    _drain_batches(spark, root, src_df, key_col, src_schema, absorb,
+                   gate_seed=gate_seed)
+    return report_fn(fold_fn(spark.read.parquet(states)))
+
+
+@graded("q_stream_metric_waterfall", oracle=METRIC_WATERFALL_ORACLE)
+def q_stream_metric_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the revenue-bridge waterfall (twin #63) — the
+    live 'why is the metric moving' monitor: per-type 2-period cells
+    fold by addition; all three effects recomputed from the fold (a
+    per-batch rate0 would price the volume effect off an incomplete
+    baseline). Shares METRIC_WATERFALL_ORACLE verbatim."""
+    def fold(states):
+        return states.groupBy("event_type").agg(
+            F.sum("n0").cast("bigint").alias("n0"),
+            F.sum("n1").cast("bigint").alias("n1"),
+            F.sum("r0").cast("bigint").alias("r0"),
+            F.sum("r1").cast("bigint").alias("r1"),
+        )
+
+    return _simple_fb_twin(
+        spark, sf_dir, "stream_waterfall",
+        ["ts", "event_type", "value"],
+        "ts timestamp, event_type string, value double",
+        "event_id", "events", waterfall_cells,
+        "stream_waterfall_cells", fold, waterfall_report, "swf",
+    )
+
+
+@graded("q_stream_seasonality", oracle=SEASONALITY_STRENGTH_ORACLE)
+def q_stream_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the strength-of-seasonality score (twin #64):
+    the (type, day) daily rollup folds by addition; seasonal means,
+    residuals, and both variances run only at finalize — a day's total
+    (and hence every residual) is a cross-batch sum, the stream_
+    rolling_corr lesson on the dow axis. Shares
+    SEASONALITY_STRENGTH_ORACLE verbatim."""
+    def fold(states):
+        return states.groupBy("event_type", "day_idx").agg(
+            F.sum("y").cast("bigint").alias("y")
+        )
+
+    return _simple_fb_twin(
+        spark, sf_dir, "stream_seasonality",
+        ["ts", "event_type", "value"],
+        "ts timestamp, event_type string, value double",
+        "event_id", "events", seasonality_daily,
+        "stream_seasonality_daily", fold, seasonality_report, "ssea",
+    )
+
+
+@graded("q_stream_funnel_ttc", oracle=TIME_TO_CONVERT_ORACLE)
+def q_stream_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the funnel time-to-convert (twin #65): the
+    per-user per-stage FIRST-touch state folds by MIN (a later batch
+    can only lower a first touch — the heaps word-firsts class);
+    latencies and percentiles run only at finalize, because a user's
+    first view and first purchase may arrive in different batches and
+    a per-batch latency would pair the wrong touches. Shares
+    TIME_TO_CONVERT_ORACLE verbatim."""
+    def fold(states):
+        return states.groupBy("user_id").agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("t_purchase").alias("t_purchase"),
+        )
+
+    return _simple_fb_twin(
+        spark, sf_dir, "stream_ttc",
+        ["ts", "user_id", "event_type"],
+        "ts timestamp, user_id bigint, event_type string",
+        "event_id", "events", ttc_firsts,
+        "stream_ttc_firsts", fold, ttc_report, "sttc",
+    )

@@ -4122,12 +4122,24 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel posture); latencies stack to a (stage, lat) relation and
     the exact percentile runs per stage (two groups)."""
     ev = load_table(spark, sf_dir, "events")
+    return ttc_report(ttc_firsts(ev))
+
+
+def ttc_firsts(ev: DataFrame) -> DataFrame:
+    """Per-user first-touch timestamps per stage — the MIN-mergeable
+    time-to-convert state (a later batch can only LOWER a first touch,
+    the heaps word-firsts merge class)."""
     t = F.unix_micros("ts")
-    firsts = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", t)).alias("t_view"),
         F.min(F.when(F.col("event_type") == "click", t)).alias("t_click"),
         F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_purchase"),
     )
+
+
+def ttc_report(firsts: DataFrame) -> DataFrame:
+    """Shared time-to-convert finalize over the folded first-touch
+    relation."""
     vc = firsts.filter(
         F.col("t_view").isNotNull()
         & F.col("t_click").isNotNull()
@@ -4292,8 +4304,14 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: fact -> |types|x|days| daily relation in one combinable
     agg; windows and folds on the bounded relation."""
     ev = load_table(spark, sf_dir, "events")
+    return seasonality_report(seasonality_daily(ev))
+
+
+def seasonality_daily(ev: DataFrame) -> DataFrame:
+    """The (type, day, cents) daily rollup — the SUM-mergeable
+    seasonality state (the changepoint_daily class per type)."""
     day_idx = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
-    daily = (
+    return (
         ev.select(
             "event_type",
             day_idx.alias("day_idx"),
@@ -4302,6 +4320,11 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day_idx")
         .agg(F.sum("cents").cast("bigint").alias("y"))
     )
+
+
+def seasonality_report(daily: DataFrame) -> DataFrame:
+    """Shared strength-of-seasonality finalize over the folded daily
+    relation."""
     w_dow = Window.partitionBy("event_type", (F.col("day_idx") + 4) % 7)
     with_season = daily.select(
         "event_type",
@@ -4351,3 +4374,139 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vd")), 6),
         ).alias("strength"),
     ).orderBy("event_type")
+
+
+BOUNCE_RATE_ORACLE = """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))
+                     > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id,
+             ts
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(floor(epoch_us(min(ts)) / 86400000000) AS BIGINT) AS day_idx
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT day_idx,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (n_events = 1) AS BIGINT) AS n_bounce,
+           round(CAST(count(*) FILTER (n_events = 1) AS DOUBLE)
+                 / count(*), 6) AS bounce_rate
+    FROM per_session GROUP BY day_idx ORDER BY day_idx
+    """
+
+
+@graded("q_bounce_rate", oracle=BOUNCE_RATE_ORACLE)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — the canonical engagement KPI downstream of
+    sessionization: the share of sessions (30-min gap, the shared
+    sessionize contract) containing exactly ONE event, bucketed by the
+    session's START day. Single-event sessions are the 'landed and
+    left' signal every funnel review starts from.
+
+    Exactness: sessions come from the shared sessionize operator
+    ((ts, event_id) total order, gap > 30 min); per-session event
+    counts and the start-day index are exact integers; the rate is one
+    division graded ROUNDED 6dp.
+
+    Scale: the sessionize exchange (one user window) + two combinable
+    aggs riding the same partitioning; output is the bounded day
+    calendar."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sess = sessionize(ev, tiebreak_col="event_id")
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.floor(F.unix_micros(F.min("ts")) / F.lit(86_400_000_000))
+        .cast("bigint")
+        .alias("day_idx"),
+    )
+    return (
+        per_session.groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.count_if(F.col("n_events") == 1).cast("bigint").alias("n_bounce"),
+            F.round(
+                F.count_if(F.col("n_events") == 1).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day_idx")
+    )
+
+
+APDEX_ORACLE = """
+    WITH scored AS (
+      SELECT event_type,
+             CASE WHEN value <= 50.0 THEN 1
+                  WHEN value <= 200.0 THEN 2
+                  ELSE 3 END AS band
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                    AS n,
+           CAST(count(*) FILTER (band = 1) AS BIGINT)  AS n_satisfied,
+           CAST(count(*) FILTER (band = 2) AS BIGINT)  AS n_tolerating,
+           CAST(count(*) FILTER (band = 3) AS BIGINT)  AS n_frustrated,
+           round((CAST(count(*) FILTER (band = 1) AS DOUBLE)
+                  + CAST(count(*) FILTER (band = 2) AS DOUBLE) / 2.0)
+                 / count(*), 6) AS apdex
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """
+
+
+@graded("q_apdex_score", oracle=APDEX_ORACLE)
+def q_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex score per event type — the industry-standard user-
+    satisfaction index over a latency-like measure (value read as ms):
+    Apdex_T = (satisfied + tolerating/2) / total with the satisfied
+    threshold T = 50 and the tolerating ceiling 4T = 200 (both fixed
+    literals, mirrored). The single-number SLA companion to
+    q_error_budget_slo's burn alerts.
+
+    Exactness: band assignment is two literal comparisons; all counts
+    exact BIGINTs in one combinable FILTER-agg; the score is a fixed
+    double chain graded ROUNDED 6dp.
+
+    Scale: one map-side-combinable agg; K-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") <= 50.0, 1)
+        .when(F.col("value") <= 200.0, 2)
+        .otherwise(3)
+    )
+    scored = ev.select("event_type", band.alias("band"))
+    sat = F.count_if(F.col("band") == 1)
+    tol = F.count_if(F.col("band") == 2)
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            sat.cast("bigint").alias("n_satisfied"),
+            tol.cast("bigint").alias("n_tolerating"),
+            F.count_if(F.col("band") == 3).cast("bigint").alias("n_frustrated"),
+            F.round(
+                (sat.cast("double") + tol.cast("double") / F.lit(2.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("apdex"),
+        )
+        .orderBy("event_type")
+    )

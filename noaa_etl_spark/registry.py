@@ -346,7 +346,9 @@ GRADED_WINDOW: list[str] = [
     # q_csv_multichar_delim (A), q_error_budget_slo (SRE burn rate),
     # q_stream_simpson (twin #61), q_metric_waterfall,
     # q_seasonality_strength, q_stream_clustering_coefficient (twin #62
-    # — the union-distinct item-relation merge).
+    # — the union-distinct item-relation merge), q_bounce_rate,
+    # q_apdex_score, q_stream_metric_waterfall (twin #63),
+    # q_stream_seasonality (twin #64), q_stream_funnel_ttc (twin #65).
     # THEN the remaining 15 r7-stale (unpivot,
     # date_spine, lang_stats, quality_filter, perplexity_filter,
     # bm25_rank, feature_hashing, regexp_extract, incremental_agg,

@@ -105,6 +105,9 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_tukey": ["fb_stream_tukey_grid"],
     "q_stream_simpson": ["fb_stream_simpson_cells"],
     "q_stream_clustering_coefficient": ["fb_stream_cc_items"],
+    "q_stream_metric_waterfall": ["fb_stream_waterfall_cells"],
+    "q_stream_seasonality": ["fb_stream_seasonality_daily"],
+    "q_stream_funnel_ttc": ["fb_stream_ttc_firsts"],
 }
 
 

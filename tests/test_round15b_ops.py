@@ -799,3 +799,81 @@ def test_seasonality_strength_matches_replay(spark):
         assert row["n_days"] == len(y)
         assert abs(row["var_daily"] - vd) < max(0.02, vd * 1e-9)
         assert abs(row["strength"] - max(0.0, 1 - vr / vd)) < 1e-5
+
+
+# ---------------------------------------------------------------- twins 63-65
+
+
+def test_stream_waterfall_equals_batch(spark):
+    from noaa_etl_spark.queries.etl import q_metric_waterfall
+    from noaa_etl_spark.queries.streaming import q_stream_metric_waterfall
+
+    b = [r.asDict() for r in q_metric_waterfall(spark, SF_SMALL).collect()]
+    s = [r.asDict() for r in q_stream_metric_waterfall(spark, SF_SMALL).collect()]
+    assert b == s
+
+
+def test_stream_seasonality_equals_batch(spark):
+    from noaa_etl_spark.queries.streaming import q_stream_seasonality
+    from noaa_etl_spark.queries.temporal import q_seasonality_strength
+
+    b = [r.asDict() for r in q_seasonality_strength(spark, SF_SMALL).collect()]
+    s = [r.asDict() for r in q_stream_seasonality(spark, SF_SMALL).collect()]
+    assert b == s
+
+
+def test_stream_ttc_equals_batch(spark):
+    from noaa_etl_spark.queries.streaming import q_stream_funnel_ttc
+    from noaa_etl_spark.queries.temporal import q_funnel_time_to_convert
+
+    b = {r["stage"]: r.asDict() for r in q_funnel_time_to_convert(spark, SF_SMALL).collect()}
+    s = {r["stage"]: r.asDict() for r in q_stream_funnel_ttc(spark, SF_SMALL).collect()}
+    assert b == s
+
+
+# ---------------------------------------------------------------- bounce/apdex
+
+
+def test_bounce_rate_matches_replay(spark):
+    from noaa_etl_spark.queries.temporal import q_bounce_rate
+
+    rows = {r["day_idx"]: r for r in q_bounce_rate(spark, SF_SMALL).collect()}
+    ev = _events_pdf().sort_values(["user_id", "ts", "event_id"])
+    t_us = ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    ev = ev.assign(t=t_us.values)
+    total, bounce = {}, {}
+    for _, grp in ev.groupby("user_id"):
+        cur = []
+        prev = None
+        sessions = []
+        for t in grp.t.values:
+            if prev is None or t - prev > 1_800_000_000:
+                if cur:
+                    sessions.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+            prev = t
+        if cur:
+            sessions.append(cur)
+        for sess in sessions:
+            d = sess[0] // 86_400_000_000
+            total[d] = total.get(d, 0) + 1
+            if len(sess) == 1:
+                bounce[d] = bounce.get(d, 0) + 1
+    for d, r in rows.items():
+        assert r["n_sessions"] == total[d]
+        assert r["n_bounce"] == bounce.get(d, 0)
+
+
+def test_apdex_matches_replay(spark):
+    from noaa_etl_spark.queries.temporal import q_apdex_score
+
+    rows = {r["event_type"]: r for r in q_apdex_score(spark, SF_SMALL).collect()}
+    ev = _events_pdf()
+    for ty, grp in ev.groupby("event_type"):
+        sat = int((grp.value <= 50.0).sum())
+        tol = int(((grp.value > 50.0) & (grp.value <= 200.0)).sum())
+        r = rows[ty]
+        assert r["n_satisfied"] == sat and r["n_tolerating"] == tol
+        assert abs(r["apdex"] - (sat + tol / 2) / len(grp)) < 1e-6
