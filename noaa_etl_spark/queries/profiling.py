@@ -5805,3 +5805,171 @@ def simpson_report(m: DataFrame) -> DataFrame:
             | ((pooled < 0) & (F.col("ate_ps_raw") > 0)),
         ).alias("reversal"),
     )
+
+
+COCHRAN_ARMITAGE_ORACLE = """
+    WITH banded AS (
+      SELECT CAST(least(floor(value / 50), 4) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    grid AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(y) AS BIGINT) AS r_i
+      FROM banded GROUP BY s
+    ),
+    sums AS (
+      SELECT CAST(sum(n_i) AS BIGINT)        AS n,
+             CAST(sum(r_i) AS BIGINT)        AS r,
+             CAST(sum(s * n_i) AS BIGINT)    AS sn,
+             CAST(sum(s * r_i) AS BIGINT)    AS sr,
+             CAST(sum(s * s * n_i) AS BIGINT) AS ssn
+      FROM grid
+    ),
+    fin AS (
+      SELECT n, r,
+             CAST(n AS DOUBLE) * sr - CAST(r AS DOUBLE) * sn AS t_stat,
+             (CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+               * (CAST(n AS DOUBLE) * ssn - CAST(sn AS DOUBLE) * sn) AS var_t
+      FROM sums
+    )
+    SELECT n, r,
+           CASE WHEN n > 1 AND r > 0 AND r < n AND var_t > 0
+                THEN round(t_stat / sqrt(var_t), 6) END AS z,
+           CASE WHEN n > 1 AND r > 0 AND r < n AND var_t > 0
+                THEN abs(round(t_stat / sqrt(var_t), 6)) > 1.959964
+           END AS reject_95
+    FROM fin
+    """
+
+
+@graded("q_cochran_armitage", oracle=COCHRAN_ARMITAGE_ORACLE)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (experimentation battery #20): does
+    purchase propensity rise MONOTONICALLY with the spend band? The
+    ordered-dose test chi-square independence cannot express (chi2
+    sees association, CA sees direction): scores s_i = band index,
+    T = N*sum(s_i r_i) - R*sum(s_i n_i), Var(T) = p(1-p)(N*sum(s^2 n)
+    - (sum(s n))^2) with p = R/N.
+
+    Exactness: the fact collapses to the 5-band (n_i, r_i) grid in one
+    combinable agg; all five scored sums are exact BIGINTs (bound:
+    s^2 <= 16 keeps ssn safe past 1e17 rows); T and Var(T) are
+    token-identical double chains (T^2 would overflow - the
+    finalize-product doctrine, so z = T/sqrt(V) directly); z graded
+    ROUNDED 6dp, reject from the rounded value; degenerate all-
+    positive/all-negative outcomes or zero variance NULL (mirrored).
+
+    Scale: one agg to 5 rows; finalize on one row."""
+    ev = load_table(spark, sf_dir, "events")
+    s_band = F.least(F.floor(F.col("value") / 50), F.lit(4)).cast("bigint")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    grid = (
+        ev.select(s_band.alias("s"), y.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum("y").cast("bigint").alias("r_i"),
+        )
+    )
+    sums = grid.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.col("s") * F.col("n_i")).cast("bigint").alias("sn"),
+        F.sum(F.col("s") * F.col("r_i")).cast("bigint").alias("sr"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i")).cast("bigint").alias("ssn"),
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    t_stat = nd * F.col("sr") - rd * F.col("sn")
+    p = rd / F.col("n")
+    var_t = p * (F.lit(1.0) - rd / F.col("n")) * (
+        nd * F.col("ssn") - F.col("sn").cast("double") * F.col("sn")
+    )
+    fin = sums.select("n", "r", t_stat.alias("t_stat"), var_t.alias("var_t"))
+    ok = (
+        (F.col("n") > 1)
+        & (F.col("r") > 0)
+        & (F.col("r") < F.col("n"))
+        & (F.col("var_t") > 0)
+    )
+    z = F.round(F.col("t_stat") / F.sqrt(F.col("var_t")), 6)
+    return fin.select(
+        "n",
+        "r",
+        F.when(ok, z).alias("z"),
+        F.when(ok, F.abs(z) > 1.959964).alias("reject_95"),
+    )
+
+
+MCC_ORACLE = """
+    WITH scored AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS pred
+      FROM events
+    ),
+    conf AS (
+      SELECT CAST(count(*) FILTER (y = 1 AND pred = 1) AS BIGINT) AS tp,
+             CAST(count(*) FILTER (y = 0 AND pred = 1) AS BIGINT) AS fp,
+             CAST(count(*) FILTER (y = 1 AND pred = 0) AS BIGINT) AS fn,
+             CAST(count(*) FILTER (y = 0 AND pred = 0) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0
+                 AND (tn + fp) > 0 AND (tn + fn) > 0
+                THEN round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                     / sqrt((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)
+                            * (CAST(tn AS DOUBLE) + fp)
+                            * (CAST(tn AS DOUBLE) + fn)), 6)
+           END AS mcc
+    FROM conf
+    """
+
+
+@graded("q_mcc_score", oracle=MCC_ORACLE)
+def q_mcc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the value>=100 purchase
+    predictor — the eval battery's class-imbalance-proof single
+    number (accuracy and F1 both mislead at skewed prevalence; MCC is
+    the +-1-bounded correlation of the full confusion matrix, the
+    metric the classification_report family still lacked).
+
+    Exactness: the four confusion cells are exact BIGINTs from ONE
+    FILTER-agg; numerator products stay within BIGINT but the
+    DENOMINATOR (a product of four marginals ~ N^4) overflows long
+    before any realistic N - the whole chain runs in token-identical
+    DOUBLES (the cohens_kappa marginal-product lesson), graded ROUNDED
+    6dp; any zero marginal NULLs mcc (the standard convention,
+    mirrored).
+
+    Scale: one combinable agg; finalize on one row."""
+    ev = load_table(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    pred = F.when(F.col("value") >= 100.0, 1).otherwise(0)
+    scored = ev.select(y.alias("y"), pred.alias("pred"))
+    conf = scored.agg(
+        F.count_if((F.col("y") == 1) & (F.col("pred") == 1)).cast("bigint").alias("tp"),
+        F.count_if((F.col("y") == 0) & (F.col("pred") == 1)).cast("bigint").alias("fp"),
+        F.count_if((F.col("y") == 1) & (F.col("pred") == 0)).cast("bigint").alias("fn"),
+        F.count_if((F.col("y") == 0) & (F.col("pred") == 0)).cast("bigint").alias("tn"),
+    )
+    tp_d, fp_d = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn_d, tn_d = F.col("fn").cast("double"), F.col("tn").cast("double")
+    ok = (
+        (F.col("tp") + F.col("fp") > 0)
+        & (F.col("tp") + F.col("fn") > 0)
+        & (F.col("tn") + F.col("fp") > 0)
+        & (F.col("tn") + F.col("fn") > 0)
+    )
+    mcc = F.round(
+        (tp_d * F.col("tn") - fp_d * F.col("fn"))
+        / F.sqrt(
+            (tp_d + F.col("fp"))
+            * (tp_d + F.col("fn"))
+            * (tn_d + F.col("fp"))
+            * (tn_d + F.col("fn"))
+        ),
+        6,
+    )
+    return conf.select("tp", "fp", "fn", "tn", F.when(ok, mcc).alias("mcc"))

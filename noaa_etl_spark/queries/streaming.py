@@ -5030,3 +5030,186 @@ def q_stream_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "events", ttc_firsts,
         "stream_ttc_firsts", fold, ttc_report, "sttc",
     )
+
+
+from noaa_etl_spark.queries.temporal import BOUNCE_RATE_ORACLE
+from noaa_etl_spark.operators.sessionize import sessionize as _sess_op
+
+
+@graded("q_stream_bounce_rate", oracle=BOUNCE_RATE_ORACLE)
+def q_stream_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the daily bounce rate (twin #66) — SESSION
+    STITCHING, the merge shape real streaming sessionizers implement:
+    a session is not per-batch computable (its events straddle
+    micro-batches), so each event-time-ranged batch sessionizes its
+    OWN slice and the state is the per-(user, range) SESSION SUMMARY
+    rows (start, end, n_events). The finalize re-runs gaps-and-islands
+    over the session rows themselves: consecutive per-range sessions
+    merge iff next.start - prev.end <= 30 min — within a range that
+    gap is > 30 min by construction, so the rule fires exactly at
+    range boundaries and transitive chains stitch across any number of
+    batches (the running-island machinery on SESSION state; correct by
+    the same argument as twin #57's boundary gaps). Shares
+    BOUNCE_RATE_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_bounce")
+    src = os.path.join(root, "src")
+    states = os.path.join(root, "states")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (src, states, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("t")
+    )
+    b = ev.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * ((hi - lo) // 3)
+    g = (
+        F.when(F.col("t") < F.lit(cut1), F.lit(0))
+        .when(F.col("t") < F.lit(cut2), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    evg = ev.withColumn("g", g.cast("int"))
+    for i in range(3):
+        evg.filter(F.col("g") == i).select("event_id", "user_id", "ts").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        sess = _sess_op(batch_df, tiebreak_col="event_id")
+        summ = sess.groupBy("user_id", "session_id").agg(
+            F.min(F.unix_micros("ts")).cast("bigint").alias("s_us"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("e_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        )
+        record_foreach_batch_plan("stream_bounce_sessions", summ)
+        summ.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    segs = spark.read.parquet(states).select("user_id", "s_us", "e_us", "n_ev")
+    w = Window.partitionBy("user_id").orderBy("s_us")
+    new_island = F.when(
+        F.lag("e_us").over(w).isNull()
+        | (F.col("s_us") - F.lag("e_us").over(w) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    islands = segs.withColumn("ni", new_island).withColumn(
+        "island", F.sum("ni").over(w_run)
+    )
+    stitched = islands.groupBy("user_id", "island").agg(
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.expr("min(s_us) div 86400000000").alias("day_idx"),
+    )
+    return (
+        stitched.groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.count_if(F.col("n_events") == 1).cast("bigint").alias("n_bounce"),
+            F.round(
+                F.count_if(F.col("n_events") == 1).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day_idx")
+    )
+
+
+from noaa_etl_spark.queries.temporal import APDEX_ORACLE
+
+
+@graded("q_stream_apdex", oracle=APDEX_ORACLE)
+def q_stream_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Apdex score (twin #67) — the live SLA
+    dial: per-(type, batch) satisfied/tolerating/frustrated counts
+    fold by addition (band assignment is a pure per-event literal
+    comparison), the score derives from the folded counts at report
+    time (never average per-batch Apdex values — unequal batch sizes
+    would weight them wrongly). Shares APDEX_ORACLE verbatim."""
+    import os
+    import shutil
+
+    from noaa_etl_spark.io import load_table
+    from noaa_etl_spark.streaming.core import (
+        _CHECKPOINT_ROOT,
+        record_foreach_batch_plan,
+    )
+
+    root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_apdex")
+    states = os.path.join(root, "states")
+    shutil.rmtree(states, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def absorb(batch_df, batch_id: int) -> None:
+        band = (
+            F.when(F.col("value") <= 50.0, 1)
+            .when(F.col("value") <= 200.0, 2)
+            .otherwise(3)
+        )
+        partial = (
+            batch_df.select("event_type", band.alias("band"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.count_if(F.col("band") == 1).cast("bigint").alias("n_satisfied"),
+                F.count_if(F.col("band") == 2).cast("bigint").alias("n_tolerating"),
+                F.count_if(F.col("band") == 3).cast("bigint").alias("n_frustrated"),
+            )
+        )
+        record_foreach_batch_plan("stream_apdex_bands", partial)
+        partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
+
+    _drain_batches(
+        spark,
+        root,
+        ev,
+        "event_id",
+        "event_type string, value double",
+        absorb,
+        gate_seed="sapx",
+    )
+    folded = spark.read.parquet(states).groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("n_satisfied").cast("bigint").alias("n_satisfied"),
+        F.sum("n_tolerating").cast("bigint").alias("n_tolerating"),
+        F.sum("n_frustrated").cast("bigint").alias("n_frustrated"),
+    )
+    return folded.select(
+        "event_type",
+        "n",
+        "n_satisfied",
+        "n_tolerating",
+        "n_frustrated",
+        F.round(
+            (
+                F.col("n_satisfied").cast("double")
+                + F.col("n_tolerating").cast("double") / F.lit(2.0)
+            )
+            / F.col("n"),
+            6,
+        ).alias("apdex"),
+    ).orderBy("event_type")

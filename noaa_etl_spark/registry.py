@@ -348,7 +348,10 @@ GRADED_WINDOW: list[str] = [
     # q_seasonality_strength, q_stream_clustering_coefficient (twin #62
     # — the union-distinct item-relation merge), q_bounce_rate,
     # q_apdex_score, q_stream_metric_waterfall (twin #63),
-    # q_stream_seasonality (twin #64), q_stream_funnel_ttc (twin #65).
+    # q_stream_seasonality (twin #64), q_stream_funnel_ttc (twin #65),
+    # q_cochran_armitage (battery #20), q_mcc_score,
+    # q_stream_bounce_rate (twin #66 — session stitching),
+    # q_stream_apdex (twin #67).
     # THEN the remaining 15 r7-stale (unpivot,
     # date_spine, lang_stats, quality_filter, perplexity_filter,
     # bm25_rank, feature_hashing, regexp_extract, incremental_agg,

@@ -108,6 +108,8 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_metric_waterfall": ["fb_stream_waterfall_cells"],
     "q_stream_seasonality": ["fb_stream_seasonality_daily"],
     "q_stream_funnel_ttc": ["fb_stream_ttc_firsts"],
+    "q_stream_bounce_rate": ["fb_stream_bounce_sessions"],
+    "q_stream_apdex": ["fb_stream_apdex_bands"],
 }
 
 

@@ -877,3 +877,71 @@ def test_apdex_matches_replay(spark):
         r = rows[ty]
         assert r["n_satisfied"] == sat and r["n_tolerating"] == tol
         assert abs(r["apdex"] - (sat + tol / 2) / len(grp)) < 1e-6
+
+
+# ---------------------------------------------------------------- CA trend
+
+
+def test_cochran_armitage_matches_replay(spark):
+    from noaa_etl_spark.queries.profiling import q_cochran_armitage
+
+    row = q_cochran_armitage(spark, SF_SMALL).collect()[0]
+    ev = _events_pdf()
+    s = np.minimum(np.floor(ev.value / 50).astype(np.int64), 4)
+    y = (ev.event_type == "purchase").astype(int).values
+    n_i = pd.Series(1, index=ev.index).groupby(s).sum()
+    r_i = pd.Series(y).groupby(s.values).sum()
+    sc = n_i.index.values
+    N, R = n_i.sum(), r_i.sum()
+    t = N * (sc * r_i.values).sum() - R * (sc * n_i.values).sum()
+    p = R / N
+    var = p * (1 - p) * (N * (sc * sc * n_i.values).sum() - (sc * n_i.values).sum() ** 2)
+    z = t / math.sqrt(var)
+    assert row["n"] == N and row["r"] == R
+    assert abs(row["z"] - z) < 1e-5
+    assert row["reject_95"] == (abs(round(z, 6)) > 1.959964)
+
+
+# ---------------------------------------------------------------- MCC
+
+
+def test_mcc_matches_replay(spark):
+    from noaa_etl_spark.queries.profiling import q_mcc_score
+
+    row = q_mcc_score(spark, SF_SMALL).collect()[0]
+    ev = _events_pdf()
+    y = (ev.event_type == "purchase").astype(int).values
+    pred = (ev.value >= 100.0).astype(int).values
+    tp = int(((y == 1) & (pred == 1)).sum())
+    fp = int(((y == 0) & (pred == 1)).sum())
+    fn = int(((y == 1) & (pred == 0)).sum())
+    tn = int(((y == 0) & (pred == 0)).sum())
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    assert abs(row["mcc"] - mcc) < 1e-6
+    assert -1.0 <= row["mcc"] <= 1.0
+
+
+# ---------------------------------------------------------------- twins 66-67
+
+
+def test_stream_bounce_equals_batch(spark):
+    """Session stitching must reproduce the batch sessionization
+    exactly — every day's session and bounce counts."""
+    from noaa_etl_spark.queries.streaming import q_stream_bounce_rate
+    from noaa_etl_spark.queries.temporal import q_bounce_rate
+
+    b = {r["day_idx"]: r.asDict() for r in q_bounce_rate(spark, SF_SMALL).collect()}
+    s = {r["day_idx"]: r.asDict() for r in q_stream_bounce_rate(spark, SF_SMALL).collect()}
+    assert b == s
+
+
+def test_stream_apdex_equals_batch(spark):
+    from noaa_etl_spark.queries.streaming import q_stream_apdex
+    from noaa_etl_spark.queries.temporal import q_apdex_score
+
+    b = [r.asDict() for r in q_apdex_score(spark, SF_SMALL).collect()]
+    s = [r.asDict() for r in q_stream_apdex(spark, SF_SMALL).collect()]
+    assert b == s
