@@ -5862,9 +5862,15 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one agg to 5 rows; finalize on one row."""
     ev = load_table(spark, sf_dir, "events")
+    return ca_report(ca_grid(ev))
+
+
+def ca_grid(ev: DataFrame) -> DataFrame:
+    """The 5-band (n_i, r_i) dose grid — the SUM-mergeable
+    Cochran-Armitage state."""
     s_band = F.least(F.floor(F.col("value") / 50), F.lit(4)).cast("bigint")
     y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-    grid = (
+    return (
         ev.select(s_band.alias("s"), y.alias("y"))
         .groupBy("s")
         .agg(
@@ -5872,6 +5878,10 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("bigint").alias("r_i"),
         )
     )
+
+
+def ca_report(grid: DataFrame) -> DataFrame:
+    """Shared trend-test finalize over the folded dose grid."""
     sums = grid.agg(
         F.sum("n_i").cast("bigint").alias("n"),
         F.sum("r_i").cast("bigint").alias("r"),
@@ -5945,15 +5955,23 @@ def q_mcc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one combinable agg; finalize on one row."""
     ev = load_table(spark, sf_dir, "events")
+    return mcc_report(mcc_confusion(ev))
+
+
+def mcc_confusion(ev: DataFrame) -> DataFrame:
+    """The 4-cell confusion row — the SUM-mergeable MCC state."""
     y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
     pred = F.when(F.col("value") >= 100.0, 1).otherwise(0)
     scored = ev.select(y.alias("y"), pred.alias("pred"))
-    conf = scored.agg(
+    return scored.agg(
         F.count_if((F.col("y") == 1) & (F.col("pred") == 1)).cast("bigint").alias("tp"),
         F.count_if((F.col("y") == 0) & (F.col("pred") == 1)).cast("bigint").alias("fp"),
         F.count_if((F.col("y") == 1) & (F.col("pred") == 0)).cast("bigint").alias("fn"),
         F.count_if((F.col("y") == 0) & (F.col("pred") == 0)).cast("bigint").alias("tn"),
     )
+
+def mcc_report(conf: DataFrame) -> DataFrame:
+    """Shared MCC finalize over the folded confusion row."""
     tp_d, fp_d = F.col("tp").cast("double"), F.col("fp").cast("double")
     fn_d, tn_d = F.col("fn").cast("double"), F.col("tn").cast("double")
     ok = (

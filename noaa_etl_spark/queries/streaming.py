@@ -5213,3 +5213,87 @@ def q_stream_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("apdex"),
     ).orderBy("event_type")
+
+
+from noaa_etl_spark.queries.profiling import (
+    COCHRAN_ARMITAGE_ORACLE,
+    MCC_ORACLE,
+    ca_grid,
+    ca_report,
+    mcc_confusion,
+    mcc_report,
+)
+from noaa_etl_spark.queries.temporal import (
+    SLO_BURN_ORACLE,
+    slo_hourly,
+    slo_report,
+)
+
+
+@graded("q_stream_error_budget", oracle=SLO_BURN_ORACLE)
+def q_stream_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the SLO burn-rate alerter (twin #68) — burn
+    alerting's NATIVE deployment (the whole point is paging LIVE):
+    hourly (n, n_err) rollups fold by addition; the 6h trailing
+    windows and both burn rates run only at finalize, because a late
+    batch can add errors to an hour already reported (the
+    replay-idempotent fold, not an intake-time carry). Shares
+    SLO_BURN_ORACLE verbatim."""
+    def fold(states):
+        return states.groupBy("hour_idx").agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("n_err").cast("bigint").alias("n_err"),
+        )
+
+    return _simple_fb_twin(
+        spark, sf_dir, "stream_slo",
+        ["ts", "event_type"],
+        "ts timestamp, event_type string",
+        "event_id", "events", slo_hourly,
+        "stream_slo_hourly", fold, slo_report, "sslo",
+    )
+
+
+@graded("q_stream_mcc", oracle=MCC_ORACLE)
+def q_stream_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the MCC eval (twin #69): the four confusion
+    cells fold by addition and the correlation derives from the folded
+    cells (never average per-batch MCCs — the ratio is not linear in
+    the cells). Shares MCC_ORACLE verbatim."""
+    def fold(states):
+        return states.agg(
+            F.sum("tp").cast("bigint").alias("tp"),
+            F.sum("fp").cast("bigint").alias("fp"),
+            F.sum("fn").cast("bigint").alias("fn"),
+            F.sum("tn").cast("bigint").alias("tn"),
+        )
+
+    return _simple_fb_twin(
+        spark, sf_dir, "stream_mcc",
+        ["event_type", "value"],
+        "event_type string, value double",
+        "event_id", "events", mcc_confusion,
+        "stream_mcc_conf", fold, mcc_report, "smcc",
+    )
+
+
+@graded("q_stream_cochran_armitage", oracle=COCHRAN_ARMITAGE_ORACLE)
+def q_stream_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Cochran-Armitage trend test (twin #70):
+    the 5-band dose grid folds by addition; the scored sums, T, and
+    Var(T) run only at finalize (p = R/N shifts with every batch, so
+    no per-batch z is meaningful). Shares COCHRAN_ARMITAGE_ORACLE
+    verbatim."""
+    def fold(states):
+        return states.groupBy("s").agg(
+            F.sum("n_i").cast("bigint").alias("n_i"),
+            F.sum("r_i").cast("bigint").alias("r_i"),
+        )
+
+    return _simple_fb_twin(
+        spark, sf_dir, "stream_ca",
+        ["event_type", "value"],
+        "event_type string, value double",
+        "event_id", "events", ca_grid,
+        "stream_ca_grid", fold, ca_report, "sca",
+    )

@@ -4211,11 +4211,20 @@ def q_error_budget_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: fact -> bounded hour calendar in one agg; windows on the
     ~|hours| relation."""
     ev = load_table(spark, sf_dir, "events")
+    return slo_report(slo_hourly(ev))
+
+
+def slo_hourly(ev: DataFrame) -> DataFrame:
+    """The (hour, n, n_err) rollup — the SUM-mergeable SLO state."""
     hour_idx = F.expr("unix_micros(ts) div 3600000000")
-    hourly = ev.groupBy(hour_idx.alias("hour_idx")).agg(
+    return ev.groupBy(hour_idx.alias("hour_idx")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.count_if(F.col("event_type") == "error").cast("bigint").alias("n_err"),
     )
+
+
+def slo_report(hourly: DataFrame) -> DataFrame:
+    """Shared burn-rate finalize over the folded hourly relation."""
     w6 = Window.orderBy("hour_idx").rangeBetween(-5, 0)
     windows = hourly.select(
         "hour_idx",

@@ -351,7 +351,8 @@ GRADED_WINDOW: list[str] = [
     # q_stream_seasonality (twin #64), q_stream_funnel_ttc (twin #65),
     # q_cochran_armitage (battery #20), q_mcc_score,
     # q_stream_bounce_rate (twin #66 — session stitching),
-    # q_stream_apdex (twin #67).
+    # q_stream_apdex (twin #67), q_stream_error_budget (twin #68),
+    # q_stream_mcc (twin #69), q_stream_cochran_armitage (twin #70).
     # THEN the remaining 15 r7-stale (unpivot,
     # date_spine, lang_stats, quality_filter, perplexity_filter,
     # bm25_rank, feature_hashing, regexp_extract, incremental_agg,

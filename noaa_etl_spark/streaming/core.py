@@ -110,6 +110,9 @@ STREAM_PLAN_KEYS: dict[str, list[str]] = {
     "q_stream_funnel_ttc": ["fb_stream_ttc_firsts"],
     "q_stream_bounce_rate": ["fb_stream_bounce_sessions"],
     "q_stream_apdex": ["fb_stream_apdex_bands"],
+    "q_stream_error_budget": ["fb_stream_slo_hourly"],
+    "q_stream_mcc": ["fb_stream_mcc_conf"],
+    "q_stream_cochran_armitage": ["fb_stream_ca_grid"],
 }
 
 

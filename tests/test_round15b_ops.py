@@ -945,3 +945,33 @@ def test_stream_apdex_equals_batch(spark):
     b = [r.asDict() for r in q_apdex_score(spark, SF_SMALL).collect()]
     s = [r.asDict() for r in q_stream_apdex(spark, SF_SMALL).collect()]
     assert b == s
+
+
+# ---------------------------------------------------------------- twins 68-70
+
+
+def test_stream_slo_equals_batch(spark):
+    from noaa_etl_spark.queries.streaming import q_stream_error_budget
+    from noaa_etl_spark.queries.temporal import q_error_budget_slo
+
+    b = {r["hour_idx"]: r.asDict() for r in q_error_budget_slo(spark, SF_SMALL).collect()}
+    s = {r["hour_idx"]: r.asDict() for r in q_stream_error_budget(spark, SF_SMALL).collect()}
+    assert b == s
+
+
+def test_stream_mcc_equals_batch(spark):
+    from noaa_etl_spark.queries.profiling import q_mcc_score
+    from noaa_etl_spark.queries.streaming import q_stream_mcc
+
+    b = q_mcc_score(spark, SF_SMALL).collect()[0].asDict()
+    s = q_stream_mcc(spark, SF_SMALL).collect()[0].asDict()
+    assert b == s
+
+
+def test_stream_ca_equals_batch(spark):
+    from noaa_etl_spark.queries.profiling import q_cochran_armitage
+    from noaa_etl_spark.queries.streaming import q_stream_cochran_armitage
+
+    b = q_cochran_armitage(spark, SF_SMALL).collect()[0].asDict()
+    s = q_stream_cochran_armitage(spark, SF_SMALL).collect()[0].asDict()
+    assert b == s
