@@ -89,6 +89,31 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def spread_small_scan(df: DataFrame, key: str | Column | None = None) -> DataFrame:
+    """Spread a narrow frame across the executor parallelism when its
+    scan arrives in fewer partitions — the guide-§2.5 "one huge
+    unsplittable file" fix for per-row-EXPENSIVE downstream compute
+    (digest ladders, gram explodes) that would otherwise run on one
+    core while the rest idle.
+
+    Scale-adaptive, not a local[32] constant: a real-volume input scans
+    as thousands of row-group splits and this is a NO-OP (the partition
+    check costs one plan conversion, no job); only a
+    below-parallelism scan (the single-row-group fixture file, a
+    gzip'd CSV, one hot ingest file) pays the one narrow exchange.
+    Hash-partition on ``key`` when given (deterministic under retry,
+    no sort-before-repartition cost); round-robin otherwise. Apply
+    AFTER projecting to the needed columns so only those bytes move.
+    """
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    if key is not None:
+        return df.repartition(p, F.col(key) if isinstance(key, str) else key)
+    return df.repartition(p)
+
+
 def ntz_lit(value: str) -> Column:
     """A date/timestamp literal comparable to TIMESTAMP_NTZ columns.
 

@@ -117,11 +117,25 @@ def minhash_lsh_candidates(
         hot_band_cap = HOT_BAND_CAP  # resolved at call time: monkeypatchable
     rows_per_band = num_perm // bands
     grams = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        grams.alias("grams"),
-        *_minhash_signature(grams, num_perm),
+    # r15 opt: project the gram array ONCE behind the spread exchange,
+    # then hash F.col("grams"). Referencing the tokenize+ngrams
+    # EXPRESSION from all num_perm mh_i columns re-evaluated it per
+    # column (higher-order-function lambdas sit outside whole-stage
+    # codegen's subexpression elimination — the hilbert_by lesson), and
+    # a single-row-group scan ran the whole ~num_perm x |grams| hash
+    # grid on one core: the signature projection alone measured 15.5 s
+    # at sf0.1 against ~0.7 s in this form. spread_small_scan is a
+    # no-op on any multi-split real-volume input.
+    from noaa_etl_spark.io import spread_small_scan
+
+    grams_frame = spread_small_scan(
+        df.select(F.col(id_col).alias("id"), grams.alias("grams")), "id"
     ).filter(F.size("grams") > 0)
+    sig = grams_frame.select(
+        "id",
+        "grams",
+        *_minhash_signature(F.col("grams"), num_perm),
+    )
 
     band_keys = F.array(
         *[
@@ -183,9 +197,9 @@ def minhash_lsh_candidates(
     # Re-attach shingle sets for exact verification: two hash joins on
     # id, each shuffling grams ONCE (AQE broadcasts the pair side when
     # small — the common case, since banding prunes to near-dups).
-    grams_df = df.select(F.col(id_col).alias("gid"), grams.alias("g")).filter(
-        F.size("g") > 0
-    )
+    # Reuses the spread gram frame — re-deriving grams from ``df`` here
+    # re-ran tokenize+ngrams per verify side (r15 opt).
+    grams_df = grams_frame.select(F.col("id").alias("gid"), F.col("grams").alias("g"))
     verified = (
         pairs.join(grams_df.select(F.col("gid").alias("id_a"), F.col("g").alias("grams_a")), "id_a")
         .join(grams_df.select(F.col("gid").alias("id_b"), F.col("g").alias("grams_b")), "id_b")
@@ -207,8 +221,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     q_connected_components exercises it against a recursive-CTE
     oracle). Raises rather than returning split components when the
     round cap is exceeded — callers (minhash_lsh_dedup) would silently
-    keep extra "survivors" otherwise."""
-    from noaa_etl_spark.operators.graph import connected_components as _cc
+    keep extra "survivors" otherwise.
+
+    r15 opt: routes through connected_components_auto — near-dup edge
+    lists at fixture/batch scale resolve by driver union-find (same
+    labels, none of the loop's rounds x scheduling floor); big graphs
+    take the distributed loop off the same size probe."""
+    from noaa_etl_spark.operators.graph import connected_components_auto as _cc
 
     return _cc(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
@@ -273,9 +292,13 @@ def minhash_sketch_dedup(
         hot_band_cap = HOT_BAND_CAP
     rows_per_band = num_perm // bands
     grams = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
-    g = df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(
-        F.size("grams") > 0
-    )
+    from noaa_etl_spark.io import spread_small_scan
+
+    # spread_small_scan (r15 opt): the num_perm x |grams| hash grid under
+    # the signature checkpoint ran on one core on a single-row-group scan.
+    g = spread_small_scan(
+        df.select(F.col(id_col).alias("id"), grams.alias("grams")), "id"
+    ).filter(F.size("grams") > 0)
     sig = g.select(
         "id",
         F.array(*[_perm_min(F.col("grams"), i) for i in range(num_perm)]).alias(
@@ -394,10 +417,18 @@ def ngram_jaccard_pairs(
     oracle use that path unchanged.
     """
     toks = tokenize(F.col(text_col))
+    # spread_small_scan (r15 opt): the tokenize+ngrams projection under
+    # the checkpoint ran on one core on a single-row-group scan; no-op
+    # on real multi-split inputs.
+    from noaa_etl_spark.io import spread_small_scan
+
     grams_df = (
-        df.filter(F.size(toks) >= shingle_n)
+        spread_small_scan(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), "doc_id"
+        )
+        .filter(F.size(toks) >= shingle_n)
         .select(
-            F.col(id_col).alias("doc_id"),
+            "doc_id",
             F.array_distinct(ngrams(toks, shingle_n)).alias("grams"),
         )
         .localCheckpoint()
@@ -454,12 +485,16 @@ def ngram_jaccard_pairs(
 # --- SimHash -----------------------------------------------------------
 
 
-def _token_bit_votes(tok) -> F.Column:
-    """±1 vote per bit of xxhash64(token), as a 64-int array. Bits are
-    unrolled in Python (shift amounts must be literals for the builtin);
-    bit 63 is the sign bit — tested via h < 0 since 1<<63 overflows the
-    signed long literal."""
-    h = F.xxhash64(tok)
+def _hash_bit_votes(h) -> F.Column:
+    """±1 vote per bit of an already-computed 64-bit hash VALUE, as a
+    64-int array. ``h`` must be a lambda variable (a slot read), never
+    the xxhash64 EXPRESSION: higher-order functions evaluate
+    interpreted with no subexpression elimination, so an expression
+    here re-hashed the token once PER BIT — 64x the hash work (r15
+    opt: simhash fingerprinting dropped ~10x). Bits are unrolled in
+    Python (shift amounts must be literals for the builtin); bit 63 is
+    the sign bit — tested via h < 0 since 1<<63 overflows the signed
+    long literal."""
     comps = []
     for b in range(64):
         is_set = (h < 0) if b == 63 else (h.bitwiseAND(F.lit(1 << b)) != F.lit(0))
@@ -468,12 +503,14 @@ def _token_bit_votes(tok) -> F.Column:
 
 
 def simhash64(tokens) -> F.Column:
-    """64-bit SimHash of a token array, all-native: per-token xxhash64,
-    per-bit ±1 vote, sign → bit. O(64·n_tokens) codegen'd expressions."""
+    """64-bit SimHash of a token array, all-native: per-token xxhash64
+    (hashed ONCE per token via transform — the hash lands in a lambda
+    slot before the per-bit votes read it), per-bit ±1 vote, sign →
+    bit. O(64·n_tokens) expressions over O(n_tokens) hashes."""
     votes = F.aggregate(
-        tokens,
+        F.transform(tokens, lambda t: F.xxhash64(t)),
         F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(acc, _token_bit_votes(t), lambda a, b: a + b),
+        lambda acc, h: F.zip_with(acc, _hash_bit_votes(h), lambda a, b: a + b),
     )
     result = F.lit(0).cast("long")
     for b in range(64):
@@ -487,6 +524,44 @@ def hamming64(a, b) -> F.Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh) SimHash fingerprints via EXPLODE + 64 map-side-combinable
+    SUM votes — value-identical to the ``simhash64`` expression (pinned
+    by the brute-force test in tests/test_algorithms.py) but fully
+    whole-stage-codegen: the interpreted aggregate/zip_with fold
+    allocates a fresh 64-int array per token and measured ~40 ms/doc on
+    a single stream (r15 opt; the fingerprint stage alone was 7-15 s at
+    sf0.1). The explode shuffles (id, 64 partial vote longs) per
+    partition — map-combined, never token rows. explode_outer keeps
+    zero-token/NULL-text docs (votes 0 ⇒ sh = 0, the fold's empty-array
+    seed)."""
+    from noaa_etl_spark.io import spread_small_scan
+
+    h = F.xxhash64(F.col("tok"))
+    votes = []
+    for b in range(64):
+        is_set = (h < 0) if b == 63 else (h.bitwiseAND(F.lit(1 << b)) != F.lit(0))
+        votes.append(
+            F.sum(
+                F.when(F.col("tok").isNull(), 0).when(is_set, 1).otherwise(-1)
+            ).alias(f"v{b}")
+        )
+    agg = (
+        spread_small_scan(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+        .select("id", F.explode_outer(tokenize(F.col(text_col))).alias("tok"))
+        .groupBy("id")
+        .agg(*votes)
+    )
+    result = F.lit(0).cast("long")
+    for b in range(64):
+        v = F.col(f"v{b}")
+        one = F.lit(-(1 << 63)).cast("long") if b == 63 else F.lit(1 << b).cast("long")
+        result = result.bitwiseOR(F.when(v > 0, one).otherwise(F.lit(0).cast("long")))
+    return agg.select("id", result.alias("sh"))
+
+
 def simhash_near_dup(
     df: DataFrame,
     text_col: str = "text",
@@ -496,9 +571,12 @@ def simhash_near_dup(
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
     16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
     self-join per chunk, verify hamming. Returns (id_a, id_b, hamming)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash64(tokenize(F.col(text_col))).alias("sh")
-    )
+    # r15 opt: fingerprints via the codegen simhash_frame (the
+    # interpreted fold measured 7-15 s at sf0.1), localCheckpoint'd —
+    # BOTH chunk-join sides read this frame, and un-materialized each
+    # side recomputed the whole fingerprint subtree (the Ed-Join/
+    # minhash multi-reader lesson). 16 bytes/doc, scale-safe.
+    sh = simhash_frame(df, text_col, id_col).localCheckpoint(eager=True)
     chunks = sh.select(
         "id",
         "sh",
@@ -556,13 +634,28 @@ def minhash_lsh_cross_candidates(
     brute force)."""
     rows_per_band = num_perm // bands
     grams = F.array_distinct(ngrams(tokenize(F.col(text_col)), shingle_n))
+    from noaa_etl_spark.io import spread_small_scan
 
-    def banded(df: DataFrame, side: str) -> DataFrame:
-        sig = df.select(
-            F.col(id_col).alias(f"id_{side}"),
-            grams.alias("grams"),
-            *_minhash_signature(grams, num_perm),
-        ).filter(F.size("grams") > 0)
+    def gram_frame(df: DataFrame, side: str) -> DataFrame:
+        # r15 opt (the minhash_lsh_candidates lesson applied per side):
+        # project grams ONCE behind the spread exchange, checkpoint —
+        # each side's frame has TWO readers (the signature/band path and
+        # the verify join), and referencing the tokenize+ngrams
+        # expression from every mh_i column re-evaluated it per column
+        # on a single-task scan.
+        return spread_small_scan(
+            df.select(F.col(id_col).alias(f"id_{side}"), grams.alias("grams")),
+            f"id_{side}",
+        ).filter(F.size("grams") > 0).localCheckpoint(eager=True)
+
+    gf_a = gram_frame(df_a, "a")
+    gf_b = gram_frame(df_b, "b")
+
+    def banded(gf: DataFrame, side: str) -> DataFrame:
+        sig = gf.select(
+            f"id_{side}",
+            *_minhash_signature(F.col("grams"), num_perm),
+        )
         band_keys = F.array(
             *[
                 F.struct(
@@ -577,17 +670,13 @@ def minhash_lsh_cross_candidates(
         return sig.select(f"id_{side}", F.explode(band_keys).alias("bk"))
 
     pairs = (
-        banded(df_a, "a")
-        .join(banded(df_b, "b").withColumnRenamed("bk", "bk2"), F.col("bk") == F.col("bk2"))
+        banded(gf_a, "a")
+        .join(banded(gf_b, "b").withColumnRenamed("bk", "bk2"), F.col("bk") == F.col("bk2"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    ga = df_a.select(F.col(id_col).alias("id_a"), grams.alias("grams_a")).filter(
-        F.size("grams_a") > 0
-    )
-    gb = df_b.select(F.col(id_col).alias("id_b"), grams.alias("grams_b")).filter(
-        F.size("grams_b") > 0
-    )
+    ga = gf_a.select("id_a", F.col("grams").alias("grams_a"))
+    gb = gf_b.select("id_b", F.col("grams").alias("grams_b"))
     return (
         pairs.join(ga, "id_a")
         .join(gb, "id_b")

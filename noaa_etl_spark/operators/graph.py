@@ -176,6 +176,114 @@ def _cc_rounds(sym: DataFrame, max_rounds: int) -> tuple[DataFrame | None, int]:
     return None, max_rounds
 
 
+def _local_union_find(rows) -> list[tuple[int, int]]:
+    """Min-label union-find over collected (u, v) edge rows → sorted
+    (node, component) pairs; component = min node id reachable — the
+    exact fixpoint of the distributed loop (equality pinned in
+    tests/test_graph.py)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min-label union: the smaller root becomes the parent, so
+            # every root IS its component's min node id at all times.
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return sorted((n, find(n)) for n in parent)
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+    local_edge_cap: int = 500_000,
+) -> DataFrame:
+    """connected_components with a SIZE DISPATCH (the sessionize_auto
+    precedent): probe the distinct edge count with one early-
+    terminating limit-collect; at or below ``local_edge_cap`` edges the
+    labels come from driver-side union-find on the already-collected
+    rows (identical output, none of the distributed loop's
+    rounds x scheduling floor — r15 opt: the loop cost 3-5 s per call
+    on fixture-sized dedup/ER graphs), above it the distributed
+    O(log d) loop runs unchanged. 500k edges collect to ~8 MB — far
+    under any driver budget; a 100 TB dedup graph takes the
+    distributed path off the same probe."""
+    raw = (
+        edges.select(
+            F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    rows = raw.limit(local_edge_cap + 1).collect()
+    if len(rows) <= local_edge_cap:
+        labels = _local_union_find(rows)
+        return edges.sparkSession.createDataFrame(
+            labels, "node BIGINT, component BIGINT"
+        )
+    return connected_components(edges, src, dst, max_rounds)
+
+
+def connected_components_bounded(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_nodes: int = 100_000,
+) -> DataFrame:
+    """connected_components for graphs whose NODE UNIVERSE is bounded by
+    construction (a grid resolution, an enum domain) rather than by data
+    volume: collect the edge list, union-find with min-label semantics on
+    the driver, return the same (node BIGINT, component BIGINT) contract.
+
+    Identical output to connected_components (equality pinned in
+    tests/test_graph.py): component = min node id reachable, nodes =
+    every edge endpoint. The distributed loop costs O(log d) rounds of
+    2 joins + checkpoint each — pure scheduling floor on a
+    bounded-universe graph (r15 opt: q_geo_cluster's 60x75-cell grid
+    spent ~7 s in rounds for a <=4.5k-node graph). ``max_nodes`` guards
+    the collect: exceeding it raises so an unbounded caller can never
+    silently pull a data-sized graph onto the driver — use
+    connected_components there.
+    """
+    rows = (
+        edges.select(
+            F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .limit(max_nodes * 4 + 1)
+        .collect()
+    )
+    if len(rows) > max_nodes * 4:
+        raise ValueError(
+            f"connected_components_bounded: >{max_nodes * 4} edges — the node "
+            "universe is not bounded; use connected_components"
+        )
+    labels = _local_union_find(rows)
+    if len(labels) > max_nodes:
+        raise ValueError(
+            f"connected_components_bounded: {len(labels)} nodes > max_nodes="
+            f"{max_nodes}; use connected_components"
+        )
+    spark = edges.sparkSession
+    return spark.createDataFrame(labels, "node BIGINT, component BIGINT")
+
+
 def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,

@@ -508,18 +508,64 @@ def semantic_dedup(
                 f"{max_brute_force_rows} rows (the cap): the all-pairs theta "
                 f"join is O(N²) and does not scale — call with use_lsh=True"
             )
-        a = df.select(
-            F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
-        ).withColumn("na", l2_norm(F.col("va")))
-        b = df.select(
-            F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
-        ).withColumn("nb", l2_norm(F.col("vb")))
-        sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-        pairs = (
-            a.join(b, F.col("id_a") < F.col("id_b"))
-            .filter(sim >= threshold)
-            .select(F.col("id_b").alias("dropped_id"))
+        # r15 opt: the theta join planned as a BroadcastNestedLoopJoin
+        # evaluating the interpreted zip_with/aggregate dot on every one
+        # of the N² ordered pairs on ONE core (25 s at sf0.1) — the
+        # broadcast side already held the whole (capped) relation, so a
+        # broadcast numpy matrix costs the same memory while each Arrow
+        # batch scores all its pairs vectorized. BIT-EQUAL by
+        # construction, not by rounding: the pair matrix accumulates
+        # dim-BY-dim in array order (acc += a_d*b_d), reproducing the
+        # sequential fold's ((0+x0y0)+x1y1)+... chain exactly — IEEE
+        # multiply is commutative and each += is the same fp add, so
+        # the unrounded `cos >= threshold` compare cannot flip (a free
+        # BLAS matmul's reordered accumulation could).
+        import numpy as np
+
+        from noaa_etl_spark.io import spread_small_scan
+
+        base = spread_small_scan(
+            df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")),
+            "id",
         )
+        rows = base.collect()
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)
+        dim_n = mat.shape[1] if len(rows) else 0
+        nsq = np.zeros(len(ids))
+        for d in range(dim_n):  # ordered accumulation == the l2_norm fold
+            nsq += mat[:, d] * mat[:, d]
+        norms = np.sqrt(nsq)
+        bc = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+        def find_dropped(batches):
+            import pandas as pd
+
+            c_ids, c_mat, c_norms = bc.value
+            n = len(c_ids)
+            slice_w = 8192  # bounds the (batch x corpus) pair matrix
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a_ids = pdf["id"].to_numpy(dtype=np.int64)
+                a_mat = np.array(list(pdf["v"]), dtype=np.float64)
+                a_nsq = np.zeros(len(a_ids))
+                for d in range(a_mat.shape[1]):
+                    a_nsq += a_mat[:, d] * a_mat[:, d]
+                a_norms = np.sqrt(a_nsq)
+                dropped = np.zeros(len(a_ids), dtype=bool)
+                for lo in range(0, n, slice_w):
+                    hi = min(lo + slice_w, n)
+                    s = np.zeros((len(a_ids), hi - lo))
+                    for d in range(a_mat.shape[1]):  # ordered: == dot fold
+                        s += a_mat[:, d : d + 1] * c_mat[lo:hi, d][None, :]
+                    cos = s / (a_norms[:, None] * c_norms[None, lo:hi])
+                    hit = (c_ids[None, lo:hi] < a_ids[:, None]) & (cos >= threshold)
+                    dropped |= hit.any(axis=1)
+                yield pd.DataFrame({"dropped_id": a_ids[dropped]})
+
+        # each id lives in exactly one batch ⇒ rows already distinct.
+        return base.mapInPandas(find_dropped, "dropped_id bigint")
     return pairs.distinct()
 
 

@@ -924,7 +924,10 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins on the deduped name relation.
     """
     from noaa_etl_spark.operators.fuzzy import fuzzy_self_join
-    from noaa_etl_spark.operators.graph import _graph_sized_shuffle, connected_components
+    from noaa_etl_spark.operators.graph import (
+        _graph_sized_shuffle,
+        connected_components_auto,
+    )
 
     part = load_table(spark, sf_dir, "part")
     # The name rollup, fuzzy join, and CC loop all EAGERLY materialize
@@ -951,7 +954,10 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.join(ida, "name_a").join(idb, "name_b").select("src", "dst")
         ).persist()
         edges.count()
-        labels = connected_components(edges)
+        # r15 opt: size-dispatched CC — a catalog-scale match graph
+        # union-finds on the driver (identical labels), a 100 TB one
+        # takes the distributed loop off the same probe.
+        labels = connected_components_auto(edges)
     resolved = n.join(
         labels, n["mk"] == labels["node"], "left"
     ).select(

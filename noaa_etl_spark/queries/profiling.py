@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from noaa_etl_spark.io import load_table, ntz_lit
+from noaa_etl_spark.io import load_table, ntz_lit, spread_small_scan
 from noaa_etl_spark.registry import graded
 
 _PROFILE_NUM = ["event_id", "user_id", "value"]
@@ -165,7 +165,14 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/quality.observe_quality is the zero-extra-scan variant
     that rides an existing sink write.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_small_scan (r15 opt): the six-rule agg + broadcast probe ran
+    # entirely on the single-row-group scan task; no-op at real volume.
+    li = spread_small_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+        ),
+        "l_orderkey",
+    )
     refs = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
     j = li.join(F.broadcast(refs), li["l_orderkey"] == refs["o_orderkey"], "left")
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from noaa_etl_spark.io import load_table
+from noaa_etl_spark.io import load_table, spread_small_scan
 from noaa_etl_spark.registry import graded
 
 
@@ -825,6 +825,10 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
+    # The 8-digest ladder is the dominant compute; a single-row-group
+    # scan would run it all on one core (r15 opt: 6.7 s -> sub-second
+    # at sf0.1). No-op on any multi-split real-volume input.
+    base = spread_small_scan(base, "o_orderkey")
     rep = boot_replicates(base, "o_orderkey")
     per_b = (
         rep.groupBy("b")

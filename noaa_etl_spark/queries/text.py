@@ -19,7 +19,7 @@ from noaa_etl_spark.functions.text import (
     stopword_ratio,
     tokenize,
 )
-from noaa_etl_spark.io import load_table
+from noaa_etl_spark.io import load_table, spread_small_scan
 from noaa_etl_spark.operators.dedup import (
     exact_dedup,
     jaccard,
@@ -578,7 +578,13 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_heavy_hitters_mg."""
     from noaa_etl_spark.operators.heavy_hitters import exact_heavy_hitters
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_small_scan (r15 opt): the operator reads `words` twice
+    # (counts + total) and each replan re-ran the tokenize+explode on
+    # the single scan task; no-op at real volume where re-scans are the
+    # honest posture (never materialize the token stream).
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
     return exact_heavy_hitters(words, "word", 0.002).orderBy("word")
 
@@ -594,7 +600,11 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/heavy_hitters.py)."""
     from noaa_etl_spark.operators.heavy_hitters import heavy_hitters_mg
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_small_scan (r15 opt): three operator passes (sketch,
+    # recount, total) each re-ran the single-task tokenize+explode.
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
     return heavy_hitters_mg(words, "word", 0.002).orderBy("word")
 
@@ -687,7 +697,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), so it is broadcast and the fact side never shuffles on the
     gram key; the two per-doc counts are map-side-combinable groupBys.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_small_scan (r15 opt): the gram stream is read three times
+    # (bench set, per-doc counts, hit counts) and each replan re-ran the
+    # tokenize+ngrams+explode on the single scan task; the spread keeps
+    # the re-scans (the honest 100 TB posture — never materialize the
+    # token stream) but runs them at executor parallelism.
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t")).filter(
         F.size("t") >= 3
     )
@@ -1390,9 +1407,16 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-doc regroup is one shuffle on doc_id with Arrow-batched
     accumulation.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
-    toks = docs.select("doc_id", ws.alias("ws"))
+    # r15 opt — multi-reader checkpoints: toks feeds the bigram AND
+    # unigram paths, bigrams feeds the model count AND the scoring
+    # join, ucnt feeds the vocab scalar AND the scoring join;
+    # un-materialized, every reader replanned the scan+regex-split
+    # subtree (6 scans of the corpus for one model build).
+    toks = docs.select("doc_id", ws.alias("ws")).localCheckpoint(eager=True)
     toks2 = toks.filter(F.size("ws") >= 2)
     bigrams = toks2.select(
         "doc_id",
@@ -1402,10 +1426,14 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
             )
         ).alias("bg"),
-    )
+    ).localCheckpoint(eager=True)
     uni = toks.select(F.explode("ws").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    vocab = uni.agg(F.countDistinct("w").alias("v"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu")).localCheckpoint(
+        eager=True
+    )
+    # |vocab| = the model table's own row count (ucnt is already the
+    # distinct-word relation) — never a second countDistinct scan.
+    vocab = ucnt.agg(F.count(F.lit(1)).alias("v"))
     bcnt = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     scored = (
         bigrams.join(bcnt, "bg")
@@ -1896,33 +1924,87 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_containment_lsh composes exactly that) and keep this form for
     verify-on-candidates.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     toks = tokenize(F.col("text"))
-    grams_df = docs.filter(F.size(toks) >= 3).select(
-        "doc_id", F.array_distinct(ngrams(toks, 3)).alias("grams")
+    # localCheckpoint: grams_df has FOUR readers (the exploded window
+    # path, the na stats frame, and both sides of containment_verify) —
+    # un-checkpointed, each replans the scan+tokenize+ngrams subtree
+    # (the multi-reader double-plan rule, SCALING.md).
+    grams_df = (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.array_distinct(ngrams(toks, 3)).alias("grams"))
+        .localCheckpoint(eager=True)
     )
     exploded = grams_df.select("doc_id", F.explode("grams").alias("g"))
     from pyspark.sql import Window
 
+    # localCheckpoint: THREE readers (both self-join sides + the per-doc
+    # capped-count frame) — un-materialized each replans the df window
+    # and its exchange (r15 audit: 3x the window, +20 MB shuffle).
     capped = (
         exploded.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
         )
         .filter(F.col("df") <= CONTAINMENT_DF_CAP)
         .drop("df")
+        .localCheckpoint(eager=True)
     )
     a = capped.select(F.col("doc_id").alias("contained_id"), F.col("g").alias("ga"))
     b = capped.select(F.col("doc_id").alias("container_id"), F.col("g").alias("gb"))
-    cand = (
+    # r15 opt — COUNT-FILTER before the array verify (the PPJoin-family
+    # count filter, exact given the cap arithmetic): the same gram
+    # equi-join, but aggregated to c = #shared capped grams per ordered
+    # pair (map-side combinable — replaces dropDuplicates, same shuffle)
+    # instead of shipping every pair to the gram-array join. With
+    # na = |grams(A)| and ha = #over-cap grams of A,
+    #   c <= inter <= c + ha   (a shared gram missing from c must be
+    #                           over-cap, and A has only ha of those),
+    # so (c + ha)/na < 0.8 pairs can NEVER verify (dropped without the
+    # arrays), and ha = 0 pairs have inter = c EXACTLY (every gram of A
+    # is capped, so the capped join saw the whole intersection) — only
+    # the ha > 0 survivors ride containment_verify. At sf0.1 this cut
+    # the verified pair volume 2.26M -> ~2k and the query 4.8 -> ~2 s;
+    # at 100 TB it removes the gram-array x candidate join blow-up the
+    # old form paid (SCALING.md containment note).
+    cand_counts = (
         a.join(
             b,
             (F.col("ga") == F.col("gb"))
             & (F.col("contained_id") != F.col("container_id")),
         )
-        .select("contained_id", "container_id")
-        .dropDuplicates(["contained_id", "container_id"])
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    return containment_verify(grams_df, cand)
+    # Per-doc gram totals and over-cap counts: na from the distinct gram
+    # array, ka from the capped relation (both doc-grain, tiny payload).
+    na_df = grams_df.select(
+        F.col("doc_id").alias("contained_id"),
+        F.size("grams").cast("bigint").alias("na"),
+    )
+    ka_df = capped.groupBy(F.col("doc_id").alias("contained_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ka")
+    )
+    stats = na_df.join(ka_df, "contained_id", "left").select(
+        "contained_id",
+        "na",
+        (F.col("na") - F.coalesce(F.col("ka"), F.lit(0))).alias("ha"),
+    )
+    scored = cand_counts.join(stats, "contained_id").filter(
+        (F.col("c") + F.col("ha")).cast("double") / F.col("na") >= 0.8
+    )
+    exact_branch = scored.filter(F.col("ha") == 0).select(
+        "contained_id",
+        "container_id",
+        F.col("c").alias("inter"),
+        F.round(F.col("c").cast("double") / F.col("na"), 6).alias("containment"),
+    )
+    verify_branch = containment_verify(
+        grams_df,
+        scored.filter(F.col("ha") > 0).select("contained_id", "container_id"),
+    )
+    return exact_branch.unionByName(verify_branch)
 
 
 @graded("q_containment_lsh")  # rows-only: LSH banding is probabilistic
@@ -1947,10 +2029,17 @@ def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from noaa_etl_spark.operators.dedup import minhash_lsh_candidates
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     toks = tokenize(F.col("text"))
-    grams_df = docs.filter(F.size(toks) >= 3).select(
-        "doc_id", F.array_distinct(ngrams(toks, 3)).alias("grams")
+    # localCheckpoint: both containment_verify sides read this frame —
+    # un-checkpointed each replans scan+tokenize+ngrams (r15 opt, the
+    # multi-reader rule).
+    grams_df = (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.array_distinct(ngrams(toks, 3)).alias("grams"))
+        .localCheckpoint(eager=True)
     )
     cand = minhash_lsh_candidates(
         docs, "text", "doc_id", shingle_n=3, num_perm=32, bands=16, verify=False

@@ -174,15 +174,34 @@ def run_to_memory(
     spark = stream_df.sparkSession
     checkpoint = os.path.join(_CHECKPOINT_ROOT, query_name)
     shutil.rmtree(checkpoint, ignore_errors=True)
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # r15 opt: stateful streaming shuffles are NOT reached by AQE
+    # coalescing, and the first micro-batch bakes
+    # spark.sql.shuffle.partitions into the state layout — under a
+    # vanilla session that is 200 state-store instances per stateful
+    # operator per micro-batch (q_stream_interval_join drained in 93 s
+    # at sf0.01 under the vanilla driver; ~8 s sized). Scope-set the
+    # count to the executor parallelism ONLY when the session still
+    # carries Spark's untouched 200 default (an explicit production
+    # sizing — sized_confs() or operator config — is respected
+    # verbatim); restore after the drain. Fresh checkpoint per run ⇒
+    # no cross-run state-layout conflict.
+    part_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(part_key, None)
+    if prev == "200":
+        spark.conf.set(part_key, str(spark.sparkContext.defaultParallelism))
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if prev == "200":
+            spark.conf.set(part_key, prev)
     # explainInternal on a terminated availableNow query returns the
     # LAST micro-batch's executed physical plan (incremental execution
     # is retained on the query handle) — the only surface that shows
