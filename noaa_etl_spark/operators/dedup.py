@@ -209,7 +209,9 @@ def minhash_lsh_candidates(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int | None = None
+) -> DataFrame:
     """Min-label reachability over an undirected (id_a, id_b) edge list
     → (id, component) where component = min id reachable.
 
@@ -219,20 +221,30 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     graphs are unions of small cliques so either converges fast, but
     one implementation is enough to maintain and the graded
     q_connected_components exercises it against a recursive-CTE
-    oracle). Raises rather than returning split components when the
-    round cap is exceeded — callers (minhash_lsh_dedup) would silently
-    keep extra "survivors" otherwise.
+    oracle).
 
-    r15 opt: routes through connected_components_auto — near-dup edge
-    lists at fixture/batch scale resolve by driver union-find (same
-    labels, none of the loop's rounds x scheduling floor); big graphs
-    take the distributed loop off the same size probe."""
-    from noaa_etl_spark.operators.graph import connected_components_auto as _cc
+    ``max_iter=None`` (the default, all internal callers) routes
+    through connected_components_auto — near-dup edge lists at
+    fixture/batch scale resolve by driver union-find (same labels,
+    none of the distributed loop's rounds x scheduling floor); big
+    graphs take the distributed loop off the same size probe, with its
+    default 20-round cap. An EXPLICIT ``max_iter`` pins the distributed
+    loop and its raise-on-nonconvergence contract (r16 fix: the auto
+    local path always converges, so a caller-tightened cap was silently
+    ignored below the size cap — tests/test_algorithms.py pins the
+    raise): raises rather than returning split components when the
+    round cap is exceeded — callers would silently keep extra
+    "survivors" otherwise."""
+    e = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    if max_iter is not None:
+        from noaa_etl_spark.operators.graph import connected_components as _cc_dist
 
-    return _cc(
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        max_rounds=max_iter,
-    ).withColumnRenamed("node", "id")
+        labels = _cc_dist(e, max_rounds=max_iter)
+    else:
+        from noaa_etl_spark.operators.graph import connected_components_auto as _cc
+
+        labels = _cc(e, max_rounds=20)
+    return labels.withColumnRenamed("node", "id")
 
 
 def minhash_lsh_dedup(

@@ -214,22 +214,28 @@ def connected_components_auto(
     local_edge_cap: int = 500_000,
 ) -> DataFrame:
     """connected_components with a SIZE DISPATCH (the sessionize_auto
-    precedent): probe the distinct edge count with one early-
-    terminating limit-collect; at or below ``local_edge_cap`` edges the
-    labels come from driver-side union-find on the already-collected
-    rows (identical output, none of the distributed loop's
-    rounds x scheduling floor — r15 opt: the loop cost 3-5 s per call
-    on fixture-sized dedup/ER graphs), above it the distributed
-    O(log d) loop runs unchanged. 500k edges collect to ~8 MB — far
-    under any driver budget; a 100 TB dedup graph takes the
-    distributed path off the same probe."""
-    raw = (
-        edges.select(
-            F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
-        )
-        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .distinct()
-    )
+    precedent): probe the RAW edge count with one early-terminating
+    limit-collect; at or below ``local_edge_cap`` rows the labels come
+    from driver-side union-find on the already-collected rows
+    (duplicate edges are union no-ops, so the output is identical —
+    none of the distributed loop's rounds x scheduling floor; r15 opt:
+    the loop cost 3-5 s per call on fixture-sized dedup/ER graphs),
+    above it the distributed O(log d) loop runs unchanged.
+
+    The probe deliberately does NOT dedupe first (r16, VERDICT r15
+    item 5): a ``distinct()`` under the limit pays a full map pass +
+    shuffle write of the edge relation before a big graph's dispatch is
+    even decided — the raw limit is a partial scan that early-
+    terminates. Duplicates can only push a borderline graph to the
+    distributed path (conservative, still correct). 500k rows collect
+    to ~8 MB — far under any driver budget; a 100 TB dedup graph takes
+    the distributed path off the same probe.
+
+    ``max_rounds`` applies to the distributed arm only — the local
+    union-find always returns the exact fixpoint."""
+    raw = edges.select(
+        F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
+    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
     rows = raw.limit(local_edge_cap + 1).collect()
     if len(rows) <= local_edge_cap:
         labels = _local_union_find(rows)

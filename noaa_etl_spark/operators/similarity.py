@@ -524,48 +524,93 @@ def semantic_dedup(
 
         from noaa_etl_spark.io import spread_small_scan
 
+        # SQL-semantics mirror (ADVICE r15): rows whose vector is NULL or
+        # contains a NULL element produced a NULL dot/norm under the old
+        # expression form ⇒ NULL >= threshold is not true ⇒ such rows were
+        # never dropped AND never caused a drop — filter them out of BOTH
+        # sides before the collect (the old path would also have crashed
+        # np.array on them).
+        id_sql_type = df.schema[id_col].dataType.simpleString()
         base = spread_small_scan(
-            df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")),
+            df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .filter(~F.exists("v", lambda x: x.isNull())),
             "id",
         )
         rows = base.collect()
-        ids = np.array([r["id"] for r in rows], dtype=np.int64)
-        mat = np.array([r["v"] for r in rows], dtype=np.float64)
-        dim_n = mat.shape[1] if len(rows) else 0
-        nsq = np.zeros(len(ids))
-        for d in range(dim_n):  # ordered accumulation == the l2_norm fold
-            nsq += mat[:, d] * mat[:, d]
-        norms = np.sqrt(nsq)
-        bc = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
+        # Length groups: zip_with over unequal-length arrays pads with
+        # NULL ⇒ the SQL dot was NULL ⇒ a cross-length pair can never
+        # hit. Equal-length pairs compare normally — so the pair space
+        # decomposes exactly into per-length blocks.
+        by_len: dict[int, list] = {}
+        for r in rows:
+            by_len.setdefault(len(r["v"]), []).append(r)
+        groups = {}
+        for vlen, rs in by_len.items():
+            g_ids = np.array([r["id"] for r in rs])
+            g_mat = np.array([r["v"] for r in rs], dtype=np.float64).reshape(
+                len(rs), vlen
+            )
+            nsq = np.zeros(len(rs))
+            for d in range(vlen):  # ordered accumulation == the l2_norm fold
+                nsq += g_mat[:, d] * g_mat[:, d]
+            groups[vlen] = (g_ids, g_mat, np.sqrt(nsq))
+        bc = df.sparkSession.sparkContext.broadcast(groups)
 
         def find_dropped(batches):
             import pandas as pd
 
-            c_ids, c_mat, c_norms = bc.value
-            n = len(c_ids)
+            grp = bc.value
             slice_w = 8192  # bounds the (batch x corpus) pair matrix
             for pdf in batches:
                 if not len(pdf):
                     continue
-                a_ids = pdf["id"].to_numpy(dtype=np.int64)
-                a_mat = np.array(list(pdf["v"]), dtype=np.float64)
-                a_nsq = np.zeros(len(a_ids))
-                for d in range(a_mat.shape[1]):
-                    a_nsq += a_mat[:, d] * a_mat[:, d]
-                a_norms = np.sqrt(a_nsq)
-                dropped = np.zeros(len(a_ids), dtype=bool)
-                for lo in range(0, n, slice_w):
-                    hi = min(lo + slice_w, n)
-                    s = np.zeros((len(a_ids), hi - lo))
-                    for d in range(a_mat.shape[1]):  # ordered: == dot fold
-                        s += a_mat[:, d : d + 1] * c_mat[lo:hi, d][None, :]
-                    cos = s / (a_norms[:, None] * c_norms[None, lo:hi])
-                    hit = (c_ids[None, lo:hi] < a_ids[:, None]) & (cos >= threshold)
-                    dropped |= hit.any(axis=1)
-                yield pd.DataFrame({"dropped_id": a_ids[dropped]})
+                empty = pdf["id"].to_numpy()[:0]
+                hits = []
+                for vlen, sub in pdf.groupby(pdf["v"].map(len)):
+                    if vlen not in grp:
+                        continue
+                    c_ids, c_mat, c_norms = grp[vlen]
+                    n = len(c_ids)
+                    a_ids = sub["id"].to_numpy()
+                    a_mat = np.array(list(sub["v"]), dtype=np.float64).reshape(
+                        len(a_ids), vlen
+                    )
+                    a_nsq = np.zeros(len(a_ids))
+                    for d in range(vlen):
+                        a_nsq += a_mat[:, d] * a_mat[:, d]
+                    a_norms = np.sqrt(a_nsq)
+                    dropped = np.zeros(len(a_ids), dtype=bool)
+                    for lo in range(0, n, slice_w):
+                        hi = min(lo + slice_w, n)
+                        s = np.zeros((len(a_ids), hi - lo))
+                        for d in range(vlen):  # ordered: == dot fold
+                            s += a_mat[:, d : d + 1] * c_mat[lo:hi, d][None, :]
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            cos = s / (a_norms[:, None] * c_norms[None, lo:hi])
+                        # Zero-norm contract (ADVICE r15, resolved r16):
+                        # a pair with a zero denominator is NOT a hit.
+                        # numpy NaN >= t is False, which matches the
+                        # DuckDB oracle (0.0/0.0 is NULL there — DuckDB
+                        # division never produces NaN — and NULL >= t is
+                        # not true) AND the LSH branch (norms floored at
+                        # 1e-12 ⇒ cos 0). The pre-r15 Spark expression's
+                        # NaN-greatest ordering would have dropped such
+                        # pairs — that was a latent ORACLE divergence;
+                        # the operator now pins the oracle's side.
+                        hit = (c_ids[None, lo:hi] < a_ids[:, None]) & (
+                            cos >= threshold
+                        )
+                        dropped |= hit.any(axis=1)
+                    hits.append(a_ids[dropped])
+                vals = np.concatenate(hits) if hits else empty
+                yield pd.DataFrame({"dropped_id": vals})
 
         # each id lives in exactly one batch ⇒ rows already distinct.
-        return base.mapInPandas(find_dropped, "dropped_id bigint")
+        # Output schema mirrors the input id dtype (the driver grade is
+        # dtype-sensitive; the old hard-coded bigint silently widened
+        # narrower ids).
+        return base.mapInPandas(find_dropped, f"dropped_id {id_sql_type}")
     return pairs.distinct()
 
 

@@ -297,26 +297,41 @@ GRADED_WINDOW: list[str] = [
     # new-cohort members: I += rouge/mrr/log_odds evals, J += twins
     # #37-#41, etl += target_encode_loo. All 50 are oracle-paired, so
     # ROWS_ONLY_WINDOW is empty this round.
-    # --- (a) never-driver-graded round-14 additions (24) ---
-    "q_stream_out_of_order", "q_stream_rolling_corr", "q_stream_jsd_drift",
-    "q_stream_spearman", "q_classification_report", "q_cohens_kappa",
-    "q_mcnemar_test", "q_target_encode_loo", "q_grouped_kfold",
-    "q_spearman_corr", "q_kendall_tau", "q_neyman_allocation",
-    "q_rouge_eval", "q_covariate_balance", "q_power_mde", "q_jsd_drift",
-    "q_forecast_baseline_eval", "q_log_odds_terms", "q_mrr_eval",
-    "q_brier_score", "q_isotonic_calibration", "q_ece_score",
-    "q_permutation_test", "q_stream_forecast_backtest",
-    # --- (b) oldest-signal family fills (7) ---
-    "q_orc_roundtrip", "q_sort_null_ordering", "q_union_distinct",
-    "q_grouped_zscore", "q_tpch_q8_share", "q_ghcn_daily_wide",
-    "q_math_haversine",
-    # --- (c) r7-stale rotation (19 of 34) ---
-    "q_join3_topk", "q_join5_region", "q_minmax_by", "q_agg_filtered",
-    "q_rollup", "q_null_handling", "q_distinct_rows", "q_join_cross",
-    "q_join_range", "q_bool_aggs", "q_string_agg",
-    "q_window_running_total", "q_window_moving_avg",
-    "q_window_first_last", "q_record_tracking", "q_window_range_numeric",
-    "q_ntile_cume", "q_tumbling_window", "q_sliding_window",
+    # Round 16 (OPTIMIZATION round 2): CORRECTNESS_r15 went 50/50 (tenth
+    # consecutive all-green window — the first all-oracle one). Per
+    # VERDICT r15 item 2, this window re-grades EVERY query path the r15
+    # optimization round rewrote (plan-changed, several
+    # value-path-changed — all builder-self-sim only until now) plus the
+    # paths this round touches again (q_semantic_dedup's zero-norm/
+    # NULL-semantics pin, the CC dispatch probe trim, the minhash/SRP
+    # band-chain work, q_semantic_dedup_lsh):
+    # --- (a) r15/r16 optimization re-grades (19) ---
+    "q_semantic_dedup", "q_dedup_simhash", "q_containment_dedup",
+    "q_containment_lsh", "q_cross_corpus_dedup", "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard", "q_dedup_ngram_jaccard_capped",
+    "q_dedup_ngram_sketch", "q_entity_resolution", "q_geo_cluster",
+    "q_perplexity_filter", "q_bootstrap_ci", "q_dq_checks",
+    "q_heavy_hitters", "q_heavy_hitters_mg", "q_decontaminate",
+    "q_connected_components", "q_semantic_dedup_lsh",
+    # --- (b) stalest-signal family fills (8): A/B/C/E/F/G/tpch/noaa
+    # have no member in (a) or (c) — each fill is that family's oldest
+    # driver signal (csv_multichar_delim is the never-graded A-family
+    # r15 addition, double duty) ---
+    "q_csv_multichar_delim", "q_filter_predicates", "q_interval_join",
+    "q_window_lag_lead", "q_topk_global", "q_dedup_keyed",
+    "q_tpch_q10_returns", "q_ghcn_pipeline",
+    # --- (c) never-driver-graded round-15 additions (23): the complete
+    # first-session cohort (15) + the highest-value second-session
+    # entries (batteries #12/#13/#14/#17, OLS, Heaps, and the
+    # new-merge-shape twins #54/#57) ---
+    "q_stream_theil_sen", "q_cliffs_delta", "q_sequential_mspt",
+    "q_fleiss_kappa", "q_conformal_interval", "q_hilbert_order",
+    "q_stream_kendall", "q_stream_cliffs_delta", "q_stream_conformal",
+    "q_cochran_q", "q_zipf_fit", "q_post_stratification",
+    "q_stream_mspt", "q_stream_zipf", "q_sql_udf",
+    "q_one_way_anova", "q_kruskal_wallis", "q_diff_in_diff",
+    "q_levene_test", "q_multiple_regression", "q_heaps_law",
+    "q_stream_levene", "q_stream_gap_regularity",
     # Round-16 staging FIRST: the 16 round-15 additions (15
     # oracle-paired + q_dedup_ngram_sketch rows-only): q_stream_theil_sen
     # (twin #42), q_cliffs_delta, q_sequential_mspt (battery #9),
@@ -364,11 +379,17 @@ GRADED_WINDOW: list[str] = [
 # The deliberate rows-only subset of the window (no oracle by design:
 # engine-specific hashes/sketches/ANN, streaming state, custom source).
 # test_graded_window_spans_every_family pins window∩rows-only == this.
-ROWS_ONLY_WINDOW: set[str] = set()
-# round 15: every window entry is oracle-paired (the 24 round-14
-# additions all carry oracles; the fills and the r7-stale rotation are
-# all oracle-paired). The 24 genuinely rows-only queries (ANN/LSH/
-# sketch/BPE/iterative/custom-state classes) all have r11-r14 signal.
+ROWS_ONLY_WINDOW: set[str] = {
+    # round 16: the six rows-only entries are ALL deliberate
+    # optimization re-grades (VERDICT r15 item 2) — LSH/sketch paths
+    # whose plans (and for simhash/semantic the value path) were
+    # rewritten by the r15/r16 optimization rounds; each is
+    # recall/equality-pinned in tests but needs vanilla-driver signal.
+    "q_containment_lsh", "q_cross_corpus_dedup", "q_dedup_minhash_lsh",
+    "q_dedup_ngram_sketch", "q_dedup_simhash", "q_semantic_dedup_lsh",
+}
+# round 15 note (historical): that window was all-oracle
+# (ROWS_ONLY_WINDOW was empty — the first such round).
 
 
 def load_all_queries() -> None:

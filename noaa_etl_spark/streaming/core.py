@@ -185,9 +185,16 @@ def run_to_memory(
     # sizing — sized_confs() or operator config — is respected
     # verbatim); restore after the drain. Fresh checkpoint per run ⇒
     # no cross-run state-layout conflict.
+    # r16 fix (ADVICE r15): on a session that never explicitly set the
+    # conf, conf.get(key, None) returns None — NOT "200" — so the old
+    # `prev == "200"` guard never fired under exactly the vanilla
+    # driver the sizing targets, and would have overridden a session
+    # that deliberately pinned 200. None ⇒ untouched default ⇒ size it
+    # and unset after; any explicit value (including 200) is respected
+    # verbatim.
     part_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(part_key, None)
-    if prev == "200":
+    if prev is None:
         spark.conf.set(part_key, str(spark.sparkContext.defaultParallelism))
     try:
         query = (
@@ -200,8 +207,8 @@ def run_to_memory(
         )
         query.awaitTermination()
     finally:
-        if prev == "200":
-            spark.conf.set(part_key, prev)
+        if prev is None:
+            spark.conf.unset(part_key)
     # explainInternal on a terminated availableNow query returns the
     # LAST micro-batch's executed physical plan (incremental execution
     # is retained on the query handle) — the only surface that shows

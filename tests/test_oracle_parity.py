@@ -146,17 +146,17 @@ def test_graded_window_spans_every_family():
     # Any-of sets so the window can ROTATE entries between rounds
     # (spreading driver signal) without losing a family.
     reps = {
-        "A_sources": {"q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip", "q_fixed_width_scan", "q_parquet_sink_partitioned", "q_schema_evolution", "q_zstd_roundtrip", "q_xml_roundtrip", "q_csv_malformed_recovery", "q_stats_skipping", "q_custom_datasource"},
+        "A_sources": {"q_csv_multichar_delim", "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip", "q_fixed_width_scan", "q_parquet_sink_partitioned", "q_schema_evolution", "q_zstd_roundtrip", "q_xml_roundtrip", "q_csv_malformed_recovery", "q_stats_skipping", "q_custom_datasource"},
         "B_filters": {"q_filter_predicates", "q_try_cast_qc", "q_balanced_class_sample", "q_sample", "q_temporal_split", "q_quality_gate", "q_conditional_case", "q_null_handling", "q_distinct_rows"},
         "C_joins": {"q_join3_topk", "q_join5_region", "q_join_semi", "q_join_left", "q_join_anti", "q_asof_join", "q_interval_join", "q_feature_store_pit", "q_lateral_join", "q_asof_nearest", "q_spatial_radius_join", "q_skew_join_salted", "q_interval_overlap_join"},
-        "D_aggs": {"q_pricing_summary", "q_agg_stats", "q_count_distinct", "q_percentiles", "q_rollup", "q_cube", "q_pivot_events", "q_incremental_agg", "q_incremental_stats_merge", "q_linear_trend", "q_mode_by_group", "q_time_rollup", "q_salted_agg", "q_ab_test_report", "q_benford_audit", "q_acf_daily", "q_peak_concurrency", "q_covariance_matrix", "q_weighted_median"},
+        "D_aggs": {"q_one_way_anova", "q_kruskal_wallis", "q_diff_in_diff", "q_levene_test", "q_pricing_summary", "q_agg_stats", "q_count_distinct", "q_percentiles", "q_rollup", "q_cube", "q_pivot_events", "q_incremental_agg", "q_incremental_stats_merge", "q_linear_trend", "q_mode_by_group", "q_time_rollup", "q_salted_agg", "q_ab_test_report", "q_benford_audit", "q_acf_daily", "q_peak_concurrency", "q_covariance_matrix", "q_weighted_median"},
         "E_windows": {"q_window_rank", "q_window_rolling_1h", "q_window_lag_lead", "q_window_first_last", "q_sessionize", "q_resample_interpolate", "q_sessionize_bucketed", "q_winsorize_approx", "q_pareto_frontier", "q_bollinger_bands", "q_event_sequence", "q_rolling_median", "q_sliding_distinct", "q_anomaly_mad", "q_session_funnel", "q_sessionize_auto"},
         "F_sort": {"q_topk_global", "q_sort_offset", "q_sort_null_ordering", "q_curriculum_order"},
         "G_setops": {"q_set_ops", "q_set_ops_all", "q_union_all_yearly", "q_dedup_keyed", "q_union_distinct"},
-        "H_scalars": {"q_json_extract", "q_date_functions", "q_date_arithmetic", "q_string_functions", "q_map_functions", "q_math_haversine", "q_variant_json", "q_spatial_nearest", "q_geohash_encode", "q_activity_bitmask", "q_array_functions"},
-        "I_llm": {"q_dedup_exact", "q_dedup_hash", "q_wordcount", "q_token_stats", "q_tfidf", "q_knn_cosine", "q_semantic_dedup", "q_perplexity_filter", "q_bpe_train", "q_bpe_tokenize", "q_containment_lsh", "q_pq_encode", "q_ngram_novelty", "q_keyword_extraction", "q_entity_resolution", "q_dsir_select", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_temperature_mix", "q_rouge_eval", "q_mrr_eval", "q_log_odds_terms"},
-        "J_streaming": {"q_stream_tumbling", "q_stream_interval_join", "q_stream_sessionize", "q_stream_sliding", "q_stream_dedup", "q_stream_stats_merge", "q_stream_feature_pit", "q_stream_ab_test", "q_stream_psi_drift", "q_stream_user_ltv", "q_stream_cdc_apply", "q_stream_dedup_watermark", "q_stream_covariance", "q_stream_rolling_median", "q_stream_funnel", "q_stream_hist_quantiles", "q_stream_mime_sniff", "q_stream_session_funnel", "q_stream_ewma_irregular", "q_stream_cuped", "q_stream_source_entropy", "q_stream_drift_monitor", "q_stream_cms_frequencies", "q_stream_out_of_order", "q_stream_rolling_corr", "q_stream_jsd_drift", "q_stream_spearman", "q_stream_forecast_backtest"},
-        "K_udfs": {"q_udaf_trimmed_mean", "q_grouped_zscore", "q_cogroup_merge", "q_udtf_tokens", "q_pandas_udf_scalar", "q_udtf_dynamic_schema", "q_multimodal_decode", "q_wav_decode", "q_mapinarrow_hist", "q_applyinarrow_stats", "q_udtf_table_arg", "q_observed_metrics", "q_fuzzy_rank"},
+        "H_scalars": {"q_hilbert_order", "q_json_extract", "q_date_functions", "q_date_arithmetic", "q_string_functions", "q_map_functions", "q_math_haversine", "q_variant_json", "q_spatial_nearest", "q_geohash_encode", "q_activity_bitmask", "q_array_functions"},
+        "I_llm": {"q_heaps_law", "q_zipf_fit", "q_dedup_exact", "q_dedup_hash", "q_wordcount", "q_token_stats", "q_tfidf", "q_knn_cosine", "q_semantic_dedup", "q_perplexity_filter", "q_bpe_train", "q_bpe_tokenize", "q_containment_lsh", "q_pq_encode", "q_ngram_novelty", "q_keyword_extraction", "q_entity_resolution", "q_dsir_select", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_temperature_mix", "q_rouge_eval", "q_mrr_eval", "q_log_odds_terms"},
+        "J_streaming": {"q_stream_theil_sen", "q_stream_kendall", "q_stream_cliffs_delta", "q_stream_conformal", "q_stream_mspt", "q_stream_zipf", "q_stream_levene", "q_stream_gap_regularity", "q_stream_tumbling", "q_stream_interval_join", "q_stream_sessionize", "q_stream_sliding", "q_stream_dedup", "q_stream_stats_merge", "q_stream_feature_pit", "q_stream_ab_test", "q_stream_psi_drift", "q_stream_user_ltv", "q_stream_cdc_apply", "q_stream_dedup_watermark", "q_stream_covariance", "q_stream_rolling_median", "q_stream_funnel", "q_stream_hist_quantiles", "q_stream_mime_sniff", "q_stream_session_funnel", "q_stream_ewma_irregular", "q_stream_cuped", "q_stream_source_entropy", "q_stream_drift_monitor", "q_stream_cms_frequencies", "q_stream_out_of_order", "q_stream_rolling_corr", "q_stream_jsd_drift", "q_stream_spearman", "q_stream_forecast_backtest"},
+        "K_udfs": {"q_sql_udf", "q_udaf_trimmed_mean", "q_grouped_zscore", "q_cogroup_merge", "q_udtf_tokens", "q_pandas_udf_scalar", "q_udtf_dynamic_schema", "q_multimodal_decode", "q_wav_decode", "q_mapinarrow_hist", "q_applyinarrow_stats", "q_udtf_table_arg", "q_observed_metrics", "q_fuzzy_rank"},
         "tpch": {
             "q_tpch_q7_volume", "q_tpch_q8_share", "q_tpch_q10_returns",
             "q_tpch_q4_priority", "q_tpch_q11_value", "q_tpch_q13_custdist",
