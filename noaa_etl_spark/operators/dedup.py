@@ -131,6 +131,16 @@ def minhash_lsh_candidates(
     grams_frame = spread_small_scan(
         df.select(F.col(id_col).alias("id"), grams.alias("grams")), "id"
     ).filter(F.size("grams") > 0)
+    if verify:
+        # r16 opt (VERDICT r15 item 4 — the multi-reader rule): with
+        # verify on, the gram frame has THREE readers (the signature
+        # pass + both verify re-attach sides) and each un-materialized
+        # reader re-planned the scan+tokenize+ngrams subtree — the
+        # residual ~2.3 s of q_dedup_minhash_lsh's 4.8 s warm wall.
+        # localCheckpoint computes grams once; verify=False callers keep
+        # the single-reader streaming form (a checkpoint there would
+        # only add a materialization job).
+        grams_frame = grams_frame.localCheckpoint()
     sig = grams_frame.select(
         "id",
         "grams",
@@ -407,6 +417,11 @@ def ngram_jaccard_pairs(
     n − ⌈t·n⌉ + 1 grams; any pair with J ≥ t must collide inside those
     prefixes (pigeonhole), so no qualifying pair is missed, and the
     candidate fan-out tracks RARE-gram df² instead of stop-gram df².
+    Colliding pairs are further pruned by the sound PPJoin positional
+    upper bound inter ≤ c + min(na − ia, nb − jb) before gram arrays
+    attach (r16 opt — derivation at the candidate aggregate below), so
+    "candidates" everywhere in this contract means the pairs surviving
+    that bound; the prune is lossless, the final pair set is unchanged.
 
     PATHOLOGICAL-CORPUS CONTRACT (``candidate_cap_per_doc``): on a
     boilerplate-heavy corpus the TRUE answer itself explodes — the 100×
@@ -456,23 +471,74 @@ def ngram_jaccard_pairs(
         exploded.join(dfc, "g")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= plen)
-        .select("doc_id", "g")
+        .select("doc_id", "n", "g", "rk")
         .localCheckpoint()
     )
-    a = prefix.select(F.col("doc_id").alias("id_a"), "g")
-    b = prefix.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"), F.col("n").alias("na"), "g",
+        F.col("rk").alias("rka"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"), F.col("n").alias("nb"),
+        F.col("g").alias("gb"), F.col("rk").alias("rkb"),
+    )
+    # r16 opt (guide §2.3/§3 — prune before attaching payloads): the
+    # collision groupBy replaces dropDuplicates (same shuffle, map-side
+    # combinable) and yields the PPJoin positional UPPER BOUND on the
+    # full intersection. With every doc's gram list sorted in ONE global
+    # (df, g) order, shared grams appear in the same relative order in
+    # both lists, so every shared gram BEFORE the last prefix collision
+    # (ranks ia = max rka, jb = max rkb — the same gram attains both
+    # maxima) is itself a prefix collision and is counted in c, and
+    # every shared gram AFTER it sits past rank ia in a AND past jb in
+    # b: inter ≤ c + min(na − ia, nb − jb). Candidates whose bound
+    # cannot reach the J ≥ t intersection requirement
+    # t·(na+nb)/(1+t) can never verify — LOSSLESS prune (the 1e-9
+    # relaxation only ever keeps extras; the verify below recomputes J
+    # exactly). sf0.1: 409k prefix candidates → 120k verified pairs,
+    # identical 256 survivors; the verify stage (the array-attach joins
+    # + array_intersect — measured 4.6 s warm) drops to ~1.0 s.
     cand = (
         a.join(b, (F.col("g") == F.col("gb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
-        .dropDuplicates()
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("rka").alias("ia"),
+            F.max("rkb").alias("jb"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
     )
+    inter_ub = F.col("c") + F.least(
+        F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")
+    )
+    cand = cand.filter(
+        inter_ub * (1.0 + threshold)
+        >= threshold * (F.col("na") + F.col("nb")) - 1e-9
+    ).select("id_a", "id_b")
     if candidate_cap_per_doc is not None:
         wc = Window.partitionBy("id_a").orderBy("id_b")
         cand = (
             cand.withColumn("crk", F.row_number().over(wc))
             .filter(F.col("crk") <= candidate_cap_per_doc)
             .drop("crk")
+            .localCheckpoint()
         )
+        # r16 opt — measured-property broadcast dispatch (the
+        # sessionize_auto / connected_components_auto precedent): the
+        # cap window (and the checkpoint that materializes it) strips
+        # the pair frame's stats, so the verify join below planned the
+        # gram-array sides into a shuffle even when the capped
+        # candidates are a few MB — measured 3.0-5.6 s warm vs 0.4 s
+        # broadcast at sf0.1 on identical candidates (the UNCAPPED path
+        # keeps its runtime stats and AQE broadcasts it naturally; this
+        # restores parity). The frame is already materialized, so the
+        # count is one cheap job over checkpoint blocks; 1M (id, id)
+        # rows ≈ 16 MB framed — a safe broadcast bound. Above the bound
+        # (the pathological corpus the cap exists for) the plain
+        # shuffled join is the honest 100 TB plan.
+        if cand.count() <= 1_000_000:
+            cand = F.broadcast(cand)
     if candidates_only:
         # Diagnostic escape: the (id_a, id_b) candidate pairs before
         # gram arrays attach — lets tests measure per-doc candidate

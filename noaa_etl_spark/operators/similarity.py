@@ -304,8 +304,8 @@ def lsh_candidate_pairs(
             F.col("sn.norm").alias(f"{role}_norm"),
         )
 
-    def banded(sig: DataFrame, role: str) -> DataFrame:
-        keys = F.array(
+    def band_keys() -> F.Column:
+        return F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
@@ -317,8 +317,11 @@ def lsh_candidate_pairs(
                 for b in range(bands)
             ]
         )
+
+    def banded(sig: DataFrame, role: str) -> DataFrame:
         return sig.select(
-            f"{role}_id", f"{role}_vec", f"{role}_norm", F.explode(keys).alias(f"{role}_bk")
+            f"{role}_id", f"{role}_vec", f"{role}_norm",
+            F.explode(band_keys()).alias(f"{role}_bk"),
         )
 
     rowdot = _rowwise_dot_udf()
@@ -349,10 +352,20 @@ def lsh_candidate_pairs(
         # (≤125 ids at sf0.1) never reach the cap, so graded outputs
         # are unchanged.
         cap = SRP_HOT_BUCKET_CAP if hot_bucket_cap is None else hot_bucket_cap
-        shared = signed(queries, "query")
+        # r16 opt (guide §8 — decide with small rows, move payloads
+        # once): the banded frame used to carry the 64-double vector
+        # through the band explode (×bands), the rk window's exchange,
+        # the checkpoint AND every join leg — and each multi-band
+        # collision re-scored the same pair through the Arrow dot UDF
+        # (~250k scored rows × 128 doubles at sf0.1 for ~150k unique
+        # pairs). Now the band machinery sees only (id, bk, rk) 16-byte
+        # rows; the pair legs dedup BEFORE scoring so each unordered
+        # pair crosses the Python boundary exactly once; vectors attach
+        # to the unique pairs from the compact signed frame.
+        shared = signed(queries, "query").localCheckpoint()
         wb = Window.partitionBy("query_bk").orderBy("query_id")
         qr = (
-            banded(shared, "query")
+            shared.select("query_id", F.explode(band_keys()).alias("query_bk"))
             .withColumn("rk", F.row_number().over(wb))
             .localCheckpoint()
         )
@@ -360,8 +373,6 @@ def lsh_candidate_pairs(
         def as_neighbor(df: DataFrame) -> DataFrame:
             return df.select(
                 F.col("query_id").alias("neighbor_id"),
-                F.col("query_vec").alias("neighbor_vec"),
-                F.col("query_norm").alias("neighbor_norm"),
                 F.col("query_bk").alias("neighbor_bk"),
                 F.col("rk").alias("nrk"),
             )
@@ -379,15 +390,41 @@ def lsh_candidate_pairs(
             )
             return left.join(
                 right, (left.query_bk == right.neighbor_bk) & id_cond
-            ).select("query_id", "neighbor_id", sim.alias("cos_sim"))
+            ).select("query_id", "neighbor_id")
 
-        cands = joined(head_q, head_c).unionByName(joined(hub_q, over_c))
+        pair_ids = joined(head_q, head_c).unionByName(joined(hub_q, over_c))
         if not ordered:
             # unordered callers see each pair from both query sides:
             # give over-cap ids their hub as a candidate too.
             over_q = qr.filter(F.col("rk") > cap)
             hub_c = as_neighbor(hub_q)
-            cands = cands.unionByName(joined(over_q, hub_c))
+            pair_ids = pair_ids.unionByName(joined(over_q, hub_c))
+        pair_ids = pair_ids.dropDuplicates(["query_id", "neighbor_id"])
+        # Vector attach: the checkpointed signed frame carries no stats
+        # (checkpoint scans never do), so without help the planner
+        # shuffles BOTH attach sides — measured-property broadcast
+        # dispatch instead (the connected_components_auto precedent):
+        # the frame is already materialized, count() is one cheap job,
+        # and the bound keeps the broadcast under ~64 MB of vector
+        # payload. Above it (a true corpus) the shuffled join is the
+        # honest plan and the pair ids are the only replicated bytes.
+        qv = shared.select("query_id", "query_vec", "query_norm")
+        nv = shared.select(
+            F.col("query_id").alias("neighbor_id"),
+            F.col("query_vec").alias("neighbor_vec"),
+            F.col("query_norm").alias("neighbor_norm"),
+        )
+        bcast_rows_cap = max(1, (64 << 20) // (dim * 8))
+        if shared.count() <= bcast_rows_cap:
+            qv, nv = F.broadcast(qv), F.broadcast(nv)
+        cands = (
+            pair_ids.join(qv, "query_id")
+            .join(nv, "neighbor_id")
+            .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        )
+        # pair ids are already distinct — the `distinct` flag's dedup
+        # below would only add a shuffle.
+        return cands
     else:
         qb = banded(signed(queries, "query"), "query")
         cb = banded(signed(corpus, "neighbor"), "neighbor")

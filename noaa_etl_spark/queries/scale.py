@@ -290,25 +290,33 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     spaces, reversible). At sf0.01 this is ~1.2k components of up to
     16 nodes, so the propagation genuinely runs multiple hops.
 
-    Engine side: operators/graph.py hash-min label propagation with
-    pointer-jumping shortcut — O(log diameter) rounds, each round two
-    (node, label)-only joins + a map-side-combinable min; the oracle is
-    a DuckDB recursive CTE computing min reachable id per node (exact
-    reachability semantics — tractable because the graded subgraph's
-    transitive closure is ~13k pairs at sf0.01).
+    Engine side (r16 opt): connected_components_auto — the size
+    dispatch the r15 round gave entity_resolution. The high-quantity
+    subgraph is ~1.2k–12k edges at graded SFs, so the distributed
+    O(log d) loop (hash-min propagation + pointer jumping,
+    operators/graph.py) was pure rounds × scheduling floor here:
+    7.7 s warm at sf0.1 vs ~0.5 s via the probe + driver union-find
+    (identical min-labels, pinned in tests/test_graph.py; the
+    distributed loop itself stays covered by tests and by every
+    above-cap caller). The oracle is a DuckDB recursive CTE computing
+    min reachable id per node (exact reachability semantics —
+    tractable because the graded subgraph's transitive closure is
+    ~13k pairs at sf0.01).
 
-    100 TB: per-round shuffle volume is 16 bytes/node regardless of
-    edge payloads; hub skew is AQE-split aggregation skew, not a
-    cartesian (full analysis in operators/graph.py docstring).
+    100 TB: the raw-limit probe early-terminates, a data-sized edge
+    list takes the distributed path — per-round shuffle volume there is
+    16 bytes/node regardless of edge payloads; hub skew is AQE-split
+    aggregation skew, not a cartesian (full analysis in
+    operators/graph.py docstring).
     """
-    from noaa_etl_spark.operators.graph import connected_components
+    from noaa_etl_spark.operators.graph import connected_components_auto
 
     li = load_table(spark, sf_dir, "lineitem")
     edges = li.filter(F.col("l_quantity") >= 49).select(
         (F.col("l_orderkey") * 2).cast("bigint").alias("src"),
         (F.col("l_partkey") * 2 + 1).cast("bigint").alias("dst"),
     )
-    return connected_components(edges)
+    return connected_components_auto(edges)
 
 
 @graded("q_pagerank")  # rows-only: float ranks are iteration-scheme-

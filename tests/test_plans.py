@@ -197,10 +197,14 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     # Shuffles: bench-side distinct + the two per-doc counts (+ final
-    # small join input) — the train gram stream itself never exchanges.
-    # formatted_plan lists each node twice (tree + details), so 5
-    # physical Exchanges appear as 10.
-    assert plan.count("Exchange") <= 10
+    # small join input) + the r15 spread_small_scan repartition (a
+    # deliberate +1, conditional no-op on multi-split real inputs) —
+    # the train gram stream itself never exchanges on the GRAM key.
+    # formatted_plan lists each node twice (tree + details), so 6
+    # physical Exchanges appear as 12. (r16: the r15 spread landed
+    # without this bound moving — the driver's -x pytest run never
+    # reached this test; adjusted with the diagnosis recorded.)
+    assert plan.count("Exchange") <= 12
 
 
 def test_tpch_q6_pushes_every_predicate(spark):
@@ -419,10 +423,21 @@ def test_rrf_fusion_heaps_not_global_sorts(spark):
 
 def test_containment_uses_inverted_index_join(spark):
     """Candidate pairs must come from the shared-shingle equi-join
-    (explode + join on gram), never a cross join."""
+    (explode + join on gram), never a cross join.
+
+    r16 note: the r15 optimization eagerly localCheckpoints the gram
+    frame (4 readers), which TRUNCATES the explode out of the visible
+    final plan (the curriculum_order precedent) — so the final plan is
+    gated on the equi-join/no-cartesian structure it can still show,
+    plus the checkpoint-scan evidence that the pre-computed gram frame
+    (not a cross join) feeds the pair join. (The r15 checkpoint landed
+    without this pin moving — the driver's -x pytest run never reached
+    it; reconciled with the diagnosis recorded.)"""
     plan = plan_of(spark, "q_containment_dedup")
-    assert "Generate" in plan, "gram explode missing"
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "ExistingRDD" in plan  # the checkpointed gram/capped frames
 
 
 def test_cusum_single_fact_pass_shared_windows(spark):
