@@ -4186,22 +4186,39 @@ from noaa_etl_spark.queries.profiling import (
 )
 
 
-def _drain_batches(spark, root, source_df, order_cols, schema, absorb, n_batches=3, gate_seed="g"):
+def _drain_batches(spark, root, source_df, order_cols, schema, absorb,
+                   n_batches=3, gate_seed="g", sf_dir=None):
     """Shared twin scaffolding: write source_df as n_batches hash-gated
     parquet files, drain them one per micro-batch through foreachBatch
-    absorb(batch_df, batch_id), availableNow + fresh checkpoint."""
+    absorb(batch_df, batch_id), availableNow + fresh checkpoint.
+
+    r16 opt (VERDICT r15 item 6): when the caller passes ``sf_dir``,
+    the source files are staged ONCE per (session, sf_dir, twin) via
+    streaming.core.staged_stream_src — the deterministic hash-gated
+    split is input preparation, and re-writing it cost 2-3 jobs per
+    twin per invocation. The checkpoint stays fresh per run (drain
+    semantics untouched); sf_dir=None keeps the per-run writes."""
     import os
     import shutil
 
-    src = os.path.join(root, "src")
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     gate = F.pmod(F.xxhash64(F.lit(gate_seed), F.col(order_cols)), F.lit(n_batches))
-    for i in range(n_batches):
-        source_df.filter(gate == i).drop(order_cols).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+
+    def _build_src(d: str) -> None:
+        for i in range(n_batches):
+            source_df.filter(gate == i).drop(order_cols).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+
+    if sf_dir is not None:
+        src = staged_stream_src(sf_dir, os.path.basename(root), _build_src)
+    else:
+        src = os.path.join(root, "src")
+        shutil.rmtree(src, ignore_errors=True)
+        _build_src(src)
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
     )
@@ -4253,8 +4270,7 @@ def q_stream_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_quantity double, l_discount double, l_extendedprice double",
         absorb,
-        gate_seed="sols",
-    )
+        gate_seed="sols", sf_dir=sf_dir)
     cols = ["n", "sx1", "sx2", "sy", "sx11", "sx22", "sx12", "sx1y", "sx2y", "syy"]
     folded = spark.read.parquet(states).agg(
         *[F.sum(c).cast("bigint").alias(c) for c in cols]
@@ -4297,8 +4313,7 @@ def q_stream_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type string, value double",
         absorb,
-        gate_seed="sstump",
-    )
+        gate_seed="sstump", sf_dir=sf_dir)
     folded = (
         spark.read.parquet(states)
         .groupBy("bucket")
@@ -4348,8 +4363,7 @@ def q_stream_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id bigint, ts timestamp, value double",
         absorb,
-        gate_seed="swsr",
-    )
+        gate_seed="swsr", sf_dir=sf_dir)
     folded = (
         spark.read.parquet(states)
         .groupBy("user_id")
@@ -4411,8 +4425,7 @@ def q_stream_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type string, value double",
         absorb,
-        gate_seed="slev",
-    )
+        gate_seed="slev", sf_dir=sf_dir)
     folded = (
         spark.read.parquet(states)
         .groupBy("grp", "v")
@@ -4460,8 +4473,7 @@ def q_stream_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate timestamp",
         absorb,
-        gate_seed="smk",
-    )
+        gate_seed="smk", sf_dir=sf_dir)
     folded = (
         spark.read.parquet(states)
         .groupBy("d")
@@ -4508,8 +4520,7 @@ def q_stream_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id bigint, event_type string, value double",
         absorb,
-        gate_seed="scron",
-    )
+        gate_seed="scron", sf_dir=sf_dir)
     folded = (
         spark.read.parquet(states)
         .groupBy("user_id")
@@ -4680,8 +4691,7 @@ def q_stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate timestamp",
         absorb,
-        gate_seed="sph",
-    )
+        gate_seed="sph", sf_dir=sf_dir)
     folded = (
         spark.read.parquet(states)
         .groupBy("d")
@@ -4746,8 +4756,7 @@ def q_stream_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label int, embedding array<float>",
         absorb,
-        gate_seed="snorm",
-    )
+        gate_seed="snorm", sf_dir=sf_dir)
     folded = spark.read.parquet(states).groupBy("label").agg(
         F.sum("n").cast("bigint").alias("n_vecs"),
         F.min("min_u").cast("bigint").alias("min_norm_u"),
@@ -4814,8 +4823,7 @@ def q_stream_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type string, value double",
         absorb,
-        gate_seed="stuk",
-    )
+        gate_seed="stuk", sf_dir=sf_dir)
     folded = (
         spark.read.parquet(states)
         .groupBy("event_type", "value")
@@ -4869,8 +4877,7 @@ def q_stream_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id bigint, event_type string, value double",
         absorb,
-        gate_seed="ssimp",
-    )
+        gate_seed="ssimp", sf_dir=sf_dir)
     folded = (
         spark.read.parquet(states)
         .groupBy("stratum")
@@ -4938,8 +4945,7 @@ def q_stream_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFra
         "line_id",
         "l_orderkey bigint, l_partkey bigint, l_quantity double",
         absorb,
-        gate_seed="scc2",
-    )
+        gate_seed="scc2", sf_dir=sf_dir)
     folded = (
         spark.read.parquet(states).select("l_orderkey", "part").distinct()
     )
@@ -4987,7 +4993,7 @@ def _simple_fb_twin(spark, sf_dir, name, src_cols, src_schema, key_col,
         partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
 
     _drain_batches(spark, root, src_df, key_col, src_schema, absorb,
-                   gate_seed=gate_seed)
+                   gate_seed=gate_seed, sf_dir=sf_dir)
     return report_fn(fold_fn(spark.read.parquet(states)))
 
 
@@ -5220,8 +5226,7 @@ def q_stream_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type string, value double",
         absorb,
-        gate_seed="sapx",
-    )
+        gate_seed="sapx", sf_dir=sf_dir)
     folded = spark.read.parquet(states).groupBy("event_type").agg(
         F.sum("n").cast("bigint").alias("n"),
         F.sum("n_satisfied").cast("bigint").alias("n_satisfied"),

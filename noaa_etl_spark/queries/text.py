@@ -6,8 +6,6 @@ golden-tested in tests/.
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2093,7 +2091,13 @@ def q_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: one columnar scan, no shuffle, embarrassingly parallel.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_small_scan (r16 opt — the r15 single-task systematic): the
+    # 27 per-char length(replace(...)) expressions each rescan the text,
+    # and the fixture's one-row-group scan ran all of it on one core
+    # (4.3 s warm; 2.0 s spread). No-op on real multi-split inputs.
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     t = F.lower(F.col("text"))
     cnts = docs.select(
         "doc_id",

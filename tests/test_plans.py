@@ -483,10 +483,14 @@ def test_cdc_apply_single_fold_agg(spark):
 
 def test_entropy_filter_zero_exchange(spark):
     """27 length-replace counts + the entropy chain are a pure
-    projection: no explode, no aggregation, no shuffle."""
+    projection: no explode, no aggregation, no shuffle ON THE TEXT
+    KEY. r16: one spread_small_scan repartition sits before the
+    projection (the 27 per-char rescans ran on the fixture's single
+    scan task — 4.3 s warm vs 2.0 s spread; a no-op on multi-split
+    real inputs), so the bound is exactly that one exchange."""
     plan = plan_of(spark, "q_entropy_filter")
     tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange") == 0, tree
+    assert tree.count("Exchange") <= 1, tree
     assert "Generate" not in plan and "Join" not in plan
 
 
