@@ -454,18 +454,26 @@ def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_stats = cell_stats(assign_with_distance(calib, cents))
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "drift_monitor")
-    src = os.path.join(root, "src")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, out, ckpt):
+    for d in (out, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     # two arrival files → two micro-batches under maxFilesPerTrigger=1
     g2 = F.substring(
         F.md5(F.concat(F.lit("sdm2:"), F.col("vec_id").cast("string"))), 1, 1
     )
-    arriving.filter(g2 < "8").coalesce(1).write.parquet(src)
-    arriving.filter(g2 >= "8").coalesce(1).write.mode("append").parquet(src)
+
+    def _build_src(d: str) -> None:
+        arriving.filter(g2 < "8").coalesce(1).write.parquet(d)
+        arriving.filter(g2 >= "8").coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "drift_monitor", _build_src)
 
     stream = (
         spark.readStream.schema(emb.schema)
@@ -514,16 +522,23 @@ def q_stream_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_cms")
-    src = os.path.join(root, "src")
     grids = os.path.join(root, "grids")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, grids, ckpt):
+    for d in (grids, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
     gate = F.pmod(F.xxhash64(F.lit("scms"), F.col("l_partkey")), F.lit(3))
-    for i in range(3):
-        li.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            li.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_cms", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -582,18 +597,25 @@ def q_stream_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_stats")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
     )
     gate = F.pmod(F.xxhash64(F.lit("sst"), F.col("cents")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_stats", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -646,10 +668,9 @@ def q_stream_feature_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_pit")
-    src = os.path.join(root, "src")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, out, ckpt):
+    for d in (out, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events")
@@ -662,8 +683,16 @@ def q_stream_feature_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     gate = F.pmod(F.xxhash64(F.lit("spit"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        purchases.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            purchases.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_pit", _build_src)
 
     def enrich(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -721,10 +750,9 @@ def q_stream_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_decay")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -735,8 +763,16 @@ def q_stream_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     gate = F.pmod(F.xxhash64(F.lit("sdecay"), F.col("cents")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_decay", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -795,10 +831,9 @@ def q_stream_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_holt")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -809,8 +844,16 @@ def q_stream_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     gate = F.pmod(F.xxhash64(F.lit("sholt"), F.col("cents")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_holt", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -870,16 +913,23 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_cdc")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     log = cdc_changelog(spark, sf_dir)
     gate = F.pmod(F.xxhash64(F.lit("scdc"), F.col("seq")), F.lit(3))
-    for i in range(3):
-        log.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            log.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_cdc", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -949,16 +999,23 @@ def q_stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_ab")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     assigned = ab_assigned(spark, sf_dir)
     gate = F.pmod(F.xxhash64(F.lit("sab"), F.col("cents")), F.lit(3))
-    for i in range(3):
-        assigned.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            assigned.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_ab", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -1020,16 +1077,23 @@ def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_psi")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     gate = F.pmod(F.xxhash64(F.lit("spsi"), F.col("doc_id")), F.lit(3))
-    for i in range(3):
-        docs.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            docs.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_psi", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -1090,10 +1154,9 @@ def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_hw")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -1104,8 +1167,16 @@ def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     gate = F.pmod(F.xxhash64(F.lit("shw"), F.col("cents")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_hw", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -1167,10 +1238,9 @@ def q_stream_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_ltv")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = (
@@ -1190,8 +1260,16 @@ def q_stream_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     gate = F.pmod(F.xxhash64(F.lit("sltv"), F.col("cents"), F.col("week_idx")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_ltv", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -1255,17 +1333,24 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.io import load_table
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_kmv")
-    src = os.path.join(root, "src")
     sketches = os.path.join(root, "sketches")
     keys_dir = os.path.join(root, "keys")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, sketches, keys_dir, ckpt):
+    for d in (sketches, keys_dir, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     gate = F.pmod(F.xxhash64(F.lit("kmv"), F.col("o_orderkey")), F.lit(3))
-    for i in range(3):
-        orders.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            orders.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_kmv", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         mink = (
@@ -1352,16 +1437,23 @@ def q_stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_changepoint")
-    src = os.path.join(root, "src")
     partials = os.path.join(root, "partials")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, partials, ckpt):
+    for d in (partials, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     gate = F.pmod(F.xxhash64(F.lit("scp"), F.col("o_orderkey")), F.lit(3))
-    for i in range(3):
-        orders.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            orders.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_changepoint", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         part = changepoint_daily(batch_df)
@@ -1420,18 +1512,25 @@ def q_stream_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_bitmask")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
     e = ev.select("event_id", "user_id", day.alias("day"))
     gate = F.pmod(F.xxhash64(F.lit("sbm"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        e.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            e.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_bitmask", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         anchor = batch_df.agg(F.min("day").alias("anchor"))
@@ -1529,10 +1628,9 @@ def q_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_bootstrap")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     base = load_table(spark, sf_dir, "orders").select(
@@ -1543,8 +1641,16 @@ def q_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would run the 32× md5 ladder near-single-threaded — the probe read
     # 8× at 10× data until the batch got scan parallelism.
     gate = F.pmod(F.xxhash64(F.lit("sbc"), F.col("o_orderkey")), F.lit(3))
-    for i in range(3):
-        base.filter(gate == i).coalesce(4).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            base.filter(gate == i).coalesce(4).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_bootstrap", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         rep = boot_replicates(batch_df, "o_orderkey")
@@ -1626,10 +1732,9 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_ohlc")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events")
@@ -1641,8 +1746,16 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "10 minutes")["start"].alias("bucket"),
     )
     gate = F.pmod(F.xxhash64(F.lit("soh"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        e.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            e.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_ohlc", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         key = F.struct(F.col("ts"), F.col("event_id"))
@@ -1715,10 +1828,9 @@ def q_stream_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_rollmed")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -1729,8 +1841,16 @@ def q_stream_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     gate = F.pmod(F.xxhash64(F.lit("srmed"), F.col("cents")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_rollmed", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -1793,10 +1913,9 @@ def q_stream_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_gini")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -1804,8 +1923,16 @@ def q_stream_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("ocents"),
     )
     gate = F.pmod(F.xxhash64(F.lit("sgini"), F.col("ocents")), F.lit(3))
-    for i in range(3):
-        orders.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            orders.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_gini", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -1872,16 +1999,23 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_dsir")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     gate = F.pmod(F.xxhash64(F.lit("sdsir"), F.col("doc_id")), F.lit(3))
-    for i in range(3):
-        docs.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            docs.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_dsir", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -1937,17 +2071,24 @@ def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_obs")
-    src = os.path.join(root, "src")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, ckpt):
+    for d in (ckpt,):
         shutil.rmtree(d, ignore_errors=True)
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
     gate = F.pmod(F.xxhash64(F.lit("sobs"), F.col("o_orderkey")), F.lit(3))
-    for i in range(3):
-        orders.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            orders.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_obs", _build_src)
 
     stream = (
         spark.readStream.schema(orders.schema)
@@ -2074,16 +2215,23 @@ def q_stream_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_covariance")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     gate = F.pmod(F.xxhash64(F.lit("scov"), F.col("vec_id")), F.lit(3))
-    for i in range(3):
-        emb.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            emb.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_covariance", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -2148,16 +2296,23 @@ def q_stream_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_chi_square")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     gate = F.pmod(F.xxhash64(F.lit("schi"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_chi_square", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -2222,16 +2377,23 @@ def q_stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_mannwhitney")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     gate = F.pmod(F.xxhash64(F.lit("smw"), F.col("doc_id")), F.lit(3))
-    for i in range(3):
-        docs.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            docs.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_mannwhitney", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -2292,10 +2454,9 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_funnel")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = (
@@ -2304,8 +2465,16 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", F.unix_micros("ts").alias("t_us"))
     )
     gate = F.pmod(F.xxhash64(F.lit("sfun"), F.col("t_us")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_funnel", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -2368,16 +2537,23 @@ def q_stream_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_oov")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     gate = F.pmod(F.xxhash64(F.lit("soov"), F.col("doc_id")), F.lit(3))
-    for i in range(3):
-        docs.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            docs.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_oov", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -2438,10 +2614,9 @@ def q_stream_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_calib")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = (
@@ -2450,8 +2625,16 @@ def q_stream_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", F.unix_micros("ts").alias("t_us"))
     )
     gate = F.pmod(F.xxhash64(F.lit("scal"), F.col("t_us")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_calib", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -2500,10 +2683,9 @@ def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_auc")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = (
@@ -2512,8 +2694,16 @@ def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", F.unix_micros("ts").alias("t_us"))
     )
     gate = F.pmod(F.xxhash64(F.lit("sauc"), F.col("t_us")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_auc", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -2580,18 +2770,25 @@ def q_stream_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_linkage")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     counts_dir = os.path.join(root, "counts")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, counts_dir, ckpt):
+    for d in (states, counts_dir, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     clean = fs_cap_blocks(fs_clean(load_table(spark, sf_dir, "customer")))
     dirty = fs_dirty(fs_clean(load_table(spark, sf_dir, "customer")))
     gate = F.pmod(F.xxhash64(F.lit("slink"), F.col("k")), F.lit(3))
-    for i in range(3):
-        dirty.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            dirty.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_linkage", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -2662,16 +2859,23 @@ def q_stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_hist")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     gate = F.pmod(F.xxhash64(F.lit("shist"), F.col("value")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_hist", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -2777,16 +2981,23 @@ def q_stream_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from noaa_etl_spark.streaming.core import _CHECKPOINT_ROOT
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_mime")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     gate = F.pmod(F.xxhash64(F.lit("smime"), F.col("doc_id")), F.lit(3))
-    for i in range(3):
-        docs.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            docs.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_mime", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from noaa_etl_spark.streaming.core import record_foreach_batch_plan
@@ -2957,10 +3168,9 @@ def q_stream_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_ewma")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
@@ -2979,8 +3189,16 @@ def q_stream_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.select(
         "user_id", "value", F.unix_micros("ts").alias("t_us"), gate.alias("b")
     )
-    for i in range(3):
-        e.filter(F.col("b") == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            e.filter(F.col("b") == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_ewma", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         from pyspark.sql import Window as W
@@ -3056,16 +3274,23 @@ def q_stream_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_src_entropy")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     gate = F.pmod(F.xxhash64(F.lit("sentropy"), F.col("doc_id")), F.lit(3))
-    for i in range(3):
-        docs.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            docs.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_src_entropy", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         partial = batch_df.groupBy("source").agg(
@@ -3124,10 +3349,9 @@ def q_stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_cuped")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
@@ -3137,8 +3361,16 @@ def q_stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", day.alias("day"), cents.alias("cents")
     )
     gate = F.pmod(F.xxhash64(F.lit("scuped"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        e.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            e.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_cuped", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         partial = batch_df.groupBy("user_id", "day").agg(
@@ -3211,25 +3443,40 @@ def q_stream_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_ooo")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = out_of_order_events(load_table(spark, sf_dir, "events"))
-    b = ev.agg(F.min("arrival").alias("lo"), F.max("arrival").alias("hi")).collect()[0]
-    lo, hi = int(b.lo), int(b.hi)
-    cut1 = lo + (hi - lo) // 3
-    cut2 = lo + 2 * ((hi - lo) // 3)
-    g = (
-        F.when(F.col("arrival") < F.lit(cut1), F.lit(0))
-        .when(F.col("arrival") < F.lit(cut2), F.lit(1))
-        .otherwise(F.lit(2))
-    )
-    evg = ev.withColumn("g", g.cast("int"))
-    for i in range(3):
-        evg.filter(F.col("g") == i).coalesce(1).write.mode("append").parquet(src)
+    # schema of the staged files: ev + the int batch-gate column (the
+    # lit(0) stand-in has the same type as the when-chain gate)
+    evg_schema = ev.withColumn("g", F.lit(0)).schema
+
+    def _build_src(d: str) -> None:
+        # the arrival-range boundary collect is BUILD-only work — inside
+        # the closure it runs once per (session, sf_dir), not per run
+        b = ev.agg(
+            F.min("arrival").alias("lo"), F.max("arrival").alias("hi")
+        ).collect()[0]
+        lo, hi = int(b.lo), int(b.hi)
+        cut1 = lo + (hi - lo) // 3
+        cut2 = lo + 2 * ((hi - lo) // 3)
+        g = (
+            F.when(F.col("arrival") < F.lit(cut1), F.lit(0))
+            .when(F.col("arrival") < F.lit(cut2), F.lit(1))
+            .otherwise(F.lit(2))
+        )
+        evg = ev.withColumn("g", g.cast("int"))
+        for i in range(3):
+            evg.filter(F.col("g") == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_ooo", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         w = (
@@ -3248,7 +3495,7 @@ def q_stream_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.write.mode("overwrite").parquet(f"{states}/batch_id={batch_id}")
 
     stream = (
-        spark.readStream.schema(evg.schema)
+        spark.readStream.schema(evg_schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
@@ -3304,16 +3551,23 @@ def q_stream_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_rollcorr")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
     gate = F.pmod(F.xxhash64(F.lit("srcorr"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_rollcorr", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         partial = rolling_corr_daily(batch_df)
@@ -3367,16 +3621,23 @@ def q_stream_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_jsd")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
     gate = F.pmod(F.xxhash64(F.lit("sjsd"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_jsd", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         partial = jsd_grid(batch_df)
@@ -3432,16 +3693,23 @@ def q_stream_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_spearman")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
     gate = F.pmod(F.xxhash64(F.lit("sspear"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_spearman", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         partial = rolling_corr_daily(batch_df)
@@ -3501,16 +3769,23 @@ def q_stream_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_fcbt")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
     gate = F.pmod(F.xxhash64(F.lit("sfcbt"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_fcbt", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         partial = forecast_eval_daily(batch_df)
@@ -4007,13 +4282,21 @@ def q_stream_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_did")
     src, states, ckpt = (os.path.join(root, d) for d in ("src", "states", "ckpt"))
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
     gate = F.pmod(F.xxhash64(F.lit("sdid"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_did", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         partial = did_cells(did_assign(batch_df))
@@ -4059,13 +4342,21 @@ def q_stream_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_kruskal")
     src, states, ckpt = (os.path.join(root, d) for d in ("src", "states", "ckpt"))
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     gate = F.pmod(F.xxhash64(F.lit("skw"), F.col("event_id")), F.lit(3))
-    for i in range(3):
-        ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            ev.filter(gate == i).drop("event_id").coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_kruskal", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         partial = kruskal_grid(batch_df)
@@ -4127,13 +4418,22 @@ def q_stream_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, st_tok, st_first, ckpt = (
         os.path.join(root, d) for d in ("src", "tokens", "firsts", "ckpt")
     )
-    for d in (src, st_tok, st_first, ckpt):
+    for d in (st_tok, st_first, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     gate = F.pmod(F.xxhash64(F.lit("sheaps"), F.col("doc_id")), F.lit(3))
-    for i in range(3):
-        docs.filter(gate == i).coalesce(1).write.mode("append").parquet(src)
+
+    def _build_src(d: str) -> None:
+        for i in range(3):
+            docs.filter(gate == i).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_heaps", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         toks = batch_df.select(
@@ -4571,18 +4871,20 @@ def q_stream_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("t"), "event_id"
     )
-    b = ev.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
-    lo, hi = int(b.lo), int(b.hi)
-    cut1 = lo + (hi - lo) // 3
-    cut2 = lo + 2 * ((hi - lo) // 3)
-    g = (
-        F.when(F.col("t") < F.lit(cut1), F.lit(0))
-        .when(F.col("t") < F.lit(cut2), F.lit(1))
-        .otherwise(F.lit(2))
-    )
-    evg = ev.withColumn("g", g.cast("int"))
 
     def _build_src(d: str) -> None:
+        # the arrival-range boundary collect is BUILD-only work — inside
+        # the closure it runs once per (session, sf_dir), not per run
+        b = ev.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
+        lo, hi = int(b.lo), int(b.hi)
+        cut1 = lo + (hi - lo) // 3
+        cut2 = lo + 2 * ((hi - lo) // 3)
+        g = (
+            F.when(F.col("t") < F.lit(cut1), F.lit(0))
+            .when(F.col("t") < F.lit(cut2), F.lit(1))
+            .otherwise(F.lit(2))
+        )
+        evg = ev.withColumn("g", g.cast("int"))
         for i in range(3):
             evg.filter(F.col("g") == i).drop("g").coalesce(1).write.mode(
                 "append"
@@ -5097,29 +5399,39 @@ def q_stream_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), "stream_bounce")
-    src = os.path.join(root, "src")
     states = os.path.join(root, "states")
     ckpt = os.path.join(root, "ckpt")
-    for d in (src, states, ckpt):
+    for d in (states, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", F.unix_micros("ts").alias("t")
     )
-    b = ev.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
-    lo, hi = int(b.lo), int(b.hi)
-    cut1 = lo + (hi - lo) // 3
-    cut2 = lo + 2 * ((hi - lo) // 3)
-    g = (
-        F.when(F.col("t") < F.lit(cut1), F.lit(0))
-        .when(F.col("t") < F.lit(cut2), F.lit(1))
-        .otherwise(F.lit(2))
-    )
-    evg = ev.withColumn("g", g.cast("int"))
-    for i in range(3):
-        evg.filter(F.col("g") == i).select("event_id", "user_id", "ts").coalesce(
-            1
-        ).write.mode("append").parquet(src)
+
+    def _build_src(d: str) -> None:
+        # the arrival-range boundary collect is BUILD-only work — inside
+        # the closure it runs once per (session, sf_dir), not per run
+        b = ev.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
+        lo, hi = int(b.lo), int(b.hi)
+        cut1 = lo + (hi - lo) // 3
+        cut2 = lo + 2 * ((hi - lo) // 3)
+        g = (
+            F.when(F.col("t") < F.lit(cut1), F.lit(0))
+            .when(F.col("t") < F.lit(cut2), F.lit(1))
+            .otherwise(F.lit(2))
+        )
+        evg = ev.withColumn("g", g.cast("int"))
+        for i in range(3):
+            evg.filter(F.col("g") == i).select(
+                "event_id", "user_id", "ts"
+            ).coalesce(1).write.mode("append").parquet(d)
+
+    # r16 opt (VERDICT r15 item 6): micro-batch source files staged
+    # once per session — the drain (checkpoint fresh per run) is
+    # unchanged.
+    from noaa_etl_spark.streaming.core import staged_stream_src
+
+    src = staged_stream_src(sf_dir, "stream_bounce", _build_src)
 
     def absorb(batch_df, batch_id: int) -> None:
         sess = _sess_op(batch_df, tiebreak_col="event_id")

